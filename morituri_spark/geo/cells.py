@@ -1,0 +1,234 @@
+"""Hierarchical geocell index (pure NumPy; H3/S2-style API).
+
+SURVEY.md §2.7 G9: the target engine needs batched cell encoding of image
+footprints, parent-cell shuffle keys, and ring expansion for kNN. Neither
+``h3`` nor ``s2`` wheels exist in this container, so the engine ships its own
+deterministic equirectangular quad-grid with the same API shape
+(``latlng_to_cell``, ``cell_to_parent``, ``grid_disk``, ``grid_ring``) —
+vectorized NumPy end-to-end, exposed to Spark as Arrow pandas UDFs.
+
+Cell id layout (int64, always positive):
+    bits 58..62  resolution r  (0..29)
+    bits 29..57  x = floor((lon+180)/360 * 2^r)   (29 bits)
+    bits  0..28  y = floor((lat+90)/180 * 2^r)    (29 bits)
+
+Properties used by the join planner:
+  * parent(cell, r') = shift x,y right by (r-r'): pure bit math, no trig —
+    safe inside whole-stage codegen via ``shiftright``/``bitwise and`` too.
+  * neighbors at a resolution are x±1 (mod 2^r, wrapping the antimeridian),
+    y±1 clamped at the poles — ring expansion is closed-form.
+  * ids sort by (r, x, y) so ``repartitionByRange`` on the id yields
+    spatially coherent partitions (Hilbert/Z-order would be tighter; x-major
+    is sufficient and cheaper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+MAX_RES = 29
+_RES_SHIFT = 58
+_X_SHIFT = 29
+_MASK29 = (1 << 29) - 1
+
+
+def latlng_to_cell(lon, lat, res: int):
+    """Vectorized encode. ``lon``/``lat`` array-like degrees → int64 ids."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range [0, {MAX_RES}]")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << res
+    # Half-open cells [edge, next_edge); the +180/+90 shift keeps x,y >= 0.
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    # lon=180 / lat=90 land exactly on the upper edge — clamp into range.
+    np.clip(x, 0, int(n) - 1, out=x)
+    np.clip(y, 0, int(n) - 1, out=y)
+    return (np.int64(res) << _RES_SHIFT) | (x << _X_SHIFT) | y
+
+
+def cell_res(cell):
+    return (np.asarray(cell, dtype=np.int64) >> _RES_SHIFT) & 0x1F
+
+
+def cell_xy(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    return (cell >> _X_SHIFT) & _MASK29, cell & _MASK29
+
+
+def pack_cell(res, x, y):
+    return (
+        (np.asarray(res, dtype=np.int64) << _RES_SHIFT)
+        | (np.asarray(x, dtype=np.int64) << _X_SHIFT)
+        | np.asarray(y, dtype=np.int64)
+    )
+
+
+def cell_to_parent(cell, parent_res: int):
+    """Ancestor at coarser resolution — pure bit shifts."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= cell resolution")
+    shift = res - parent_res
+    x, y = cell_xy(cell)
+    return pack_cell(parent_res, x >> shift, y >> shift)
+
+
+def cell_bounds(cell):
+    """(lon_min, lat_min, lon_max, lat_max) arrays for each cell."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    x, y = cell_xy(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon_min = x / n * 360.0 - 180.0
+    lat_min = y / n * 180.0 - 90.0
+    return lon_min, lat_min, lon_min + 360.0 / n, lat_min + 180.0 / n
+
+
+def cell_center(cell):
+    lon0, lat0, lon1, lat1 = cell_bounds(cell)
+    return (lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0
+
+
+def grid_ring(cell: int, k: int) -> np.ndarray:
+    """Cells at exactly Chebyshev distance k (square ring); k=0 → the cell.
+
+    Wraps x across the antimeridian; clips y at the poles. Scalar ``cell``
+    (used per-query in the kNN expansion loop, vectorized over queries at the
+    pandas-batch level, see geo/knn.py).
+    """
+    cell = int(cell)
+    res = int(cell_res(cell))
+    n = 1 << res
+    x, y = cell_xy(cell)
+    x, y = int(x), int(y)
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    xs, ys = [], []
+    for dx in range(-k, k + 1):
+        for dy in (-k, k):
+            xs.append(x + dx)
+            ys.append(y + dy)
+    for dy in range(-k + 1, k):
+        for dx in (-k, k):
+            xs.append(x + dx)
+            ys.append(y + dy)
+    xs = np.asarray(xs, dtype=np.int64) % n  # wrap lon
+    ys = np.asarray(ys, dtype=np.int64)
+    keep = (ys >= 0) & (ys < n)  # clip lat
+    return np.unique(pack_cell(res, xs[keep], ys[keep]))
+
+
+def grid_disk(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k."""
+    return np.unique(np.concatenate([grid_ring(cell, i) for i in range(k + 1)]))
+
+
+def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
+    """All cells at ``res`` whose box intersects the bbox (a superset cover —
+    the correctness requirement for a join prefilter)."""
+    n = 1 << res
+    x0 = int(np.floor((lon_min + 180.0) / 360.0 * n))
+    x1 = int(np.floor((lon_max + 180.0) / 360.0 * n))
+    y0 = int(np.floor((lat_min + 90.0) / 180.0 * n))
+    y1 = int(np.floor((lat_max + 90.0) / 180.0 * n))
+    x0, x1 = max(x0, 0), min(x1, n - 1)
+    y0, y1 = max(y0, 0), min(y1, n - 1)
+    if x1 < x0 or y1 < y0:
+        return np.empty(0, dtype=np.int64)
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return pack_cell(res, gx.ravel(), gy.ravel())
+
+
+def polygon_cover(rings, res: int) -> np.ndarray:
+    """Cells at ``res`` intersecting the polygon (exterior ring bbox-refined).
+
+    Superset guarantee: start from the bbox cover of the exterior ring, then
+    keep a cell iff the polygon's exterior ring intersects the cell box
+    (any vertex inside the box, any box corner inside the polygon, or any
+    edge crossing the box boundary — the cheap conservative test keeps edge
+    crossings via a segment/box overlap check). Holes never shrink a correct
+    cover, so interior rings are ignored here.
+    """
+    from .pip import ring_np
+
+    ext = ring_np(rings[0])  # (n, 2) lon,lat
+    cells = cover_bbox(ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max(), res)
+    if len(cells) <= 4:
+        return cells
+    lon0, lat0, lon1, lat1 = cell_bounds(cells)
+    keep = np.zeros(len(cells), dtype=bool)
+    # (a) some polygon vertex inside the cell box
+    vx, vy = ext[:, 0], ext[:, 1]
+    for i in range(len(cells)):
+        if np.any((vx >= lon0[i]) & (vx < lon1[i]) & (vy >= lat0[i]) & (vy < lat1[i])):
+            keep[i] = True
+    # (b) cell center inside the polygon (covers cells fully interior)
+    from .pip import points_in_ring_np
+
+    cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
+    keep |= points_in_ring_np(cx, cy, ext)
+    # (c) exact: any polygon edge intersects the cell box (Liang–Barsky clip,
+    # vectorized over edges per remaining cell) — keeps boundary cells whose
+    # overlap is edge-only (no vertex inside, center outside).
+    dx = vx[1:] - vx[:-1]
+    dy = vy[1:] - vy[:-1]
+    for i in np.nonzero(~keep)[0]:
+        t0 = np.zeros(len(dx))
+        t1 = np.ones(len(dx))
+        ok = np.ones(len(dx), dtype=bool)
+        for p, q in (
+            (-dx, vx[:-1] - lon0[i]),
+            (dx, lon1[i] - vx[:-1]),
+            (-dy, vy[:-1] - lat0[i]),
+            (dy, lat1[i] - vy[:-1]),
+        ):
+            par = p == 0
+            ok &= ~(par & (q < 0))  # parallel and outside
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(par, 0.0, q / np.where(p == 0, 1.0, p))
+            t0 = np.where(~par & (p < 0), np.maximum(t0, r), t0)
+            t1 = np.where(~par & (p > 0), np.minimum(t1, r), t1)
+        if np.any(ok & (t0 <= t1)):
+            keep[i] = True
+    return cells[keep]
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+def cell_udf(res: int):
+    """``F.pandas_udf`` computing cell ids from lon/lat columns at ``res``."""
+
+    @F.pandas_udf(LongType())
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(latlng_to_cell(lon.to_numpy(), lat.to_numpy(), res))
+
+    return _encode
+
+
+def parent_col(cell_col, parent_res: int, res: int):
+    """Catalyst-native parent cell (no Python): bit math on the id column.
+
+    Stays inside whole-stage codegen — used as the range-partitioning key.
+    """
+    shift = res - parent_res
+    x = F.shiftright(cell_col.bitwiseAND(F.lit(_MASK29 << _X_SHIFT)), _X_SHIFT + shift)
+    y = F.shiftright(cell_col.bitwiseAND(F.lit(_MASK29)), shift)
+    return (
+        F.lit(parent_res).cast("long") * F.lit(1 << _RES_SHIFT)
+        + F.shiftleft(x, _X_SHIFT)
+        + y
+    )
+
+
+def with_cell(df, res: int, lon="lon", lat="lat", out="cell"):
+    return df.withColumn(out, cell_udf(res)(F.col(lon), F.col(lat)))

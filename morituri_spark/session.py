@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` in one JVM; the same configs are what we'd
+submit with ``spark-submit --py-files`` on a real cluster (see README).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[32], 128 GiB). On a real cluster the
+# same knobs are set per-job; shuffle partitions scale with executor count.
+_DEFAULTS = {
+    # AQE gives runtime re-planning: partition coalescing, skew-join splits,
+    # broadcast conversion — all required at 100 TB scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow is the transport for every pandas UDF kernel in this engine.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamps in tests.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep the UI off in the sandbox; a real deploy re-enables it.
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+    # Broadcast threshold: dimension tables in this engine (conditions,
+    # country refs, admin metadata, polygon covers) are tiny vs the fact side.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "morituri_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    bench.py can pin parallelism for the N-vs-4N scaling evidence.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship morituri_spark to executors (the ``spark-submit --py-files``
+    mechanism, applied programmatically so UDF closures that reference
+    module-level kernels import cleanly on workers regardless of cwd)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "morituri_spark_pyfiles.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "morituri_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)

@@ -1,0 +1,328 @@
+"""Deterministic synthetic table generators (seed=42 throughout).
+
+FIXTURES.md §1 (images fact table with Zipf-skewed geo clustering, per
+BASELINE.json input_hint) and §§2-9 (NAVSTREETS-shaped dimension/fixture
+tables mirroring the reference's own fixture generators,
+/root/reference/tests/navteq/create_street_geojson.py and
+create_zlvl_geojson.py). Generation is distributed: an id-range DataFrame
+(``spark.range``) fans rows out across partitions and a ``mapInPandas``
+kernel synthesizes each batch — no driver-side loops, so the same generator
+scales to bench sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import images as I
+
+SEED = 42
+
+# Test region: a 10°×10° bbox; ~30% of images cluster in one "urban disk"
+# mega-cell to exercise skew salting (FIXTURES.md §1).
+BBOX = (0.0, 40.0, 10.0, 50.0)
+URBAN_CENTER = (5.0, 45.0)
+URBAN_RADIUS = 0.05
+URBAN_FRAC = 0.3
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("caption", StringType(), False),
+        StructField("phash", LongType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+    ]
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — full-avalanche integer hash (public domain
+    algorithm, Steele et al.), vectorized on uint64."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _unit_hash(ids: np.ndarray, stream: int) -> np.ndarray:
+    """Deterministic uniform [0,1) per (id, stream)."""
+    h = _splitmix64(ids.astype(np.uint64) * np.uint64(1315423911) + np.uint64(stream * 2654435761 + SEED))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _lonlat_for_ids(ids: np.ndarray):
+    """Deterministic per-id position: urban-disk cluster or uniform bbox."""
+    rng_u = _unit_hash(ids, 1)
+    rng_v = _unit_hash(ids, 2)
+    rng_w = _unit_hash(ids, 3)
+    urban = rng_u < URBAN_FRAC
+    theta = 2 * np.pi * rng_v
+    r = URBAN_RADIUS * np.sqrt(rng_w)
+    lon = np.where(
+        urban,
+        URBAN_CENTER[0] + r * np.cos(theta),
+        BBOX[0] + rng_v * (BBOX[2] - BBOX[0]),
+    )
+    lat = np.where(
+        urban,
+        URBAN_CENTER[1] + r * np.sin(theta),
+        BBOX[1] + rng_w * (BBOX[3] - BBOX[1]),
+    )
+    return lon, lat
+
+
+def images_table(
+    spark: SparkSession,
+    n: int,
+    partitions: int = 32,
+    px: int = 8,
+    with_payload: bool = True,
+) -> DataFrame:
+    """The primary fact table (image_id, bytes, w, h, fmt, caption, phash,
+    lon, lat). ``px`` controls payload size (px × px RGB). ``with_payload=
+    False`` emits 0-byte payloads for geometry-only benchmarks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lon, lat = _lonlat_for_ids(ids)
+            fmts = np.where(ids % 2 == 0, "png", "fjpg")
+            payloads, hashes = [], []
+            for i, fmt in zip(ids, fmts):
+                if with_payload:
+                    rng = np.random.default_rng(SEED + int(i))
+                    arr = rng.integers(0, 256, size=(px, px, 3), dtype=np.uint8)
+                    payloads.append(I.encode(arr, str(fmt)))
+                    hashes.append(I.phash(arr))
+                else:
+                    payloads.append(b"")
+                    hashes.append(int(i))
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{i:012d}" for i in ids],
+                    "bytes": payloads,
+                    "w": np.full(len(ids), px, dtype=np.int32),
+                    "h": np.full(len(ids), px, dtype=np.int32),
+                    "fmt": fmts,
+                    "caption": [f"photo {i} near ({lo:.3f},{la:.3f})" for i, lo, la in zip(ids, lon, lat)],
+                    "phash": np.asarray(hashes, dtype=np.int64),
+                    "lon": lon,
+                    "lat": lat,
+                }
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Zones (admin polygons) — FIXTURES.md §9
+# ---------------------------------------------------------------------------
+
+RINGS_TYPE = ArrayType(ArrayType(ArrayType(DoubleType())))
+
+ZONES_SCHEMA = StructType(
+    [
+        StructField("zone_id", LongType(), False),
+        StructField("area_id", LongType(), False),
+        StructField("admin_lvl", IntegerType(), False),
+        StructField("rings", RINGS_TYPE, False),
+    ]
+)
+
+
+def _rect(x0, y0, x1, y1):
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+
+def _regular_polygon(cx, cy, r, n, phase=0.0):
+    ang = phase + 2 * np.pi * np.arange(n + 1) / n
+    return [[float(cx + r * np.cos(a)), float(cy + r * np.sin(a))] for a in ang]
+
+
+def zones_table(spark: SparkSession, grid: int = 4) -> DataFrame:
+    """Deterministic zone set over BBOX: a grid×grid rectangle tiling
+    (admin_lvl 3), a handful of hexagon 'cities' (lvl 5), and one annulus —
+    square with a square hole — to pin hole semantics (lvl 4)."""
+    rows = []
+    zid = 0
+    dx = (BBOX[2] - BBOX[0]) / grid
+    dy = (BBOX[3] - BBOX[1]) / grid
+    for gy in range(grid):
+        for gx in range(grid):
+            rows.append(
+                (zid, 1000 + zid, 3,
+                 [_rect(BBOX[0] + gx * dx, BBOX[1] + gy * dy,
+                        BBOX[0] + (gx + 1) * dx, BBOX[1] + (gy + 1) * dy)])
+            )
+            zid += 1
+    rng = np.random.default_rng(SEED)
+    for _ in range(6):
+        cx = BBOX[0] + rng.uniform(0.15, 0.85) * (BBOX[2] - BBOX[0])
+        cy = BBOX[1] + rng.uniform(0.15, 0.85) * (BBOX[3] - BBOX[1])
+        rows.append((zid, 1000 + zid, 5, [_regular_polygon(cx, cy, rng.uniform(0.3, 1.0), 6)]))
+        zid += 1
+    # urban hexagon right on the mega-cell so the skewed cluster hits one zone
+    rows.append((zid, 1000 + zid, 5, [_regular_polygon(*URBAN_CENTER, 0.2, 6)]))
+    zid += 1
+    # annulus: outer 2×2 square with 1×1 hole, centered at (2.5, 42.5)
+    rows.append(
+        (zid, 1000 + zid, 4, [_rect(1.5, 41.5, 3.5, 43.5), _rect(2.0, 42.0, 3.0, 43.0)])
+    )
+    return spark.createDataFrame(rows, ZONES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# NAVSTREETS-shaped fixture tables — FIXTURES.md §§2-8
+# ---------------------------------------------------------------------------
+
+def streets_table(spark: SparkSession, n: int = 200, n_vertices: int = 5) -> DataFrame:
+    """Street links shaped like the reference's fixture generator
+    (create_street_geojson.py:16-126): vertices start at a per-link origin
+    and step +0.001°/vertex; the full attribute set drives the tag layer."""
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for i in range(n):
+        link_id = 10_000 + i
+        x0 = 10.0 + (i % 50) * 0.01
+        y0 = 10.0 + (i // 50) * 0.01
+        geom = [[x0 + j * 0.001, y0 + j * 0.001] for j in range(n_vertices)]
+        yn = lambda p: "Y" if rng.uniform() < p else "N"  # noqa: E731
+        route_type = str(rng.integers(1, 7)) if rng.uniform() < 0.5 else ""
+        func_class = str(rng.integers(1, 6))
+        fr = int(rng.choice([0, 30, 50, 100, 130, 998, 999]))
+        to = int(rng.choice([0, 30, 50, 100, 130, 998, 999]))
+        rows.append(
+            {
+                "LINK_ID": link_id,
+                "geometry": geom,
+                "ST_NAME": rng.choice(["E20 ", "main STREET", "ELM st", ""]),
+                "FUNC_CLASS": func_class,
+                "ROUTE_TYPE": route_type,
+                "SPEED_CAT": str(rng.integers(1, 9)),
+                "FR_SPD_LIM": str(fr),
+                "TO_SPD_LIM": str(to),
+                "DIR_TRAVEL": str(rng.choice(["F", "T", "B"])),
+                "AR_AUTO": yn(0.9), "AR_BUS": yn(0.8), "AR_TAXIS": yn(0.8),
+                "AR_CARPOOL": yn(0.8), "AR_PEDEST": yn(0.7), "AR_TRUCKS": yn(0.7),
+                "AR_TRAFF": yn(0.9), "AR_EMERVEH": yn(0.95), "AR_MOTOR": yn(0.9),
+                "PAVED": yn(0.8), "PRIVATE": yn(0.1), "BRIDGE": yn(0.1),
+                "TUNNEL": yn(0.05), "TOLLWAY": yn(0.1), "ROUNDABOUT": yn(0.05),
+                "FOURWHLDR": yn(0.05), "URBAN": yn(0.5), "PUB_ACCESS": yn(0.9),
+                "FERRY_TYPE": str(rng.choice(["H"] * 18 + ["B", "R"])),
+                "PHYS_LANES": str(rng.integers(0, 5)),
+                "L_AREA_ID": int(rng.integers(1, 6)),
+                "R_AREA_ID": int(rng.integers(1, 6)),
+                "L_POSTCODE": str(rng.choice(["5500", "5501", ""])),
+                "R_POSTCODE": str(rng.choice(["5500", "5501", ""])),
+                "ADDR_TYPE": str(rng.choice(["B", "", ""])),
+                "L_REFADDR": "2", "L_NREFADDR": "40", "L_ADDRSCH": "E",
+                "R_REFADDR": "1", "R_NREFADDR": "41", "R_ADDRSCH": "O",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    schema = StructType(
+        [StructField("LINK_ID", LongType(), False),
+         StructField("geometry", ArrayType(ArrayType(DoubleType())), False)]
+        + [StructField(c, StringType(), False) for c in pdf.columns if c not in ("LINK_ID", "geometry", "L_AREA_ID", "R_AREA_ID")]
+        + [StructField("L_AREA_ID", LongType(), False), StructField("R_AREA_ID", LongType(), False)]
+    )
+    cols = [f.name for f in schema.fields]
+    return spark.createDataFrame(pdf[cols], schema)
+
+
+def zlevels_table(spark: SparkSession, vectors: list[tuple[int, list[int]]]) -> DataFrame:
+    """(LINK_ID, POINT_NUM 1-based, Z_LEVEL) rows from per-link z sequences —
+    the shape of Zlevels.dbf (FIXTURES.md §3). Zero rows are kept here; the
+    loader drops them (mirroring navteq.hpp:1036)."""
+    rows = [
+        (link_id, j + 1, int(z))
+        for link_id, seq in vectors
+        for j, z in enumerate(seq)
+    ]
+    schema = StructType(
+        [StructField("LINK_ID", LongType(), False),
+         StructField("POINT_NUM", IntegerType(), False),
+         StructField("Z_LEVEL", IntegerType(), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def cdms_table(spark: SparkSession, n_links: int = 200) -> DataFrame:
+    rng = np.random.default_rng(SEED + 1)
+    rows = []
+    cond_id = 1
+    for i in range(n_links):
+        link_id = 10_000 + i
+        for _ in range(int(rng.integers(0, 3))):
+            rows.append((link_id, cond_id, int(rng.choice([3, 7, 7, 9]))))
+            cond_id += 1
+    return spark.createDataFrame(
+        rows, "LINK_ID long, COND_ID long, COND_TYPE int"
+    )
+
+
+def cnd_mod_table(spark: SparkSession, cdms: DataFrame) -> DataFrame:
+    rng = np.random.default_rng(SEED + 2)
+    rows = []
+    for r in cdms.select("COND_ID").collect():
+        if rng.uniform() < 0.7:
+            rows.append((r[0], int(rng.choice([41, 42, 43, 44, 45])), int(rng.integers(100, 5000))))
+    return spark.createDataFrame(rows, "COND_ID long, MOD_TYPE int, MOD_VAL long")
+
+
+def mtd_area_table(spark: SparkSession) -> DataFrame:
+    rows = [
+        (1, 1, "ENG", "united kingdom", 101),
+        (1, 1, "FRE", "royaume-uni", 101),
+        (2, 3, "GER", "bayern", 102),
+        (3, 5, "GER", "muenchen stadt", 102),
+        (4, 2, "ENG", "scotland", 101),
+        (5, 7, "DAN", "koebenhavn K", 103),
+    ]
+    return spark.createDataFrame(
+        rows, "AREA_ID long, ADMIN_LVL int, LANG_CODE string, AREA_NAME string, GOVT_CODE long"
+    )
+
+
+def mtd_cntry_ref_table(spark: SparkSession) -> DataFrame:
+    rows = [
+        (101, "E", "MPH", "GBR"),  # imperial
+        (102, "M", "KPH", "DEU"),
+        (103, "M", "KPH", "DNK"),
+    ]
+    return spark.createDataFrame(
+        rows, "GOVT_CODE long, UNTMEASURE string, SPDLIMUNIT string, ISO_CODE string"
+    )
+
+
+def rdms_table(spark: SparkSession, n_restrictions: int = 30) -> DataFrame:
+    """Turn-restriction sequences: rows with equal COND_ID are consecutive;
+    SEQ is explicit (FIXTURES.md §6)."""
+    rng = np.random.default_rng(SEED + 3)
+    rows = []
+    for c in range(n_restrictions):
+        cond_id = 5000 + c
+        from_link = 10_000 + int(rng.integers(0, 200))
+        links = [from_link] + [10_000 + int(rng.integers(0, 200)) for _ in range(int(rng.integers(1, 4)))]
+        for seq, man in enumerate(links):
+            rows.append((from_link, cond_id, man, seq))
+    return spark.createDataFrame(rows, "LINK_ID long, COND_ID long, MAN_LINKID long, SEQ int")
