@@ -200,11 +200,14 @@ def streets_table(spark: SparkSession, n: int = 200, n_vertices: int = 5) -> Dat
     and step +0.001°/vertex; the full attribute set drives the tag layer."""
     rng = np.random.default_rng(SEED)
     rows = []
+    step = 0.001
     for i in range(n):
         link_id = 10_000 + i
-        x0 = 10.0 + (i % 50) * 0.01
+        # links in the same 50-wide row chain end-to-end (link i's last
+        # vertex == link i+1's first) so turn-restriction topologies resolve
+        x0 = 10.0 + (i % 50) * step * (n_vertices - 1)
         y0 = 10.0 + (i // 50) * 0.01
-        geom = [[x0 + j * 0.001, y0 + j * 0.001] for j in range(n_vertices)]
+        geom = [[round(x0 + j * step, 9), y0] for j in range(n_vertices)]
         yn = lambda p: "Y" if rng.uniform() < p else "N"  # noqa: E731
         route_type = str(rng.integers(1, 7)) if rng.uniform() < 0.5 else ""
         func_class = str(rng.integers(1, 6))
@@ -247,6 +250,35 @@ def streets_table(spark: SparkSession, n: int = 200, n_vertices: int = 5) -> Dat
     )
     cols = [f.name for f in schema.fields]
     return spark.createDataFrame(pdf[cols], schema)
+
+
+STREET_ATTR_DEFAULTS = {
+    "ST_NAME": "Test Street", "FUNC_CLASS": "3", "ROUTE_TYPE": "",
+    "SPEED_CAT": "5", "FR_SPD_LIM": "50", "TO_SPD_LIM": "50",
+    "DIR_TRAVEL": "B",
+    "AR_AUTO": "Y", "AR_BUS": "Y", "AR_TAXIS": "Y", "AR_CARPOOL": "Y",
+    "AR_PEDEST": "Y", "AR_TRUCKS": "Y", "AR_TRAFF": "Y", "AR_EMERVEH": "Y",
+    "AR_MOTOR": "Y",
+    "PAVED": "Y", "PRIVATE": "N", "BRIDGE": "N", "TUNNEL": "N",
+    "TOLLWAY": "N", "ROUNDABOUT": "N", "FOURWHLDR": "N", "URBAN": "N",
+    "PUB_ACCESS": "Y", "FERRY_TYPE": "H", "PHYS_LANES": "0",
+    "L_POSTCODE": "", "R_POSTCODE": "", "ADDR_TYPE": "",
+    "L_REFADDR": "", "L_NREFADDR": "", "L_ADDRSCH": "",
+    "R_REFADDR": "", "R_NREFADDR": "", "R_ADDRSCH": "",
+}
+
+
+def streets_from_geometries(spark: SparkSession, links: dict[int, list]) -> DataFrame:
+    """Minimal streets table for topology tests: {link_id: vertex list},
+    every attribute at its default."""
+    rows = []
+    for link_id, geom in links.items():
+        r = {"LINK_ID": link_id, "geometry": geom,
+             "L_AREA_ID": 2, "R_AREA_ID": 2}
+        r.update(STREET_ATTR_DEFAULTS)
+        rows.append(r)
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf)
 
 
 def zlevels_table(spark: SparkSession, vectors: list[tuple[int, list[int]]]) -> DataFrame:
@@ -314,6 +346,26 @@ def mtd_cntry_ref_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def adminbndy_table(spark: SparkSession) -> DataFrame:
+    """Admin polygons for AREA_IDs 1..5 (FK → mtd_area): rectangles and one
+    polygon with a hole; level = source file index 1..5."""
+    rows = [
+        (1, 1, [_rect(0.0, 40.0, 10.0, 50.0)]),
+        (2, 2, [_rect(0.0, 40.0, 5.0, 50.0)]),
+        (3, 3, [_regular_polygon(5.0, 45.0, 1.0, 6)]),
+        (4, 2, [_rect(5.0, 40.0, 10.0, 50.0)]),
+        (5, 4, [_rect(6.0, 41.0, 9.0, 44.0), _rect(7.0, 42.0, 8.0, 43.0)]),
+    ]
+    schema = StructType(
+        [
+            StructField("AREA_ID", LongType(), False),
+            StructField("level", IntegerType(), False),
+            StructField("rings", RINGS_TYPE, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def rdms_table(spark: SparkSession, n_restrictions: int = 30) -> DataFrame:
     """Turn-restriction sequences: rows with equal COND_ID are consecutive;
     SEQ is explicit (FIXTURES.md §6)."""
@@ -321,8 +373,16 @@ def rdms_table(spark: SparkSession, n_restrictions: int = 30) -> DataFrame:
     rows = []
     for c in range(n_restrictions):
         cond_id = 5000 + c
-        from_link = 10_000 + int(rng.integers(0, 200))
-        links = [from_link] + [10_000 + int(rng.integers(0, 200)) for _ in range(int(rng.integers(1, 4)))]
-        for seq, man in enumerate(links):
+        # pick a run of adjacent links within one 50-wide row so the
+        # via-sequence is topologically connected (streets_table chains
+        # row-wise)
+        length = int(rng.integers(2, 5))
+        row = int(rng.integers(0, 4))
+        col = int(rng.integers(0, 50 - length))
+        links = [10_000 + row * 50 + col + k for k in range(length)]
+        from_link = links[0]
+        # row j's MAN_LINKID is link j+1 — the loader prepends LINK_ID
+        # (collect_via_manoeuvre_link_ids, navteq.hpp:845-862)
+        for seq, man in enumerate(links[1:]):
             rows.append((from_link, cond_id, man, seq))
     return spark.createDataFrame(rows, "LINK_ID long, COND_ID long, MAN_LINKID long, SEQ int")

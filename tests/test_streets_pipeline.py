@@ -1,0 +1,139 @@
+"""Entry point 1 end-to-end: convert_streets over the synthetic NAVSTREETS
+fixtures, cross-checked against the Python kernels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.functions import units as U
+from morituri_spark.operators import streets as ST
+from morituri_spark.operators import zsplit
+from morituri_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    streets = synth.streets_table(spark, n=120, n_vertices=8).cache()
+    zvecs = [
+        (10_000 + i, [0, 1, 1, 0, 0, 2, 2, 0]) for i in range(0, 120, 4)
+    ] + [(10_001 + i, [3, 0, 0, 0, 0, 0, 0, 3]) for i in range(0, 118, 4)]
+    zlevels = synth.zlevels_table(spark, zvecs).cache()
+    cdms = synth.cdms_table(spark, 120).cache()
+    cnd_mod = synth.cnd_mod_table(spark, cdms).cache()
+    mtd = synth.mtd_area_table(spark)
+    cref = synth.mtd_cntry_ref_table(spark)
+    return streets, zlevels, cdms, cnd_mod, mtd, cref
+
+
+def test_way_counts_match_python_kernel(spark, data):
+    streets, zlevels, *_ = data
+    out = ST.street_ways(streets, zlevels)
+    got = {
+        r["link_id"]: r["n"]
+        for r in out.groupBy("link_id").agg(F.count("*").alias("n")).collect()
+    }
+    # python-side expectation
+    src = {r["LINK_ID"]: (len(r["geometry"]), r["FERRY_TYPE"]) for r in streets.collect()}
+    zl = {}
+    for r in zlevels.collect():
+        if r["Z_LEVEL"] != 0:
+            zl.setdefault(r["LINK_ID"], []).append((r["POINT_NUM"] - 1, r["Z_LEVEL"]))
+    for link, (n_pts, ferry) in src.items():
+        if link in zl:
+            want = len(zsplit.split_link(n_pts, zl[link], ferry in ("B", "R")))
+        else:
+            want = 1
+        assert got[link] == want, f"link {link}"
+
+
+def test_way_ids_dense_and_slices_correct(spark, data):
+    streets, zlevels, *_ = data
+    out = ST.street_ways(streets, zlevels).cache()
+    n = out.count()
+    ids = [r[0] for r in out.select("way_id").collect()]
+    assert sorted(ids) == list(range(1, n + 1))
+    # geometry slice endpoints line up with from/to indices
+    row = out.where("z_lvl is not null").first()
+    src_geom = {
+        r["LINK_ID"]: r["geometry"] for r in streets.where(F.col("LINK_ID") == row["link_id"]).collect()
+    }[row["link_id"]]
+    assert row["way_geometry"][0] == src_geom[row["from_idx"]]
+    assert row["way_geometry"][-1] == src_geom[row["to_idx"]]
+    assert len(row["way_geometry"]) == row["to_idx"] - row["from_idx"] + 1
+    # layer tag only for z != 0
+    assert out.where("z_lvl = 0 and layer is not null").count() == 0
+    assert out.where("z_lvl is not null and z_lvl != 0 and layer is null").count() == 0
+
+
+def test_link_restrictions_match_oracle(spark, data):
+    streets, _, cdms, cnd_mod, mtd, cref = data
+    got = {
+        r["LINK_ID"]: r.asDict()
+        for r in ST.link_restrictions(streets, cdms, cnd_mod, mtd, cref).collect()
+    }
+    # oracle: replay C++ logic row-wise
+    cdms_rows = [(r["LINK_ID"], r["COND_ID"]) for r in cdms.collect()]
+    mod_rows = {}
+    for r in cnd_mod.collect():
+        mod_rows.setdefault(r["COND_ID"], (r["MOD_TYPE"], r["MOD_VAL"]))
+    area_imp = {1: True, 4: True}  # govt 101 = 'E' per synth fixtures
+    st_rows = {r["LINK_ID"]: (r["L_AREA_ID"], r["R_AREA_ID"]) for r in streets.collect()}
+    mins: dict[int, dict[int, int]] = {}
+    for link, cond in cdms_rows:
+        if cond in mod_rows:
+            mt, mv = mod_rows[cond]
+            if mv > 0:
+                cur = mins.setdefault(link, {})
+                if mt not in cur or mv < cur[mt]:
+                    cur[mt] = mv
+    for link, per_type in mins.items():
+        l, r = st_rows[link]
+        imp = area_imp.get(l, False) or area_imp.get(r, False)
+        want = {}
+        for mt, (name, is_w) in ST.MOD_TAGS.items():
+            if mt in per_type:
+                v = per_type[mt]
+                if is_w:
+                    want[name] = U.lbs_to_metric_ton(v) if imp else U.kg_to_t(v)
+                else:
+                    want[name] = U.inch_to_feet(v) if imp else U.cm_to_m(v)
+            else:
+                want[name] = None
+        have = got[link]
+        for k, v in want.items():
+            assert have[k] == v, f"link {link} {k}: {have[k]!r} != {v!r}"
+
+
+def test_street_nodes_sharing(spark):
+    """Two links sharing an endpoint → one shared node; middles private even
+    at identical locations."""
+    streets = synth.streets_from_geometries(
+        spark,
+        {
+            1: [[0.0, 0.0], [0.5, 0.5], [1.0, 1.0]],
+            2: [[1.0, 1.0], [0.5, 0.5], [2.0, 2.0]],  # same middle location!
+        },
+    )
+    zlevels = synth.zlevels_table(spark, [])
+    nodes = ST.street_nodes(streets, zlevels).collect()
+    shared = [r for r in nodes if r["link_id"] is None]
+    middles = [r for r in nodes if r["link_id"] is not None]
+    # endpoints: (0,0), (1,1) shared, (2,2) → 3 shared nodes ((1,1) deduped)
+    assert len(shared) == 3
+    # middles: same location but private per link → 2 nodes
+    assert len(middles) == 2
+    ids = sorted(r["node_id"] for r in nodes)
+    assert ids == list(range(1, 6))
+
+
+def test_z_endpoint_dedup_by_loc_and_z(spark):
+    """J8: endpoints dedup on (loc, z): same loc different z → 2 nodes."""
+    streets = synth.streets_from_geometries(
+        spark, {1: [[0.0, 0.0], [1.0, 1.0]], 2: [[1.0, 1.0], [2.0, 2.0]]}
+    )
+    # link 1 end vertex (idx 1) z=2 ; link 2 start vertex (idx 0) z=2 → shared
+    zlevels = synth.zlevels_table(spark, [(1, [0, 2]), (2, [2, 0])])
+    nodes = ST.street_nodes(streets, zlevels).collect()
+    znodes = [r for r in nodes if r["z_lvl"] is not None]
+    assert len(znodes) == 1 and znodes[0]["z_lvl"] == 2
+    plain = [r for r in nodes if r["z_lvl"] is None and r["link_id"] is None]
+    assert len(plain) == 2  # (0,0) and (2,2)
