@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the engine contract:
+  * brute-force cosine top-k — the correctness baseline. The dot product is
+    a JVM-side ``aggregate(zip_with(...))`` when the query is a literal
+    (one query), or an Arrow/NumPy matmul kernel for query batches.
+  * LSH-bucketed ANN (random hyperplanes, fixed seed) — the scale path:
+    candidates only probe their own Hamming bucket ring, so the join is
+    bucket-equi, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+
+def cosine_to_query(emb: DataFrame, query: list[float], vec_col="embedding") -> DataFrame:
+    """Append ``cosine`` vs a literal query vector — pure Catalyst
+    (zip_with product, aggregate sum, sqrt norms), whole-stage codegen."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return emb.withColumn("cosine", dot / (norm_v * F.lit(qn)))
+
+
+def topk_bruteforce(
+    emb: DataFrame, query: list[float], k: int = 10, vec_col="embedding", id_col="vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine (ties broken by id for determinism)."""
+    scored = cosine_to_query(emb, query, vec_col)
+    return (
+        scored.select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    queries: DataFrame, emb: DataFrame, k: int = 5, vec_col="embedding",
+    qid_col="query_id", id_col="vec_id",
+) -> DataFrame:
+    """Batch kNN: every query × candidate via an Arrow matmul kernel against
+    a broadcast candidate matrix (valid when the candidate set fits in
+    executor memory; the IVF/LSH path below is the scale-out variant)."""
+    cand = emb.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in cand], dtype=np.int64)
+    mat = np.asarray([r[1] for r in cand], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = queries.sparkSession.sparkContext.broadcast((ids, mat))
+
+    schema = StructType(
+        [
+            queries.schema[qid_col],
+            StructField(id_col, LongType(), False),
+            StructField("rank", IntegerType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        cids, cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ cmat.T
+            # deterministic top-k: sort by (-sim, id)
+            order = np.lexsort((cids[None, :].repeat(len(q), 0), -sims), axis=1)[:, :k]
+            rows = {qid_col: [], id_col: [], "rank": [], "cosine": []}
+            for qi in range(len(q)):
+                for r, ci in enumerate(order[qi]):
+                    rows[qid_col].append(pdf[qid_col].iloc[qi])
+                    rows[id_col].append(cids[ci])
+                    rows["rank"].append(r)
+                    rows["cosine"].append(round(float(sims[qi, ci]), 6))
+            yield pd.DataFrame(rows)
+
+    return queries.select(qid_col, vec_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) ANN
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int, n_bits: int = 12, seed: int = 42, vec_col="embedding"
+) -> DataFrame:
+    """Sign-bit bucket id per vector (Arrow kernel, one matmul per batch)."""
+    H = _hyperplanes(dim, n_bits, seed)
+    bc = df.sparkSession.sparkContext.broadcast(H)
+    schema = StructType(df.schema.fields + [StructField("bucket", LongType(), False)])
+
+    def run(batches):
+        planes = bc.value
+        weights = (1 << np.arange(planes.shape[0], dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (v @ planes.T) > 0
+            bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.int64)
+            out = pdf.copy()
+            out["bucket"] = bucket
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def ann_topk_lsh(
+    queries: DataFrame, emb: DataFrame, dim: int, k: int = 5, n_bits: int = 12,
+    vec_col="embedding", qid_col="query_id", id_col="vec_id",
+) -> DataFrame:
+    """ANN: bucket-equi-join then exact cosine + windowed top-k inside the
+    bucket. Recall < 1 by construction; pair with multi-probe (bucket xor
+    single bits) when needed — here single-probe keeps the join 1:1."""
+    from pyspark.sql.window import Window
+
+    qb = with_lsh_bucket(queries.select(qid_col, vec_col), dim, n_bits)
+    eb = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits).withColumnRenamed(
+        vec_col, "_cand_vec"
+    )
+    paired = qb.join(eb, "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    nc = F.sqrt(F.aggregate(F.col("_cand_vec"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    scored = paired.withColumn("cosine", F.round(dot / (nv * nc), 6))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select(qid_col, id_col, "rank", "cosine")
+    )

@@ -38,6 +38,29 @@ from pyspark.sql.types import (
 
 Z_LVL_MIN, Z_LVL_MAX = -4, 5  # navteq_types.hpp:88, navteq.hpp:248-252
 
+# The reference's 44 golden vectors (tests/navteq/test_navteq2osm.cpp:47-101):
+# (node z-level sequence, expected way z-level sequence in emission order).
+GOLDEN_VECTORS: list[tuple[str, list[int]]] = [
+    ("0 1", [1]), ("1 0", [1]), ("1 1", [1]),
+    ("0 0 1", [0, 1]), ("0 1 0", [1]), ("0 1 1", [1]), ("1 0 0", [1, 0]),
+    ("1 0 1", [1]), ("1 1 0", [1]), ("1 1 1", [1]),
+    ("-1 0 -1", [-1]), ("-1 1 -1", [-1]), ("1 -1 1", [1]), ("0 -1 0", [-1]),
+    ("2 1 2", [2]), ("-2 -1 -2", [-2]), ("-2 -1 -3", [-2, -3]),
+    ("0 0 0 1", [0, 1]), ("0 0 1 0", [0, 1]), ("0 0 1 1", [0, 1]),
+    ("0 1 0 0", [1, 0]), ("0 1 0 1", [1]), ("0 1 1 0", [1]), ("0 1 1 1", [1]),
+    ("1 0 0 0", [1, 0]), ("1 0 0 1", [1, 0, 1]), ("1 0 1 0", [1]),
+    ("1 0 1 1", [1]), ("1 1 0 0", [1, 0]), ("1 1 0 1", [1]), ("1 1 1 0", [1]),
+    ("1 1 1 1", [1]),
+    ("1 2 2 1", [2]), ("2 1 1 2", [2, 1, 2]),
+    ("1 0 0 0 1", [1, 0, 1]), ("2 1 0 1 2", [2, 1, 2]),
+    ("2 1 0 0 1 2", [2, 1, 0, 1, 2]),
+    ("0 1 1 0 1 1 0", [1]),
+    ("0 1 0 1 0 1 0 1", [1]), ("0 1 1 0 0 1 0 0", [1, 0, 1, 0]),
+    ("1 0 1 0 1 0 1 0", [1]),
+    ("0 1 0 1 0 0 1 0 1", [1, 0, 1]),
+    ("0 1 1 0 1 1 0 1 1 0", [1]), ("0 4 4 0 0 0 5 5 0 0", [4, 0, 5, 0]),
+]
+
 
 def check_z_lvl_range(z: int) -> None:
     if not Z_LVL_MIN <= z <= Z_LVL_MAX:

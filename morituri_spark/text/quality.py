@@ -1,0 +1,142 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all over the ``documents`` table, all pure
+Catalyst expressions except the rolling-hash fingerprint (Arrow kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# Small per-language stopword profiles for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "que", "en", "un", "es", "por"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-zA-Zà-ÿÀ-ß']+"), lambda t: t != "")
+
+
+def langid_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        out[lang] = (hits / n).alias(f"score_{lang}")
+    return out
+
+
+def predict_language(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """argmax of the stopword ratios; 'und' (undetermined) when all zero."""
+    scores = langid_scores(text_col)
+    pairs = F.array(
+        *[F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return docs.select(
+        id_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["score"].alias("pred_score"),
+    )
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+
+
+def token_count_bpe_ish(text_col: str = "text") -> Column:
+    """BPE-ish segment count: word pieces of ≤4 chars + digits + punctuation
+    marks each count — a deterministic proxy for tokenizer load estimation
+    (ceil(len(word)/4) per word + standalone punct/digit runs)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    per_word = F.transform(
+        words,
+        lambda w: F.ceil(
+            F.length(F.regexp_replace(w, r"[^A-Za-zà-ÿÀ-ß]", "")) / F.lit(4.0)
+        ).cast("long")
+        + F.length(F.regexp_replace(w, r"[A-Za-zà-ÿÀ-ß]", "")),
+    )
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Length / punctuation / stopword / repetition heuristics, each also
+    expressible in ANSI SQL for the DuckDB oracle."""
+    length = F.length(F.col(text_col))
+    n_tok = token_count_ws(text_col)
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-zà-ÿÀ-ß]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    toks = _tokens(text_col)
+    en_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    return {
+        "n_chars_q": length.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": F.round(length / F.greatest(n_tok, F.lit(1)), 4),
+        "alpha_ratio": F.round(alpha / F.greatest(length, F.lit(1)), 4),
+        "punct_ratio": F.round(punct / F.greatest(length, F.lit(1)), 4),
+        "upper_ratio": F.round(upper / F.greatest(length, F.lit(1)), 4),
+        "stopword_ratio": F.round(en_stop / F.greatest(F.size(toks), F.lit(1)), 4),
+    }
+
+
+def quality_score(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Composite [0,1] quality score from the heuristic columns (weights
+    fixed; the gate thresholds follow C4/Gopher-style rules)."""
+    q = quality_columns(text_col)
+    df = docs.select(id_col, *[v.alias(k) for k, v in q.items()])
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+    )
+    return df.withColumn("quality", F.round(score, 2))
+
+
+def fingerprint(docs: DataFrame, window: int = 16, text_col="text", id_col="doc_id") -> DataFrame:
+    """Winnowing-style document fingerprint: rolling polynomial hash over
+    bytes, min hash per window stride → xor-fold to one int64. Arrow kernel
+    (per-batch NumPy; no per-row Python)."""
+    src = docs.select(id_col, text_col)
+    schema = StructType(
+        [src.schema[id_col], StructField("fingerprint", LongType(), False)]
+    )
+    B = np.uint64(1099511628211)
+
+    def run(batches):
+        for pdf in batches:
+            fps = []
+            for t in pdf[text_col]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(b) == 0:
+                    fps.append(0)
+                    continue
+                # rolling poly-hash h[i] = sum b[i..i+w) * B^j  via cumulative trick
+                w = min(window, len(b))
+                pw = np.empty(w, dtype=np.uint64)
+                pw[0] = np.uint64(1)
+                for j in range(1, w):
+                    pw[j] = pw[j - 1] * B
+                n_win = len(b) - w + 1
+                hashes = np.zeros(n_win, dtype=np.uint64)
+                for j in range(w):
+                    hashes += b[j : j + n_win] * pw[j]
+                # winnow: min per stride of w, xor-fold
+                n_strides = (n_win + w - 1) // w
+                fold = np.uint64(0)
+                for s in range(n_strides):
+                    fold ^= hashes[s * w : (s + 1) * w].min()
+                fps.append(np.int64(fold.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": np.asarray(fps, dtype=np.int64)})
+
+    return src.mapInPandas(run, schema)

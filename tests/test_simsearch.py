@@ -1,0 +1,66 @@
+"""Similarity search: brute-force exact vs NumPy oracle; LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.ml import simsearch as S
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, DIM)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf).cache(), vecs
+
+
+def _oracle_topk(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ qn
+    order = np.lexsort((np.arange(len(vecs)), -sims))[:k]
+    return [int(i) for i in order]
+
+
+def test_topk_bruteforce_matches_oracle(spark, emb):
+    df, vecs = emb
+    q = vecs[0].astype(np.float64)
+    got = [r["vec_id"] for r in S.topk_bruteforce(df, list(q), k=10).collect()]
+    assert got == _oracle_topk(vecs.astype(np.float64), q, 10)
+    assert got[0] == 0  # self is the nearest
+
+
+def test_knn_join_bruteforce(spark, emb):
+    df, vecs = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 5")
+    out = S.knn_join_bruteforce(queries, df, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(5):
+        got = [v for _, v in sorted(by_q[qid])]
+        want = _oracle_topk(vecs.astype(np.float64), vecs[qid].astype(np.float64), 3)
+        assert got == want
+        assert got[0] == qid
+
+
+def test_lsh_ann_recall(spark, emb):
+    df, vecs = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
+    ann = S.ann_topk_lsh(queries, df, dim=DIM, k=1, n_bits=6)
+    rows = ann.where("rank = 0").collect()
+    # rank-0 with single-probe LSH: self always lands in its own bucket →
+    # top-1 must be the query itself, for every query
+    assert len(rows) == 20
+    assert all(r["vec_id"] == r["query_id"] for r in rows)
+
+
+def test_lsh_bucket_determinism(spark, emb):
+    df, _ = emb
+    b1 = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(df, DIM).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(df, DIM).collect()}
+    assert b1 == b2

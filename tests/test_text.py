@@ -1,0 +1,134 @@
+"""Dedup + text-analysis operators against controlled fixtures and
+brute-force Python oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.text import dedup as D
+from morituri_spark.text import quality as Q
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest where it finds a quiet place to rest"
+    )
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base.replace("quick", "speedy")),       # near dup
+        (3, base.replace("dog", "cat").replace("forest", "meadow")),  # near dup
+        (4, "der schnelle braune fuchs springt und die katze ist nicht da "
+            "und der hund ist mit den anderen nicht zu sehen"),
+        (5, "le renard brun rapide saute et le chien est pour la nuit "
+            "dans les bois avec une autre idee de la vie"),
+        (6, "completely different text about spark query engines and "
+            "columnar execution with vectorized operators for the win"),
+        (7, ""),                                    # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 0 and groups[0]["n_docs"] == 2
+    kept = D.dedup_exact(docs)
+    assert kept.count() == 7
+    assert kept.where("doc_id = 1").count() == 0
+
+
+def _py_shingles(text, n=5):
+    if len(text) < n:
+        return {text}
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = D.minhash_near_duplicates(docs.where("doc_id < 7 and doc_id >= 0"), threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # brute-force oracle over all pairs
+    texts = {r["doc_id"]: r["text"] for r in docs.where("doc_id < 7").collect()}
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    want.add((a, b))
+    # LSH may miss borderline pairs but must find the strong ones and add no
+    # false positives (jaccard is exact after candidate gen)
+    assert got <= want
+    strong = {(0, 1), (0, 2), (1, 2)}
+    assert strong <= got
+
+
+def test_jaccard_values_exact(spark, docs):
+    sh = D.shingle_df(docs.where("doc_id in (0, 2)"))
+    pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    j = D.jaccard_pairs(sh, pairs).collect()[0]["jaccard"]
+    texts = {r["doc_id"]: r["text"] for r in docs.where("doc_id in (0,2)").collect()}
+    sa, sb = _py_shingles(texts[0]), _py_shingles(texts[2])
+    assert abs(j - len(sa & sb) / len(sa | sb)) < 1e-9
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs.where("doc_id < 7")).collect()}
+    # identical docs → identical signature
+    assert sh[0] == sh[1]
+    # near dups within small hamming; unrelated docs far apart
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(sh[0], sh[2]) <= 6
+    assert ham(sh[0], sh[6]) > 10
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_near_duplicates(docs.where("doc_id < 7"), max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 6) not in pairs
+
+
+def test_langid(spark, docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in Q.predict_language(docs).collect()}
+    assert pred[0] == "en" and pred[1] == "en"
+    assert pred[4] == "de"
+    assert pred[5] == "fr"
+    assert pred[7] == "und"  # empty doc
+
+
+def test_token_counts(spark, docs):
+    out = docs.select(
+        "doc_id",
+        Q.token_count_ws().alias("ws"),
+        Q.token_count_bpe_ish().alias("bpe"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, t in texts.items():
+        assert by_id[did]["ws"] == len(t.split())
+        # bpe-ish ≥ ws for non-empty text (every word ≥1 piece)
+        if t:
+            assert by_id[did]["bpe"] >= by_id[did]["ws"]
+    assert by_id[7]["ws"] == 0 and by_id[7]["bpe"] == 0
+
+
+def test_quality_score(spark, docs):
+    out = {r["doc_id"]: r for r in Q.quality_score(docs).collect()}
+    assert out[0]["quality"] == 1.0      # clean English prose
+    assert out[7]["quality"] <= 0.25     # empty doc fails nearly every gate
+    assert out[0]["n_tokens"] == len(
+        [t for t in docs.where("doc_id=0").first()["text"].split()]
+    )
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in Q.fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in Q.fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert fp1[0] == fp1[1]          # identical text → identical fingerprint
+    assert fp1[0] != fp1[6]          # different text → different
+    assert fp1[7] == 0               # empty doc sentinel

@@ -6,53 +6,8 @@ import pytest
 
 from morituri_spark.operators import zsplit
 
-# (node z-levels, expected way z-levels) — verbatim from the reference test.
-GOLDEN = [
-    ("0 1", [1]),
-    ("1 0", [1]),
-    ("1 1", [1]),
-    ("0 0 1", [0, 1]),
-    ("0 1 0", [1]),
-    ("0 1 1", [1]),
-    ("1 0 0", [1, 0]),
-    ("1 0 1", [1]),
-    ("1 1 0", [1]),
-    ("1 1 1", [1]),
-    ("-1 0 -1", [-1]),
-    ("-1 1 -1", [-1]),
-    ("1 -1 1", [1]),
-    ("0 -1 0", [-1]),
-    ("2 1 2", [2]),
-    ("-2 -1 -2", [-2]),
-    ("-2 -1 -3", [-2, -3]),
-    ("0 0 0 1", [0, 1]),
-    ("0 0 1 0", [0, 1]),
-    ("0 0 1 1", [0, 1]),
-    ("0 1 0 0", [1, 0]),
-    ("0 1 0 1", [1]),
-    ("0 1 1 0", [1]),
-    ("0 1 1 1", [1]),
-    ("1 0 0 0", [1, 0]),
-    ("1 0 0 1", [1, 0, 1]),
-    ("1 0 1 0", [1]),
-    ("1 0 1 1", [1]),
-    ("1 1 0 0", [1, 0]),
-    ("1 1 0 1", [1]),
-    ("1 1 1 0", [1]),
-    ("1 1 1 1", [1]),
-    ("1 2 2 1", [2]),
-    ("2 1 1 2", [2, 1, 2]),
-    ("1 0 0 0 1", [1, 0, 1]),
-    ("2 1 0 1 2", [2, 1, 2]),
-    ("2 1 0 0 1 2", [2, 1, 0, 1, 2]),
-    ("0 1 1 0 1 1 0", [1]),
-    ("0 1 0 1 0 1 0 1", [1]),
-    ("0 1 1 0 0 1 0 0", [1, 0, 1, 0]),
-    ("1 0 1 0 1 0 1 0", [1]),
-    ("0 1 0 1 0 0 1 0 1", [1, 0, 1]),
-    ("0 1 1 0 1 1 0 1 1 0", [1]),
-    ("0 4 4 0 0 0 5 5 0 0", [4, 0, 5, 0]),
-]
+# Golden vectors live in the package so the driver contract can reuse them.
+GOLDEN = zsplit.GOLDEN_VECTORS
 
 
 def _pairs(node_z: str):
