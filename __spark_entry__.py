@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # --- shared derivations ------------------------------------------------------
 
 # Deterministic point cloud from the events table (computable in both
-# engines): lon ∈ [0,10), lat ∈ [40,50).
-_LON = "(user_id % 1000) / 100.0"
-_LAT = "40.0 + (event_id % 1000) / 100.0"
+# engines): lon ∈ [0,10), lat ∈ [40,50). Explicit DOUBLE casts — Spark
+# parses bare `100.0` as DECIMAL, DuckDB as DOUBLE; mixed precision breaks
+# tie-order parity in the kNN oracle.
+_LON = "CAST(user_id % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
+_LAT = "CAST(40 AS DOUBLE) + CAST(event_id % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
 
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
@@ -72,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
         pts.withColumnRenamed("event_id", "point_id"), _rect_zones(spark)
     )
     return (
-        assigned.withColumn("tile", C.cell_udf(6)(F.col("lon"), F.col("lat")))
+        assigned.withColumn("tile", C.cell_col(F.col("lon"), F.col("lat"), 6))
         .groupBy("tile", "zone_id")
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("point_id").alias("first_id"))
     )
@@ -269,7 +271,7 @@ def _q_cell_counts(spark, sf_dir):
 
     pts = _points(spark, sf_dir)
     return (
-        pts.withColumn("cell", C.cell_udf(7)(F.col("lon"), F.col("lat")))
+        pts.withColumn("cell", C.cell_col(F.col("lon"), F.col("lat"), 7))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
@@ -283,10 +285,21 @@ def _q_tile_zone_rollup(spark, sf_dir):
     pts = _points(spark, sf_dir).withColumnRenamed("event_id", "point_id")
     assigned = pip.assign_zones_broadcast(pts, _rect_zones(spark))
     return (
-        assigned.withColumn("tile", C.cell_udf(6)(F.col("lon"), F.col("lat")))
+        assigned.withColumn("tile", C.cell_col(F.col("lon"), F.col("lat"), 6))
         .groupBy("tile", "zone_id")
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("point_id").alias("first_id"))
     )
+
+
+def _q_knn_ring(spark, sf_dir):
+    """J11 kNN via geocell ring expansion, full SQL oracle (cross join +
+    QUALIFY row_number in DuckDB)."""
+    from morituri_spark.geo.knn import knn_join
+
+    pts = _points(spark, sf_dir)
+    queries = pts.where("event_id < 20").withColumnRenamed("event_id", "query_id")
+    cands = pts.withColumnRenamed("event_id", "cand_id")
+    return knn_join(queries, cands, k=3, res=8)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -475,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
+        "knn_ring_expansion": _q_knn_ring,
         # training-data ops (oracle-checked)
         "dedup_exact_groups": _q_dedup_exact,
         "shingle_counts": _q_shingle_count,
@@ -624,6 +638,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
               ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
             GROUP BY 1, 2
+        """,
+        "knn_ring_expansion": f"""
+            WITH pts AS (SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events),
+                 q AS (SELECT * FROM pts WHERE event_id < 20)
+            SELECT query_id, cand_id, round(dist, 9) AS dist, CAST(rk - 1 AS INT) AS rank
+            FROM (
+                SELECT q.event_id AS query_id, c.event_id AS cand_id,
+                       sqrt((q.lon - c.lon) * (q.lon - c.lon) + (q.lat - c.lat) * (q.lat - c.lat)) AS dist,
+                       row_number() OVER (
+                           PARTITION BY q.event_id
+                           ORDER BY sqrt((q.lon - c.lon) * (q.lon - c.lon) + (q.lat - c.lat) * (q.lat - c.lat)),
+                                    c.event_id) AS rk
+                FROM q CROSS JOIN pts c) t
+            WHERE rk <= 3
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

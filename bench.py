@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+The flagship metric is images/sec through the spatial-join + tile-assignment
+pipeline (BASELINE.json): an N_IMAGES-row deterministic image table (seed=42,
+geometry-only payload — the join never touches bytes; the codec path is
+benched separately at smaller n) → geocell encode → PIP zone assignment
+(broadcast + salted variants) → tile×zone rollup.
+
+For N-vs-4N scaling evidence run scripts/scaling_bench.py, which invokes
+this file at two parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "8000000"))
+N_PAYLOAD = int(os.environ.get("BENCH_N_PAYLOAD", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from morituri_spark.session import get_spark
+    from morituri_spark.geo import cells as C
+    from morituri_spark.geo import pip
+    from morituri_spark.pipelines import flagship
+    from morituri_spark.sources import synth
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- materialize inputs once (excluded from timings) ----
+    images = synth.images_table(
+        spark, N_IMAGES, partitions=cpus * 4, with_payload=False
+    ).select("image_id", "lon", "lat").persist()
+    images.count()  # force
+    zones = synth.zones_table(spark).persist()
+    zones.count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    ev.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").persist()
+    li.count()
+
+    # warmup: run the EXACT flagship query twice untimed — the generated
+    # whole-stage code (~170 split crossing tests) takes O(100s) of C2
+    # compiler time before it is JIT-hot; steady-state is what a long job
+    # at real scale sees (one-time JIT amortizes to nothing over a 100 TB
+    # stage), so that is what we measure.
+    # hold ONE DataFrame: fresh run_flagship() calls generate new codegen
+    # source each time (expression ids) -> new class -> cold JIT again
+    rolled = flagship.run_flagship(images, zones, res=10, tile_res=7)
+    rolled.count(); rolled.count()
+
+    # ---- flagship: images/sec through broadcast PIP + tile rollup ----
+    timed("flagship_broadcast_pip", lambda: rolled.count())
+    images_per_sec = round(N_IMAGES / timings["flagship_broadcast_pip"], 1)
+
+    # salted shuffle PIP variant (skew-safe path; mega-cell cluster hits it)
+    timed(
+        "flagship_salted_pip",
+        lambda: pip.assign_zones_shuffle(
+            images, zones.select("zone_id", "rings"), res=10,
+            salt_target_rows=200_000,
+        ).count(),
+    )
+
+    # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
+    timed(
+        "geocell_encode_catalyst",
+        lambda: images.select(C.cell_col(F.col("lon"), F.col("lat"), 12).alias("c"))
+        .agg(F.max("c")).collect(),
+    )
+    timed(
+        "geocell_encode_arrow",
+        lambda: images.select(C.cell_udf(12)(F.col("lon"), F.col("lat")).alias("c"))
+        .agg(F.max("c")).collect(),
+    )
+
+    # image payload codec path (decode-free phash/encode at smaller n)
+    timed(
+        "image_payload_synthesis",
+        lambda: synth.images_table(spark, N_PAYLOAD, partitions=cpus, px=16)
+        .agg(F.sum(F.length("bytes")), F.max("phash")).collect(),
+    )
+
+    # relational headliners at sf
+    timed(
+        "pricing_summary",
+        lambda: li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        .collect(),
+    )
+    from pyspark.sql.window import Window
+
+    timed(
+        "window_lead_delta",
+        lambda: ev.select(
+            F.lead("value", 1)
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("nxt")
+        ).agg(F.sum("nxt")).collect(),
+    )
+
+    # z-split operator throughput over synthetic z-heavy links
+    # (inputs persisted first — generator time is not engine time)
+    n_links = 20_000
+    streets = synth.streets_table(spark, n=n_links, n_vertices=10).persist()
+    streets.count()
+    zl = synth.zlevels_table(
+        spark, [(10_000 + i, [0, 1, 1, 0, 0, 2, 2, 0, 3, 0]) for i in range(n_links)]
+    ).persist()
+    zl.count()
+    from morituri_spark.operators import streets as ST
+
+    timed("zsplit_20k_links", lambda: ST.street_ways(streets, zl).count())
+
+    # text dedup at sf documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from morituri_spark.text.dedup import minhash_near_duplicates
+
+    timed("minhash_near_dup", lambda: minhash_near_duplicates(docs, threshold=0.5).count())
+
+    # ANN top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from morituri_spark.ml.simsearch import ann_topk_lsh
+
+    timed(
+        "ann_lsh_topk",
+        lambda: ann_topk_lsh(
+            emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(100),
+            emb, dim=64, k=5, n_bits=8,
+        ).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_images": N_IMAGES,
+                "images_per_sec_flagship": images_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,28 @@ def polygon_cover(rings, res: int) -> np.ndarray:
 # Spark surface
 # ---------------------------------------------------------------------------
 
+def cell_col(lon_col, lat_col, res: int):
+    """Catalyst-native cell id (identical to ``latlng_to_cell``): pure
+    floor + integer math, stays inside whole-stage codegen — the preferred
+    form in hot paths (the pandas UDF variant below exists for Arrow-kernel
+    composition and API parity)."""
+    n = float(1 << res)
+    nmax = (1 << res) - 1
+    x = F.least(
+        F.greatest(F.floor((lon_col + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(nmax),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat_col + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(nmax),
+    )
+    return (
+        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT)
+        + x * F.lit(1 << _X_SHIFT)
+        + y
+    )
+
+
 def cell_udf(res: int):
     """``F.pandas_udf`` computing cell ids from lon/lat columns at ``res``."""
 

@@ -1,0 +1,184 @@
+"""J11: kNN via geocell ring expansion (SURVEY.md §2.3).
+
+No morituri counterpart — required by the north star for nearest-feature
+caption enrichment. Algorithm (the classic grid-file expanding-ring search):
+
+  round L: explode each unfinished query into its Chebyshev ring-L cells
+  (geo.cells.grid_ring) → equi-join candidates on cell → accumulate → keep
+  per-query top-k (window). A query finishes when its current k-th distance
+  is ≤ L · cell_min_dim: every unexplored cell lies at Chebyshev distance
+  > L, so no unseen candidate can be closer.
+
+Distance metric: Euclidean in degrees (documented engine rule; suitable for
+the small-extent zones this engine targets — swap in haversine via
+``metric='haversine'`` for global data).
+
+Scale shape: each round is one shuffle join keyed on cell id; the frontier
+shrinks geometrically, so total work ≈ one dense join over the k-NN
+neighborhoods. The brute-force oracle lives in ml.simsearch /
+tests/test_knn.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from . import cells as C
+
+
+def _ring_cells_udf(res: int, ring: int):
+    """(query cell) → exploded ring-L cell list, via an Arrow kernel."""
+
+    @F.pandas_udf("array<long>")
+    def expand(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: C.grid_ring(int(c), ring).tolist())
+
+    return expand
+
+
+def _dist_expr(qlon, qlat, clon, clat, metric: str):
+    if metric == "euclidean_deg":
+        # plain multiplication, NOT **2 (POWER(x, 2.0)) — keeps IEEE results
+        # bit-identical to the SQL oracle's (a-b)*(a-b)
+        dx, dy = qlon - clon, qlat - clat
+        return F.sqrt(dx * dx + dy * dy)
+    if metric == "haversine_km":
+        r = 6371.0088
+        dlat = F.radians(clat - qlat)
+        dlon = F.radians(clon - qlon)
+        a = (
+            F.sin(dlat / 2) ** 2
+            + F.cos(F.radians(qlat)) * F.cos(F.radians(clat)) * F.sin(dlon / 2) ** 2
+        )
+        return F.lit(2 * r) * F.asin(F.sqrt(a))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    res: int = 10,
+    max_rings: int = 64,
+    metric: str = "euclidean_deg",
+    qid_col: str = "query_id",
+    cid_col: str = "cand_id",
+) -> DataFrame:
+    """→ (query_id, cand_id, dist, rank<k). Both inputs need lon/lat.
+
+    Driver-side loop over expansion rounds (bounded by ``max_rings``);
+    per-round state lives in persisted DataFrames, never on the driver.
+    """
+    spark = queries.sparkSession
+    cell_min_dim = 180.0 / (1 << res)  # degrees; the termination bound
+    if metric == "haversine_km":
+        cell_min_dim *= 111.19492664455873  # deg → km lower bound at equator
+
+    cand = candidates.select(
+        F.col(cid_col),
+        F.col("lon").alias("_clon"),
+        F.col("lat").alias("_clat"),
+        C.cell_col(F.col("lon"), F.col("lat"), res).alias("_ccell"),
+    ).persist()
+
+    # Exhaustion bound: once a query's explored disk covers the candidate
+    # bbox there is nothing left to find (otherwise k > |candidates in
+    # range| would spin to max_rings). One tiny agg; corner cells become
+    # literal Chebyshev-distance expressions per query.
+    bbox = cand.agg(
+        F.min("_clon"), F.min("_clat"), F.max("_clon"), F.max("_clat")
+    ).first()
+    cx0, cy0 = C.cell_xy(C.latlng_to_cell([bbox[0]], [bbox[1]], res))
+    cx1, cy1 = C.cell_xy(C.latlng_to_cell([bbox[2]], [bbox[3]], res))
+    cx0, cy0, cx1, cy1 = int(cx0[0]), int(cy0[0]), int(cx1[0]), int(cy1[0])
+
+    qx = F.shiftright(F.col("_qcell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    qy = F.col("_qcell").bitwiseAND(F.lit((1 << 29) - 1))
+    max_ring_expr = F.greatest(
+        F.abs(qx - F.lit(cx0)), F.abs(qx - F.lit(cx1)),
+        F.abs(qy - F.lit(cy0)), F.abs(qy - F.lit(cy1)),
+    )
+    frontier = queries.select(
+        F.col(qid_col),
+        F.col("lon").alias("_qlon"),
+        F.col("lat").alias("_qlat"),
+        C.cell_col(F.col("lon"), F.col("lat"), res).alias("_qcell"),
+    ).withColumn("_max_ring", max_ring_expr).persist()
+
+    topk = None  # accumulated per-query best-so-far
+    w = Window.partitionBy(qid_col).orderBy("dist", cid_col)
+
+    for ring in range(max_rings + 1):
+        if frontier.isEmpty():
+            break
+        ring_cells = frontier.withColumn(
+            "_cell", F.explode(_ring_cells_udf(res, ring)(F.col("_qcell")))
+        )
+        hits = ring_cells.join(
+            cand, ring_cells["_cell"] == cand["_ccell"], "inner"
+        ).select(
+            qid_col, "_qlon", "_qlat", "_qcell", cid_col,
+            _dist_expr(F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat"), metric).alias("dist"),
+        )
+        pool = hits if topk is None else topk.unionByName(hits)
+        topk = (
+            pool.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+            .persist()
+        )
+        topk.count()  # materialize before deciding termination
+
+        # a query is DONE when it has k hits and its k-th distance can't be
+        # beaten by anything outside the explored disk, OR when the disk
+        # already covers the whole candidate bbox (exhaustion)
+        bound = ring * cell_min_dim
+        stats = topk.groupBy(qid_col).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_kth")
+        )
+        done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound))).select(qid_col)
+        exhausted = frontier.where(F.col("_max_ring") <= ring).select(qid_col)
+        new_frontier = frontier.join(
+            done.unionByName(exhausted).distinct(), qid_col, "left_anti"
+        ).persist()
+        frontier.unpersist()
+        frontier = new_frontier
+
+    cand.unpersist()
+    if topk is None:
+        return spark.createDataFrame(
+            [], f"{qid_col} long, {cid_col} long, dist double, rank int"
+        )
+    return (
+        topk.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .select(qid_col, cid_col, F.round("dist", 9).alias("dist"), "rank")
+    )
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    metric: str = "euclidean_deg",
+    qid_col: str = "query_id",
+    cid_col: str = "cand_id",
+) -> DataFrame:
+    """Oracle: cross join + window top-k (small inputs only)."""
+    q = queries.select(qid_col, F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"))
+    c = candidates.select(cid_col, F.col("lon").alias("_clon"), F.col("lat").alias("_clat"))
+    scored = q.crossJoin(c).select(
+        qid_col, cid_col,
+        _dist_expr(F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat"), metric).alias("dist"),
+    )
+    w = Window.partitionBy(qid_col).orderBy("dist", cid_col)
+    return (
+        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select(qid_col, cid_col, F.round("dist", 9).alias("dist"), "rank")
+    )

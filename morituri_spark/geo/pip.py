@@ -194,7 +194,7 @@ def assign_zones_shuffle(
     The salt table is tiny (one row per skewed cell) and broadcast.
     """
     spark = points.sparkSession
-    pts = points.withColumn("cell", C.cell_udf(res)(F.col(lon), F.col(lat)))
+    pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
 
     # --- stats pass: per-cell point counts → salt factors (skew only) ---
     salt_df = (
@@ -207,6 +207,9 @@ def assign_zones_shuffle(
             .alias("n_salt"),
         )
         .where(F.col("n_salt") > 1)
+        # feeds TWO broadcasts (point side + cover side): persist so the
+        # full stats aggregation over the fact table runs once, not twice
+        .persist()
     )
 
     pts = pts.join(F.broadcast(salt_df), "cell", "left").withColumn(
@@ -245,6 +248,175 @@ def assign_zones_shuffle(
     return paired.mapInPandas(exact, schema=out_schema)
 
 
+def pip_expr(rings_col, lon_col, lat_col):
+    """Even-odd ray-casting as a PURE CATALYST expression (higher-order
+    ``aggregate`` over the ring edge list) — bit-identical semantics to
+    ``points_in_polygon_np`` (same formula, same IEEE double ops), but it
+    runs inside whole-stage codegen: no Python, no Arrow transfer.
+
+    The Python-worker round-trip caps at a few M rows/s per NODE regardless
+    of cores (measured in this sandbox: identity mapInPandas ≈ 4.5M rows/s
+    at local[8] == local[32]); this expression removes that ceiling from
+    the flagship path entirely.
+    """
+
+    def ring_crossings(ring):
+        edge_idx = F.sequence(F.lit(1), F.size(ring) - 1)
+
+        def crossing(acc, i):
+            x0 = F.element_at(F.element_at(ring, i), 1)
+            y0 = F.element_at(F.element_at(ring, i), 2)
+            x1 = F.element_at(F.element_at(ring, i + 1), 1)
+            y1 = F.element_at(F.element_at(ring, i + 1), 2)
+            cond = (y0 > lat_col) != (y1 > lat_col)
+            xcross = (x1 - x0) * (lat_col - y0) / (y1 - y0) + x0
+            return acc + F.when(cond & (lon_col < xcross), 1).otherwise(0)
+
+        return F.aggregate(edge_idx, F.lit(0), crossing)
+
+    total = F.aggregate(rings_col, F.lit(0), lambda acc, ring: acc + ring_crossings(ring))
+    return total % 2 == 1
+
+
+def pip_inlined_expr(zone_rows, lon_col, lat_col):
+    """PIP compiled to literal edge arithmetic per zone — a CASE over
+    zone_id whose branches are pure double ops on (lon, lat) with all edge
+    coordinates folded in as constants. Fully whole-stage-codegen, zero
+    per-row allocation (the HOF form above interprets and allocates, which
+    caps multi-core scaling via GC contention).
+
+    Horizontal edges are pruned statically (their crossing condition is
+    identically false). Op order matches the NumPy kernel exactly, so IEEE
+    results are bit-identical.
+    """
+    branch = None
+    for zid, rings in zone_rows:
+        crossings = None
+        for ring in rings:
+            r = ring_np(ring)
+            for i in range(len(r) - 1):
+                x0, y0 = float(r[i, 0]), float(r[i, 1])
+                x1, y1 = float(r[i + 1, 0]), float(r[i + 1, 1])
+                if y0 == y1:
+                    continue
+                cond = (
+                    ((F.lit(y0) > lat_col) != (F.lit(y1) > lat_col))
+                    & (lon_col < F.lit(x1 - x0) * (lat_col - F.lit(y0)) / F.lit(y1 - y0) + F.lit(x0))
+                )
+                term = F.when(cond, 1).otherwise(0)
+                crossings = term if crossings is None else crossings + term
+        inside = F.lit(False) if crossings is None else (crossings % 2) == 1
+        branch = (
+            F.when(F.col("zone_id") == zid, inside)
+            if branch is None
+            else branch.when(F.col("zone_id") == zid, inside)
+        )
+    return branch.otherwise(F.lit(False))
+
+
+def _zone_pip_condition(rings, lon_col, lat_col):
+    """bbox gate + literal-edge crossing parity for ONE zone — a small
+    expression that codegen compiles into one JIT-friendly method."""
+    rs = [ring_np(r) for r in rings]
+    ext = rs[0]
+    bbox = (
+        (lon_col >= float(ext[:, 0].min()))
+        & (lon_col <= float(ext[:, 0].max()))
+        & (lat_col >= float(ext[:, 1].min()))
+        & (lat_col <= float(ext[:, 1].max()))
+    )
+    crossings = None
+    for r in rs:
+        for i in range(len(r) - 1):
+            x0, y0 = float(r[i, 0]), float(r[i, 1])
+            x1, y1 = float(r[i + 1, 0]), float(r[i + 1, 1])
+            if y0 == y1:
+                continue
+            cond = (
+                ((F.lit(y0) > lat_col) != (F.lit(y1) > lat_col))
+                & (lon_col < F.lit(x1 - x0) * (lat_col - F.lit(y0)) / F.lit(y1 - y0) + F.lit(x0))
+            )
+            term = F.when(cond, 1).otherwise(0)
+            crossings = term if crossings is None else crossings + term
+    if crossings is None:
+        return F.lit(False)
+    return bbox & ((crossings % 2) == 1)
+
+
+def assign_zones_union(
+    points: DataFrame,
+    zone_rows,
+    lon="lon",
+    lat="lat",
+    zone_id="zone_id",
+) -> DataFrame:
+    """Small-zone-set fast path: ONE scan, all-zone membership per row.
+
+    Each zone's `bbox AND crossing-parity` test over literal edges is its
+    own array element (Catalyst splits projection expressions into separate
+    generated methods, so every zone test stays under the JIT method
+    budget), then ``explode(array_compact(...))`` fans out matches. No join,
+    no Python, no rescans — a single whole-stage-codegen pass.
+    """
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    hits = F.array_compact(
+        F.array(
+            *[
+                F.when(_zone_pip_condition(rings, lon_c, lat_c), F.lit(zid).cast("long"))
+                for zid, rings in zone_rows
+            ]
+        )
+    )
+    cols = [f.name for f in points.schema.fields]
+    return points.select(*cols, F.explode(hits).alias(zone_id))
+
+
+# Up to this many zones the union-of-filtered-scans path wins; beyond it the
+# covers-join forms take over.
+_UNION_ZONE_BUDGET = 64
+# Above this many total edges the inlined CASE expression gets too large for
+# codegen; fall back to the HOF form (still JVM, interpreted).
+_INLINE_EDGE_BUDGET = 4096
+
+
+def assign_zones_catalyst(
+    points: DataFrame,
+    zones: DataFrame,
+    res: int = 10,
+    lon="lon",
+    lat="lat",
+    zone_id="zone_id",
+    rings_col="rings",
+) -> DataFrame:
+    """Broadcast spatial join with ZERO Python on the point side: cell-cover
+    equi-join prefilter (broadcast hash join) → Catalyst PIP (inlined
+    literal-edge form when the zone set is small enough, HOF form
+    otherwise). The only Python runs zone-side (cover computation over the
+    small table).
+    """
+    zone_rows = [
+        (r[0], r[1]) for r in zones.select(zone_id, rings_col).collect()
+    ]
+    n_edges = sum(len(ring) - 1 for _, rings in zone_rows for ring in rings)
+    out_cols = [f.name for f in points.schema.fields] + [zone_id]
+
+    if len(zone_rows) <= _UNION_ZONE_BUDGET:
+        return assign_zones_union(points, zone_rows, lon, lat, zone_id).select(*out_cols)
+
+    covers = zone_covers(zones, res, zone_id, rings_col)
+    pts = points.withColumn("_cell", C.cell_col(F.col(lon), F.col(lat), res))
+    if n_edges <= _INLINE_EDGE_BUDGET:
+        cand = pts.join(
+            F.broadcast(covers.select(zone_id, "cell")),
+            pts["_cell"] == covers["cell"],
+            "inner",
+        )
+        return cand.where(pip_inlined_expr(zone_rows, F.col(lon), F.col(lat))).select(*out_cols)
+    covers_r = covers.withColumnRenamed(rings_col, "_rings")
+    cand = pts.join(F.broadcast(covers_r), pts["_cell"] == covers_r["cell"], "inner")
+    return cand.where(pip_expr(F.col("_rings"), F.col(lon), F.col(lat))).select(*out_cols)
+
+
 def assign_zones(
     points: DataFrame,
     zones: DataFrame,
@@ -252,7 +424,8 @@ def assign_zones(
     broadcast_threshold: int = 100_000,
     **kw,
 ) -> DataFrame:
-    """Planner: broadcast the polygon side when it fits, else salted shuffle.
+    """Planner: broadcast the polygon side when it fits (Catalyst PIP, no
+    Python on the fact side), else salted shuffle.
 
     ``broadcast_threshold`` is in zone rows; at 100 TB the zone side (admin
     polygons) is normally ≪ the image side, so broadcast is the common case —
@@ -261,5 +434,5 @@ def assign_zones(
     """
     n = zones.count()
     if n <= broadcast_threshold:
-        return assign_zones_broadcast(points, zones, **kw)
+        return assign_zones_catalyst(points, zones, res=min(res, 10), **kw)
     return assign_zones_shuffle(points, zones, res, **kw)

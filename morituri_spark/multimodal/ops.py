@@ -1,0 +1,171 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque binary payloads.
+
+Engine contract (task brief): image/audio/video payloads are opaque
+``binary`` columns with typed metadata; all kernels are Arrow-batched
+``mapInPandas`` — schema, partitioning, UDF signature and batch shape are
+real and tested. Codec backends:
+
+  * ``png`` / ``fjpg`` — REAL, pure NumPy (sources/images.py)
+  * ``jpeg`` / ``webp`` / audio / video — STUBBED: the container has no
+    libjpeg/ffmpeg; ``decode_image``/``sample_frames`` raise
+    NotImplementedError for them unless ``deterministic_fake=True``, which
+    substitutes a seeded pixel tensor derived from the payload hash (stable
+    across runs — usable for plumbing tests and benchmarks).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from ..sources import images as I
+
+REAL_CODECS = {"png", "fjpg"}
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    seed = zlib.crc32(payload) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _decode(payload: bytes, fmt: str, w: int, h: int, deterministic_fake: bool) -> np.ndarray:
+    if fmt in REAL_CODECS:
+        return I.decode(payload, fmt)
+    if deterministic_fake:
+        return _fake_pixels(payload, w, h)
+    raise NotImplementedError(
+        f"codec {fmt!r} needs libjpeg/ffmpeg (absent in this container); "
+        "pass deterministic_fake=True for plumbing tests, or plug a real "
+        "decoder into multimodal.ops._decode"
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("mean_r", DoubleType(), False),
+        StructField("mean_g", DoubleType(), False),
+        StructField("mean_b", DoubleType(), False),
+        StructField("std_gray", DoubleType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Decode → per-channel stats + phash. Column pruning keeps only the
+    payload + metadata in the scan; one Arrow batch in, one stats frame out."""
+    src = images.select("image_id", "bytes", "fmt", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FEATURES_SCHEMA.fields}
+            for iid, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                gray = arr.astype(np.float64).mean(axis=2)
+                out["image_id"].append(iid)
+                out["mean_r"].append(float(arr[:, :, 0].mean()))
+                out["mean_g"].append(float(arr[:, :, 1].mean()))
+                out["mean_b"].append(float(arr[:, :, 2].mean()))
+                out["std_gray"].append(float(gray.std()))
+                out["phash"].append(I.phash(arr))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int, deterministic_fake: bool = False) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG. Output schema
+    mirrors the input contract (image_id, bytes, w, h, fmt)."""
+    src = images.select("image_id", "bytes", "fmt", "w", "h")
+    schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+            StructField("w", IntegerType(), False),
+            StructField("h", IntegerType(), False),
+            StructField("fmt", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for iid, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                ys = (np.arange(out_h) * arr.shape[0]) // out_h
+                xs = (np.arange(out_w) * arr.shape[1]) // out_w
+                resized = arr[ys][:, xs]
+                ids.append(iid)
+                payloads.append(I.png_encode(resized))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": payloads,
+                    "w": np.full(len(ids), out_w, dtype=np.int32),
+                    "h": np.full(len(ids), out_h, dtype=np.int32),
+                    "fmt": ["png"] * len(ids),
+                }
+            )
+
+    return src.mapInPandas(run, schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_ms: int = 1000,
+    deterministic_fake: bool = True,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Frame sampling plumbing for video payloads: (video_id, bytes,
+    duration_ms, w, h) → one row per sampled frame. The decode itself is a
+    STUB (no ffmpeg): with ``deterministic_fake`` every sampled frame is a
+    seeded tensor (payload-hash × frame index), PNG-encoded — the schema,
+    fan-out shape, timestamps, and partitioning behavior are the real
+    thing."""
+    src = videos.select(id_col, "bytes", "duration_ms", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for vid, payload, dur, w, h in zip(
+                pdf[id_col], pdf["bytes"], pdf["duration_ms"], pdf["w"], pdf["h"]
+            ):
+                if not deterministic_fake:
+                    raise NotImplementedError("video decode needs ffmpeg (absent)")
+                n = max(int(dur) // every_ms, 1)
+                base = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
+                for i in range(n):
+                    rng = np.random.default_rng(base + i)
+                    frame = rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8)
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_bytes"].append(I.png_encode(frame))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, FRAME_SCHEMA)

@@ -34,7 +34,7 @@ def assign_images_to_zones(
     """
     pts = images.select("image_id", "lon", "lat")
     assigned = pip.assign_zones(
-        pts, zones.select("zone_id", "rings"), res=res,
+        pts, zones.select("zone_id", "rings"), res=min(res, 10),
         broadcast_threshold=broadcast_threshold,
     )
     return assigned.join(F.broadcast(zones.select("zone_id", "admin_lvl")), "zone_id")
@@ -48,7 +48,7 @@ def tile_zone_rollup(assigned: DataFrame, tile_res: int = 7) -> DataFrame:
     """
     return (
         assigned
-        .withColumn("tile", C.cell_udf(tile_res)(F.col("lon"), F.col("lat")))
+        .withColumn("tile", C.cell_col(F.col("lon"), F.col("lat"), tile_res))
         .groupBy("tile", "zone_id")
         .agg(
             F.count(F.lit(1)).alias("n_images"),

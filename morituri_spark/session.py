@@ -22,7 +22,9 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow is the transport for every pandas UDF kernel in this engine.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Large Arrow batches amortize the per-batch Python/serialization cost
+    # of the pandas-UDF kernels (they are all O(batch) NumPy inside).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
     # Deterministic timestamps in tests.
     "spark.sql.session.timeZone": "UTC",
     # Keep the UI off in the sandbox; a real deploy re-enables it.
@@ -50,6 +52,11 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Local mode runs everything in the driver JVM, whose default heap is
+    # 1g — a hard GC wall once caches + 32 concurrent tasks compete. Size it
+    # to the machine (cluster deploys size executors instead).
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    conf.setdefault("spark.driver.maxResultSize", "4g")
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -199,49 +199,52 @@ def streets_table(spark: SparkSession, n: int = 200, n_vertices: int = 5) -> Dat
     (create_street_geojson.py:16-126): vertices start at a per-link origin
     and step +0.001°/vertex; the full attribute set drives the tag layer."""
     rng = np.random.default_rng(SEED)
-    rows = []
     step = 0.001
-    for i in range(n):
-        link_id = 10_000 + i
-        # links in the same 50-wide row chain end-to-end (link i's last
-        # vertex == link i+1's first) so turn-restriction topologies resolve
-        x0 = 10.0 + (i % 50) * step * (n_vertices - 1)
-        y0 = 10.0 + (i // 50) * 0.01
-        geom = [[round(x0 + j * step, 9), y0] for j in range(n_vertices)]
-        yn = lambda p: "Y" if rng.uniform() < p else "N"  # noqa: E731
-        route_type = str(rng.integers(1, 7)) if rng.uniform() < 0.5 else ""
-        func_class = str(rng.integers(1, 6))
-        fr = int(rng.choice([0, 30, 50, 100, 130, 998, 999]))
-        to = int(rng.choice([0, 30, 50, 100, 130, 998, 999]))
-        rows.append(
-            {
-                "LINK_ID": link_id,
-                "geometry": geom,
-                "ST_NAME": rng.choice(["E20 ", "main STREET", "ELM st", ""]),
-                "FUNC_CLASS": func_class,
-                "ROUTE_TYPE": route_type,
-                "SPEED_CAT": str(rng.integers(1, 9)),
-                "FR_SPD_LIM": str(fr),
-                "TO_SPD_LIM": str(to),
-                "DIR_TRAVEL": str(rng.choice(["F", "T", "B"])),
-                "AR_AUTO": yn(0.9), "AR_BUS": yn(0.8), "AR_TAXIS": yn(0.8),
-                "AR_CARPOOL": yn(0.8), "AR_PEDEST": yn(0.7), "AR_TRUCKS": yn(0.7),
-                "AR_TRAFF": yn(0.9), "AR_EMERVEH": yn(0.95), "AR_MOTOR": yn(0.9),
-                "PAVED": yn(0.8), "PRIVATE": yn(0.1), "BRIDGE": yn(0.1),
-                "TUNNEL": yn(0.05), "TOLLWAY": yn(0.1), "ROUNDABOUT": yn(0.05),
-                "FOURWHLDR": yn(0.05), "URBAN": yn(0.5), "PUB_ACCESS": yn(0.9),
-                "FERRY_TYPE": str(rng.choice(["H"] * 18 + ["B", "R"])),
-                "PHYS_LANES": str(rng.integers(0, 5)),
-                "L_AREA_ID": int(rng.integers(1, 6)),
-                "R_AREA_ID": int(rng.integers(1, 6)),
-                "L_POSTCODE": str(rng.choice(["5500", "5501", ""])),
-                "R_POSTCODE": str(rng.choice(["5500", "5501", ""])),
-                "ADDR_TYPE": str(rng.choice(["B", "", ""])),
-                "L_REFADDR": "2", "L_NREFADDR": "40", "L_ADDRSCH": "E",
-                "R_REFADDR": "1", "R_NREFADDR": "41", "R_ADDRSCH": "O",
-            }
-        )
-    pdf = pd.DataFrame(rows)
+    i = np.arange(n)
+    # links in the same 50-wide row chain end-to-end (link i's last vertex ==
+    # link i+1's first) so turn-restriction topologies resolve
+    x0 = 10.0 + (i % 50) * step * (n_vertices - 1)
+    y0 = 10.0 + (i // 50) * 0.01
+
+    def yn(p):
+        return np.where(rng.uniform(size=n) < p, "Y", "N")
+
+    def pick(choices, size=None):
+        return rng.choice(np.asarray(choices, dtype=object), size=size or n)
+
+    pdf = pd.DataFrame(
+        {
+            "LINK_ID": 10_000 + i,
+            "geometry": [
+                [[round(x + j * step, 9), y] for j in range(n_vertices)]
+                for x, y in zip(x0, y0)
+            ],
+            "ST_NAME": pick(["E20 ", "main STREET", "ELM st", ""]),
+            "FUNC_CLASS": rng.integers(1, 6, n).astype(str),
+            "ROUTE_TYPE": np.where(
+                rng.uniform(size=n) < 0.5, rng.integers(1, 7, n).astype(str), ""
+            ),
+            "SPEED_CAT": rng.integers(1, 9, n).astype(str),
+            "FR_SPD_LIM": pick(["0", "30", "50", "100", "130", "998", "999"]),
+            "TO_SPD_LIM": pick(["0", "30", "50", "100", "130", "998", "999"]),
+            "DIR_TRAVEL": pick(["F", "T", "B"]),
+            "AR_AUTO": yn(0.9), "AR_BUS": yn(0.8), "AR_TAXIS": yn(0.8),
+            "AR_CARPOOL": yn(0.8), "AR_PEDEST": yn(0.7), "AR_TRUCKS": yn(0.7),
+            "AR_TRAFF": yn(0.9), "AR_EMERVEH": yn(0.95), "AR_MOTOR": yn(0.9),
+            "PAVED": yn(0.8), "PRIVATE": yn(0.1), "BRIDGE": yn(0.1),
+            "TUNNEL": yn(0.05), "TOLLWAY": yn(0.1), "ROUNDABOUT": yn(0.05),
+            "FOURWHLDR": yn(0.05), "URBAN": yn(0.5), "PUB_ACCESS": yn(0.9),
+            "FERRY_TYPE": pick(["H"] * 18 + ["B", "R"]),
+            "PHYS_LANES": rng.integers(0, 5, n).astype(str),
+            "L_AREA_ID": rng.integers(1, 6, n),
+            "R_AREA_ID": rng.integers(1, 6, n),
+            "L_POSTCODE": pick(["5500", "5501", ""]),
+            "R_POSTCODE": pick(["5500", "5501", ""]),
+            "ADDR_TYPE": pick(["B", "", ""]),
+            "L_REFADDR": "2", "L_NREFADDR": "40", "L_ADDRSCH": "E",
+            "R_REFADDR": "1", "R_NREFADDR": "41", "R_ADDRSCH": "O",
+        }
+    )
     schema = StructType(
         [StructField("LINK_ID", LongType(), False),
          StructField("geometry", ArrayType(ArrayType(DoubleType())), False)]

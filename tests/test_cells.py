@@ -91,3 +91,21 @@ def test_parent_col_matches_numpy(spark):
     got = df.select(C.parent_col(F.col("cell"), 7, 15).alias("p")).toPandas()["p"].to_numpy()
     want = C.cell_to_parent(cell, 7)
     assert np.array_equal(np.sort(got), np.sort(want))
+
+
+def test_cell_col_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    for res in (0, 7, 12, 29):
+        got = (
+            spark.createDataFrame(pdf)
+            .select(C.cell_col(F.col("lon"), F.col("lat"), res).alias("c"))
+            .toPandas()["c"].to_numpy()
+        )
+        want = C.latlng_to_cell(lon, lat, res)
+        assert np.array_equal(got, want), f"res {res}"

@@ -1,0 +1,57 @@
+"""kNN ring expansion vs brute-force oracle."""
+
+import pandas as pd
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.geo import knn
+from morituri_spark.sources.synth import _lonlat_for_ids
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    ids = np.arange(2000)
+    lon, lat = _lonlat_for_ids(ids)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"cand_id": ids, "lon": lon, "lat": lat})
+    ).cache()
+    qids = np.arange(40)
+    qlon, qlat = _lonlat_for_ids(qids * 31 + 7)
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": qids, "lon": qlon, "lat": qlat})
+    ).cache()
+    return q, cand
+
+
+def _as_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"], r["dist"]))
+    return {k: [x[1:] for x in sorted(v)] for k, v in out.items()}
+
+
+def test_knn_matches_bruteforce(spark, pts):
+    q, cand = pts
+    got = _as_map(knn.knn_join(q, cand, k=5, res=8).collect())
+    want = _as_map(knn.knn_bruteforce(q, cand, k=5).collect())
+    assert got.keys() == want.keys()
+    for qid in want:
+        assert got[qid] == want[qid], f"query {qid}"
+
+
+def test_knn_matches_bruteforce_haversine(spark, pts):
+    q, cand = pts
+    got = _as_map(knn.knn_join(q.limit(10), cand, k=3, res=8, metric="haversine_km").collect())
+    want = _as_map(knn.knn_bruteforce(q.limit(10), cand, k=3, metric="haversine_km").collect())
+    assert got == want
+
+
+def test_knn_k_larger_than_candidates(spark):
+    q = spark.createDataFrame(pd.DataFrame({"query_id": [0], "lon": [5.0], "lat": [45.0]}))
+    cand = spark.createDataFrame(
+        pd.DataFrame({"cand_id": [1, 2], "lon": [5.1, 5.2], "lat": [45.0, 45.0]})
+    )
+    out = knn.knn_join(q, cand, k=10, res=8, max_rings=80).collect()
+    assert len(out) == 2  # all candidates found, never more
+    assert [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]

@@ -71,3 +71,25 @@ def test_flagship_rollup_counts(data):
     rolled = flagship.run_flagship(images, zones, res=9, tile_res=6)
     total = rolled.agg({"n_images": "sum"}).collect()[0][0]
     assert total == len(oracle)
+
+
+def test_catalyst_pip_matches_oracle(data):
+    images, zones, oracle = data
+    got = pip.assign_zones_catalyst(images.select("image_id", "lon", "lat"), zones, res=9)
+    got_set = {(r["image_id"], r["zone_id"]) for r in got.collect()}
+    assert got_set == oracle
+
+
+def test_catalyst_pip_hole_semantics(spark):
+    zones = synth.zones_table(spark)
+    annulus_id = zones.count() - 1
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["in_ring", "in_hole", "outside"],
+             "lon": [1.7, 2.5, 9.0], "lat": [41.7, 42.5, 49.0]}
+        )
+    )
+    got = pip.assign_zones_catalyst(pts, zones.where(f"zone_id = {annulus_id}"))
+    assert {r["image_id"] for r in got.collect()} == {"in_ring"}
