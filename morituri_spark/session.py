@@ -73,12 +73,18 @@ def _ship_package(spark: SparkSession) -> None:
     mechanism, applied programmatically so UDF closures that reference
     module-level kernels import cleanly on workers regardless of cwd)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "morituri_spark_pyfiles.zip")
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
-        os.path.getmtime(os.path.join(root, f))
+    sources = [
+        os.path.join(root, f)
         for root, _, files in os.walk(pkg_dir)
         for f in files
         if f.endswith(".py")
+    ]
+    if not sources:
+        # imported from a --py-files zip: spark-submit already shipped us
+        return
+    zip_path = os.path.join(tempfile.gettempdir(), "morituri_spark_pyfiles.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        map(os.path.getmtime, sources)
     ):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
             for root, _, files in os.walk(pkg_dir):

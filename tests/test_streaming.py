@@ -1,0 +1,59 @@
+"""Streaming tile rollup: file-source micro-batches through the batch PIP
+operators; results equal the batch answer on the same data."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from morituri_spark.sources import synth
+from morituri_spark.streaming import pipeline as SP
+
+SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+        StructField("ingested_at", TimestampType(), False),
+    ]
+)
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    images = (
+        synth.images_table(spark, 2000, partitions=2, with_payload=False)
+        .select(
+            "image_id", "lon", "lat",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ingested_at"),
+        )
+    )
+    # two "arriving" batches
+    images.where("image_id < 'img000000001000'").write.parquet(src, mode="append")
+    images.where("image_id >= 'img000000001000'").write.parquet(src, mode="append")
+
+    zone_rows = [
+        (r["zone_id"], r["rings"])
+        for r in synth.zones_table(spark).select("zone_id", "rings").collect()
+    ]
+    stream = SP.stream_images(spark, src, SCHEMA, max_files_per_trigger=2)
+    rollup = SP.streaming_tile_rollup(stream, zone_rows, tile_res=7)
+    q = SP.run_available_now(rollup, "t_rollup")
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT tile, zone_id, sum(n_images) AS n FROM t_rollup GROUP BY 1, 2"
+    ).collect()
+    want = (
+        SP.pip.assign_zones_union(images, zone_rows)
+        .withColumn("tile", SP.C.cell_col(F.col("lon"), F.col("lat"), 7))
+        .groupBy("tile", "zone_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    gset = {(r["tile"], r["zone_id"], r["n"]) for r in got}
+    wset = {(r["tile"], r["zone_id"], r["n"]) for r in want}
+    assert gset == wset and len(gset) > 0
