@@ -341,6 +341,35 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact form, oracle-checked)."""
+    from morituri_spark.ml.simsearch import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, exact=True
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via shared-shingle prefilter."""
+    from morituri_spark.text.dedup import jaccard_pairs, shingle_df
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_df(docs, n=5)
+    pairs = (
+        sh.withColumnRenamed("doc_id", "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "shingle_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        jaccard_pairs(sh, pairs)
+        .where(F.round("jaccard", 6) >= 0.3)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 to vec 0 (J11-family, oracle-checked)."""
     from morituri_spark.ml.simsearch import topk_bruteforce
@@ -495,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_ratios": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         # rows-only (non-SQL-expressible)
         "zsplit_golden_vectors": _q_zsplit_golden,
         "ring_chunking_golden": _q_ring_chunk,
@@ -679,6 +710,29 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                          / greatest(length(text), 1), 4) AS punct_ratio
             FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) >= 0.3
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+            FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+            WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.3
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

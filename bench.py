@@ -68,23 +68,33 @@ def main() -> None:
     # compiler time before it is JIT-hot; steady-state is what a long job
     # at real scale sees (one-time JIT amortizes to nothing over a 100 TB
     # stage), so that is what we measure.
-    # hold ONE DataFrame: fresh run_flagship() calls generate new codegen
-    # source each time (expression ids) -> new class -> cold JIT again
-    rolled = flagship.run_flagship(images, zones, res=10, tile_res=7)
-    rolled.count(); rolled.count()
+    def steady_state(name: str, df, max_runs: int = 6):
+        """Repeat df.count() until the time stops improving (C2 JIT of the
+        generated stages lands nondeterministically across the first few
+        runs); record the min as the steady-state number. Holds ONE
+        DataFrame — fresh plans would regenerate codegen source and restart
+        JIT from zero (see BENCH/BASELINE.md)."""
+        best = None
+        for _ in range(max_runs):
+            t0 = time.perf_counter()
+            df.count()
+            dt = time.perf_counter() - t0
+            if best is not None and dt >= 0.8 * best:
+                best = min(best, dt)
+                break
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # ---- flagship: images/sec through broadcast PIP + tile rollup ----
-    timed("flagship_broadcast_pip", lambda: rolled.count())
+    rolled = flagship.run_flagship(images, zones, res=10, tile_res=7)
+    steady_state("flagship_broadcast_pip", rolled)
     images_per_sec = round(N_IMAGES / timings["flagship_broadcast_pip"], 1)
 
     # salted shuffle PIP variant (skew-safe path; mega-cell cluster hits it)
-    timed(
-        "flagship_salted_pip",
-        lambda: pip.assign_zones_shuffle(
-            images, zones.select("zone_id", "rings"), res=10,
-            salt_target_rows=200_000,
-        ).count(),
+    salted = pip.assign_zones_shuffle(
+        images, zones.select("zone_id", "rings"), res=10, salt_target_rows=200_000
     )
+    steady_state("flagship_salted_pip", salted, max_runs=3)
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(

@@ -225,27 +225,33 @@ def assign_zones_shuffle(
         "salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1))
     ).drop("n_salt")
 
-    paired = pts.join(covers, ["cell", "salt"], "inner").drop("cell", "salt")
+    # candidates carry NO ring data — only (point cols, zone_id, salt).
+    # Rings are cogrouped in once per (zone, salt) group, so the heavy
+    # nested-array payload never rides the per-point shuffle.
+    paired = pts.join(covers.drop(rings_col), ["cell", "salt"], "inner").drop("cell")
+    # rename the zone side's key columns: both cogroup sides descend from
+    # `covers`, and identical attribute ids trip the ambiguous-self-join check
+    zone_salts = covers.groupBy(
+        F.col(zone_id).alias("_zid"), F.col("salt").alias("_zsalt")
+    ).agg(F.first(rings_col).alias(rings_col))
 
-    out_schema = _exact_test_schema(points, zones, zone_id)
     point_cols = [f.name for f in points.schema.fields]
+    out_schema = StructType(points.schema.fields + [zones.schema[zone_id]])
 
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[lon].to_numpy()
-            py = pdf[lat].to_numpy()
-            # group by zone within the batch: one vectorized test per zone
-            for _, grp in pdf.groupby(zone_id, sort=False).indices.items():
-                rings = pdf[rings_col].iloc[grp[0]]
-                keep[grp] = points_in_polygon_np(px[grp], py[grp], rings)
-            out = pdf.loc[keep, point_cols + [zone_id]]
-            if len(out):
-                yield out
+    def exact(cands: pd.DataFrame, zone_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cands) == 0 or len(zone_pdf) == 0:
+            return pd.DataFrame(columns=point_cols + [zone_id])
+        rings = zone_pdf[rings_col].iloc[0]
+        keep = points_in_polygon_np(
+            cands[lon].to_numpy(), cands[lat].to_numpy(), rings
+        )
+        return cands.loc[keep, point_cols + [zone_id]]
 
-    return paired.mapInPandas(exact, schema=out_schema)
+    return (
+        paired.groupBy(zone_id, "salt")
+        .cogroup(zone_salts.groupBy("_zid", "_zsalt"))
+        .applyInPandas(exact, schema=out_schema)
+    )
 
 
 def pip_expr(rings_col, lon_col, lat_col):

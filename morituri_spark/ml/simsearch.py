@@ -124,6 +124,45 @@ def with_lsh_bucket(
     return df.mapInPandas(run, schema)
 
 
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine ≥ t), a < b.
+
+    Scale path (default): LSH bucket equi-join prefilter → exact cosine
+    verify (recall < 1 for borderline pairs — near-dups at t ≥ 0.9 land in
+    the same sign-bucket with high probability). ``exact=True`` does the
+    full self-join (small inputs / oracle parity).
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        paired = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        ab = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits)
+        a = ab.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "bucket")
+        b = ab.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "bucket")
+        paired = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        paired.withColumn("cosine", F.round(dot / (na * nb), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .distinct()
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame, emb: DataFrame, dim: int, k: int = 5, n_bits: int = 12,
     vec_col="embedding", qid_col="query_id", id_col="vec_id",
