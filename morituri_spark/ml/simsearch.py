@@ -166,13 +166,24 @@ def embedding_near_duplicates(
 def ann_topk_lsh(
     queries: DataFrame, emb: DataFrame, dim: int, k: int = 5, n_bits: int = 12,
     vec_col="embedding", qid_col="query_id", id_col="vec_id",
+    n_probes: int = 1,
 ) -> DataFrame:
     """ANN: bucket-equi-join then exact cosine + windowed top-k inside the
-    bucket. Recall < 1 by construction; pair with multi-probe (bucket xor
-    single bits) when needed — here single-probe keeps the join 1:1."""
+    bucket. ``n_probes`` > 1 enables multi-probe: the query side also joins
+    its Hamming-1 neighbor buckets (bucket ⊕ 2ⁱ), trading join fan-out
+    (≤ 1+n_bits per query) for recall."""
     from pyspark.sql.window import Window
 
     qb = with_lsh_bucket(queries.select(qid_col, vec_col), dim, n_bits)
+    if n_probes > 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(n_probes - 1, n_bits))
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     eb = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits).withColumnRenamed(
         vec_col, "_cand_vec"
     )

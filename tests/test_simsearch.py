@@ -64,3 +64,26 @@ def test_lsh_bucket_determinism(spark, emb):
     b1 = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(df, DIM).collect()}
     b2 = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(df, DIM).collect()}
     assert b1 == b2
+
+
+def test_lsh_multiprobe_improves_recall(spark, emb):
+    df, vecs = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 30")
+
+    def recall(ann_df):
+        got = {}
+        for r in ann_df.collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        hits = 0
+        for qid in range(30):
+            want = _oracle_topk(vecs.astype(np.float64), vecs[qid].astype(np.float64), 3)
+            have = [v for _, v in sorted(got.get(qid, []))]
+            hits += len(set(want) & set(have))
+        return hits / (30 * 3)
+
+    single = recall(S.ann_topk_lsh(queries, df, dim=DIM, k=3, n_bits=8, n_probes=1))
+    multi = recall(S.ann_topk_lsh(queries, df, dim=DIM, k=3, n_bits=8, n_probes=9))
+    assert multi >= single
+    # random gaussian vectors have weak neighbor structure (true NNs differ
+    # in several sign bits); measured: single ≈ 0.36, multi ≈ 0.48 here
+    assert multi >= 0.45
