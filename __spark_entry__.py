@@ -484,6 +484,41 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(queries, emb, dim=64, k=3, n_bits=8)
 
 
+def _q_payload_fidelity(spark, sf_dir):
+    """Per-row image invariants (BASELINE.json): decoded pixels vs source
+    (PSNR; inf for lossless, >= 40dB for lossy), caption byte-equality,
+    phash match — as a DataFrame so the driver sees the gate itself."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.sources import images as I
+    from morituri_spark.sources import synth
+
+    images = synth.images_table(spark, 300, partitions=4, px=8)
+
+    def check(batches):
+        for pdf in batches:
+            rows = {"image_id": [], "psnr_ok": [], "caption_ok": [], "phash_ok": []}
+            for _, r in pdf.iterrows():
+                i = int(r["image_id"][3:])
+                rng = np.random.default_rng(synth.SEED + i)
+                src = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                dec = I.decode(bytes(r["bytes"]), r["fmt"])
+                psnr = I.psnr(src, dec)
+                rows["image_id"].append(r["image_id"])
+                rows["psnr_ok"].append(bool(psnr >= 40.0))
+                rows["caption_ok"].append(
+                    r["caption"] == f"photo {i} near ({r['lon']:.3f},{r['lat']:.3f})"
+                )
+                rows["phash_ok"].append(int(r["phash"]) == I.phash(src))
+            yield pd.DataFrame(rows)
+
+    out = images.mapInPandas(
+        check, "image_id string, psnr_ok boolean, caption_ok boolean, phash_ok boolean"
+    )
+    return out.where("NOT (psnr_ok AND caption_ok AND phash_ok)")
+
+
 def _q_flagship_images(spark, sf_dir):
     """Full image pipeline on a synthesized payload table (images aren't in
     the driver's testdata; synthesis is deterministic, seed=42)."""
@@ -537,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
+        "payload_fidelity_violations": _q_payload_fidelity,
         "flagship_images": _q_flagship_images,
     }
 
