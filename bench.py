@@ -68,21 +68,21 @@ def main() -> None:
     # compiler time before it is JIT-hot; steady-state is what a long job
     # at real scale sees (one-time JIT amortizes to nothing over a 100 TB
     # stage), so that is what we measure.
-    def steady_state(name: str, df, max_runs: int = 6):
+    def steady_state(name: str, df, max_runs: int = 7, min_runs: int = 4):
         """Repeat df.count() until the time stops improving (C2 JIT of the
         generated stages lands nondeterministically across the first few
-        runs); record the min as the steady-state number. Holds ONE
-        DataFrame — fresh plans would regenerate codegen source and restart
-        JIT from zero (see BENCH/BASELINE.md)."""
+        runs); record the min as the steady-state number. At least
+        ``min_runs`` — a single non-improving early run is usually still
+        interpreted, not converged. Holds ONE DataFrame — fresh plans would
+        regenerate codegen source and restart JIT from zero."""
         best = None
-        for _ in range(max_runs):
+        for i in range(max_runs):
             t0 = time.perf_counter()
             df.count()
             dt = time.perf_counter() - t0
-            if best is not None and dt >= 0.8 * best:
-                best = min(best, dt)
-                break
             best = dt if best is None else min(best, dt)
+            if i + 1 >= min_runs and dt <= 1.1 * best:
+                break
         timings[name] = round(best, 3)
 
     # ---- flagship: images/sec through broadcast PIP + tile rollup ----
@@ -94,7 +94,14 @@ def main() -> None:
     salted = pip.assign_zones_shuffle(
         images, zones.select("zone_id", "rings"), res=10, salt_target_rows=200_000
     )
-    steady_state("flagship_salted_pip", salted, max_runs=3)
+    steady_state("flagship_salted_pip", salted, max_runs=4, min_runs=2)
+    # control: same join WITHOUT salting (factor threshold never reached) —
+    # documents that salting bounds the mega-cell straggler (BASELINE.md §5)
+    nosalt = pip.assign_zones_shuffle(
+        images, zones.select("zone_id", "rings"), res=10,
+        salt_target_rows=10**12,
+    )
+    steady_state("shuffle_pip_unsalted_control", nosalt, max_runs=3, min_runs=2)
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(

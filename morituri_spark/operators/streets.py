@@ -158,7 +158,15 @@ def street_ways(
     ways = ways.withColumn(
         "layer", F.when(F.col("z_lvl").isNotNull() & (F.col("z_lvl") != 0), F.col("z_lvl").cast("string"))
     )
-    return zip_with_index(ways, order_cols=["link_id", "seg_seq"], id_col="way_id")
+    # dense ids over the NARROW key frame only (zip_with_index persists its
+    # input between the counts and numbering passes — keep geometry and the
+    # 30 tag columns out of that cache), then join ids back
+    ids = zip_with_index(
+        all_segs.select("link_id", "seg_seq"),
+        order_cols=["link_id", "seg_seq"],
+        id_col="way_id",
+    )
+    return ways.join(ids, ["link_id", "seg_seq"])
 
 
 def street_nodes(streets: DataFrame, zlevels: DataFrame) -> DataFrame:
