@@ -265,6 +265,19 @@ def _q_pip_zones_shuffle(spark, sf_dir):
     ).select("point_id", "zone_id")
 
 
+def _q_pip_zones_codegen(spark, sf_dir):
+    """Same spatial join through the single-scan codegen path (literal-edge
+    whens + explode) — third strategy, same SQL oracle."""
+    from morituri_spark.geo import pip
+
+    pts = _points(spark, sf_dir).withColumnRenamed("event_id", "point_id")
+    zone_rows = [
+        (r["zone_id"], r["rings"])
+        for r in _rect_zones(spark).collect()
+    ]
+    return pip.assign_zones_union(pts, zone_rows).select("point_id", "zone_id")
+
+
 def _q_cell_counts(spark, sf_dir):
     """G9 geocell encode — id bit math mirrored as SQL arithmetic."""
     from morituri_spark.geo import cells as C
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial core (oracle-checked)
         "pip_zone_assign_broadcast": _q_pip_zones,
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
+        "pip_zone_assign_codegen": _q_pip_zones_codegen,
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
@@ -683,6 +697,12 @@ def oracle_sql() -> dict[str, str]:
               ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
         """,
         "pip_zone_assign_salted": f"""
+            SELECT e.event_id AS point_id, z.zone_id
+            FROM (SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events) e
+            JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
+              ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
+        """,
+        "pip_zone_assign_codegen": f"""
             SELECT e.event_id AS point_id, z.zone_id
             FROM (SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events) e
             JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)

@@ -218,6 +218,58 @@ def street_nodes(streets: DataFrame, zlevels: DataFrame) -> DataFrame:
     return plain_ids.unionByName(z_ids).unionByName(mid_ids)
 
 
+def resolve_way_node_refs(ways: DataFrame, nodes: DataFrame, zlevels: DataFrame) -> DataFrame:
+    """Attach ordered node-id lists to ways (the reference's WayNodeList,
+    navteq.hpp:262-299): each vertex resolves to — in priority order — the
+    (loc, z) shared node (J8), the link's private middle node (W3), then
+    the plain shared endpoint (J7). Returns ways + ``node_refs``.
+
+    Plan: posexplode vertices → three left joins against the node classes →
+    coalesce → groupBy way collect ordered. All equi-joins on quantized
+    int64 keys; the node side is output-sized, joined on its natural key.
+    """
+    verts = ways.select(
+        "way_id", "link_id", "from_idx",
+        F.posexplode("way_geometry").alias("i", "pt"),
+    ).select(
+        "way_id", "link_id",
+        (F.col("from_idx") + F.col("i")).alias("pos"),
+        F.col("i").alias("seq_in_way"),
+        quantize(F.col("pt")[0]).alias("lon_i"),
+        quantize(F.col("pt")[1]).alias("lat_i"),
+    )
+    z = zlevels.where(F.col("Z_LEVEL") != 0).select(
+        F.col("LINK_ID").alias("link_id"),
+        (F.col("POINT_NUM") - 1).cast("int").alias("pos"),
+        F.col("Z_LEVEL").cast("int").alias("z_lvl"),
+    )
+    verts = verts.join(z, ["link_id", "pos"], "left")
+
+    znodes = nodes.where(F.col("z_lvl").isNotNull()).select(
+        "lon_i", "lat_i", "z_lvl", F.col("node_id").alias("_zn")
+    )
+    midnodes = nodes.where(F.col("link_id").isNotNull()).select(
+        "lon_i", "lat_i", "link_id", F.col("node_id").alias("_mn")
+    )
+    endnodes = nodes.where(
+        F.col("link_id").isNull() & F.col("z_lvl").isNull()
+    ).select("lon_i", "lat_i", F.col("node_id").alias("_en"))
+
+    resolved = (
+        verts.join(znodes, ["lon_i", "lat_i", "z_lvl"], "left")
+        .join(midnodes, ["lon_i", "lat_i", "link_id"], "left")
+        .join(endnodes, ["lon_i", "lat_i"], "left")
+        .withColumn("node_id", F.coalesce("_zn", "_mn", "_en"))
+    )
+    refs = resolved.groupBy("way_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seq_in_way", "node_id"))),
+            lambda s: s["node_id"],
+        ).alias("node_refs")
+    )
+    return ways.join(refs, "way_id")
+
+
 def convert_streets(
     streets: DataFrame,
     zlevels: DataFrame,
@@ -226,8 +278,11 @@ def convert_streets(
     mtd_area: DataFrame | None = None,
     cntry_ref: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """The full entry point: {'ways': ..., 'nodes': ...}."""
+    """The full entry point: {'ways': ..., 'nodes': ...} — ways carry
+    resolved ``node_refs`` (the reference's WayNodeList)."""
+    ways = street_ways(streets, zlevels, cdms, cnd_mod, mtd_area, cntry_ref)
+    nodes = street_nodes(streets, zlevels)
     return {
-        "ways": street_ways(streets, zlevels, cdms, cnd_mod, mtd_area, cntry_ref),
-        "nodes": street_nodes(streets, zlevels),
+        "ways": resolve_way_node_refs(ways, nodes, zlevels),
+        "nodes": nodes,
     }

@@ -6,11 +6,12 @@ lossy) and *caption byte-equality*. This module provides:
 
   * a real PNG encoder/decoder (RGB8, all five scanline filters on decode,
     filter-0 on encode) — lossless path, byte-exact round-trip;
-  * ``FJPG``, a deterministic lossy codec (5-bit uniform quantization +
-    zlib): reconstruction error is uniform in [-4, 3] per channel → MSE ≈
-    5.5 → PSNR ≈ 40.8 dB, deliberately just above the 40 dB gate so the
-    PSNR check is exercised, not vacuous. A real deploy swaps in libjpeg
-    via the same codec interface (see multimodal/ for the stub contract);
+  * ``FJPG``, a deterministic lossy codec (6-bit uniform quantization +
+    zlib): reconstruction error ∈ [-2, 1] per channel → MSE = 1.5 → PSNR
+    ≈ 46.4 dB. (5-bit gave ≈40.7 ± 0.3 dB — per-image sampling noise on
+    8×8 payloads dips below the 40 dB gate; the gate query caught exactly
+    that.) A real deploy swaps in libjpeg via the same codec interface
+    (see multimodal/ for the stub contract);
   * average-hash ``phash`` (8×8 grayscale mean threshold → int64).
 
 Everything here is called ONLY from inside Arrow pandas UDF batches
@@ -112,7 +113,7 @@ _FJPG_MAGIC = b"FJPG"
 def fjpg_encode(arr: np.ndarray) -> bytes:
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    q = (arr >> 3).astype(np.uint8)  # 5-bit quantization
+    q = (arr >> 2).astype(np.uint8)  # 6-bit quantization
     return _FJPG_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
 
 
@@ -120,7 +121,7 @@ def fjpg_decode(data: bytes) -> np.ndarray:
     assert data[:4] == _FJPG_MAGIC, "not FJPG"
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
-    return np.minimum(q.astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
+    return np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:

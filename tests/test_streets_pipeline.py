@@ -137,3 +137,32 @@ def test_z_endpoint_dedup_by_loc_and_z(spark):
     assert len(znodes) == 1 and znodes[0]["z_lvl"] == 2
     plain = [r for r in nodes if r["z_lvl"] is None and r["link_id"] is None]
     assert len(plain) == 2  # (0,0) and (2,2)
+
+
+def test_resolve_way_node_refs(spark):
+    """Every way vertex resolves to a node id; shared endpoints share ids
+    across links; z-split sub-ways chain through shared boundary nodes."""
+    streets = synth.streets_from_geometries(
+        spark,
+        {
+            1: [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]],
+            2: [[3.0, 0.0], [4.0, 0.0]],
+        },
+    )
+    zlevels = synth.zlevels_table(spark, [(1, [0, 1, 0, 0])])
+    ways = ST.street_ways(streets, zlevels)
+    nodes = ST.street_nodes(streets, zlevels)
+    out = ST.resolve_way_node_refs(ways, nodes, zlevels).collect()
+    assert all(None not in r["node_refs"] for r in out)
+    assert all(len(r["node_refs"]) == len(r["way_geometry"]) for r in out)
+    # link 1 split into sub-ways: consecutive sub-ways share a boundary node
+    l1 = sorted([r for r in out if r["link_id"] == 1], key=lambda r: r["seg_seq"])
+    assert len(l1) > 1
+    for a, b in zip(l1, l1[1:]):
+        assert a["node_refs"][-1] == b["node_refs"][0]
+    # links 1 and 2 share endpoint (3,0): same node id across links
+    l2 = [r for r in out if r["link_id"] == 2][0]
+    assert l1[-1]["node_refs"][-1] == l2["node_refs"][0]
+    # total distinct node refs equals the node table size
+    all_refs = {n for r in out for n in r["node_refs"]}
+    assert all_refs == {r["node_id"] for r in nodes.collect()}
