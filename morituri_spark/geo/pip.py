@@ -171,10 +171,6 @@ def zone_covers(zones: DataFrame, res: int, zone_id="zone_id", rings_col="rings"
     return zones.select(zone_id, rings_col).mapInPandas(expand, schema=schema)
 
 
-def _exact_test_schema(points: DataFrame, zones: DataFrame, zone_id: str) -> StructType:
-    return StructType(points.schema.fields + [zones.schema[zone_id]])
-
-
 def assign_zones_shuffle(
     points: DataFrame,
     zones: DataFrame,
