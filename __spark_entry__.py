@@ -532,6 +532,17 @@ def _q_payload_fidelity(spark, sf_dir):
     return out.where("NOT (psnr_ok AND caption_ok AND phash_ok)")
 
 
+def _q_zonal_stats(spark, sf_dir):
+    """Raster-feature x vector-zone zonal statistics (payload decode +
+    spatial join + per-zone aggregation)."""
+    from morituri_spark.pipelines.zonal_stats import zonal_image_stats
+    from morituri_spark.sources import synth
+
+    images = synth.images_table(spark, 500, partitions=4, px=8)
+    zones = synth.zones_table(spark)
+    return zonal_image_stats(images, zones, res=9)
+
+
 def _q_flagship_images(spark, sf_dir):
     """Full image pipeline on a synthesized payload table (images aren't in
     the driver's testdata; synthesis is deterministic, seed=42)."""
@@ -587,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
         "payload_fidelity_violations": _q_payload_fidelity,
+        "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,
     }
 

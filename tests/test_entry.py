@@ -95,5 +95,6 @@ def test_rows_only_queries_run(spark, entrymod, name):
     # known-nonempty checks
     if name in {"zsplit_golden_vectors", "ring_chunking_golden", "street_conversion",
                 "turn_restrictions", "admin_boundaries", "langid_heuristic",
-                "doc_fingerprint", "ann_lsh_topk", "flagship_images"}:
+                "doc_fingerprint", "ann_lsh_topk", "flagship_images",
+                "zonal_image_stats"}:
         assert n > 0, f"{name} returned no rows"

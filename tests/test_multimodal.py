@@ -68,3 +68,23 @@ def test_frame_sampling_fanout(spark):
     assert ts == [0, 1000, 2000]
     arr = I.png_decode(bytes(by_vid["v1"][0]["frame_bytes"]))
     assert arr.shape == (4, 4, 3)
+
+
+def test_zonal_image_stats(spark):
+    from morituri_spark.pipelines.zonal_stats import zonal_image_stats
+
+    images = synth.images_table(spark, 400, partitions=4, px=8)
+    zones = synth.zones_table(spark)
+    out = zonal_image_stats(images, zones, res=9).collect()
+    assert len(out) > 0
+    total = sum(r["n_images"] for r in out)
+    # total assignments equals the count-only flagship path on the same data
+    from morituri_spark.geo import pip as P
+
+    want = P.assign_zones(
+        images.select("image_id", "lon", "lat"), zones.select("zone_id", "rings"), res=9
+    ).count()
+    assert total == want
+    for r in out:
+        assert 0 <= r["avg_r"] <= 255 and 0 <= r["avg_texture"] <= 128
+        assert 0 <= r["avg_phash_bits"] <= 64
