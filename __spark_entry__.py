@@ -532,6 +532,14 @@ def _q_payload_fidelity(spark, sf_dir):
     return out.where("NOT (psnr_ok AND caption_ok AND phash_ok)")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from morituri_spark.ml.simsearch import ann_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
+    return ann_topk_ivf(queries, emb, k=3, n_lists=16, n_probe=2)
+
+
 def _q_zonal_stats(spark, sf_dir):
     """Raster-feature x vector-zone zonal statistics (payload decode +
     spatial join + per-zone aggregation)."""
@@ -597,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "payload_fidelity_violations": _q_payload_fidelity,
         "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,

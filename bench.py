@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "8000000"))
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "4000000"))
 N_PAYLOAD = int(os.environ.get("BENCH_N_PAYLOAD", "20000"))
 
 

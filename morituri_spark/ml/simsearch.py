@@ -92,6 +92,93 @@ def knn_join_bruteforce(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file / coarse k-means) ANN
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    emb: DataFrame, n_lists: int = 16, sample: int = 4096, iters: int = 10,
+    seed: int = 42, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer: k-means on a deterministic sample (driver-side
+    NumPy — the sample is tiny; assignment at scale happens distributed).
+    Returns L2-normalized centroids (n_lists, dim)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine assignment
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _with_ivf_list(df: DataFrame, centroids: np.ndarray, n_probe: int, vec_col: str, out="ivf_list"):
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    schema = StructType(df.schema.fields + [StructField(out, LongType(), False)])
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ C.T
+            if n_probe == 1:
+                out_rows = pdf.copy()
+                out_rows[out] = np.argmax(sims, axis=1).astype(np.int64)
+                yield out_rows
+            else:
+                top = np.argsort(-sims, axis=1)[:, :n_probe]
+                rep = pdf.loc[pdf.index.repeat(n_probe)].copy()
+                rep[out] = top.ravel().astype(np.int64)
+                yield rep
+
+    return df.mapInPandas(run, schema)
+
+
+def ann_topk_ivf(
+    queries: DataFrame, emb: DataFrame, k: int = 5, n_lists: int = 16,
+    n_probe: int = 2, vec_col: str = "embedding", qid_col: str = "query_id",
+    id_col: str = "vec_id", centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: candidates assigned to their nearest coarse centroid (one
+    inverted list each); queries probe their ``n_probe`` nearest lists;
+    exact cosine + windowed top-k inside the probed lists. The equi-join on
+    list id is the only shuffle — same scale shape as the LSH variant, with
+    data-adaptive buckets."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
+    eb = _with_ivf_list(emb.select(id_col, vec_col), centroids, 1, vec_col).withColumnRenamed(
+        vec_col, "_cand_vec"
+    )
+    qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
+    paired = qb.join(eb, "ivf_list")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    nc = F.sqrt(F.aggregate(F.col("_cand_vec"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    scored = paired.withColumn("cosine", F.round(dot / (nv * nc), 6)).dropDuplicates(
+        [qid_col, id_col]
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select(qid_col, id_col, "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplane) ANN
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,34 @@ def test_lsh_multiprobe_improves_recall(spark, emb):
     # random gaussian vectors have weak neighbor structure (true NNs differ
     # in several sign bits); measured: single ≈ 0.36, multi ≈ 0.48 here
     assert multi >= 0.45
+
+
+def test_ivf_ann(spark, emb):
+    df, vecs = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
+    out = S.ann_topk_ivf(queries, df, k=1, n_lists=8, n_probe=2)
+    rows = out.where("rank = 0").collect()
+    # self is in its own list → top-1 must be the query itself, every query
+    assert len(rows) == 20
+    assert all(r["vec_id"] == r["query_id"] for r in rows)
+
+    # recall@3 with modest probes beats single-bucket LSH on the same data
+    def recall(ann_df, k):
+        got = {}
+        for r in ann_df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = 0
+        for qid in range(20):
+            want = set(_oracle_topk(vecs.astype(np.float64), vecs[qid].astype(np.float64), k))
+            hits += len(want & got.get(qid, set()))
+        return hits / (20 * k)
+
+    r_ivf = recall(S.ann_topk_ivf(queries, df, k=3, n_lists=8, n_probe=4), 3)
+    assert r_ivf >= 0.6
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    df, _ = emb
+    c1 = S.train_ivf_centroids(df, n_lists=8)
+    c2 = S.train_ivf_centroids(df, n_lists=8)
+    assert np.allclose(c1, c2)
