@@ -11,18 +11,36 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import Column, functions as F
 from pyspark.sql.types import StringType
 
-# ISO-639-2 → ISO-639-1 subset used by fixtures; the reference parses the
-# full Library-of-Congress table at runtime (tag_parser:428-452). A real
-# deploy loads the published table into this dict / a broadcast DataFrame.
-ISO_639_2_TO_1 = {
-    "eng": "en", "ger": "de", "deu": "de", "fre": "fr", "fra": "fr",
-    "dan": "da", "spa": "es", "ita": "it", "dut": "nl", "nld": "nl",
-    "swe": "sv", "nor": "no", "por": "pt", "fin": "fi", "pol": "pl",
-    "cze": "cs", "ces": "cs", "rus": "ru", "gre": "el", "ell": "el",
-}
+def _load_iso_639_table() -> dict[str, str]:
+    """Parse the public Library-of-Congress ISO-639-2 pipe-delimited table
+    (http://www.loc.gov/standards/iso639-2/ISO-639-2_utf-8.txt), exactly as
+    the reference does at runtime (tag_parser:428-452): field 0 is the
+    bibliographic alpha-3 code, field 2 the alpha-2 code; rows without an
+    alpha-2 code are skipped. Deviations: utf-8-sig so the file's leading
+    BOM doesn't corrupt the first key ('aar') the way the reference's raw
+    getline does, and importlib.resources so the load also works when the
+    package is imported from the --py-files zip on executors."""
+    from importlib import resources
+
+    text = (
+        resources.files("morituri_spark")
+        .joinpath("data/ISO-639-2_utf-8.txt")
+        .read_bytes()
+        .decode("utf-8-sig")
+    )
+    mapping: dict[str, str] = {}
+    for line in text.splitlines():
+        parts = line.split("|")
+        if len(parts) >= 3 and parts[2]:
+            mapping[parts[0]] = parts[2]
+    return mapping
+
+
+# Full ISO-639-2(B) → ISO-639-1 map (~400 entries), loaded once per process.
+ISO_639_2_TO_1 = _load_iso_639_table()
 
 
 def to_camel_case_with_spaces(s: str) -> str:
@@ -51,8 +69,34 @@ def parse_lang_code(lang_code: str) -> str:
     return ISO_639_2_TO_1[lc]
 
 
+def lang_code_expr(col: Column, strict: bool = True) -> Column:
+    """Catalyst form of parse_lang_code: lowercase → constant-map lookup.
+    ``strict=True`` mirrors the reference's raise-on-miss
+    (tag_parser:454-460) via ``raise_error`` — the job fails with the same
+    message instead of silently nulling data. ``strict=False`` returns NULL
+    on a miss for callers that count/quarantine unknowns themselves. The
+    ~400-literal CreateMap is foldable, so Catalyst collapses it to one map
+    constant — no Python in this path."""
+    m = F.create_map(*[F.lit(x) for kv in ISO_639_2_TO_1.items() for x in kv])
+    lc = F.lower(col)
+    mapped = F.element_at(m, lc)
+    if not strict:
+        return mapped
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(mapped.isNotNull(), mapped)
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("Language code '"), lc, F.lit("' not found"))
+            ).cast("string")
+        )
+    )
+
+
 @F.pandas_udf(StringType())
 def lang_code_udf(s: pd.Series) -> pd.Series:
+    """Lenient Arrow form (NULL on miss) — kept for batch callers; prefer
+    lang_code_expr."""
     return s.map(lambda v: None if v is None else ISO_639_2_TO_1.get(v.lower()))
 
 

@@ -13,10 +13,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .strings import camel_case_udf
 
-# speed_cat_metric table, navteq_mappings.hpp:129 (index 1..8)
+# speed_cat_metric table, navteq_mappings.hpp:129 (index 1..8) — exact
+# reference strings, no units suffix
 SPEED_CAT_METRIC = [
-    "> 130 km/h", "101-130 km/h", "91-100 km/h", "71-90 km/h",
-    "51-70 km/h", "31-50 km/h", "11-30 km/h", "< 11 km/h",
+    ">130", "101-130", "91-100", "71-90",
+    "51-70", "31-50", "11-30", "<11",
 ]
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.strings import admin_lvl_col, camel_case_udf, lang_code_udf
+from ..functions.strings import admin_lvl_col, camel_case_udf, lang_code_expr
 from .nodes import zip_with_index
 from .rings import chunk_rings
 
@@ -26,7 +26,7 @@ def admin_meta_groups(mtd_area: DataFrame) -> DataFrame:
     first; we keep the min (deterministic) and expose the conflict count."""
     names = mtd_area.select(
         "AREA_ID",
-        lang_code_udf(F.col("LANG_CODE")).alias("lang"),
+        lang_code_expr(F.col("LANG_CODE")).alias("lang"),
         camel_case_udf(F.col("AREA_NAME")).alias("name"),
         F.col("ADMIN_LVL"),
     )

@@ -73,11 +73,14 @@ def _ship_package(spark: SparkSession) -> None:
     mechanism, applied programmatically so UDF closures that reference
     module-level kernels import cleanly on workers regardless of cwd)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # .txt rides along for package data (ISO-639-2 table) — loaded on
+    # workers via importlib.resources, which reads from inside the zip.
+    _SHIP = (".py", ".txt")
     sources = [
         os.path.join(root, f)
         for root, _, files in os.walk(pkg_dir)
         for f in files
-        if f.endswith(".py")
+        if f.endswith(_SHIP)
     ]
     if not sources:
         # imported from a --py-files zip: spark-submit already shipped us
@@ -87,13 +90,8 @@ def _ship_package(spark: SparkSession) -> None:
         map(os.path.getmtime, sources)
     ):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "morituri_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+            for full in sources:
+                rel = os.path.join("morituri_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)

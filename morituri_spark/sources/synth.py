@@ -215,8 +215,12 @@ def streets_table(spark: SparkSession, n: int = 200, n_vertices: int = 5) -> Dat
     pdf = pd.DataFrame(
         {
             "LINK_ID": 10_000 + i,
+            # float() coercion matters: np.float64 inside an object-dtype
+            # list cell survives to_records().tolist() and fails the
+            # non-Arrow createDataFrame row verifier (driver harness runs
+            # without Arrow; CORRECTNESS_r01 street_conversion ERR).
             "geometry": [
-                [[round(x + j * step, 9), y] for j in range(n_vertices)]
+                [[float(round(x + j * step, 9)), float(y)] for j in range(n_vertices)]
                 for x, y in zip(x0, y0)
             ],
             "ST_NAME": pick(["E20 ", "main STREET", "ELM st", ""]),
@@ -276,7 +280,8 @@ def streets_from_geometries(spark: SparkSession, links: dict[int, list]) -> Data
     every attribute at its default."""
     rows = []
     for link_id, geom in links.items():
-        r = {"LINK_ID": link_id, "geometry": geom,
+        r = {"LINK_ID": int(link_id),
+             "geometry": [[float(v[0]), float(v[1])] for v in geom],
              "L_AREA_ID": 2, "R_AREA_ID": 2}
         r.update(STREET_ATTR_DEFAULTS)
         rows.append(r)
