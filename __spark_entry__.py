@@ -392,6 +392,163 @@ def _q_ann_topk(spark, sf_dir):
     return topk_bruteforce(emb, [float(x) for x in query], k=10)
 
 
+# --- oracle-checked composed pipelines (reference entry points 1 and 3) ----
+#
+# The synth fixtures use NumPy RNG (not SQL-reproducible), so these derive
+# their NAVSTREETS-shaped inputs from the parquet tables with pure SQL
+# arithmetic — identical on both engines — and run the REAL operators
+# (prepare_z_groups → split_ways → tag projection → dense ids; rings →
+# chunk_rings → relations). The oracle re-derives the expected output in
+# closed form from the reference's split/chunk semantics.
+
+# Per-link z-vector shapes (6-vertex links, 0-based idx), split closed-form
+# hand-derived from navteq.hpp:347-469 (verified against the 44 goldens):
+#   shape 0: no z rows                  → [(0,5,·)]             (no-z path)
+#   shape 1: z at idx 1,2               → [(0,3,z),(3,5,0)]
+#   shape 2: z at idx 1,4 (gap)         → [(0,2,z),(2,3,0),(3,5,z)]
+#   shape 3: z at idx 2,3 (head)        → [(0,1,0),(1,4,z),(4,5,0)]
+# Ferry links (W2) drop all interior z pairs → single [(0,5,0)] segment.
+_LINKS_FILTER = "o_orderkey < 8000"
+
+# Attribute derivations shared verbatim by the Spark input builder and the
+# oracle's links CTE (STRING is a valid type alias in both dialects).
+_STREET_ATTR_SQL = {
+    "ST_NAME": "concat('Road ', CAST(o_orderkey % 10 AS STRING))",
+    "FUNC_CLASS": "CAST(o_orderkey % 5 + 1 AS STRING)",
+    "ROUTE_TYPE": "CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE CAST(o_orderkey % 6 + 1 AS STRING) END",
+    "URBAN": "CASE WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END",
+    "DIR_TRAVEL": "CASE WHEN o_orderkey % 7 < 2 THEN 'F' WHEN o_orderkey % 7 < 4 THEN 'T' ELSE 'B' END",
+    "SPEED_CAT": "CAST(o_orderkey % 8 + 1 AS STRING)",
+    "FR_SPD_LIM": (
+        "CASE o_orderkey % 11 WHEN 0 THEN '0' WHEN 1 THEN '998' WHEN 2 THEN '999' "
+        "WHEN 3 THEN '30' WHEN 4 THEN '50' WHEN 5 THEN '80' WHEN 6 THEN '100' "
+        "WHEN 7 THEN '130' WHEN 8 THEN '50' WHEN 9 THEN '60' ELSE '70' END"
+    ),
+    "TO_SPD_LIM": (
+        "CASE WHEN o_orderkey % 13 = 0 THEN '0' WHEN o_orderkey % 13 = 1 THEN '998' "
+        "WHEN o_orderkey % 13 = 2 THEN '999' WHEN o_orderkey % 13 = 3 THEN '30' "
+        "WHEN o_orderkey % 13 = 4 THEN '50' WHEN o_orderkey % 13 = 5 THEN '100' "
+        "ELSE CAST((o_orderkey % 13) * 10 AS STRING) END"
+    ),
+    "AR_AUTO": "CASE WHEN o_orderkey % 19 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_BUS": "CASE WHEN o_orderkey % 23 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_TAXIS": "CASE WHEN o_orderkey % 29 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_PEDEST": "CASE WHEN o_orderkey % 17 = 3 THEN 'N' ELSE 'Y' END",
+    "AR_TRUCKS": "CASE WHEN o_orderkey % 31 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_EMERVEH": "CASE WHEN o_orderkey % 37 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_MOTOR": "CASE WHEN o_orderkey % 41 = 0 THEN 'N' ELSE 'Y' END",
+    "AR_TRAFF": "CASE WHEN o_orderkey % 43 = 0 THEN 'N' ELSE 'Y' END",
+    "PUB_ACCESS": "CASE WHEN o_orderkey % 47 = 0 THEN 'N' ELSE 'Y' END",
+    "PRIVATE": "CASE WHEN o_orderkey % 53 = 0 THEN 'Y' ELSE 'N' END",
+    "PAVED": "CASE WHEN o_orderkey % 2 = 1 THEN 'Y' ELSE 'N' END",
+    "BRIDGE": "CASE WHEN o_orderkey % 59 = 0 THEN 'Y' ELSE 'N' END",
+    "TUNNEL": "CASE WHEN o_orderkey % 61 = 0 THEN 'Y' ELSE 'N' END",
+    "TOLLWAY": "CASE WHEN o_orderkey % 67 = 0 THEN 'Y' ELSE 'N' END",
+    "ROUNDABOUT": "CASE WHEN o_orderkey % 71 = 0 THEN 'Y' ELSE 'N' END",
+    "FOURWHLDR": "CASE WHEN o_orderkey % 73 = 0 THEN 'Y' ELSE 'N' END",
+    "PHYS_LANES": "CAST(o_orderkey % 5 AS STRING)",
+    "L_POSTCODE": "CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 3 AS STRING) END",
+    "R_POSTCODE": "CASE WHEN o_orderkey % 6 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 2 AS STRING) END",
+    "FERRY_TYPE": "CASE WHEN o_orderkey % 17 = 0 THEN 'B' WHEN o_orderkey % 17 = 1 THEN 'R' ELSE 'H' END",
+}
+
+_STREET_GEOM_SQL = (
+    "transform(sequence(0, 5), j -> array("
+    "CAST(o_orderkey % 100 AS DOUBLE) * 0.01 + CAST(j AS DOUBLE) * 0.001, "
+    "CAST(o_orderkey % 90 AS DOUBLE) * 0.1))"
+)
+
+
+def _derived_streets(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders").where(_LINKS_FILTER).select("o_orderkey")
+    cols = [F.col("o_orderkey").cast("long").alias("LINK_ID")]
+    cols += [F.expr(sql).alias(name) for name, sql in _STREET_ATTR_SQL.items()]
+    cols.append(F.expr(_STREET_GEOM_SQL).alias("geometry"))
+    streets = o.select(*cols)
+    zl = (
+        o.where("o_orderkey % 4 != 0")
+        .select(
+            F.col("o_orderkey").cast("long").alias("LINK_ID"),
+            F.expr("CAST(o_orderkey % 5 + 1 AS INT)").alias("Z_LEVEL"),
+            F.explode(
+                F.expr(
+                    "CASE CAST(o_orderkey % 4 AS INT) WHEN 1 THEN array(2, 3) "
+                    "WHEN 2 THEN array(2, 5) ELSE array(3, 4) END"
+                )
+            ).alias("POINT_NUM"),
+        )
+        .select("LINK_ID", F.col("POINT_NUM").cast("int").alias("POINT_NUM"), "Z_LEVEL")
+    )
+    return streets, zl
+
+
+def _q_street_ways_oracle(spark, sf_dir):
+    """Entry point 1 (street conversion) hash-checked end-to-end: derived
+    streets + z-vectors → the REAL prepare_z_groups/split_ways/tag-
+    projection/dense-id pipeline; the oracle recomputes segments and tags in
+    closed form (navteq.hpp:347-469 split semantics, tag_parser:21-221)."""
+    from morituri_spark.operators import streets as ST
+
+    streets, zl = _derived_streets(spark, sf_dir)
+    ways = ST.street_ways(streets, zl)
+    return ways.select(
+        "way_id", "link_id", F.col("seg_seq").cast("int").alias("seg_seq"),
+        F.col("from_idx").cast("int").alias("from_idx"),
+        F.col("to_idx").cast("int").alias("to_idx"),
+        "layer", "name", "highway", "oneway", "maxspeed", "here_speed_cat",
+        "surface", "toll",
+    )
+
+
+def _q_admin_relations_oracle(spark, sf_dir):
+    """Entry point 3 (admin boundaries) hash-checked: nation-derived
+    polygons (ring sizes straddle the 1000-node chunk limit) through the
+    REAL chunk_rings/relations pipeline; oracle computes chunk counts with
+    the do-while closed form (navteq.hpp:675-692: ways = 1+⌊(n-1)/999⌋)."""
+    from morituri_spark.operators import admin as A
+
+    n = _read(spark, sf_dir, "nation")
+    verts = (
+        "CASE n_nationkey % 4 WHEN 0 THEN 4 WHEN 1 THEN 998 "
+        "WHEN 2 THEN 999 ELSE 1000 END"
+    )
+    outer = (
+        f"transform(sequence(0, {verts} - 1), j -> array("
+        f"CAST(n_nationkey AS DOUBLE) + 0.1 * cos(2 * pi() * j / {verts}), "
+        f"CAST(n_nationkey AS DOUBLE) + 0.1 * sin(2 * pi() * j / {verts})))"
+    )
+    outer_closed = f"concat({outer}, slice({outer}, 1, 1))"
+    inner = (
+        "transform(sequence(0, 3), j -> array("
+        "CAST(n_nationkey AS DOUBLE) + 0.01 * cos(2 * pi() * j / 4), "
+        "CAST(n_nationkey AS DOUBLE) + 0.01 * sin(2 * pi() * j / 4)))"
+    )
+    inner_closed = f"concat({inner}, slice({inner}, 1, 1))"
+    adminbndy = n.select(
+        F.expr("CAST(n_nationkey + 1 AS BIGINT)").alias("AREA_ID"),
+        F.expr("CAST(n_nationkey % 5 + 1 AS INT)").alias("level"),
+        F.expr(
+            f"CASE WHEN n_nationkey % 2 = 0 THEN array({outer_closed}, {inner_closed}) "
+            f"ELSE array({outer_closed}) END"
+        ).alias("rings"),
+    )
+    mtd_area = n.select(
+        F.expr("CAST(n_nationkey + 1 AS BIGINT)").alias("AREA_ID"),
+        F.expr("CAST(n_nationkey % 7 + 1 AS INT)").alias("ADMIN_LVL"),
+        F.lit("ENG").alias("LANG_CODE"),
+        F.expr("concat('Area ', CAST(n_nationkey AS STRING))").alias("AREA_NAME"),
+        F.lit(101).cast("long").alias("GOVT_CODE"),
+    )
+    out = A.convert_admin_boundaries(adminbndy, mtd_area)
+    return out["relations"].select(
+        "relation_id",
+        "area_id",
+        "admin_level",
+        F.size("outer_way_ids").alias("n_outer"),
+        F.size("inner_way_ids").alias("n_inner"),
+    )
+
+
 # --- rows-only queries (no SQL equivalent; driver records a weaker check) ---
 
 def _q_zsplit_golden(spark, sf_dir):
@@ -594,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # composed reference entry points (oracle-checked)
+        "street_ways_oracle": _q_street_ways_oracle,
+        "admin_relations_oracle": _q_admin_relations_oracle,
         # rows-only (non-SQL-expressible)
         "zsplit_golden_vectors": _q_zsplit_golden,
         "ring_chunking_golden": _q_ring_chunk,
@@ -818,5 +978,87 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        # Expected street_ways output in closed form: segments per z-shape
+        # (hand-derived from navteq.hpp:347-469, cross-checked against the 44
+        # golden vectors) + the tag decision trees (tag_parser:21-221).
+        "street_ways_oracle": """
+            WITH links AS (
+              SELECT o_orderkey AS link_id,
+                     o_orderkey % 4 AS shape,
+                     CAST(o_orderkey % 5 + 1 AS INT) AS z,
+                     (o_orderkey % 17 < 2) AS is_ferry,
+                     concat('Road ', CAST(o_orderkey % 10 AS STRING)) AS name,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 6 + 1 END AS route,
+                     o_orderkey % 5 + 1 AS func,
+                     (o_orderkey % 2 = 0) AS urban,
+                     CASE WHEN o_orderkey % 7 < 2 THEN 'F' WHEN o_orderkey % 7 < 4 THEN 'T' ELSE 'B' END AS dir,
+                     CASE o_orderkey % 11 WHEN 0 THEN 0 WHEN 1 THEN 998 WHEN 2 THEN 999
+                          WHEN 3 THEN 30 WHEN 4 THEN 50 WHEN 5 THEN 80 WHEN 6 THEN 100
+                          WHEN 7 THEN 130 WHEN 8 THEN 50 WHEN 9 THEN 60 ELSE 70 END AS fr_i,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 0 WHEN o_orderkey % 13 = 1 THEN 998
+                          WHEN o_orderkey % 13 = 2 THEN 999 WHEN o_orderkey % 13 = 3 THEN 30
+                          WHEN o_orderkey % 13 = 4 THEN 50 WHEN o_orderkey % 13 = 5 THEN 100
+                          ELSE (o_orderkey % 13) * 10 END AS to_i,
+                     o_orderkey % 8 + 1 AS sc,
+                     (o_orderkey % 2 = 1) AS paved,
+                     (o_orderkey % 67 = 0) AS tollway
+              FROM orders WHERE o_orderkey < 8000),
+            segs AS (
+              SELECT link_id, 0 AS seg_seq, 0 AS from_idx, 5 AS to_idx, CAST(NULL AS INT) AS zl
+                FROM links WHERE is_ferry OR shape = 0
+              UNION ALL SELECT link_id, 0, 0, 3, z FROM links WHERE NOT is_ferry AND shape = 1
+              UNION ALL SELECT link_id, 1, 3, 5, 0 FROM links WHERE NOT is_ferry AND shape = 1
+              UNION ALL SELECT link_id, 0, 0, 2, z FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 1, 2, 3, 0 FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 2, 3, 5, z FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 0, 0, 1, 0 FROM links WHERE NOT is_ferry AND shape = 3
+              UNION ALL SELECT link_id, 1, 1, 4, z FROM links WHERE NOT is_ferry AND shape = 3
+              UNION ALL SELECT link_id, 2, 4, 5, 0 FROM links WHERE NOT is_ferry AND shape = 3)
+            SELECT CAST(row_number() OVER (ORDER BY s.link_id, s.seg_seq) AS BIGINT) AS way_id,
+                   s.link_id,
+                   CAST(s.seg_seq AS INT) AS seg_seq,
+                   CAST(s.from_idx AS INT) AS from_idx,
+                   CAST(s.to_idx AS INT) AS to_idx,
+                   CASE WHEN s.zl IS NOT NULL AND s.zl <> 0 THEN CAST(s.zl AS STRING) END AS layer,
+                   l.name,
+                   CASE WHEN l.is_ferry THEN NULL
+                        WHEN l.route IS NULL THEN
+                          CASE WHEN l.func >= 4 THEN (CASE WHEN l.urban THEN 'residential' ELSE 'tertiary' END)
+                               WHEN l.func >= 2 THEN 'secondary'
+                               WHEN l.func = 1 THEN 'primary' END
+                        WHEN l.route IN (1, 2) THEN 'motorway'
+                        WHEN l.route = 3 THEN 'primary'
+                        WHEN l.route = 4 THEN 'secondary'
+                        WHEN l.route = 5 THEN 'tertiary'
+                        WHEN l.route = 6 THEN 'unclassified' END AS highway,
+                   CASE WHEN l.is_ferry THEN NULL
+                        WHEN l.dir = 'F' THEN 'yes' WHEN l.dir = 'T' THEN '-1' END AS oneway,
+                   CASE WHEN l.is_ferry THEN NULL
+                        WHEN l.fr_i = 998 OR l.to_i = 998 THEN NULL
+                        WHEN l.fr_i <> 0 AND l.to_i <> 0 AND l.fr_i = l.to_i
+                          THEN (CASE WHEN l.fr_i = 999 THEN 'none' ELSE CAST(l.fr_i AS STRING) END)
+                        WHEN l.fr_i <> 0 AND l.to_i = 0
+                          THEN (CASE WHEN l.fr_i = 999 THEN 'none' ELSE CAST(l.fr_i AS STRING) END)
+                        WHEN l.fr_i = 0 AND l.to_i <> 0
+                          THEN (CASE WHEN l.to_i = 999 THEN 'none' ELSE CAST(l.to_i AS STRING) END)
+                        END AS maxspeed,
+                   CASE l.sc WHEN 1 THEN '>130' WHEN 2 THEN '101-130' WHEN 3 THEN '91-100'
+                        WHEN 4 THEN '71-90' WHEN 5 THEN '51-70' WHEN 6 THEN '31-50'
+                        WHEN 7 THEN '11-30' ELSE '<11' END AS here_speed_cat,
+                   CASE WHEN NOT l.is_ferry AND l.paved THEN 'paved' END AS surface,
+                   CASE WHEN NOT l.is_ferry AND l.tollway THEN 'yes' END AS toll
+            FROM segs s JOIN links l USING (link_id)
+        """,
+        # Expected relations: chunk count = 1 + (n_nodes - 1) // 999
+        # (navteq.hpp:675-692 do-while), admin_level = 2 × navteq level.
+        "admin_relations_oracle": """
+            SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS relation_id,
+                   CAST(n_nationkey + 1 AS BIGINT) AS area_id,
+                   CAST(2 * (n_nationkey % 7 + 1) AS STRING) AS admin_level,
+                   CAST(1 + (CASE n_nationkey % 4 WHEN 0 THEN 5 WHEN 1 THEN 999
+                             WHEN 2 THEN 1000 ELSE 1001 END - 1) // 999 AS INT) AS n_outer,
+                   CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_inner
+            FROM nation
         """,
     }

@@ -76,9 +76,14 @@ def knn_join(
     per-round state lives in persisted DataFrames, never on the driver.
     """
     spark = queries.sparkSession
-    cell_min_dim = 180.0 / (1 << res)  # degrees; the termination bound
-    if metric == "haversine_km":
-        cell_min_dim *= 111.19492664455873  # deg → km lower bound at equator
+    # Cell extents: y (lat) spans 180°/2^res, x (lon) 360°/2^res — x is twice
+    # y in degrees. For euclidean_deg the termination bound uses the smaller
+    # (y) extent. For haversine the x extent SHRINKS by cos(lat), so at
+    # |lat| > 60° the x direction becomes the limiting one — the bound must
+    # scale per query by min(1, 2·cos(max |lat| reachable in the explored
+    # disk)) or a high-latitude query stops early with non-nearest results.
+    deg_y = 180.0 / (1 << res)
+    km_per_deg = 111.19492664455873  # meridian arc, deg → km
 
     cand = candidates.select(
         F.col(cid_col),
@@ -113,9 +118,11 @@ def knn_join(
 
     topk = None  # accumulated per-query best-so-far
     w = Window.partitionBy(qid_col).orderBy("dist", cid_col)
+    n_left = frontier.count()  # materializes the persist; reused as the
+    # loop-termination check so each round has exactly two driver barriers
 
     for ring in range(max_rings + 1):
-        if frontier.isEmpty():
+        if n_left == 0:
             break
         ring_cells = frontier.withColumn(
             "_cell", F.explode(_ring_cells_udf(res, ring)(F.col("_qcell")))
@@ -127,26 +134,56 @@ def knn_join(
             _dist_expr(F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat"), metric).alias("dist"),
         )
         pool = hits if topk is None else topk.unionByName(hits)
-        topk = (
+        new_topk = (
             pool.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
             .drop("_rk")
-            .persist()
         )
-        topk.count()  # materialize before deciding termination
+        # Materialize the accumulator, truncating lineage every few rounds:
+        # the union-then-window plan otherwise grows O(rings) deep and gets
+        # re-analyzed/re-windowed each iteration. localCheckpoint keeps the
+        # data on executors (eager = materialized, like the persist+count).
+        if ring % 4 == 3:
+            new_topk = new_topk.localCheckpoint(eager=True)
+        else:
+            new_topk = new_topk.persist()
+            new_topk.count()
+        if topk is not None:
+            topk.unpersist()  # superseded accumulator's blocks
+        topk = new_topk
 
         # a query is DONE when it has k hits and its k-th distance can't be
         # beaten by anything outside the explored disk, OR when the disk
         # already covers the whole candidate bbox (exhaustion)
-        bound = ring * cell_min_dim
+        if metric == "euclidean_deg":
+            bound = F.lit(ring * deg_y)
+        else:  # haversine_km: polar-safe per-query bound (see header note)
+            lat_reach = F.least(
+                F.lit(90.0), F.abs(F.col("_qlat")) + F.lit((ring + 1) * deg_y)
+            )
+            factor = F.least(F.lit(1.0), 2.0 * F.cos(F.radians(lat_reach)))
+            bound = F.lit(ring * deg_y * km_per_deg) * F.greatest(factor, F.lit(0.0))
         stats = topk.groupBy(qid_col).agg(
-            F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_kth")
+            F.count(F.lit(1)).alias("_n"),
+            F.max("dist").alias("_kth"),
+            F.first("_qlat").alias("_qlat"),
         )
-        done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound))).select(qid_col)
+        done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= bound)).select(qid_col)
         exhausted = frontier.where(F.col("_max_ring") <= ring).select(qid_col)
         new_frontier = frontier.join(
             done.unionByName(exhausted).distinct(), qid_col, "left_anti"
-        ).persist()
+        )
+        # Same treatment as topk — and CRITICALLY materialize (count /
+        # eager checkpoint) BEFORE unpersisting the old frontier: dropping
+        # the parent's blocks first forces a from-scratch recompute of the
+        # whole anti-join chain every round (O(rings²) work; a 20-ring
+        # sparse input went from minutes to seconds with this ordering).
+        if ring % 4 == 3:
+            new_frontier = new_frontier.localCheckpoint(eager=True)
+            n_left = new_frontier.count()
+        else:
+            new_frontier = new_frontier.persist()
+            n_left = new_frontier.count()
         frontier.unpersist()
         frontier = new_frontier
 

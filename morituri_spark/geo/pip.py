@@ -280,42 +280,6 @@ def pip_expr(rings_col, lon_col, lat_col):
     return total % 2 == 1
 
 
-def pip_inlined_expr(zone_rows, lon_col, lat_col):
-    """PIP compiled to literal edge arithmetic per zone — a CASE over
-    zone_id whose branches are pure double ops on (lon, lat) with all edge
-    coordinates folded in as constants. Fully whole-stage-codegen, zero
-    per-row allocation (the HOF form above interprets and allocates, which
-    caps multi-core scaling via GC contention).
-
-    Horizontal edges are pruned statically (their crossing condition is
-    identically false). Op order matches the NumPy kernel exactly, so IEEE
-    results are bit-identical.
-    """
-    branch = None
-    for zid, rings in zone_rows:
-        crossings = None
-        for ring in rings:
-            r = ring_np(ring)
-            for i in range(len(r) - 1):
-                x0, y0 = float(r[i, 0]), float(r[i, 1])
-                x1, y1 = float(r[i + 1, 0]), float(r[i + 1, 1])
-                if y0 == y1:
-                    continue
-                cond = (
-                    ((F.lit(y0) > lat_col) != (F.lit(y1) > lat_col))
-                    & (lon_col < F.lit(x1 - x0) * (lat_col - F.lit(y0)) / F.lit(y1 - y0) + F.lit(x0))
-                )
-                term = F.when(cond, 1).otherwise(0)
-                crossings = term if crossings is None else crossings + term
-        inside = F.lit(False) if crossings is None else (crossings % 2) == 1
-        branch = (
-            F.when(F.col("zone_id") == zid, inside)
-            if branch is None
-            else branch.when(F.col("zone_id") == zid, inside)
-        )
-    return branch.otherwise(F.lit(False))
-
-
 def _zone_pip_condition(rings, lon_col, lat_col):
     """bbox gate + literal-edge crossing parity for ONE zone — a small
     expression that codegen compiles into one JIT-friendly method."""
@@ -373,12 +337,14 @@ def assign_zones_union(
     return points.select(*cols, F.explode(hits).alias(zone_id))
 
 
-# Up to this many zones the union-of-filtered-scans path wins; beyond it the
-# covers-join forms take over.
-_UNION_ZONE_BUDGET = 64
-# Above this many total edges the inlined CASE expression gets too large for
-# codegen; fall back to the HOF form (still JVM, interpreted).
-_INLINE_EDGE_BUDGET = 4096
+# Up to this many TOTAL literal edges (across every zone) the one-scan
+# union-of-per-zone-expressions path wins: each zone's bbox-gated test is its
+# own array element, which Catalyst splits into a separate generated method,
+# so every method stays far below janino's 64KB/JIT limits regardless of zone
+# count. A single chained CASE over zones does NOT split (measured: ~100
+# rectangle zones already fail janino compilation and silently fall back to
+# interpreted evaluation), which is why there is no inlined-CASE middle path.
+_UNION_EDGE_BUDGET = 4096
 
 
 def assign_zones_catalyst(
@@ -390,11 +356,15 @@ def assign_zones_catalyst(
     zone_id="zone_id",
     rings_col="rings",
 ) -> DataFrame:
-    """Broadcast spatial join with ZERO Python on the point side: cell-cover
-    equi-join prefilter (broadcast hash join) → Catalyst PIP (inlined
-    literal-edge form when the zone set is small enough, HOF form
-    otherwise). The only Python runs zone-side (cover computation over the
-    small table).
+    """Broadcast spatial join with ZERO Python on the point side.
+
+    Two physical shapes, chosen by total edge count:
+      * small edge budget → ``assign_zones_union``: ONE whole-stage-codegen
+        scan, per-zone literal-edge tests as array elements (JIT-friendly —
+        each element becomes its own generated method), no join at all.
+      * big edge budget → cell-cover equi-join prefilter (broadcast hash
+        join) + the HOF ``pip_expr`` over the joined rings (still JVM-side,
+        no Python on the fact table).
     """
     zone_rows = [
         (r[0], r[1]) for r in zones.select(zone_id, rings_col).collect()
@@ -402,18 +372,11 @@ def assign_zones_catalyst(
     n_edges = sum(len(ring) - 1 for _, rings in zone_rows for ring in rings)
     out_cols = [f.name for f in points.schema.fields] + [zone_id]
 
-    if len(zone_rows) <= _UNION_ZONE_BUDGET:
+    if n_edges <= _UNION_EDGE_BUDGET:
         return assign_zones_union(points, zone_rows, lon, lat, zone_id).select(*out_cols)
 
     covers = zone_covers(zones, res, zone_id, rings_col)
     pts = points.withColumn("_cell", C.cell_col(F.col(lon), F.col(lat), res))
-    if n_edges <= _INLINE_EDGE_BUDGET:
-        cand = pts.join(
-            F.broadcast(covers.select(zone_id, "cell")),
-            pts["_cell"] == covers["cell"],
-            "inner",
-        )
-        return cand.where(pip_inlined_expr(zone_rows, F.col(lon), F.col(lat))).select(*out_cols)
     covers_r = covers.withColumnRenamed(rings_col, "_rings")
     cand = pts.join(F.broadcast(covers_r), pts["_cell"] == covers_r["cell"], "inner")
     return cand.where(pip_expr(F.col("_rings"), F.col(lon), F.col(lat))).select(*out_cols)

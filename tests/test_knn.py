@@ -47,6 +47,36 @@ def test_knn_matches_bruteforce_haversine(spark, pts):
     assert got == want
 
 
+def test_knn_haversine_high_latitude(spark):
+    """At |lat| > 60° the lon cell extent in km drops below the lat extent;
+    the equator-calibrated bound would stop early and return a non-nearest
+    x-separated neighbor (ADVICE r1). Dense lon-scatter at lat 72°."""
+    rng = np.random.default_rng(7)
+    n = 800
+    lon = rng.uniform(-20.0, 20.0, n)
+    lat = 72.0 + rng.uniform(-0.5, 0.5, n)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"cand_id": np.arange(n), "lon": lon, "lat": lat})
+    ).cache()
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(12), "lon": rng.uniform(-18, 18, 12), "lat": 72.0 + rng.uniform(-0.4, 0.4, 12)})
+    ).cache()
+    got = _as_map(knn.knn_join(q, cand, k=4, res=8, metric="haversine_km").collect())
+    want = _as_map(knn.knn_bruteforce(q, cand, k=4, metric="haversine_km").collect())
+    assert got == want
+
+
+def test_knn_many_rings_stable(spark):
+    """Sparse far-apart candidates force many expansion rounds — exercises
+    the lineage-truncation/persist-hygiene path (VERDICT r1 #10)."""
+    q = spark.createDataFrame(pd.DataFrame({"query_id": [0], "lon": [0.0], "lat": [0.0]}))
+    cand = spark.createDataFrame(
+        pd.DataFrame({"cand_id": [1, 2, 3], "lon": [15.0, 20.0, 25.0], "lat": [0.0, 0.0, 0.0]})
+    )
+    out = knn.knn_join(q, cand, k=3, res=8, max_rings=80).collect()
+    assert [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
 def test_knn_k_larger_than_candidates(spark):
     q = spark.createDataFrame(pd.DataFrame({"query_id": [0], "lon": [5.0], "lat": [45.0]}))
     cand = spark.createDataFrame(

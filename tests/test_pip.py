@@ -80,6 +80,68 @@ def test_catalyst_pip_matches_oracle(data):
     assert got_set == oracle
 
 
+def _grid_zones(spark, n_side, x0=0.0, y0=40.0, w=10.0, h=10.0, zone_id="zone_id",
+                extra_vertices=0):
+    """n_side² rectangle zones tiling the bbox; rectangles have horizontal
+    edges (static-prune path). ``extra_vertices`` adds collinear points per
+    edge to inflate the edge count without changing geometry."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    dx, dy = w / n_side, h / n_side
+    rows = []
+    for gy in range(n_side):
+        for gx in range(n_side):
+            ax, ay = x0 + gx * dx, y0 + gy * dy
+            bx, by = ax + dx, ay + dy
+            corners = [(ax, ay), (bx, ay), (bx, by), (ax, by), (ax, ay)]
+            ring = []
+            for (cx, cy), (nx2, ny2) in zip(corners[:-1], corners[1:]):
+                ring.append([cx, cy])
+                for k in range(1, extra_vertices + 1):
+                    t = k / (extra_vertices + 1)
+                    ring.append([cx + t * (nx2 - cx), cy + t * (ny2 - cy)])
+            ring.append([corners[-1][0], corners[-1][1]])
+            rows.append((gy * n_side + gx, [ring]))
+    schema = StructType([
+        StructField(zone_id, LongType(), False),
+        StructField("rings", ArrayType(ArrayType(ArrayType(DoubleType()))), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_catalyst_many_zones_custom_zone_id(spark, data):
+    """>64 zones under the edge budget → union path; custom zone-id column
+    name (ADVICE: the old inlined-CASE branch hardcoded 'zone_id' and failed
+    janino on ~100 zones)."""
+    images, _, _ = data
+    pts = images.select("image_id", "lon", "lat").limit(500).cache()
+    zones = _grid_zones(spark, 10, zone_id="admin_id")  # 100 zones, 500 edges
+    got = pip.assign_zones_catalyst(pts, zones, res=9, zone_id="admin_id")
+    got_set = {(r["image_id"], r["admin_id"]) for r in got.collect()}
+    zones_rows = [(r["admin_id"], r["rings"]) for r in zones.collect()]
+    oracle = brute_force(pts.toPandas(), zones_rows)
+    assert got_set == oracle
+    assert len(got_set) >= 450  # every in-bbox point lands in ≥1 grid cell
+
+
+def test_catalyst_hof_branch_over_edge_budget(spark, data):
+    """>4096 total edges → covers-join + HOF pip_expr branch, horizontal
+    edges included, custom zone-id name."""
+    images, _, _ = data
+    pts = images.select("image_id", "lon", "lat").limit(300).cache()
+    # 16 zones × 4 edges × (79+1) vertices/edge ≈ 5184 edges > 4096
+    zones = _grid_zones(spark, 4, zone_id="zid", extra_vertices=80)
+    n_edges = sum(
+        len(ring) - 1 for r in zones.collect() for ring in r["rings"]
+    )
+    assert n_edges > pip._UNION_EDGE_BUDGET
+    got = pip.assign_zones_catalyst(pts, zones, res=6, zone_id="zid")
+    got_set = {(r["image_id"], r["zid"]) for r in got.collect()}
+    zones_rows = [(r["zid"], r["rings"]) for r in zones.collect()]
+    oracle = brute_force(pts.toPandas(), zones_rows)
+    assert got_set == oracle
+
+
 def test_catalyst_pip_hole_semantics(spark):
     zones = synth.zones_table(spark)
     annulus_id = zones.count() - 1
