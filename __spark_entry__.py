@@ -261,7 +261,9 @@ def _q_pip_zones_shuffle(spark, sf_dir):
 
     pts = _points(spark, sf_dir).withColumnRenamed("event_id", "point_id")
     return pip.assign_zones_shuffle(
-        pts, _rect_zones(spark), res=7, salt_target_rows=500
+        # tiny work target → salting engages; correctness of the salt-split
+        # cogroup path is what this oracle entry checks
+        pts, _rect_zones(spark), res=7, salt_target_work=10_000.0
     ).select("point_id", "zone_id")
 
 

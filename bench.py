@@ -90,18 +90,28 @@ def main() -> None:
     steady_state("flagship_broadcast_pip", rolled)
     images_per_sec = round(N_IMAGES / timings["flagship_broadcast_pip"], 1)
 
-    # salted shuffle PIP variant (skew-safe path; mega-cell cluster hits it)
-    salted = pip.assign_zones_shuffle(
-        images, zones.select("zone_id", "rings"), res=10, salt_target_rows=200_000
-    )
+    # shuffle PIP, work-based auto-salting: on these light polygons the
+    # planner predicts no straggling group and emits the degenerate unsalted
+    # plan — the pair below documents that auto ≈ forced-off (round 1's
+    # blanket row-count salt was 3.4× slower than its own control here)
+    salted = pip.assign_zones_shuffle(images, zones.select("zone_id", "rings"), res=10)
     steady_state("flagship_salted_pip", salted, max_runs=4, min_runs=2)
-    # control: same join WITHOUT salting (factor threshold never reached) —
-    # documents that salting bounds the mega-cell straggler (BASELINE.md §5)
     nosalt = pip.assign_zones_shuffle(
-        images, zones.select("zone_id", "rings"), res=10,
-        salt_target_rows=10**12,
+        images, zones.select("zone_id", "rings"), res=10, salt_target_work=1e18
     )
     steady_state("shuffle_pip_unsalted_control", nosalt, max_runs=3, min_runs=2)
+
+    # adversarial skew: a 512-edge polygon over the urban mega-cell makes one
+    # (zone, salt) group ~0.6G row·edge ops — auto salting splits it; the
+    # forced-off control eats the straggler task
+    heavy_ring = synth._regular_polygon(*synth.URBAN_CENTER, 0.3, 512)
+    heavy_zones = spark.createDataFrame(
+        [(0, [heavy_ring])], "zone_id long, rings array<array<array<double>>>"
+    )
+    hot_auto = pip.assign_zones_shuffle(images, heavy_zones, res=10)
+    steady_state("shuffle_pip_hot_salted", hot_auto, max_runs=3, min_runs=2)
+    hot_off = pip.assign_zones_shuffle(images, heavy_zones, res=10, salt_target_work=1e18)
+    steady_state("shuffle_pip_hot_unsalted", hot_off, max_runs=3, min_runs=2)
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(

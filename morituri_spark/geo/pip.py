@@ -179,29 +179,58 @@ def assign_zones_shuffle(
     lat="lat",
     zone_id="zone_id",
     rings_col="rings",
-    salt_target_rows: int = 200_000,
+    salt_target_work: float = 50_000_000.0,
 ) -> DataFrame:
     """Salted cell-equi-join PIP for polygon sides too large to broadcast.
 
-    Plan: stats pass counts points per cell → per-cell salt factor
-    ``ceil(count / salt_target_rows)`` (only mega-cells get >1) → point side
-    gets ``salt = pmod(hash(lon,lat), factor)``, cover side is replicated per
-    salt via posexplode → equi-join on (cell, salt) → Arrow exact test.
-    The salt table is tiny (one row per skewed cell) and broadcast.
+    Plan: ONE stats pass counts points per cell; the salt decision is then
+    WORK-based, not row-based: the exact test for a (zone, salt) group costs
+    ~rows × zone_edges vectorized ops, so per zone the predicted work is
+    ``n_edges(z) × Σ_{cells covered by z} count(cell)`` and the desired
+    split factor ``ceil(work / salt_target_work)``. A cell's salt factor is
+    the max over its covering zones — only cells feeding an actually-heavy
+    group get factor > 1, so when no group is predicted to straggle the plan
+    degenerates to the unsalted join and pays nothing (round-1 bench: a
+    blanket row-count salt made the salted run 3.4× slower than its own
+    control on light polygons). Point side gets ``salt = pmod(hash(lon,lat),
+    factor)``; the cover side is replicated per salt; equi-join on
+    (cell, salt) → Arrow exact test. The salt table is tiny (one row per
+    hot cell) and broadcast.
+
+    ``salt_target_work`` ≈ row·edge ops per Python task; the 5e7 default is
+    ~0.5-1 s of vectorized NumPy — small enough to bound stragglers, large
+    enough that salting never engages on trivially light groups.
     """
     spark = points.sparkSession
     pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
 
-    # --- stats pass: per-cell point counts → salt factors (skew only) ---
-    salt_df = (
-        pts.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    covers = zone_covers(zones, res, zone_id, rings_col)
+
+    # --- stats pass (the only fact-table aggregation) ---
+    cell_counts = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    edges = covers.select(
+        zone_id,
+        "cell",
+        F.aggregate(
+            F.col(rings_col), F.lit(0), lambda a, r: a + F.size(r) - 1
+        ).alias("_n_edges"),
+    )
+    zone_work = (
+        edges.join(cell_counts, "cell", "inner")
+        .groupBy(zone_id)
+        .agg((F.sum(F.col("cnt") * F.col("_n_edges"))).alias("_work"))
         .select(
-            "cell",
-            F.greatest(F.lit(1), F.ceil(F.col("cnt") / F.lit(salt_target_rows)))
-            .cast("int")
-            .alias("n_salt"),
+            zone_id,
+            F.least(
+                F.lit(256),
+                F.greatest(F.lit(1), F.ceil(F.col("_work") / F.lit(float(salt_target_work)))),
+            ).cast("int").alias("_f"),
         )
+    )
+    salt_df = (
+        edges.join(zone_work, zone_id)
+        .groupBy("cell")
+        .agg(F.max("_f").alias("n_salt"))
         .where(F.col("n_salt") > 1)
         # feeds TWO broadcasts (point side + cover side): persist so the
         # full stats aggregation over the fact table runs once, not twice
@@ -216,7 +245,6 @@ def assign_zones_shuffle(
         ).otherwise(F.lit(0)).cast("int"),
     ).drop("n_salt")
 
-    covers = zone_covers(zones, res, zone_id, rings_col)
     covers = covers.join(F.broadcast(salt_df), "cell", "left").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1))
     ).drop("n_salt")

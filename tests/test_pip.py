@@ -40,8 +40,19 @@ def test_broadcast_matches_oracle(data):
 def test_shuffle_salted_matches_oracle(data):
     images, zones, oracle = data
     got = pip.assign_zones_shuffle(
-        images.select("image_id", "lon", "lat"), zones, res=9, salt_target_rows=200
+        # tiny work target forces salting to ENGAGE so correctness under
+        # salt-split groups stays covered
+        images.select("image_id", "lon", "lat"), zones, res=9, salt_target_work=1000.0
     )
+    got_set = {(r["image_id"], r["zone_id"]) for r in got.collect()}
+    assert got_set == oracle
+
+
+def test_shuffle_auto_nosalt_matches_oracle(data):
+    """Default work target on light polygons → planner decides NOT to salt;
+    same oracle result through the degenerate (unsalted) plan."""
+    images, zones, oracle = data
+    got = pip.assign_zones_shuffle(images.select("image_id", "lon", "lat"), zones, res=9)
     got_set = {(r["image_id"], r["zone_id"]) for r in got.collect()}
     assert got_set == oracle
 
