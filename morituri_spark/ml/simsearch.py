@@ -91,6 +91,50 @@ def knn_join_bruteforce(
     return queries.select(qid_col, vec_col).mapInPandas(run, schema)
 
 
+def _salted_probe_join(
+    qb: DataFrame, eb: DataFrame, key: str, cid_col: str,
+    salt_target_rows: int = 200_000,
+) -> DataFrame:
+    """Query ⨝ candidate equi-join on a bucket/list key with hot-key
+    salting: candidate members of keys above the target split by id-hash
+    into sub-buckets; the query side replicates across each key's salt
+    range. Bounds per-task candidate volume on skewed buckets/lists (the
+    round-1 gap: hot LSH buckets / IVF lists were unsalted) without
+    changing results — the downstream per-query window re-merges. The salt
+    table is one row per HOT key only and broadcast to both sides."""
+    stats = (
+        eb.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            key,
+            F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(salt_target_rows)))
+            .cast("int")
+            .alias("_ns"),
+        )
+        .where(F.col("_ns") > 1)
+        .persist()
+    )
+    e = (
+        eb.join(F.broadcast(stats), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_ns").isNotNull(), F.pmod(F.xxhash64(F.col(cid_col)), F.col("_ns"))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_ns")
+    )
+    q = (
+        qb.join(F.broadcast(stats), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_ns"), F.lit(1)) - 1)),
+        )
+        .drop("_ns")
+    )
+    return q.join(e, [key, "_salt"]).drop("_salt")
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file / coarse k-means) ANN
 # ---------------------------------------------------------------------------
@@ -146,12 +190,14 @@ def ann_topk_ivf(
     queries: DataFrame, emb: DataFrame, k: int = 5, n_lists: int = 16,
     n_probe: int = 2, vec_col: str = "embedding", qid_col: str = "query_id",
     id_col: str = "vec_id", centroids: np.ndarray | None = None,
+    salt_target_rows: int = 200_000,
 ) -> DataFrame:
     """IVF ANN: candidates assigned to their nearest coarse centroid (one
     inverted list each); queries probe their ``n_probe`` nearest lists;
     exact cosine + windowed top-k inside the probed lists. The equi-join on
     list id is the only shuffle — same scale shape as the LSH variant, with
-    data-adaptive buckets."""
+    data-adaptive buckets; hot lists are salt-split at ``salt_target_rows``
+    members."""
     from pyspark.sql.window import Window
 
     if centroids is None:
@@ -160,7 +206,7 @@ def ann_topk_ivf(
         vec_col, "_cand_vec"
     )
     qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
-    paired = qb.join(eb, "ivf_list")
+    paired = _salted_probe_join(qb, eb, "ivf_list", id_col, salt_target_rows)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -253,12 +299,13 @@ def embedding_near_duplicates(
 def ann_topk_lsh(
     queries: DataFrame, emb: DataFrame, dim: int, k: int = 5, n_bits: int = 12,
     vec_col="embedding", qid_col="query_id", id_col="vec_id",
-    n_probes: int = 1,
+    n_probes: int = 1, salt_target_rows: int = 200_000,
 ) -> DataFrame:
     """ANN: bucket-equi-join then exact cosine + windowed top-k inside the
     bucket. ``n_probes`` > 1 enables multi-probe: the query side also joins
     its Hamming-1 neighbor buckets (bucket ⊕ 2ⁱ), trading join fan-out
-    (≤ 1+n_bits per query) for recall."""
+    (≤ 1+n_bits per query) for recall. Hot buckets (correlated embeddings
+    hashing together) are salt-split at ``salt_target_rows`` members."""
     from pyspark.sql.window import Window
 
     qb = with_lsh_bucket(queries.select(qid_col, vec_col), dim, n_bits)
@@ -274,7 +321,7 @@ def ann_topk_lsh(
     eb = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits).withColumnRenamed(
         vec_col, "_cand_vec"
     )
-    paired = qb.join(eb, "bucket")
+    paired = _salted_probe_join(qb, eb, "bucket", id_col, salt_target_rows)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,

@@ -107,10 +107,19 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, id_col="doc_id"
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, id_col="doc_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band-slice hash):
-    (doc_a, doc_b) candidate pairs, a < b, distinct."""
+    (doc_a, doc_b) candidate pairs, a < b, distinct.
+
+    ``max_bucket`` caps bucket size BEFORE the self-join: a degenerate
+    bucket (mass-duplicated boilerplate — every copy shares every band)
+    otherwise yields O(m²) pairs in one task, which no salting can fix
+    because the OUTPUT is quadratic, not just the shuffle. Members of
+    over-cap buckets are dropped from that band only; a pair is lost only
+    if every band it shares is degenerate — run ``dedup_exact`` first so
+    byte-identical mass duplicates never reach LSH. ``None`` disables."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -122,6 +131,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -164,11 +182,16 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     id_col="doc_id",
     text_col="text",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard ≥ t)."""
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard ≥ t).
+    At scale run ``dedup_exact`` first: byte-identical mass duplicates are
+    the degenerate-bucket case the ``max_bucket`` cap guards against."""
     sh = shingle_df(docs, n_shingle, text_col, id_col).persist()
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands, id_col=id_col)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=k // bands, id_col=id_col, max_bucket=max_bucket
+    )
     return jaccard_pairs(sh, cands, id_col).where(F.col("jaccard") >= threshold)
 
 
@@ -210,11 +233,14 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dups by SimHash: 4×16-bit block bucket join (any pair within
     Hamming ≤ 3 shares at least one of 4 blocks, pigeonhole) + exact
-    Hamming verify via bit_count(xor)."""
+    Hamming verify via bit_count(xor). ``max_bucket`` caps the per-(block,
+    value) membership before the self-join — same degenerate-bucket guard
+    (and same dedup_exact-first advice) as the MinHash path."""
     sh = simhash(docs, text_col, id_col)
     blocks = sh.select(
         id_col, "simhash",
@@ -224,6 +250,15 @@ def simhash_near_duplicates(
             ])
         ).alias("block", "block_val"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("block", "block_val")
+        blocks = (
+            blocks.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "block", "block_val")
     b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "block", "block_val")
     return (

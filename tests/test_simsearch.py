@@ -113,6 +113,26 @@ def test_ivf_ann(spark, emb):
     assert r_ivf >= 0.6
 
 
+def test_salted_probe_join_matches_unsalted(spark, emb):
+    """Forcing salting (tiny target) must return exactly the unsalted
+    result for both ANN variants — the per-query window re-merges salt
+    splits, so salting is a pure physical-plan change."""
+    df, _ = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 15")
+
+    def rows(ann_df):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in ann_df.collect()
+        )
+
+    base_lsh = rows(S.ann_topk_lsh(queries, df, dim=DIM, k=3, n_bits=4))
+    salted_lsh = rows(S.ann_topk_lsh(queries, df, dim=DIM, k=3, n_bits=4, salt_target_rows=5))
+    assert base_lsh == salted_lsh
+    base_ivf = rows(S.ann_topk_ivf(queries, df, k=3, n_lists=4, n_probe=2))
+    salted_ivf = rows(S.ann_topk_ivf(queries, df, k=3, n_lists=4, n_probe=2, salt_target_rows=5))
+    assert base_ivf == salted_ivf
+
+
 def test_ivf_centroids_deterministic(spark, emb):
     df, _ = emb
     c1 = S.train_ivf_centroids(df, n_lists=8)

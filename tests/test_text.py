@@ -92,6 +92,29 @@ def test_simhash_near_duplicates(spark, docs):
     assert (0, 6) not in pairs
 
 
+def test_bucket_cap_bounds_degenerate_corpus(spark, docs):
+    """Adversarial mass-duplicated boilerplate: 300 byte-identical copies
+    share EVERY LSH band bucket. The cap drops those buckets (quadratic
+    output no salt can fix); genuine near-dup pairs among normal docs are
+    still found via their own (small) buckets."""
+    boiler = [(1000 + i, "lorem ipsum dolor sit amet the same boilerplate "
+               "footer that appears on every single crawled page today")
+              for i in range(300)]
+    adv = docs.unionByName(
+        spark.createDataFrame(boiler, "doc_id long, text string")
+    )
+    pairs = D.minhash_near_duplicates(adv.where("doc_id != 7"), threshold=0.5, max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got          # real near-dups survive
+    assert not any(a >= 1000 and b >= 1000 for a, b in got)  # capped out
+    # candidate volume stayed bounded: without the cap the boilerplate alone
+    # yields C(300,2)=44850 pairs; with it, none reach the verify stage
+    sim = D.simhash_near_duplicates(adv.where("doc_id != 7"), max_hamming=6, max_bucket=50)
+    sgot = {(r["doc_a"], r["doc_b"]) for r in sim.collect()}
+    assert (0, 1) in sgot
+    assert not any(a >= 1000 and b >= 1000 for a, b in sgot)
+
+
 def test_langid(spark, docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in Q.predict_language(docs).collect()}
     assert pred[0] == "en" and pred[1] == "en"
