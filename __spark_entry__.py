@@ -280,6 +280,24 @@ def _q_pip_zones_codegen(spark, sf_dir):
     return pip.assign_zones_union(pts, zone_rows).select("point_id", "zone_id")
 
 
+def _q_pip_multipolygon(spark, sf_dir):
+    """J10 over a MultiPolygon zone: two disjoint island exteriors, the
+    first with a hole, in ONE zone row — oracle is the island/hole rect
+    algebra with the engine's half-open edge rule."""
+    from morituri_spark.geo import pip
+
+    pts = _points(spark, sf_dir).withColumnRenamed("event_id", "point_id")
+    rings = [
+        [[1.0, 41.0], [3.0, 41.0], [3.0, 43.0], [1.0, 43.0], [1.0, 41.0]],
+        [[1.5, 41.5], [2.5, 41.5], [2.5, 42.5], [1.5, 42.5], [1.5, 41.5]],
+        [[6.0, 44.0], [8.0, 44.0], [8.0, 46.0], [6.0, 46.0], [6.0, 44.0]],
+    ]
+    zones = spark.createDataFrame(
+        [(0, rings)], "zone_id long, rings array<array<array<double>>>"
+    )
+    return pip.assign_zones_catalyst(pts, zones, res=8).select("point_id", "zone_id")
+
+
 def _q_cell_counts(spark, sf_dir):
     """G9 geocell encode — id bit math mirrored as SQL arithmetic."""
     from morituri_spark.geo import cells as C
@@ -742,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_assign_broadcast": _q_pip_zones,
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
         "pip_zone_assign_codegen": _q_pip_zones_codegen,
+        "pip_multipolygon_islands": _q_pip_multipolygon,
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
@@ -890,6 +909,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events) e
             JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
               ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
+        """,
+        "pip_multipolygon_islands": f"""
+            SELECT e.event_id AS point_id, CAST(0 AS BIGINT) AS zone_id
+            FROM (SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events) e
+            WHERE ((e.lon >= 1.0 AND e.lon < 3.0 AND e.lat >= 41.0 AND e.lat < 43.0)
+                   AND NOT (e.lon >= 1.5 AND e.lon < 2.5 AND e.lat >= 41.5 AND e.lat < 42.5))
+               OR (e.lon >= 6.0 AND e.lon < 8.0 AND e.lat >= 44.0 AND e.lat < 46.0)
         """,
         "geocell_counts": f"""
             SELECT 7 * 288230376151711744 + CAST(floor((lon + 180) / 360 * 128) AS BIGINT) * 536870912

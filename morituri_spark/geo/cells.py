@@ -148,18 +148,24 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
 
 
 def polygon_cover(rings, res: int) -> np.ndarray:
-    """Cells at ``res`` intersecting the polygon (exterior ring bbox-refined).
-
-    Superset guarantee: start from the bbox cover of the exterior ring, then
-    keep a cell iff the polygon's exterior ring intersects the cell box
-    (any vertex inside the box, any box corner inside the polygon, or any
-    edge crossing the box boundary — the cheap conservative test keeps edge
-    crossings via a segment/box overlap check). Holes never shrink a correct
-    cover, so interior rings are ignored here.
+    """Cells at ``res`` intersecting the (multi)polygon: the union of each
+    ring's own cover. Any zone point lies inside SOME ring by even-odd
+    parity, so the union is a correct superset no matter which rings are
+    exteriors — this is what makes two-island MultiPolygon zones
+    (navteq.hpp:787-797 wkbMultiPolygon dispatch) representable in the flat
+    rings model. Hole rings sit inside their exterior, so they only add
+    cells the exterior already covers; no role information is needed.
     """
     from .pip import ring_np
 
-    ext = ring_np(rings[0])  # (n, 2) lon,lat
+    covers = [_ring_cover(ring_np(r), res) for r in rings]
+    return np.unique(np.concatenate(covers)) if covers else np.empty(0, dtype=np.int64)
+
+
+def _ring_cover(ext: np.ndarray, res: int) -> np.ndarray:
+    """Cells intersecting ONE ring's region (bbox cover refined by: vertex
+    in cell box, cell center inside ring, or ring edge crossing the box —
+    each test conservative, so the result is a superset)."""
     cells = cover_bbox(ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max(), res)
     if len(cells) <= 4:
         return cells

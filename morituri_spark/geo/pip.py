@@ -82,8 +82,11 @@ class FlatPolygons:
         ]
         self.bbox = np.empty((len(self.rings), 4), dtype=np.float64)
         for i, rl in enumerate(self.rings):
-            ext = rl[0]
-            self.bbox[i] = (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
+            # bbox over ALL rings, not rings[0]: a MultiPolygon zone's second
+            # exterior (island) lies outside the first ring's bbox and would
+            # be pruned away otherwise. Holes never widen the true bbox.
+            allr = np.vstack(rl)
+            self.bbox[i] = (allr[:, 0].min(), allr[:, 1].min(), allr[:, 0].max(), allr[:, 1].max())
 
     def __len__(self):
         return len(self.zone_ids)
@@ -312,12 +315,12 @@ def _zone_pip_condition(rings, lon_col, lat_col):
     """bbox gate + literal-edge crossing parity for ONE zone — a small
     expression that codegen compiles into one JIT-friendly method."""
     rs = [ring_np(r) for r in rings]
-    ext = rs[0]
+    allr = np.vstack(rs)  # bbox over ALL rings — island exteriors included
     bbox = (
-        (lon_col >= float(ext[:, 0].min()))
-        & (lon_col <= float(ext[:, 0].max()))
-        & (lat_col >= float(ext[:, 1].min()))
-        & (lat_col <= float(ext[:, 1].max()))
+        (lon_col >= float(allr[:, 0].min()))
+        & (lon_col <= float(allr[:, 0].max()))
+        & (lat_col >= float(allr[:, 1].min()))
+        & (lat_col <= float(allr[:, 1].max()))
     )
     crossings = None
     for r in rs:

@@ -13,11 +13,43 @@ relations = boundary rows ⟕ broadcast(mtd groups) + collected member lists.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.strings import admin_lvl_col, camel_case_udf, lang_code_expr
 from .nodes import zip_with_index
 from .rings import chunk_rings
+
+
+def ring_roles(rings) -> list[bool]:
+    """Outer/inner role per ring by containment-depth parity: a ring whose
+    first vertex sits inside an EVEN number of the boundary's other rings is
+    an exterior. Handles MultiPolygon boundaries (several islands, each with
+    optional holes — navteq.hpp:787-797 dispatches wkbMultiPolygon) where
+    the old ``ring_idx == 0`` rule mislabels every second exterior."""
+    from ..geo.pip import points_in_ring_np, ring_np
+
+    rs = [ring_np(r) for r in rings]
+    roles = []
+    for i, r in enumerate(rs):
+        px = np.asarray([r[0, 0]])
+        py = np.asarray([r[0, 1]])
+        depth = sum(
+            bool(points_in_ring_np(px, py, other)[0])
+            for j, other in enumerate(rs)
+            if j != i
+        )
+        roles.append(depth % 2 == 0)
+    return roles
+
+
+from pyspark.sql.types import ArrayType, BooleanType  # noqa: E402
+
+
+@F.pandas_udf(ArrayType(BooleanType()))  # DataType object: no session needed at import
+def _ring_roles_udf(rings: pd.Series) -> pd.Series:
+    return rings.map(ring_roles)
 
 
 def admin_meta_groups(mtd_area: DataFrame) -> DataFrame:
@@ -41,11 +73,18 @@ def admin_ways(adminbndy: DataFrame) -> DataFrame:
     """Rings → chunked ways with dense ids. Input: (AREA_ID, level, rings)
     where rings[0] is the exterior. Output rows: (way_id, area_id, level,
     ring_idx, is_outer, way_seq, way_nodes)."""
+    zipped = F.arrays_zip(
+        F.col("rings").alias("ring"), _ring_roles_udf(F.col("rings")).alias("outer")
+    )
     rings = adminbndy.select(
         F.col("AREA_ID").alias("area_id"),
         "level",
-        F.posexplode("rings").alias("ring_idx", "ring"),
-    ).withColumn("is_outer", F.col("ring_idx") == 0)
+        F.posexplode(zipped).alias("ring_idx", "_rr"),
+    ).select(
+        "area_id", "level", "ring_idx",
+        F.col("_rr.ring").alias("ring"),
+        F.col("_rr.outer").alias("is_outer"),
+    )
     chunked = chunk_rings(rings, ring_col="ring", id_cols=("area_id", "level", "ring_idx", "is_outer"))
     return zip_with_index(
         chunked,

@@ -183,6 +183,15 @@ def zones_table(spark: SparkSession, grid: int = 4) -> DataFrame:
     # urban hexagon right on the mega-cell so the skewed cluster hits one zone
     rows.append((zid, 1000 + zid, 5, [_regular_polygon(*URBAN_CENTER, 0.2, 6)]))
     zid += 1
+    # MultiPolygon: two disjoint islands in ONE zone row, the first with a
+    # hole — pins multi-exterior semantics (navteq.hpp:787-797) across every
+    # PIP strategy (lvl 6)
+    rows.append(
+        (zid, 1000 + zid, 6,
+         [_rect(7.0, 46.0, 8.0, 47.0), _rect(7.25, 46.25, 7.75, 46.75),
+          _rect(8.5, 46.0, 9.0, 46.5)])
+    )
+    zid += 1
     # annulus: outer 2×2 square with 1×1 hole, centered at (2.5, 42.5)
     rows.append(
         (zid, 1000 + zid, 4, [_rect(1.5, 41.5, 3.5, 43.5), _rect(2.0, 42.0, 3.0, 43.0)])

@@ -67,6 +67,30 @@ def test_no_cross_boundary_dedup(spark, out):
     assert dupes > 0  # shared corners exist as separate nodes
 
 
+def test_multipolygon_ring_roles(spark):
+    """A boundary with two disjoint exteriors + one hole: roles come from
+    containment-depth parity, not ring position (navteq.hpp:787-797)."""
+    roles = A.ring_roles(
+        [
+            synth._rect(0.0, 0.0, 2.0, 2.0),      # island A
+            synth._rect(0.5, 0.5, 1.5, 1.5),      # hole in A
+            synth._rect(3.0, 0.0, 4.0, 1.0),      # island B (not rings[0]!)
+        ]
+    )
+    assert roles == [True, False, True]
+
+    bndy = spark.createDataFrame(
+        [(9, 1, [synth._rect(0.0, 0.0, 2.0, 2.0),
+                 synth._rect(0.5, 0.5, 1.5, 1.5),
+                 synth._rect(3.0, 0.0, 4.0, 1.0)])],
+        synth.adminbndy_table(spark).schema,
+    )
+    out = A.convert_admin_boundaries(bndy, synth.mtd_area_table(spark))
+    rel = out["relations"].collect()[0]
+    assert len(rel["outer_way_ids"]) == 2
+    assert len(rel["inner_way_ids"]) == 1
+
+
 def test_admin_meta_groups(spark):
     meta = {r["AREA_ID"]: r for r in A.admin_meta_groups(synth.mtd_area_table(spark)).collect()}
     assert meta[1]["ADMIN_LVL"] == 1 and not meta[1]["admin_lvl_conflict"]

@@ -166,3 +166,29 @@ def test_catalyst_pip_hole_semantics(spark):
     )
     got = pip.assign_zones_catalyst(pts, zones.where(f"zone_id = {annulus_id}"))
     assert {r["image_id"] for r in got.collect()} == {"in_ring"}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "catalyst", "shuffle"])
+def test_multipolygon_islands(spark, strategy):
+    """One zone, two disjoint exteriors + a hole in the first: every PIP
+    strategy must hit BOTH islands (the old rings[0]-only bbox/cover pruned
+    island B) and exclude the hole."""
+    import pandas as pd
+
+    zones = synth.zones_table(spark)
+    island_id = zones.count() - 2  # inserted just before the annulus
+    z = zones.where(f"zone_id = {island_id}")
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["in_a", "in_a_hole", "in_b", "between", "outside"],
+             "lon": [7.1, 7.5, 8.7, 8.25, 9.5],
+             "lat": [46.1, 46.5, 46.2, 46.2, 49.5]}
+        )
+    )
+    if strategy == "broadcast":
+        got = pip.assign_zones_broadcast(pts, z)
+    elif strategy == "catalyst":
+        got = pip.assign_zones_catalyst(pts, z, res=9)
+    else:
+        got = pip.assign_zones_shuffle(pts, z, res=9)
+    assert {r["image_id"] for r in got.collect()} == {"in_a", "in_b"}
