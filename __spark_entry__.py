@@ -709,6 +709,25 @@ def _q_payload_fidelity(spark, sf_dir):
     return out.where("NOT (psnr_ok AND caption_ok AND phash_ok)")
 
 
+def _q_wkb_roundtrip(spark, sf_dir):
+    """G1 WKB bridge gate: zones → MultiPolygon WKB → rings; rows where the
+    ring set does not survive the round-trip (expect 0)."""
+    from morituri_spark.geo import wkb as W
+    from morituri_spark.sources import synth
+
+    zones = synth.zones_table(spark)
+    back = zones.select(
+        "zone_id",
+        "rings",
+        W.wkb_to_rings_udf(W.multipolygon_to_wkb_udf("rings")).alias("rings2"),
+    )
+    mismatch = F.expr(
+        "array_sort(transform(rings, r -> xxhash64(r)))"
+        " != array_sort(transform(rings2, r -> xxhash64(r)))"
+    )
+    return back.where(mismatch).select("zone_id")
+
+
 def _q_ann_ivf(spark, sf_dir):
     from morituri_spark.ml.simsearch import ann_topk_ivf
 
@@ -788,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "payload_fidelity_violations": _q_payload_fidelity,
+        "wkb_roundtrip_violations": _q_wkb_roundtrip,
         "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,
     }
