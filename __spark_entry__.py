@@ -470,6 +470,14 @@ _STREET_ATTR_SQL = {
     "L_POSTCODE": "CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 3 AS STRING) END",
     "R_POSTCODE": "CASE WHEN o_orderkey % 6 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 2 AS STRING) END",
     "FERRY_TYPE": "CASE WHEN o_orderkey % 17 = 0 THEN 'B' WHEN o_orderkey % 17 = 1 THEN 'R' ELSE 'H' END",
+    # house-number interpolation inputs (G8 gating, navteq.hpp:536-544)
+    "ADDR_TYPE": "CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE '' END",
+    "L_REFADDR": "CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE CAST(2 + o_orderkey % 7 AS STRING) END",
+    "L_NREFADDR": "CAST(40 + o_orderkey % 9 AS STRING)",
+    "L_ADDRSCH": "CASE WHEN o_orderkey % 4 = 0 THEN 'E' WHEN o_orderkey % 4 = 1 THEN 'O' WHEN o_orderkey % 4 = 2 THEN 'M' ELSE '' END",
+    "R_REFADDR": "CAST(1 + o_orderkey % 6 AS STRING)",
+    "R_NREFADDR": "CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE CAST(41 + o_orderkey % 8 AS STRING) END",
+    "R_ADDRSCH": "CASE WHEN o_orderkey % 5 = 0 THEN 'O' WHEN o_orderkey % 5 = 1 THEN 'E' ELSE 'M' END",
 }
 
 _STREET_GEOM_SQL = (
@@ -517,6 +525,22 @@ def _q_street_ways_oracle(spark, sf_dir):
         F.col("to_idx").cast("int").alias("to_idx"),
         "layer", "name", "highway", "oneway", "maxspeed", "here_speed_cat",
         "surface", "toll",
+    )
+
+
+def _q_house_numbers_oracle(spark, sf_dir):
+    """G6-G8 house-number interpolation ways, hash-checked on structure:
+    the offset-curve geometry is float-heavy, but the gating (ADDR_TYPE='B',
+    non-empty ref/nref, schema ∉ {'', 'M'}), per-side interpolation tag,
+    ref/nref numbers, and node count (collinear 6-vertex input → 6 offset
+    points) are closed-form."""
+    from morituri_spark.geo.curves import house_number_ways
+
+    streets, _ = _derived_streets(spark, sf_dir)
+    return house_number_ways(streets).select(
+        "link_id", "side", "addr_interpolation",
+        "ref_housenumber", "nref_housenumber",
+        F.col("n_nodes").cast("int").alias("n_nodes"),
     )
 
 
@@ -794,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed reference entry points (oracle-checked)
         "street_ways_oracle": _q_street_ways_oracle,
         "admin_relations_oracle": _q_admin_relations_oracle,
+        "house_numbers_oracle": _q_house_numbers_oracle,
         # rows-only (non-SQL-expressible)
         "zsplit_golden_vectors": _q_zsplit_golden,
         "ring_chunking_golden": _q_ring_chunk,
@@ -1097,6 +1122,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT l.is_ferry AND l.paved THEN 'paved' END AS surface,
                    CASE WHEN NOT l.is_ferry AND l.tollway THEN 'yes' END AS toll
             FROM segs s JOIN links l USING (link_id)
+        """,
+        # G8 gating + structure in closed form (geometry is a collinear
+        # 6-vertex line, so the offset curve has exactly 6 nodes).
+        "house_numbers_oracle": """
+            WITH links AS (
+              SELECT o_orderkey AS link_id FROM orders
+              WHERE o_orderkey < 8000 AND o_orderkey % 3 = 0),
+            sides AS (
+              SELECT link_id, 'L' AS side,
+                     CASE WHEN link_id % 4 = 0 THEN 'even' ELSE 'odd' END AS addr_interpolation,
+                     CAST(2 + link_id % 7 AS STRING) AS ref_housenumber,
+                     CAST(40 + link_id % 9 AS STRING) AS nref_housenumber
+              FROM links
+              WHERE link_id % 5 <> 0 AND link_id % 4 IN (0, 1)
+              UNION ALL
+              SELECT link_id, 'R',
+                     CASE WHEN link_id % 5 = 0 THEN 'odd' ELSE 'even' END,
+                     CAST(1 + link_id % 6 AS STRING),
+                     CAST(41 + link_id % 8 AS STRING)
+              FROM links
+              WHERE link_id % 7 <> 0 AND link_id % 5 IN (0, 1))
+            SELECT link_id, side, addr_interpolation, ref_housenumber,
+                   nref_housenumber, CAST(6 AS INT) AS n_nodes
+            FROM sides
         """,
         # Expected relations: chunk count = 1 + (n_nodes - 1) // 999
         # (navteq.hpp:675-692 do-while), admin_level = 2 × navteq level.

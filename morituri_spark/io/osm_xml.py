@@ -37,12 +37,13 @@ def _tag_xml(k: str, v) -> str:
 
 
 def write_osm_xml(
-    out_path: str,
+    out_path,
     nodes: DataFrame | None = None,
     ways: DataFrame | None = None,
     relations: DataFrame | None = None,
 ) -> dict:
-    """Stream the three entity classes to one .osm file.
+    """Stream the three entity classes to one .osm file (``out_path``: path
+    or an open text file object, e.g. a gzip wrapper from io.sink).
 
     Expected shapes (all optional columns may be missing):
       nodes:     node_id, lon_i, lat_i (fixed-point 1e-7°) + tag columns
@@ -52,7 +53,9 @@ def write_osm_xml(
     buffer write order.
     """
     counts = {"nodes": 0, "ways": 0, "relations": 0}
-    with open(out_path, "w", encoding="utf-8") as f:
+    own = isinstance(out_path, (str, bytes))
+    f = open(out_path, "w", encoding="utf-8") if own else out_path
+    try:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write(f'<osm version="0.6" upload="false" generator={quoteattr(GENERATOR)}>\n')
 
@@ -92,4 +95,7 @@ def write_osm_xml(
                 counts["relations"] += 1
 
         f.write("</osm>\n")
+    finally:
+        if own:
+            f.close()
     return counts
