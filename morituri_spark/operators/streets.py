@@ -126,6 +126,13 @@ def street_ways(
         F.col("LINK_ID").alias("link_id"), "n_points", "is_ferry"
     ).join(z_groups, "link_id", "inner")
 
+    # Arrow kernel, deliberately: a Catalyst aggregate() fold with identical
+    # semantics exists (zsplit.split_ways_catalyst) but measured 14× SLOWER
+    # (5.9s vs 0.42s on 20k links) — higher-order functions evaluate
+    # interpreted, outside whole-stage codegen, while the kernel is one
+    # Arrow batch of vectorizable per-link loops. Python is fine here:
+    # input is one row per LINK (not per vertex), far below the
+    # worker-transfer ceiling.
     segments = zsplit.split_ways(with_z)  # (link_id, seg_seq, from_idx, to_idx, z_lvl)
     # links without z entries: one whole-way segment at the sentinel z=-5 →
     # no layer tag (navteq.hpp:587-597 build_way default)

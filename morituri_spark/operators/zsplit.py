@@ -183,6 +183,165 @@ def prepare_z_groups(zlevels: DataFrame) -> DataFrame:
     )
 
 
+_SEG_ARR = "array<struct<from_idx:int,to_idx:int,z_lvl:int>>"
+
+
+def _seg(frm, to, z):
+    return F.struct(
+        frm.cast("int").alias("from_idx"),
+        to.cast("int").alias("to_idx"),
+        z.cast("int").alias("z_lvl"),
+    )
+
+
+def _fold_step(last_idx, empty):
+    """The per-pair fold body (closure over the link's last vertex index)."""
+
+    def step(acc, t):
+        cur, nxt, snd = t["cur"], t["nxt"], t["snd"]
+        last = nxt.isNull()
+        processing = acc["skip"] == 0
+        # single-vertex spike absorption (navteq.hpp:373-439's ++it jumps)
+        sp1 = processing & ~last & (cur["idx"] + 2 == nxt["idx"]) & (cur["z"] == nxt["z"])
+        sp2 = (
+            processing & ~sp1 & ~last & snd.isNotNull()
+            & (cur["idx"] + 2 == snd["idx"])
+            & (F.abs(snd["z"]) >= F.abs(nxt["z"]))
+            & (cur["z"] == snd["z"])
+        )
+        breakp = processing & ~sp1 & ~sp2 & (
+            last | (cur["idx"] + 1 < nxt["idx"]) | (cur["z"] != nxt["z"])
+        )
+        reach = last | (cur["idx"] + 1 < nxt["idx"]) | (F.abs(cur["z"]) > F.abs(nxt["z"]))
+        to = F.when(reach, F.least(cur["idx"] + 1, last_idx)).otherwise(cur["idx"])
+        emit1 = breakp & (acc["start"] < to)
+        gapc = breakp & ~last & (to < nxt["idx"] - 1)
+        # iterator jumps: spike-1 is `++i; continue` (no emission, nothing
+        # skipped); spike-2 is `i += 2; continue` (the NEXT element skipped)
+        new_skip = (
+            F.when(~processing, acc["skip"] - 1)
+            .when(sp1, F.lit(0))
+            .when(sp2, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        new_start = (
+            F.when(gapc, nxt["idx"] - 1).when(emit1, to).otherwise(acc["start"])
+        )
+        new_segs = F.concat(
+            acc["segs"],
+            F.when(emit1, F.array(_seg(acc["start"], to, cur["z"]))).otherwise(empty),
+            F.when(gapc, F.array(_seg(to, nxt["idx"] - 1, F.lit(0)))).otherwise(empty),
+        )
+        return F.struct(
+            new_skip.cast("int").alias("skip"),
+            new_start.cast("int").alias("start"),
+            new_segs.alias("segs"),
+        )
+
+    return step
+
+
+def split_ways_catalyst(streets_with_z: DataFrame) -> DataFrame:
+    """split_link as a Catalyst fold (F.aggregate over (cur, next,
+    second-next) triples, the C++ iterator's skip-ahead carried in the
+    accumulator): no Python, no Arrow. Same input/output contract as
+    split_ways; pinned to the same 44 goldens + a 300-vector random
+    equivalence test.
+
+    MEASURED OUTCOME — the Arrow kernel wins and stays the default:
+    0.42 s (kernel) vs 5.9 s (this fold) on the 20k-link bench. Catalyst
+    higher-order functions evaluate interpreted (no whole-stage codegen),
+    ~60 µs per fold step, while the kernel's input is one row per LINK —
+    nowhere near the Python-worker transfer ceiling. Kept as the
+    zero-Python alternative and as executable documentation of the
+    trade-off.
+
+    STAGING MATTERS: every intermediate (normalized pairs, triples, fold
+    result) is its own projected column, referenced — not inlined — by the
+    next stage. Building this as one nested expression re-evaluates the
+    fold and the pair chain several times per row (expressions are inlined
+    per reference, no CSE in interpreted HOF eval): measured 245 s vs 4 s
+    on the 20k-link bench for the identical logic.
+    """
+    last_idx = F.col("n_points") - 1
+    empty = F.array().cast(_SEG_ARR)
+
+    df = streets_with_z.select("link_id", "n_points", "is_ferry", "z_pairs")
+    # --- W2 set_ferry_z_lvls_to_zero (navteq.hpp:525-534), one step/column ---
+    df = df.withColumn(
+        "_pa",
+        F.when(
+            F.col("is_ferry") & (F.size("z_pairs") > 2),
+            F.array(F.element_at("z_pairs", 1), F.element_at("z_pairs", -1)),
+        ).otherwise(F.col("z_pairs")),
+    )
+    df = df.withColumn(
+        "_pb",
+        F.when(
+            F.col("is_ferry") & (F.size("_pa") > 0) & (F.get("_pa", 0)["idx"] != 0),
+            F.slice("_pa", 2, F.greatest(F.size("_pa") - 1, F.lit(0))),
+        ).otherwise(F.col("_pa")),
+    )
+    df = df.withColumn(
+        "_p",
+        F.when(
+            F.col("is_ferry") & (F.size("_pb") > 0)
+            & (F.element_at("_pb", -1)["idx"] != last_idx),
+            F.slice("_pb", 1, F.size("_pb") - 1),
+        ).otherwise(F.col("_pb")),
+    )
+    # --- z-range guard (check_z_lvl_range → raise_error) ---
+    bad = F.exists("_p", lambda s: (s["z"] < Z_LVL_MIN) | (s["z"] > Z_LVL_MAX))
+    guard = F.when(
+        bad, F.raise_error(F.lit("z_lvl is not valid")).cast("int")
+    ).otherwise(F.lit(0))
+    df = df.withColumn(
+        "_start0",
+        (F.greatest(F.get("_p", 0)["idx"] - 1, F.lit(0)) + guard).cast("int"),
+    )
+    df = df.withColumn(
+        "_triples",
+        F.transform(
+            F.sequence(F.lit(0), F.size("_p") - 1),
+            lambda i: F.struct(
+                F.get("_p", i).alias("cur"),
+                F.get("_p", i + 1).alias("nxt"),
+                F.get("_p", i + 2).alias("snd"),
+            ),
+        ),
+    )
+    head = F.when(
+        F.col("_start0") > 0, F.array(_seg(F.lit(0), F.col("_start0"), F.lit(0)))
+    ).otherwise(empty)
+    init = F.struct(
+        F.lit(0).alias("skip"), F.col("_start0").alias("start"), head.alias("segs")
+    )
+    df = df.withColumn(
+        "_acc", F.aggregate("_triples", init, _fold_step(last_idx, empty))
+    )
+    with_tail = F.concat(
+        F.col("_acc")["segs"],
+        F.when(
+            F.col("_acc")["start"] < last_idx,
+            F.array(_seg(F.col("_acc")["start"], last_idx, F.lit(0))),
+        ).otherwise(empty),
+    )
+    whole = F.array(_seg(F.lit(0), last_idx, F.lit(0)))
+    df = df.withColumn(
+        "_segs", F.when(F.size("_p") == 0, whole).otherwise(with_tail)
+    )
+    return (
+        df.select("link_id", F.posexplode("_segs").alias("seg_seq", "_s"))
+        .select(
+            "link_id",
+            F.col("seg_seq").cast("int").alias("seg_seq"),
+            F.col("_s.from_idx").alias("from_idx"),
+            F.col("_s.to_idx").alias("to_idx"),
+            F.col("_s.z_lvl").alias("z_lvl"),
+        )
+    )
+
+
 def split_ways(streets_with_z: DataFrame) -> DataFrame:
     """Input: (link_id, n_points, z_pairs, is_ferry). Output: one row per
     sub-way segment in the reference's emission order (``seg_seq``)."""

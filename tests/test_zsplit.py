@@ -52,6 +52,84 @@ def test_all_vectors_through_spark_operator(spark):
         assert got[100 + i] == want, f"vector {s!r}: got {got[100+i]}, want {want}"
 
 
+def _golden_input(spark):
+    from morituri_spark.sources.synth import zlevels_table
+    import pyspark.sql.functions as F
+
+    vectors = [(100 + i, [int(t) for t in s.split()]) for i, (s, _) in enumerate(GOLDEN)]
+    zl = zlevels_table(spark, vectors)
+    groups = zsplit.prepare_z_groups(zl)
+    n_points = spark.createDataFrame(
+        [(100 + i, len(s.split())) for i, (s, _) in enumerate(GOLDEN)],
+        "link_id long, n_points int",
+    )
+    return n_points.join(groups, "link_id", "left").withColumn(
+        "is_ferry", F.lit(False)
+    ).withColumn("z_pairs", F.coalesce("z_pairs", F.array()))
+
+
+def test_catalyst_split_matches_arrow_on_goldens(spark):
+    """split_ways_catalyst (the pure-expression fold) must produce the exact
+    segment table of the Arrow kernel on all 44 goldens — from/to indices
+    included, not just z sequences."""
+    inp = _golden_input(spark)
+    key = ["link_id", "seg_seq", "from_idx", "to_idx", "z_lvl"]
+    arrow = sorted(tuple(r) for r in zsplit.split_ways(inp).select(key).collect())
+    cata = sorted(tuple(r) for r in zsplit.split_ways_catalyst(inp).select(key).collect())
+    assert cata == arrow
+
+
+def test_catalyst_split_ferry_and_range(spark):
+    import pyspark.sql.functions as F
+    from morituri_spark.sources.synth import zlevels_table
+
+    # ferry: interior pairs dropped → single whole-way z=0 segment
+    zl = zlevels_table(spark, [(1, [0, 2, 1, 0, 0, 2])])
+    inp = (
+        spark.createDataFrame([(1, 6)], "link_id long, n_points int")
+        .join(zsplit.prepare_z_groups(zl), "link_id")
+        .withColumn("is_ferry", F.lit(True))
+    )
+    rows = zsplit.split_ways_catalyst(inp).collect()
+    # pairs (1,2),(2,1) interior dropped; (5,2) at n-1 kept → splits apply
+    arrow = zsplit.split_ways(inp).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, arrow))
+    # z out of range raises through the expression guard
+    zl_bad = zlevels_table(spark, [(2, [0, 7, 0])])
+    bad = (
+        spark.createDataFrame([(2, 3)], "link_id long, n_points int")
+        .join(zsplit.prepare_z_groups(zl_bad), "link_id")
+        .withColumn("is_ferry", F.lit(False))
+    )
+    with pytest.raises(Exception, match="z_lvl is not valid"):
+        zsplit.split_ways_catalyst(bad).collect()
+
+
+def test_catalyst_split_property_random(spark):
+    """Property: random z vectors — Catalyst fold ≡ Python kernel."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from morituri_spark.sources.synth import zlevels_table
+
+    rng = np.random.default_rng(3)
+    vectors = []
+    for i in range(300):
+        n = int(rng.integers(2, 12))
+        zs = rng.choice([-2, -1, 0, 0, 0, 1, 1, 2, 3], size=n).tolist()
+        vectors.append((1000 + i, [int(z) for z in zs]))
+    zl = zlevels_table(spark, vectors)
+    n_points = spark.createDataFrame(
+        [(lid, len(zs)) for lid, zs in vectors], "link_id long, n_points int"
+    )
+    inp = n_points.join(zsplit.prepare_z_groups(zl), "link_id", "left").withColumn(
+        "is_ferry", F.expr("link_id % 3 = 0")
+    ).withColumn("z_pairs", F.coalesce("z_pairs", F.array()))
+    key = ["link_id", "seg_seq", "from_idx", "to_idx", "z_lvl"]
+    arrow = sorted(tuple(r) for r in zsplit.split_ways(inp).select(key).collect())
+    cata = sorted(tuple(r) for r in zsplit.split_ways_catalyst(inp).select(key).collect())
+    assert cata == arrow
+
+
 def test_ferry_normalization():
     # interior z zeroed; endpoints kept only if at vertex 0 / n-1
     assert zsplit.set_ferry_z_lvls_to_zero([(0, 2), (3, 1), (5, 2)], 6) == [(0, 2), (5, 2)]
