@@ -596,7 +596,10 @@ def _q_admin_relations_oracle(spark, sf_dir):
 # --- rows-only queries (no SQL equivalent; driver records a weaker check) ---
 
 def _q_zsplit_golden(spark, sf_dir):
-    """W1 z-level splitting over the reference's 44 golden vectors."""
+    """W1 z-level splitting over the reference's 44 golden vectors, through
+    the CATALYST expression fold — the oracle below derives the expected
+    segment table from the independent Python port of the reference kernel,
+    so the two implementations check each other."""
     from morituri_spark.operators import zsplit
     from morituri_spark.sources.synth import zlevels_table
 
@@ -609,7 +612,47 @@ def _q_zsplit_golden(spark, sf_dir):
         "link_id long, n_points int",
     )
     inp = n_points.join(groups, "link_id").withColumn("is_ferry", F.lit(False))
-    return zsplit.split_ways(inp)
+    return zsplit.split_ways_catalyst(inp)
+
+
+def _zsplit_oracle_sql() -> str:
+    """Expected z-split segments as a VALUES table, computed by the Python
+    kernel (the port the 44 reference goldens pin) — independent of the
+    Catalyst fold the query runs."""
+    from morituri_spark.operators.zsplit import GOLDEN_VECTORS, split_link
+
+    rows = []
+    for i, (s, _) in enumerate(GOLDEN_VECTORS):
+        zs = [int(t) for t in s.split()]
+        pairs = [(j, z) for j, z in enumerate(zs) if z != 0]
+        for seq, (f, t, z) in enumerate(split_link(len(zs), pairs)):
+            rows.append(f"({100 + i}, {seq}, {f}, {t}, {z})")
+    values = ", ".join(rows)
+    return f"""
+        SELECT CAST(link_id AS BIGINT) AS link_id, CAST(seg_seq AS INT) AS seg_seq,
+               CAST(from_idx AS INT) AS from_idx, CAST(to_idx AS INT) AS to_idx,
+               CAST(z_lvl AS INT) AS z_lvl
+        FROM (VALUES {values}) AS t(link_id, seg_seq, from_idx, to_idx, z_lvl)
+    """
+
+
+def _ring_chunk_oracle_sql() -> str:
+    """Expected chunk sizes from the closed-form do-while (Python
+    chunk_bounds) — independent of the Catalyst chunking the query runs."""
+    from morituri_spark.operators.rings import chunk_bounds
+
+    sizes = [2, 5, 10, 100, 999, 1000, 1001, 1002]
+    rows = []
+    for zi, s in enumerate(sizes):
+        n_nodes = s + 1  # ring arrays in the query have s+1 points (closed)
+        for seq, (a, b) in enumerate(chunk_bounds(n_nodes)):
+            rows.append(f"({zi}, {seq}, {b - a})")
+    values = ", ".join(rows)
+    return f"""
+        SELECT CAST(zone_id AS BIGINT) AS zone_id, CAST(way_seq AS INT) AS way_seq,
+               CAST(n_nodes AS INT) AS n_nodes
+        FROM (VALUES {values}) AS t(zone_id, way_seq, n_nodes)
+    """
 
 
 def _q_ring_chunk(spark, sf_dir):
@@ -819,9 +862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_ways_oracle": _q_street_ways_oracle,
         "admin_relations_oracle": _q_admin_relations_oracle,
         "house_numbers_oracle": _q_house_numbers_oracle,
-        # rows-only (non-SQL-expressible)
+        # golden-table oracles (Python kernel derives the expected VALUES;
+        # the query runs the INDEPENDENT Catalyst implementation)
         "zsplit_golden_vectors": _q_zsplit_golden,
         "ring_chunking_golden": _q_ring_chunk,
+        # rows-only (non-SQL-expressible)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
         "admin_boundaries": _q_admin_boundaries,
@@ -1052,6 +1097,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "zsplit_golden_vectors": _zsplit_oracle_sql(),
+        "ring_chunking_golden": _ring_chunk_oracle_sql(),
         # Expected street_ways output in closed form: segments per z-shape
         # (hand-derived from navteq.hpp:347-469, cross-checked against the 44
         # golden vectors) + the tag decision trees (tag_parser:21-221).
