@@ -528,6 +528,77 @@ def _q_street_ways_oracle(spark, sf_dir):
     )
 
 
+def _q_turn_restrictions_oracle(spark, sf_dir):
+    """Entry point 2 (turn restrictions) hash-checked end-to-end: chained
+    streets with dense row_number link ids (link L spans x∈[c·0.005,
+    (c+1)·0.005], c = L mod 50, so consecutive ids in a row share an
+    endpoint), rdms/cdms from modulo arithmetic. Exercises A3 sequence
+    collect, the found-and-≠7 skip, W5 orientation walk, P8 completeness,
+    and J9 via-node resolution (2-way case gets a shared-endpoint node
+    member). The oracle derives the surviving relations in closed form."""
+    from pyspark.sql.window import Window
+
+    from morituri_spark.operators import restrictions as R
+    from morituri_spark.operators import streets as ST
+    from morituri_spark.sources import synth
+
+    o = _read(spark, sf_dir, "orders").where(_LINKS_FILTER).select("o_orderkey")
+    n_links = o.count()
+    # dense ids: the window is single-partition but over ≤8k dimension rows
+    base = o.select(
+        F.row_number().over(Window.orderBy("o_orderkey")).cast("long").alias("lid"),
+        "o_orderkey",
+    )
+    geom = (
+        "transform(sequence(0, 5), j -> array("
+        "CAST(lid % 50 AS DOUBLE) * 0.005 + CAST(j AS DOUBLE) * 0.001, "
+        "CAST(CAST(lid / 50 AS BIGINT) AS DOUBLE) * 0.01))"
+    )
+    streets = base.select(
+        F.col("lid").alias("LINK_ID"),
+        F.expr(geom).alias("geometry"),
+        *[F.expr(sql).alias(name) for name, sql in _STREET_ATTR_SQL.items()],
+    )
+    rd3 = (
+        base.where(f"lid % 10 = 2 AND lid % 50 <= 47 AND lid + 2 <= {n_links}")
+        .select(
+            F.col("lid").alias("LINK_ID"),
+            (F.col("lid") + 5000).alias("COND_ID"),
+            F.explode(
+                F.expr("array(struct(lid + 1 AS MAN_LINKID, 0 AS SEQ),"
+                       " struct(lid + 2 AS MAN_LINKID, 1 AS SEQ))")
+            ).alias("_m"),
+        )
+        .select("LINK_ID", "COND_ID", F.col("_m.MAN_LINKID").alias("MAN_LINKID"),
+                F.col("_m.SEQ").cast("int").alias("SEQ"))
+    )
+    rd2 = base.where(f"lid % 10 = 7 AND lid % 50 <= 48 AND lid + 1 <= {n_links}").select(
+        F.col("lid").alias("LINK_ID"),
+        (F.col("lid") + 5000).alias("COND_ID"),
+        (F.col("lid") + 1).alias("MAN_LINKID"),
+        F.lit(0).alias("SEQ"),
+    )
+    rdms = rd3.unionByName(rd2)
+    cdms = base.where("lid % 10 = 2").select(
+        F.col("lid").alias("LINK_ID"),
+        (F.col("lid") + 5000).alias("COND_ID"),
+        # half the 3-link conds carry COND_TYPE≠7 → skipped (navteq:949-950)
+        F.expr("CAST(CASE WHEN lid % 20 = 2 THEN 3 ELSE 7 END AS INT)").alias("COND_TYPE"),
+    )
+    zl = synth.zlevels_table(spark, [])
+    ways = ST.street_ways(streets, zl)
+    nodes = ST.street_nodes(streets, zl)
+    rels = R.build_turn_restrictions(rdms, cdms, ways, nodes)
+    return rels.select(
+        "relation_id",
+        "cond_id",
+        F.size("members").cast("int").alias("n_members"),
+        F.exists("members", lambda m: m["mtype"] == "node").alias("has_via_node"),
+        "restriction",
+        "type",
+    )
+
+
 def _q_house_numbers_oracle(spark, sf_dir):
     """G6-G8 house-number interpolation ways, hash-checked on structure:
     the offset-curve geometry is float-heavy, but the gating (ADDR_TYPE='B',
@@ -862,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_ways_oracle": _q_street_ways_oracle,
         "admin_relations_oracle": _q_admin_relations_oracle,
         "house_numbers_oracle": _q_house_numbers_oracle,
+        "turn_restrictions_oracle": _q_turn_restrictions_oracle,
         # golden-table oracles (Python kernel derives the expected VALUES;
         # the query runs the INDEPENDENT Catalyst implementation)
         "zsplit_golden_vectors": _q_zsplit_golden,
@@ -1169,6 +1241,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT l.is_ferry AND l.paved THEN 'paved' END AS surface,
                    CASE WHEN NOT l.is_ferry AND l.tollway THEN 'yes' END AS toll
             FROM segs s JOIN links l USING (link_id)
+        """,
+        # Surviving turn-restriction relations in closed form: 3-link conds
+        # (lid%10=2, in-row, complete) minus the COND_TYPE≠7 skips
+        # (lid%20=2); 2-link conds (lid%10=7) additionally carry the J9
+        # shared-endpoint via NODE member.
+        "turn_restrictions_oracle": f"""
+            WITH links AS (
+              SELECT row_number() OVER (ORDER BY o_orderkey) AS lid
+              FROM orders WHERE {_LINKS_FILTER}),
+            bound AS (SELECT count(*) AS n FROM links),
+            cands AS (
+              SELECT 5000 + lid AS cond_id, 3 AS n_members, FALSE AS has_via_node
+              FROM links, bound
+              WHERE lid % 10 = 2 AND lid % 50 <= 47 AND lid + 2 <= n
+                AND lid % 20 <> 2
+              UNION ALL
+              SELECT 5000 + lid, 3, TRUE FROM links, bound
+              WHERE lid % 10 = 7 AND lid % 50 <= 48 AND lid + 1 <= n)
+            SELECT CAST(row_number() OVER (ORDER BY cond_id) AS BIGINT) AS relation_id,
+                   CAST(cond_id AS BIGINT) AS cond_id,
+                   CAST(n_members AS INT) AS n_members,
+                   has_via_node,
+                   'no_straight_on' AS restriction,
+                   'restriction' AS type
+            FROM cands
         """,
         # G8 gating + structure in closed form (geometry is a collinear
         # 6-vertex line, so the offset curve has exactly 6 nodes).
