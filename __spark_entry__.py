@@ -847,6 +847,48 @@ def _q_payload_fidelity(spark, sf_dir):
     return out.where("NOT (psnr_ok AND caption_ok AND phash_ok)")
 
 
+_STREAM_RUNS = [0]
+
+
+def _q_streaming_rollup(spark, sf_dir):
+    """§2.8 Structured Streaming: stream the derived point cloud from a
+    parquet dir (availableNow trigger), run the stateless codegen PIP +
+    watermarked hourly window rollup, drain to a memory sink, return the
+    result. 60-minute windows align to epoch hours, so the oracle is a
+    plain date_trunc aggregation."""
+    import tempfile
+
+    from morituri_spark.streaming.pipeline import (
+        run_available_now, stream_images, streaming_tile_rollup,
+    )
+
+    ev = _read(spark, sf_dir, "events").where("event_id % 5 = 0")
+    src = ev.select(
+        "event_id",
+        # watermarks need TIMESTAMP (LTZ); parquet ts is NTZ (session is UTC,
+        # so values are unchanged by the cast)
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"),
+    )
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    src.write.mode("overwrite").parquet(d)
+    stream = stream_images(spark, d, src.schema)
+    zone_rows = [(r["zone_id"], r["rings"]) for r in _rect_zones(spark).collect()]
+    rollup = streaming_tile_rollup(
+        stream, zone_rows, tile_res=6, watermark="1 minute",
+        window="60 minutes", ts_col="ts",
+    )
+    _STREAM_RUNS[0] += 1
+    name = f"drv_stream_rollup_{_STREAM_RUNS[0]}"
+    q = run_available_now(rollup, query_name=name)
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "tile", "zone_id", "n_images",
+    )
+
+
 def _q_wkb_roundtrip(spark, sf_dir):
     """G1 WKB bridge gate: zones → MultiPolygon WKB → rings; rows where the
     ring set does not survive the round-trip (expect 0)."""
@@ -921,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
+        "streaming_tile_rollup": _q_streaming_rollup,
         # training-data ops (oracle-checked)
         "dedup_exact_groups": _q_dedup_exact,
         "shingle_counts": _q_shingle_count,
@@ -1110,6 +1153,18 @@ def oracle_sql() -> dict[str, str]:
                                     c.event_id) AS rk
                 FROM q CROSS JOIN pts c) t
             WHERE rk <= 3
+        """,
+        "streaming_tile_rollup": f"""
+            SELECT date_trunc('hour', e.ts) AS window_start,
+                   6 * 288230376151711744 + CAST(floor((e.lon + 180) / 360 * 64) AS BIGINT) * 536870912
+                     + CAST(floor((e.lat + 90) / 180 * 64) AS BIGINT) AS tile,
+                   z.zone_id,
+                   count(*) AS n_images
+            FROM (SELECT event_id, ts, {_LON} AS lon, {_LAT} AS lat
+                  FROM events WHERE event_id % 5 = 0) e
+            JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
+              ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
+            GROUP BY 1, 2, 3
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
