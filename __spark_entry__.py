@@ -795,7 +795,38 @@ def _q_simhash_neardup(spark, sf_dir):
 def _q_langid(spark, sf_dir):
     from morituri_spark.text.quality import predict_language
 
-    return predict_language(_read(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+    return predict_language(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", F.round("pred_score", 6).alias("pred_score")
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """SQL mirror of the stopword-ratio argmax; tie-break = lexicographically
+    greatest language code (Spark's array_max over (score, lang) structs),
+    so the CASE tests languages in descending code order."""
+    from morituri_spark.text.quality import STOPWORDS
+
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) * 1.0"
+            f" / greatest(len(toks), 1) AS s_{lang}"
+        )
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in STOPWORDS) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {g} THEN '{l}'" for l in langs_desc
+    ) + " END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                     '[^a-zA-Zà-ÿÀ-ß'']+'), x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM t)
+        SELECT doc_id, {case} AS pred_lang, round({g}, 6) AS pred_score FROM s
+    """
 
 
 def _q_fingerprint(spark, sf_dir):
@@ -827,18 +858,22 @@ def _q_payload_fidelity(spark, sf_dir):
     def check(batches):
         for pdf in batches:
             rows = {"image_id": [], "psnr_ok": [], "caption_ok": [], "phash_ok": []}
-            for _, r in pdf.iterrows():
-                i = int(r["image_id"][3:])
+            # zip of columns, not iterrows (no per-row Series construction)
+            for image_id, buf, fmt, caption, phash, lon, lat in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"],
+                pdf["phash"], pdf["lon"], pdf["lat"],
+            ):
+                i = int(image_id[3:])
                 rng = np.random.default_rng(synth.SEED + i)
                 src = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-                dec = I.decode(bytes(r["bytes"]), r["fmt"])
+                dec = I.decode(bytes(buf), fmt)
                 psnr = I.psnr(src, dec)
-                rows["image_id"].append(r["image_id"])
+                rows["image_id"].append(image_id)
                 rows["psnr_ok"].append(bool(psnr >= 40.0))
                 rows["caption_ok"].append(
-                    r["caption"] == f"photo {i} near ({r['lon']:.3f},{r['lat']:.3f})"
+                    caption == f"photo {i} near ({lon:.3f},{lat:.3f})"
                 )
-                rows["phash_ok"].append(int(r["phash"]) == I.phash(src))
+                rows["phash_ok"].append(int(phash) == I.phash(src))
             yield pd.DataFrame(rows)
 
     out = images.mapInPandas(
@@ -1226,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zsplit_golden_vectors": _zsplit_oracle_sql(),
         "ring_chunking_golden": _ring_chunk_oracle_sql(),
+        "langid_heuristic": _langid_oracle_sql(),
         # Expected street_ways output in closed form: segments per z-shape
         # (hand-derived from navteq.hpp:347-469, cross-checked against the 44
         # golden vectors) + the tag decision trees (tag_parser:21-221).

@@ -149,11 +149,21 @@ def house_number_nodes(streets: DataFrame) -> DataFrame:
         "R_REFADDR", "R_NREFADDR", "R_ADDRSCH",
     ).where(F.col("ADDR_TYPE") == "B")
 
+    cols = ["LINK_ID", "geometry",
+            "L_REFADDR", "L_NREFADDR", "L_ADDRSCH",
+            "R_REFADDR", "R_NREFADDR", "R_ADDRSCH"]
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in HOUSE_NODE_SCHEMA.fields}
-            for _, r in pdf.iterrows():
-                geom = np.asarray([list(p) for p in r["geometry"]], dtype=np.float64)
+            # zip of column arrays, not iterrows (no per-row Series build)
+            for link_id, geometry, lref, lnref, lsch, rref, rnref, rsch in zip(
+                *(pdf[c] for c in cols)
+            ):
+                r = {"LINK_ID": link_id,
+                     "L_REFADDR": lref, "L_NREFADDR": lnref, "L_ADDRSCH": lsch,
+                     "R_REFADDR": rref, "R_NREFADDR": rnref, "R_ADDRSCH": rsch}
+                geom = np.asarray([list(p) for p in geometry], dtype=np.float64)
                 for side, left in (("L", True), ("R", False)):
                     ref = r[f"{side}_REFADDR"]
                     nref = r[f"{side}_NREFADDR"]
