@@ -33,13 +33,54 @@ from . import cells as C
 
 
 def _ring_cells_udf(res: int, ring: int):
-    """(query cell) → exploded ring-L cell list, via an Arrow kernel."""
+    """(query cell) → exploded ring-L cell list, via an Arrow kernel.
+    Kept as the reference form; the expression below replaced it in
+    knn_join (no Python round-trip per expansion round)."""
 
     @F.pandas_udf("array<long>")
     def expand(cells: pd.Series) -> pd.Series:
         return cells.map(lambda c: C.grid_ring(int(c), ring).tolist())
 
     return expand
+
+
+def _ring_cells_expr(res: int, ring: int, qcell):
+    """Catalyst form of cells.grid_ring for a LITERAL ring radius: the
+    Chebyshev ring's cells as an array expression (x wraps, y clips,
+    distinct — same semantics as the NumPy kernel). Arrays are ≤ 8·ring
+    elements per query row, so interpreted-HOF evaluation is fine here;
+    the win is dropping the per-round Python worker round-trip."""
+    n = 1 << res
+    mask = (1 << 29) - 1
+    x = F.shiftright(qcell, 29).bitwiseAND(F.lit(mask))
+    y = qcell.bitwiseAND(F.lit(mask))
+    if ring == 0:
+        return F.array(qcell)
+    # res prefix taken from the query cell itself (layout-proof: whatever
+    # sits above the x field is preserved verbatim)
+    res_bits = qcell - x * F.lit(1 << 29) - y
+
+    def pack(xp, yp):
+        return F.struct(
+            (res_bits + F.pmod(xp, F.lit(n)) * F.lit(1 << 29) + yp).alias("cell"),
+            yp.alias("yp"),
+        )
+
+    top_bottom = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-ring), F.lit(ring)),
+            lambda dx: F.array(pack(x + dx, y - ring), pack(x + dx, y + ring)),
+        )
+    )
+    sides = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-ring + 1), F.lit(ring - 1)),
+            lambda dy: F.array(pack(x - ring, y + dy), pack(x + ring, y + dy)),
+        )
+    )
+    cells = F.concat(top_bottom, sides)
+    valid = F.filter(cells, lambda s: (s["yp"] >= 0) & (s["yp"] < n))
+    return F.array_distinct(F.transform(valid, lambda s: s["cell"]))
 
 
 def _dist_expr(qlon, qlat, clon, clat, metric: str):
@@ -125,7 +166,7 @@ def knn_join(
         if n_left == 0:
             break
         ring_cells = frontier.withColumn(
-            "_cell", F.explode(_ring_cells_udf(res, ring)(F.col("_qcell")))
+            "_cell", F.explode(_ring_cells_expr(res, ring, F.col("_qcell")))
         )
         hits = ring_cells.join(
             cand, ring_cells["_cell"] == cand["_ccell"], "inner"
