@@ -951,6 +951,29 @@ def _q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(queries, emb, k=3, n_lists=16, n_probe=2)
 
 
+def _q_audio_features(spark, sf_dir):
+    """Real WAV/PCM16 path (multimodal/audio.py): synthesize deterministic
+    clips, decode + feature-extract through the Arrow kernel. Rows-only
+    (DuckDB cannot decode WAV); values are pinned by tests/test_audio.py."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal import audio as A
+
+    rate = 16_000
+    rows = []
+    for i in range(50):
+        rng = np.random.default_rng(1000 + i)
+        t = np.arange(rate // 4) / rate
+        freq = 200.0 + 10.0 * i
+        s = (np.sin(2 * np.pi * freq * t) * 0.4 * 32767).astype(np.int16)
+        if i % 5 == 0:
+            s = (s * rng.uniform(0.2, 1.0)).astype(np.int16)
+        rows.append((f"clip{i:04d}", bytes(A.encode_wav(s, rate))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    return A.audio_features(df)
+
+
 def _q_zonal_stats(spark, sf_dir):
     """Raster-feature x vector-zone zonal statistics (payload decode +
     spatial join + per-zone aggregation)."""
@@ -1028,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "payload_fidelity_violations": _q_payload_fidelity,
         "wkb_roundtrip_violations": _q_wkb_roundtrip,
+        "audio_features": _q_audio_features,
         "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,
     }

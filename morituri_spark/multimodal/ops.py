@@ -7,8 +7,10 @@ Engine contract (task brief): image/audio/video payloads are opaque
 real and tested. Codec backends:
 
   * ``png`` / ``fjpg`` — REAL, pure NumPy (sources/images.py)
-  * ``jpeg`` / ``webp`` / audio / video — STUBBED: the container has no
-    libjpeg/ffmpeg; ``decode_image``/``sample_frames`` raise
+  * audio WAV/PCM16 — REAL, pure NumPy (multimodal/audio.py: codec,
+    features, fixed-window frame sampling)
+  * ``jpeg`` / ``webp`` / compressed audio / video — STUBBED: the container
+    has no libjpeg/ffmpeg; ``decode_image``/``sample_frames`` raise
     NotImplementedError for them unless ``deterministic_fake=True``, which
     substitutes a seeded pixel tensor derived from the payload hash (stable
     across runs — usable for plumbing tests and benchmarks).

@@ -1,0 +1,83 @@
+"""Real WAV/PCM16 audio codec + feature/frame kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from morituri_spark.multimodal import audio as A
+
+
+def _sine(freq=440.0, rate=16_000, secs=0.5, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return (np.sin(2 * np.pi * freq * t) * amp * 32767).astype(np.int16)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = _sine()
+    buf = A.encode_wav(mono, 16_000)
+    s, rate = A.decode_wav(buf)
+    assert rate == 16_000 and s.shape == (len(mono), 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, rate2 = A.decode_wav(A.encode_wav(stereo, 44_100))
+    assert rate2 == 44_100 and np.array_equal(s2, stereo)
+
+
+def test_wav_header_exact():
+    buf = A.encode_wav(np.zeros(4, dtype=np.int16), 8000)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    assert len(buf) == 44 + 8  # canonical header + 4 samples * 2B
+
+
+def test_wav_tolerates_extra_chunks_and_rejects_junk():
+    import struct
+
+    mono = _sine(secs=0.01)
+    buf = A.encode_wav(mono)
+    # splice a LIST chunk between fmt and data
+    head, data_chunk = buf[:36], buf[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = head + extra + data_chunk
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    s, rate = A.decode_wav(spliced)
+    assert np.array_equal(s[:, 0], mono)
+    with pytest.raises(ValueError):
+        A.decode_wav(b"not a wav at all...")
+
+
+def test_audio_features_vs_numpy(spark):
+    clips = {
+        "sine": _sine(amp=0.5),
+        "silence": np.zeros(8000, dtype=np.int16),
+        "noise": (np.random.default_rng(1).uniform(-0.3, 0.3, 4000) * 32767).astype(np.int16),
+    }
+    pdf = pd.DataFrame(
+        {"audio_id": list(clips), "bytes": [bytes(A.encode_wav(v)) for v in clips.values()]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["audio_id"]: r for r in A.audio_features(df).collect()}
+    for name, samples in clips.items():
+        mono = samples.astype(np.float64) / 32768.0
+        assert got[name]["n_samples"] == len(samples)
+        assert got[name]["sample_rate"] == 16_000
+        assert abs(got[name]["rms"] - float(np.sqrt(np.mean(mono**2)))) < 1e-6
+        assert abs(got[name]["duration_s"] - len(samples) / 16_000) < 1e-6
+    # a 440 Hz sine crosses zero ~2*440 times/sec → zcr ≈ 880/16000
+    assert abs(got["sine"]["zero_crossing_rate"] - 880 / 16_000) < 0.01
+    assert got["silence"]["rms"] == 0.0 and got["silence"]["peak"] == 0.0
+
+
+def test_audio_frame_sampling(spark):
+    # 1s clip: loud first half, silent second half → frame RMS shows it
+    rate = 16_000
+    loud = _sine(secs=0.5, amp=0.8)
+    silent = np.zeros(rate // 2, dtype=np.int16)
+    clip = np.concatenate([loud, silent])
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["c"], "bytes": [bytes(A.encode_wav(clip, rate))]})
+    )
+    frames = sorted(A.sample_audio_frames(df, frame_ms=250).collect(), key=lambda r: r["frame_seq"])
+    assert len(frames) == 4
+    assert [f["start_ms"] for f in frames] == [0, 250, 500, 750]
+    assert frames[0]["rms"] > 0.4 and frames[1]["rms"] > 0.4
+    assert frames[2]["rms"] == 0.0 and frames[3]["rms"] == 0.0
