@@ -101,6 +101,47 @@ def _dist_expr(qlon, qlat, clon, clat, metric: str):
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _rdd_ids(sc) -> set:
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+class _Round:
+    """One materialized iteration round + the bookkeeping to actually free
+    it. ``df.unpersist()`` is a NO-OP for rounds materialized via
+    localCheckpoint (the checkpoint blocks live on an internal RDD that is
+    not registered with the CacheManager), so superseded rounds used to
+    accumulate blocks; we snapshot the persistent-RDD id set around the
+    checkpoint call and unpersist those ids on release. When a reliable
+    checkpoint dir is configured (``sc.setCheckpointDir``) we use
+    ``df.checkpoint`` instead — localCheckpoint lineage is unrecoverable on
+    executor loss (documented hazard; fine in local mode, not on a lossy
+    cluster)."""
+
+    def __init__(self, df, ckpt_rdd_ids=()):
+        self.df = df
+        self._ids = tuple(ckpt_rdd_ids)
+
+    @staticmethod
+    def materialize(df, truncate: bool) -> "_Round":
+        sc = df.sparkSession.sparkContext
+        if truncate:
+            if sc.getCheckpointDir() is not None:
+                return _Round(df.checkpoint(eager=True))
+            before = _rdd_ids(sc)
+            out = df.localCheckpoint(eager=True)
+            return _Round(out, _rdd_ids(sc) - before)
+        return _Round(df.persist())
+
+    def release(self):
+        self.df.unpersist()
+        if self._ids:
+            jmap = self.df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for rid in self._ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
@@ -150,21 +191,23 @@ def knn_join(
         F.abs(qx - F.lit(cx0)), F.abs(qx - F.lit(cx1)),
         F.abs(qy - F.lit(cy0)), F.abs(qy - F.lit(cy1)),
     )
-    frontier = queries.select(
+    frontier_round = _Round(queries.select(
         F.col(qid_col),
         F.col("lon").alias("_qlon"),
         F.col("lat").alias("_qlat"),
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_qcell"),
-    ).withColumn("_max_ring", max_ring_expr).persist()
+    ).withColumn("_max_ring", max_ring_expr).persist())
 
-    topk = None  # accumulated per-query best-so-far
+    topk_round = None  # accumulated per-query best-so-far
+    topk = None
     w = Window.partitionBy(qid_col).orderBy("dist", cid_col)
-    n_left = frontier.count()  # materializes the persist; reused as the
-    # loop-termination check so each round has exactly two driver barriers
+    n_left = frontier_round.df.count()  # materializes the persist; reused as
+    # the loop-termination check so each round has exactly two driver barriers
 
     for ring in range(max_rings + 1):
         if n_left == 0:
             break
+        frontier = frontier_round.df
         ring_cells = frontier.withColumn(
             "_cell", F.explode(_ring_cells_expr(res, ring, F.col("_qcell")))
         )
@@ -182,16 +225,15 @@ def knn_join(
         )
         # Materialize the accumulator, truncating lineage every few rounds:
         # the union-then-window plan otherwise grows O(rings) deep and gets
-        # re-analyzed/re-windowed each iteration. localCheckpoint keeps the
-        # data on executors (eager = materialized, like the persist+count).
-        if ring % 4 == 3:
-            new_topk = new_topk.localCheckpoint(eager=True)
-        else:
-            new_topk = new_topk.persist()
-            new_topk.count()
-        if topk is not None:
-            topk.unpersist()  # superseded accumulator's blocks
-        topk = new_topk
+        # re-analyzed/re-windowed each iteration. Materialize (count/eager
+        # checkpoint) BEFORE releasing the parent, or every round recomputes
+        # the whole chain.
+        nt = _Round.materialize(new_topk, truncate=(ring % 4 == 3))
+        nt.df.count()
+        if topk_round is not None:
+            topk_round.release()  # superseded accumulator's blocks
+        topk_round = nt
+        topk = nt.df
 
         # a query is DONE when it has k hits and its k-th distance can't be
         # beaten by anything outside the explored disk, OR when the disk
@@ -219,15 +261,12 @@ def knn_join(
         # the parent's blocks first forces a from-scratch recompute of the
         # whole anti-join chain every round (O(rings²) work; a 20-ring
         # sparse input went from minutes to seconds with this ordering).
-        if ring % 4 == 3:
-            new_frontier = new_frontier.localCheckpoint(eager=True)
-            n_left = new_frontier.count()
-        else:
-            new_frontier = new_frontier.persist()
-            n_left = new_frontier.count()
-        frontier.unpersist()
-        frontier = new_frontier
+        nf = _Round.materialize(new_frontier, truncate=(ring % 4 == 3))
+        n_left = nf.df.count()
+        frontier_round.release()
+        frontier_round = nf
 
+    frontier_round.release()
     cand.unpersist()
     if topk is None:
         return spark.createDataFrame(

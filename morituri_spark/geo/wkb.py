@@ -157,16 +157,30 @@ def multipolygon_to_wkb_udf(rings: pd.Series) -> pd.Series:
             return None
         roles = ring_roles(rl)
         ext_idx = [i for i, outer in enumerate(roles) if outer]
+        ext_np = {j: ring_np(rl[j]) for j in ext_idx}
+        # nesting depth of each exterior = how many OTHER exteriors contain
+        # its first vertex (island-in-lake-in-country nesting)
+        depth = {}
+        for j in ext_idx:
+            px, py = np.asarray([ext_np[j][0, 0]]), np.asarray([ext_np[j][0, 1]])
+            depth[j] = sum(
+                1 for o in ext_idx
+                if o != j and points_in_ring_np(px, py, ext_np[o])[0]
+            )
         polys = {i: [rl[i]] for i in ext_idx}
         for i, outer in enumerate(roles):
             if outer:
                 continue
             r = ring_np(rl[i])
             px, py = np.asarray([r[0, 0]]), np.asarray([r[0, 1]])
-            for j in ext_idx:
-                if points_in_ring_np(px, py, ring_np(rl[j]))[0]:
-                    polys[j].append(rl[i])
-                    break
+            # attach to the DEEPEST containing exterior: with nested
+            # geometries a hole's vertex is inside every enclosing exterior;
+            # the immediate parent is the one with maximal nesting depth
+            containing = [
+                j for j in ext_idx if points_in_ring_np(px, py, ext_np[j])[0]
+            ]
+            if containing:
+                polys[max(containing, key=lambda j: depth[j])].append(rl[i])
         return encode_multipolygon([polys[i] for i in ext_idx])
 
     return rings.map(build)

@@ -26,6 +26,11 @@ import zlib
 
 
 def _varint(n: int) -> bytes:
+    # protobuf int64 semantics: negatives encode as 64-bit two's complement
+    # (10-byte varint). Without the mask Python's arithmetic right shift
+    # never reaches 0 and a negative id would hang the writer.
+    if n < 0:
+        n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -291,6 +296,15 @@ def read_osm_pbf(path: str) -> dict:
             strings = [s.decode("utf-8") for s in _Msg(block.one(1)).all(1)]
             for graw in block.all(2):
                 g = _Msg(graw)
+                if g.one(2) is not None:
+                    # DenseNodes (PrimitiveGroup field 2) — used by virtually
+                    # every real-world PBF. This validating reader only parses
+                    # plain Node groups (what the writer emits); fail loudly
+                    # instead of silently returning zero nodes.
+                    raise ValueError(
+                        "PBF contains DenseNodes (PrimitiveGroup field 2); "
+                        "this reader only supports plain Node groups"
+                    )
                 for nraw in g.all(1):
                     n = _Msg(nraw)
                     tags = _tags(strings, n)

@@ -161,6 +161,16 @@ def train_ivf_centroids(
     return C
 
 
+def fixed_centroids(n_lists: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic L2-normalized pseudo-random centroids — a data-
+    independent coarse quantizer whose values can be embedded as literals
+    in a SQL oracle (k-means ``train_ivf_centroids`` is the data-adaptive
+    alternative; list shapes differ but the ANN contract is identical)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_lists, dim))
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
 def _with_ivf_list(df: DataFrame, centroids: np.ndarray, n_probe: int, vec_col: str, out="ivf_list"):
     bc = df.sparkSession.sparkContext.broadcast(centroids)
     schema = StructType(df.schema.fields + [StructField(out, LongType(), False)])
@@ -233,11 +243,23 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def rademacher_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplanes (Rademacher sign-LSH family — same collision-
+    probability guarantee as Gaussian planes). Deterministic, and the
+    entries are exact in any engine's DOUBLE arithmetic, so the identical
+    plane set can be embedded as literals in a SQL oracle."""
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.array([-1.0, 1.0]), size=(n_bits, dim))
+
+
 def with_lsh_bucket(
-    df: DataFrame, dim: int, n_bits: int = 12, seed: int = 42, vec_col="embedding"
+    df: DataFrame, dim: int, n_bits: int = 12, seed: int = 42, vec_col="embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
-    """Sign-bit bucket id per vector (Arrow kernel, one matmul per batch)."""
-    H = _hyperplanes(dim, n_bits, seed)
+    """Sign-bit bucket id per vector (Arrow kernel, one matmul per batch).
+    ``planes`` overrides the default Gaussian family (e.g.
+    ``rademacher_planes`` for SQL-oracle parity)."""
+    H = _hyperplanes(dim, n_bits, seed) if planes is None else np.asarray(planes, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(H)
     schema = StructType(df.schema.fields + [StructField("bucket", LongType(), False)])
 
@@ -300,6 +322,7 @@ def ann_topk_lsh(
     queries: DataFrame, emb: DataFrame, dim: int, k: int = 5, n_bits: int = 12,
     vec_col="embedding", qid_col="query_id", id_col="vec_id",
     n_probes: int = 1, salt_target_rows: int = 200_000,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN: bucket-equi-join then exact cosine + windowed top-k inside the
     bucket. ``n_probes`` > 1 enables multi-probe: the query side also joins
@@ -308,7 +331,7 @@ def ann_topk_lsh(
     hashing together) are salt-split at ``salt_target_rows`` members."""
     from pyspark.sql.window import Window
 
-    qb = with_lsh_bucket(queries.select(qid_col, vec_col), dim, n_bits)
+    qb = with_lsh_bucket(queries.select(qid_col, vec_col), dim, n_bits, planes=planes)
     if n_probes > 1:
         probes = F.array(
             F.col("bucket"),
@@ -318,9 +341,9 @@ def ann_topk_lsh(
             ],
         )
         qb = qb.withColumn("bucket", F.explode(probes))
-    eb = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits).withColumnRenamed(
-        vec_col, "_cand_vec"
-    )
+    eb = with_lsh_bucket(
+        emb.select(id_col, vec_col), dim, n_bits, planes=planes
+    ).withColumnRenamed(vec_col, "_cand_vec")
     paired = _salted_probe_join(qb, eb, "bucket", id_col, salt_target_rows)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),

@@ -66,6 +66,74 @@ def shingle_df(docs: DataFrame, n: int = 5, text_col="text", id_col="doc_id") ->
 
 
 # ---------------------------------------------------------------------------
+# ANSI-SQL-expressible hash family (oracle parity)
+#
+# The default engine hashing is Spark's xxhash64 (JVM-only); these helpers
+# provide a drop-in family every ANSI engine can replay exactly in BIGINT
+# arithmetic, so the full minhash/LSH/simhash pipelines can be hash-checked
+# against a DuckDB oracle:
+#   * shingle id  = base-256 code-point encoding of the n-gram (injective
+#     for code points ≤ 255 — printable-ASCII corpora)
+#   * hash_i(x)   = (a_i · (x mod p) + b_i) mod p,  p = 2³¹-1 (Mersenne)
+# All intermediates stay < 2⁶² — no BIGINT overflow on either engine.
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def affine_hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs in [1, p) × [0, p) from an LCG —
+    plain integer arithmetic so the same literals can be embedded in the
+    oracle SQL."""
+    params, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def affine_hash_expr(params: list[tuple[int, int]]):
+    """``(col, i) -> Column`` for ``minhash_signatures(hash_exprs=...)``."""
+
+    def h(col, i):
+        a, b = params[i]
+        return (F.lit(a) * F.pmod(col, F.lit(MERSENNE31)) + F.lit(b)) % F.lit(MERSENNE31)
+
+    return h
+
+
+def shingle_id_sql_array(n: int = 5, text_col: str = "text"):
+    """Distinct base-256 n-gram ids as an array column — same value as
+    ``SUM_j ascii(substr(text, i+j, 1)) * 256^(n-1-j)`` in any SQL engine.
+    Code points ≤ 255 make it injective; larger code points still agree
+    across engines (both use the first char's code point)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    tc = F.col(text_col)
+
+    def sid(i):
+        parts = [
+            F.ascii(tc.substr(i + j, F.lit(1))).cast("long") * F.lit(256 ** (n - 1 - j))
+            for j in range(n)
+        ]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out + p_
+        return out
+
+    return F.array_distinct(F.transform(idx, sid))
+
+
+def shingle_df_sql(docs: DataFrame, n: int = 5, text_col="text", id_col="doc_id") -> DataFrame:
+    """``shingle_df`` with SQL-replayable base-256 shingle ids."""
+    return docs.select(
+        F.col(id_col), F.explode(shingle_id_sql_array(n, text_col)).alias("shingle_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -111,7 +179,7 @@ def minhash_signatures_arrow(
 
 
 def minhash_signatures(
-    shingles: DataFrame, k: int = 64, id_col="doc_id"
+    shingles: DataFrame, k: int = 64, id_col="doc_id", hash_exprs=None
 ) -> DataFrame:
     """(doc_id, sig array<long>[k]) — PURE CATALYST minhash: hash family i
     is ``xxhash64(shingle_hash, i)`` (a seeded full-avalanche family, bits
@@ -122,9 +190,16 @@ def minhash_signatures(
     at sf0.1 (~5k docs): this form ~3× faster than collect_list + NumPy
     (minhash_signatures_arrow) and ~40× faster than a nested
     transform/array_min HOF expression (higher-order functions evaluate
-    interpreted with per-element allocation — not codegen)."""
+    interpreted with per-element allocation — not codegen).
+
+    ``hash_exprs``: optional ``(shingle_col, i) -> Column`` hash family
+    override — the default is the seeded xxhash64 family; the oracle path
+    passes the ANSI-SQL-expressible affine family (``affine_hash_expr``)
+    so DuckDB can replay the identical signatures."""
+    if hash_exprs is None:
+        hash_exprs = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     aggs = [
-        F.min(F.xxhash64(F.col("shingle_hash"), F.lit(i))).alias(f"_m{i}")
+        F.min(hash_exprs(F.col("shingle_hash"), i)).alias(f"_m{i}")
         for i in range(k)
     ]
     return shingles.groupBy(id_col).agg(*aggs).select(
@@ -132,21 +207,31 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_bucket_drop_stats(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, id_col="doc_id",
     max_bucket: int | None = 10_000,
-) -> DataFrame:
-    """Band the signatures and equi-join on (band, band-slice hash):
-    (doc_a, doc_b) candidate pairs, a < b, distinct.
+) -> dict:
+    """What the ``max_bucket`` cap would drop (no silent caps): counts of
+    over-cap (band, bucket) groups and their dropped memberships. One small
+    aggregation job over the banded signatures."""
+    if max_bucket is None:
+        return {"capped_buckets": 0, "dropped_members": 0}
+    row = (
+        _banded(sigs, bands, rows_per_band, id_col)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("capped_buckets"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("dropped_members"),
+        )
+        .first()
+    )
+    return {"capped_buckets": row[0], "dropped_members": int(row[1])}
 
-    ``max_bucket`` caps bucket size BEFORE the self-join: a degenerate
-    bucket (mass-duplicated boilerplate — every copy shares every band)
-    otherwise yields O(m²) pairs in one task, which no salting can fix
-    because the OUTPUT is quadratic, not just the shuffle. Members of
-    over-cap buckets are dropped from that band only; a pair is lost only
-    if every band it shares is degenerate — run ``dedup_exact`` first so
-    byte-identical mass duplicates never reach LSH. ``None`` disables."""
-    banded = sigs.select(
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int, id_col: str) -> DataFrame:
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -157,7 +242,42 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, id_col="doc_id",
+    max_bucket: int | None = 10_000, cap_stats: dict | None = None,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band-slice hash):
+    (doc_a, doc_b) candidate pairs, a < b, distinct.
+
+    ``max_bucket`` caps bucket size BEFORE the self-join: a degenerate
+    bucket (mass-duplicated boilerplate — every copy shares every band)
+    otherwise yields O(m²) pairs in one task, which no salting can fix
+    because the OUTPUT is quadratic, not just the shuffle. Members of
+    over-cap buckets are dropped from that band only; a pair is lost only
+    if every band it shares is degenerate — run ``dedup_exact`` first so
+    byte-identical mass duplicates never reach LSH. ``None`` disables.
+
+    The cap is never silent: pass ``cap_stats={}`` to have the drop counts
+    filled in (runs one extra aggregation job eagerly); otherwise an over-
+    cap bucket emits a ``UserWarning`` with the counts when it engages."""
+    banded = _banded(sigs, bands, rows_per_band, id_col)
     if max_bucket is not None:
+        if cap_stats is not None:
+            cap_stats.update(
+                lsh_bucket_drop_stats(sigs, bands, rows_per_band, id_col, max_bucket)
+            )
+            if cap_stats["capped_buckets"]:
+                import warnings
+
+                warnings.warn(
+                    f"LSH cap engaged: {cap_stats['capped_buckets']} bucket(s) over "
+                    f"max_bucket={max_bucket}, {cap_stats['dropped_members']} "
+                    "memberships dropped — run dedup_exact first if the corpus "
+                    "has mass duplicates",
+                    stacklevel=2,
+                )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band", "bucket")
@@ -209,31 +329,87 @@ def minhash_near_duplicates(
     id_col="doc_id",
     text_col="text",
     max_bucket: int | None = 10_000,
+    cap_stats: dict | None = None,
+    hash_exprs=None,
+    shingle_fn=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard ≥ t).
     At scale run ``dedup_exact`` first: byte-identical mass duplicates are
-    the degenerate-bucket case the ``max_bucket`` cap guards against."""
-    sh = shingle_df(docs, n_shingle, text_col, id_col).persist()
-    sigs = minhash_signatures(sh, k=k, id_col=id_col)
-    cands = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=k // bands, id_col=id_col, max_bucket=max_bucket
-    )
-    return jaccard_pairs(sh, cands, id_col).where(F.col("jaccard") >= threshold)
+    the degenerate-bucket case the ``max_bucket`` cap guards against.
+
+    The result is MATERIALIZED (persist + count) before returning so the
+    shingle intermediate can be unpersisted — the output (near-dup pairs
+    above ``threshold``) is bounded and tiny next to the corpus.
+    ``cap_stats={}`` additionally fills in what the bucket cap dropped.
+    ``hash_exprs`` forwards a custom minhash family (see
+    ``minhash_signatures``); ``shingle_fn`` swaps the shingle-id derivation
+    (default xxhash64 ``shingle_df``; pass ``shingle_df_sql`` for the
+    SQL-replayable base-256 family)."""
+    if shingle_fn is None:
+        shingle_fn = shingle_df
+    sh = shingle_fn(docs, n_shingle, text_col, id_col).persist()
+    try:
+        sigs = minhash_signatures(sh, k=k, id_col=id_col, hash_exprs=hash_exprs)
+        cands = lsh_candidate_pairs(
+            sigs, bands=bands, rows_per_band=k // bands, id_col=id_col,
+            max_bucket=max_bucket, cap_stats=cap_stats,
+        )
+        out = (
+            jaccard_pairs(sh, cands, id_col)
+            .where(F.col("jaccard") >= threshold)
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (JVM tokenization + hashing,
-    Arrow bit-vote). → (doc_id, simhash long)."""
-    toks = docs.select(
-        id_col,
-        F.transform(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
-        ).alias("token_hashes"),
+def token_hashes_sql(text_col: str = "text", params=None):
+    """array<long> of 62-bit SQL-replayable token hashes for the simhash
+    oracle path: tokens = non-empty lowercase [a-z0-9]+ runs; token id
+    t = fold ``(acc·131 + code_point) mod p`` over the token's characters;
+    hash = h₁(t)·2³¹ + h₂(t) with the affine family. Interpreted-HOF cost
+    is fine off the hot path (default xxhash64 family stays the fast
+    path)."""
+    if params is None:
+        params = affine_hash_params(2, seed=7)
+    (a1, b1), (a2, b2) = params
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )
+
+    def hash62(tok):
+        tid = F.aggregate(
+            F.sequence(F.lit(1), F.length(tok)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * F.lit(131) + F.ascii(tok.substr(j, F.lit(1))))
+            % F.lit(MERSENNE31),
+        )
+        h1 = (F.lit(a1) * tid + F.lit(b1)) % F.lit(MERSENNE31)
+        h2 = (F.lit(a2) * tid + F.lit(b2)) % F.lit(MERSENNE31)
+        return h1 * F.lit(1 << 31) + h2
+
+    return F.transform(toks, hash62)
+
+
+def simhash(
+    docs: DataFrame, text_col="text", id_col="doc_id", token_hashes_col=None
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (JVM tokenization + hashing,
+    Arrow bit-vote). → (doc_id, simhash long). ``token_hashes_col``
+    overrides the token-hash derivation (e.g. ``token_hashes_sql`` for the
+    DuckDB-replayable family); the Arrow vote kernel is shared."""
+    if token_hashes_col is None:
+        token_hashes_col = F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        )
+    toks = docs.select(id_col, token_hashes_col.alias("token_hashes"))
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
@@ -260,14 +436,47 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
 
 def simhash_near_duplicates(
     docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = 10_000, cap_stats: dict | None = None,
+    token_hashes_col=None,
 ) -> DataFrame:
     """Near-dups by SimHash: 4×16-bit block bucket join (any pair within
     Hamming ≤ 3 shares at least one of 4 blocks, pigeonhole) + exact
     Hamming verify via bit_count(xor). ``max_bucket`` caps the per-(block,
     value) membership before the self-join — same degenerate-bucket guard
-    (and same dedup_exact-first advice) as the MinHash path."""
-    sh = simhash(docs, text_col, id_col)
+    (and same dedup_exact-first advice) as the MinHash path; pass
+    ``cap_stats={}`` for the drop counts (never a silent cap)."""
+    sh = simhash(docs, text_col, id_col, token_hashes_col)
+    if max_bucket is not None and cap_stats is not None:
+        row = (
+            sh.select(
+                F.posexplode(
+                    F.array(*[
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                        for b in range(4)
+                    ])
+                ).alias("block", "block_val")
+            )
+            .groupBy("block", "block_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("capped_buckets"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("dropped_members"),
+            )
+            .first()
+        )
+        cap_stats.update(
+            {"capped_buckets": row[0], "dropped_members": int(row[1])}
+        )
+        if cap_stats["capped_buckets"]:
+            import warnings
+
+            warnings.warn(
+                f"SimHash block cap engaged: {cap_stats['capped_buckets']} "
+                f"block-bucket(s) over max_bucket={max_bucket}, "
+                f"{cap_stats['dropped_members']} memberships dropped",
+                stacklevel=2,
+            )
     blocks = sh.select(
         id_col, "simhash",
         F.posexplode(

@@ -103,15 +103,24 @@ def quality_score(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFram
     return df.withColumn("quality", F.round(score, 2))
 
 
-def fingerprint(docs: DataFrame, window: int = 16, text_col="text", id_col="doc_id") -> DataFrame:
+def fingerprint(
+    docs: DataFrame, window: int = 16, text_col="text", id_col="doc_id",
+    base: int = 1099511628211, mod: int | None = None,
+) -> DataFrame:
     """Winnowing-style document fingerprint: rolling polynomial hash over
     bytes, min hash per window stride → xor-fold to one int64. Arrow kernel
-    (per-batch NumPy; no per-row Python)."""
+    (per-batch NumPy; no per-row Python).
+
+    Default arithmetic is uint64-wraparound with the FNV prime base; pass
+    ``base=131, mod=2³¹-1`` for the ANSI-SQL-replayable variant (for ASCII
+    text the utf-8 bytes equal the code points, so a DuckDB oracle can
+    recompute the identical fingerprint — same kernel, smaller field)."""
     src = docs.select(id_col, text_col)
     schema = StructType(
         [src.schema[id_col], StructField("fingerprint", LongType(), False)]
     )
-    B = np.uint64(1099511628211)
+    B = np.uint64(base)
+    M = None if mod is None else np.uint64(mod)
 
     def run(batches):
         for pdf in batches:
@@ -126,11 +135,13 @@ def fingerprint(docs: DataFrame, window: int = 16, text_col="text", id_col="doc_
                 pw = np.empty(w, dtype=np.uint64)
                 pw[0] = np.uint64(1)
                 for j in range(1, w):
-                    pw[j] = pw[j - 1] * B
+                    pw[j] = pw[j - 1] * B if M is None else (pw[j - 1] * B) % M
                 n_win = len(b) - w + 1
                 hashes = np.zeros(n_win, dtype=np.uint64)
                 for j in range(w):
                     hashes += b[j : j + n_win] * pw[j]
+                if M is not None:
+                    hashes %= M
                 # winnow: min per stride of w, xor-fold
                 n_strides = (n_win + w - 1) // w
                 fold = np.uint64(0)

@@ -85,3 +85,20 @@ def test_knn_k_larger_than_candidates(spark):
     out = knn.knn_join(q, cand, k=10, res=8, max_rings=80).collect()
     assert len(out) == 2  # all candidates found, never more
     assert [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_knn_releases_iteration_blocks(spark, pts):
+    """Superseded checkpoint/persist rounds are actually freed: after the
+    run completes (result collected), only O(1) persistent RDDs may remain
+    (the final accumulator backing the returned DataFrame)."""
+    q, c = pts
+
+    def ids():
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = ids()
+    out = knn.knn_join(q, c, k=3, res=8)
+    out.collect()
+    leaked = ids() - before
+    assert len(leaked) <= 1, f"leaked persistent RDDs: {sorted(leaked)}"

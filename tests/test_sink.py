@@ -118,3 +118,44 @@ def test_plugin_registry_dispatch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         P.run_plugins(spark, str(tmp_path))  # no plugin accepts a random dir
+
+
+def test_pbf_reader_rejects_dense_nodes():
+    """A PrimitiveGroup carrying DenseNodes (field 2) must fail loudly, not
+    silently return zero nodes (ADVICE r2)."""
+    import struct
+    import tempfile
+    import zlib
+
+    from morituri_spark.io import osm_pbf as P
+
+    # hand-build a minimal PBF whose single group has only a DenseNodes field
+    strings = P._len_field(1, b"")
+    dense = P._len_field(2, P._len_field(1, P._varint(2)))  # group.dense
+    block = P._len_field(1, strings) + P._len_field(2, dense)
+    blob = P._len_field(1, block)
+    header = P._len_field(1, b"OSMData") + P._varint_field(3, len(blob))
+    hdr_block = P._len_field(1, P._len_field(1, b"OsmSchema-V0.6"))
+    hdr_blob = P._len_field(1, hdr_block)
+    hdr_header = P._len_field(1, b"OSMHeader") + P._varint_field(3, len(hdr_blob))
+    with tempfile.NamedTemporaryFile(suffix=".pbf", delete=False) as f:
+        f.write(struct.pack(">I", len(hdr_header)) + hdr_header + hdr_blob)
+        f.write(struct.pack(">I", len(header)) + header + blob)
+        path = f.name
+    with pytest.raises(ValueError, match="DenseNodes"):
+        P.read_osm_pbf(path)
+
+
+def test_varint_negative_id_two_complement():
+    """Negative int64 ids encode as 64-bit two's complement (10-byte
+    varint) instead of hanging the writer."""
+    from morituri_spark.io.osm_pbf import _varint
+
+    buf = _varint(-1)
+    assert len(buf) == 10
+    # decode back
+    val, shift = 0, 0
+    for b in buf:
+        val |= (b & 0x7F) << shift
+        shift += 7
+    assert val & 0xFFFFFFFFFFFFFFFF == 0xFFFFFFFFFFFFFFFF

@@ -155,3 +155,60 @@ def test_fingerprint_deterministic_and_discriminative(spark, docs):
     assert fp1[0] == fp1[1]          # identical text → identical fingerprint
     assert fp1[0] != fp1[6]          # different text → different
     assert fp1[7] == 0               # empty doc sentinel
+
+
+def test_cap_stats_report_drops(spark, docs):
+    """No silent caps: cap_stats reports what the bucket cap dropped, and a
+    clean corpus reports zero."""
+    boiler = [(2000 + i, "identical boilerplate page footer text body") for i in range(40)]
+    adv = spark.createDataFrame(boiler, "doc_id long, text string")
+    stats = {}
+    with pytest.warns(UserWarning, match="LSH cap engaged"):
+        D.minhash_near_duplicates(adv, threshold=0.5, max_bucket=10, cap_stats=stats)
+    assert stats["capped_buckets"] > 0
+    assert stats["dropped_members"] >= 40  # every member of each capped bucket
+    clean = {}
+    D.minhash_near_duplicates(docs.where("doc_id >= 3 AND doc_id < 6"),
+                              threshold=0.5, max_bucket=10_000, cap_stats=clean)
+    assert clean == {"capped_buckets": 0, "dropped_members": 0}
+    sstats = {}
+    with pytest.warns(UserWarning, match="SimHash block cap engaged"):
+        D.simhash_near_duplicates(adv, max_hamming=3, max_bucket=10, cap_stats=sstats)
+    assert sstats["capped_buckets"] > 0 and sstats["dropped_members"] >= 40
+
+
+def test_sql_hash_family_matches_reference_python(spark, docs):
+    """The SQL-replayable affine minhash family: base-256 shingle ids and
+    (a·x+b) mod p signatures recomputed in plain Python must equal the
+    Catalyst k-min-aggregate output."""
+    params = D.affine_hash_params(8)
+    sub = docs.where("doc_id < 3")
+    sh = D.shingle_df_sql(sub, n=5)
+    sigs = {r["doc_id"]: r["sig"] for r in
+            D.minhash_signatures(sh, k=8, hash_exprs=D.affine_hash_expr(params)).collect()}
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+    p = D.MERSENNE31
+    for did, t in texts.items():
+        ids = {sum(ord(t[i + j]) * 256 ** (4 - j) for j in range(5))
+               for i in range(len(t) - 4)}
+        expect = [min((a * (x % p) + b) % p for x in ids) for a, b in params]
+        assert sigs[did] == expect, did
+
+
+def test_fingerprint_mod_variant_matches_python(spark, docs):
+    """fingerprint(base=131, mod=2^31-1) — the SQL-replayable field — must
+    match an independent Python reimplementation of winnowing."""
+    p = D.MERSENNE31
+    sub = docs.where("doc_id < 3")
+    got = {r["doc_id"]: r["fingerprint"] for r in
+           Q.fingerprint(sub, window=16, base=131, mod=p).collect()}
+    for r in sub.collect():
+        b = r["text"].encode()
+        w = 16
+        pw = [pow(131, j, p) for j in range(w)]
+        hashes = [sum(b[i + j] * pw[j] for j in range(w)) % p
+                  for i in range(len(b) - w + 1)]
+        fold = 0
+        for s in range(0, len(hashes), w):
+            fold ^= min(hashes[s:s + w])
+        assert got[r["doc_id"]] == fold

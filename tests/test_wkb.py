@@ -92,3 +92,26 @@ def test_spark_linestring_udfs(spark):
         W.wkb_to_linestring_udf(W.linestring_to_wkb_udf("geometry")).alias("g2"), "geometry"
     ).first()
     assert out["g2"] == out["geometry"]
+
+
+def test_multipolygon_nested_hole_attaches_to_deepest_exterior():
+    """Island-in-lake-in-country nesting: the lake's island ring contains a
+    pond (hole). The pond's vertex is inside BOTH the island exterior and
+    the country exterior; it must attach to the island (deepest), not the
+    country (ADVICE r2)."""
+    country = synth._rect(0.0, 0.0, 10.0, 10.0)
+    lake = synth._rect(2.0, 2.0, 8.0, 8.0)          # hole in country
+    island = synth._rect(3.0, 3.0, 7.0, 7.0)        # exterior inside lake
+    pond = synth._rect(4.0, 4.0, 6.0, 6.0)          # hole in island
+    rl = [country, lake, island, pond]
+    import pandas as pd
+
+    buf = W.multipolygon_to_wkb_udf.func(pd.Series([rl])).iloc[0]
+    t, polys = W.decode(buf)
+    assert t == W.T_MULTIPOLYGON
+    by_first = {tuple(p[0][0]): p for p in polys}
+    assert len(polys) == 2
+    country_poly = by_first[(0.0, 0.0)]
+    island_poly = by_first[(3.0, 3.0)]
+    assert lake in country_poly and pond not in country_poly
+    assert pond in island_poly
