@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # tie-order parity in the kNN oracle.
 _LON = "CAST(user_id % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
 _LAT = "CAST(40 AS DOUBLE) + CAST(event_id % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
+# event-derived lon (decorrelated from _LAT): full [0,10) spread even when
+# the user_id range is narrow
+_IMG_LON = "CAST((event_id * 7) % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
 
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
@@ -779,17 +782,32 @@ def _q_admin_boundaries(spark, sf_dir):
 
 
 def _q_minhash_neardup(spark, sf_dir):
-    from morituri_spark.text.dedup import minhash_near_duplicates
+    """Full MinHash-LSH pipeline (k-min-aggregate signatures → banding →
+    bucket join → exact-Jaccard verify), ORACLE-CHECKED: the SQL-replayable
+    affine hash family + base-256 shingle ids let DuckDB recompute the
+    identical signatures, candidate pairs, and Jaccard values."""
+    from morituri_spark.text.dedup import (
+        affine_hash_expr, affine_hash_params, minhash_near_duplicates,
+        shingle_df_sql,
+    )
 
     return minhash_near_duplicates(
-        _read(spark, sf_dir, "documents"), threshold=0.5
+        _read(spark, sf_dir, "documents"), threshold=0.5,
+        hash_exprs=affine_hash_expr(affine_hash_params(64)),
+        shingle_fn=shingle_df_sql,
     ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_neardup(spark, sf_dir):
-    from morituri_spark.text.dedup import simhash_near_duplicates
+    """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
+    Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
+    hash family (token_hashes_sql)."""
+    from morituri_spark.text.dedup import simhash_near_duplicates, token_hashes_sql
 
-    return simhash_near_duplicates(_read(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), max_hamming=6,
+        token_hashes_col=token_hashes_sql(),
+    )
 
 
 def _q_langid(spark, sf_dir):
@@ -830,17 +848,33 @@ def _langid_oracle_sql() -> str:
 
 
 def _q_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (Arrow rolling-hash kernel), ORACLE-CHECKED in
+    the SQL-replayable field (base 131 mod 2³¹-1; ASCII text ⇒ utf-8 bytes
+    = code points, so DuckDB recomputes the identical windows/min/xor)."""
+    from morituri_spark.text.dedup import MERSENNE31
     from morituri_spark.text.quality import fingerprint
 
-    return fingerprint(_read(spark, sf_dir, "documents"))
+    return fingerprint(
+        _read(spark, sf_dir, "documents"), window=16, base=131, mod=MERSENNE31
+    )
+
+
+def _ann_inputs(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
+    return q, emb
 
 
 def _q_ann_lsh(spark, sf_dir):
-    from morituri_spark.ml.simsearch import ann_topk_lsh
+    """LSH ANN (sign-bucket equi-join → exact cosine → windowed top-k),
+    ORACLE-CHECKED: ±1 Rademacher planes are embedded as literals in the
+    DuckDB oracle, which replays bucket assignment and ranking."""
+    from morituri_spark.ml.simsearch import ann_topk_lsh, rademacher_planes
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
-    return ann_topk_lsh(queries, emb, dim=64, k=3, n_bits=8)
+    q, emb = _ann_inputs(spark, sf_dir)
+    return ann_topk_lsh(
+        q, emb, dim=64, k=3, n_bits=8, planes=rademacher_planes(64, 8)
+    )
 
 
 def _q_payload_fidelity(spark, sf_dir):
@@ -944,56 +978,462 @@ def _q_wkb_roundtrip(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    from morituri_spark.ml.simsearch import ann_topk_ivf
+    """IVF ANN (inverted-list assignment → probe join → exact cosine →
+    windowed top-k), ORACLE-CHECKED with a deterministic fixed coarse
+    quantizer whose centroids the DuckDB oracle carries as literals (the
+    k-means-trained quantizer stays the data-adaptive path, pytest-pinned)."""
+    from morituri_spark.ml.simsearch import ann_topk_ivf, fixed_centroids
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 20")
-    return ann_topk_ivf(queries, emb, k=3, n_lists=16, n_probe=2)
+    q, emb = _ann_inputs(spark, sf_dir)
+    return ann_topk_ivf(
+        q, emb, k=3, n_lists=16, n_probe=2, centroids=fixed_centroids(16, 64)
+    )
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall gate for BOTH approximate ANN paths vs the exact top-k on the
+    same inputs: per (method, query) recall@3; emits the queries whose
+    recall falls below the pinned floor of 1/3 — the structural guarantee
+    that an ANN path always recovers an exact-match query (self lands in
+    its own bucket/list at cosine 1.0). Measured recall at sf0.01 is
+    LSH mean 0.37 / IVF-2probe mean 0.47 on these near-random embeddings.
+    Expected output: EMPTY (the closed-form oracle). The filter compares
+    UNROUNDED recall (1/3 rounds to 0.3333 < 1/3)."""
+    from morituri_spark.ml.simsearch import (
+        ann_topk_ivf, ann_topk_lsh, fixed_centroids, knn_join_bruteforce,
+        rademacher_planes,
+    )
+
+    q, emb = _ann_inputs(spark, sf_dir)
+    exact = knn_join_bruteforce(q, emb, k=3).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    floors = {"lsh": 1.0 / 3.0, "ivf": 1.0 / 3.0}
+    approx = {
+        "lsh": ann_topk_lsh(q, emb, dim=64, k=3, n_bits=8, planes=rademacher_planes(64, 8)),
+        "ivf": ann_topk_ivf(q, emb, k=3, n_lists=16, n_probe=2, centroids=fixed_centroids(16, 64)),
+    }
+    out = None
+    for method, df in approx.items():
+        hits = (
+            exact.join(
+                df.select("query_id", "vec_id"),
+                (exact["query_id"] == df["query_id"]) & (exact["exact_id"] == df["vec_id"]),
+                "left",
+            )
+            .groupBy(exact["query_id"].alias("query_id"))
+            .agg((F.count(df["vec_id"]) / F.lit(3.0)).alias("recall"))
+            .where(F.col("recall") < F.lit(floors[method]) - 1e-9)
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.round("recall", 4).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
 
 
 def _q_audio_features(spark, sf_dir):
-    """Real WAV/PCM16 path (multimodal/audio.py): synthesize deterministic
-    clips, decode + feature-extract through the Arrow kernel. Rows-only
-    (DuckDB cannot decode WAV); values are pinned by tests/test_audio.py."""
+    """Real WAV/PCM16 path (multimodal/audio.py), now ORACLE-CHECKED: the
+    PCM samples are a closed-form waveform ``floor(sin(((2π)·f)·t/rate)·
+    13106.8)`` that DuckDB recomputes symbolically, so the oracle derives
+    rms/peak/zero-crossings straight from the sample formula while the
+    query goes through encode_wav → decode_wav → the Arrow feature kernel.
+    A feature mismatch means the codec or kernel broke."""
     import numpy as np
     import pandas as pd
 
     from morituri_spark.multimodal import audio as A
 
     rate = 16_000
+    n = 4_000
+    t = np.arange(n, dtype=np.float64)
     rows = []
     for i in range(50):
-        rng = np.random.default_rng(1000 + i)
-        t = np.arange(rate // 4) / rate
         freq = 200.0 + 10.0 * i
-        s = (np.sin(2 * np.pi * freq * t) * 0.4 * 32767).astype(np.int16)
-        if i % 5 == 0:
-            s = (s * rng.uniform(0.2, 1.0)).astype(np.int16)
+        # expression shape mirrors the oracle SQL exactly (same op order)
+        s = np.floor(np.sin(((2 * np.pi) * freq) * t / rate) * 13106.8).astype(np.int16)
         rows.append((f"clip{i:04d}", bytes(A.encode_wav(s, rate))))
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
     return A.audio_features(df)
 
 
-def _q_zonal_stats(spark, sf_dir):
-    """Raster-feature x vector-zone zonal statistics (payload decode +
-    spatial join + per-zone aggregation)."""
-    from morituri_spark.pipelines.zonal_stats import zonal_image_stats
-    from morituri_spark.sources import synth
+def _rect_zones_lvl(spark: SparkSession) -> DataFrame:
+    """The 4×4 rect grid with an admin_lvl column (for pipelines that join
+    zone attributes)."""
+    return _rect_zones(spark).withColumn("admin_lvl", F.lit(3).cast("int"))
 
-    images = synth.images_table(spark, 500, partitions=4, px=8)
-    zones = synth.zones_table(spark)
-    return zonal_image_stats(images, zones, res=9)
+
+def _constant_images(spark, sf_dir, n: int = 500) -> DataFrame:
+    """Deterministic REAL-payload image table whose decoded pixel stats are
+    closed-form: image i is a constant-color 8×8 PNG with channels
+    (i%256, 3i%256, 7i%256) at the events-derived (lon, lat). The payload
+    goes through the real PNG encoder here and the real decoder inside
+    image_features — but mean_r/g/b, std_gray (0) and phash (0 for a
+    constant image) are SQL arithmetic, so DuckDB can oracle the zonal
+    rollup end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.sources import images as I
+
+    ev = _read(spark, sf_dir, "events").where(f"event_id < {n}")
+    base = ev.select(
+        F.col("event_id").alias("i"),
+        # decorrelated from _LAT so the points spread across the whole
+        # 4×4 zone grid (the user_id-based _LON covers only 2 columns of
+        # the grid at small sf)
+        F.expr(_IMG_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": [],
+                    "lon": [], "lat": []}
+            for i, lon, lat in zip(pdf["i"], pdf["lon"], pdf["lat"]):
+                i = int(i)
+                r, g = i % 256, (i * 3) % 256
+                # blue adjusted so r+g+b ≡ 0 (mod 3): the gray value
+                # (r+g+b)/3 is then an exact small integer, which pins
+                # phash of a constant image to exactly 0 (blocks > mean is
+                # False everywhere) — no float-representability edge
+                b = (i * 7) % 256 - ((r + g + (i * 7) % 256) % 3)
+                if b < 0:
+                    b += 3
+                arr = np.empty((8, 8, 3), dtype=np.uint8)
+                arr[:, :, 0] = r
+                arr[:, :, 1] = g
+                arr[:, :, 2] = b
+                rows["image_id"].append(f"img{i:08d}")
+                rows["bytes"].append(I.encode(arr, "png"))
+                rows["fmt"].append("png")
+                rows["w"].append(8)
+                rows["h"].append(8)
+                rows["lon"].append(float(lon))
+                rows["lat"].append(float(lat))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "image_id string, bytes binary, fmt string, w int, h int, "
+        "lon double, lat double",
+    )
+
+
+def _q_zonal_stats(spark, sf_dir):
+    """Raster-feature × vector-zone zonal statistics (payload decode +
+    spatial join + per-zone aggregation), oracle-checked via the
+    constant-color image table (_constant_images)."""
+    from morituri_spark.pipelines.zonal_stats import zonal_image_stats
+
+    return zonal_image_stats(_constant_images(spark, sf_dir), _rect_zones_lvl(spark), res=9)
 
 
 def _q_flagship_images(spark, sf_dir):
-    """Full image pipeline on a synthesized payload table (images aren't in
-    the driver's testdata; synthesis is deterministic, seed=42)."""
+    """Full flagship image pipeline (cell encode → PIP planner → tile×zone
+    rollup) over events-derived image points — oracle-checked (the round-2
+    synth-RNG variant was rows-only)."""
     from morituri_spark.pipelines import flagship
-    from morituri_spark.sources import synth
 
-    images = synth.images_table(spark, 2000, partitions=8, with_payload=False)
-    zones = synth.zones_table(spark)
-    return flagship.run_flagship(images, zones, res=10, tile_res=7)
+    ev = _read(spark, sf_dir, "events")
+    images = ev.select(
+        F.format_string("img%08d", F.col("event_id")).alias("image_id"),
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"),
+    )
+    return flagship.run_flagship(images, _rect_zones_lvl(spark), res=10, tile_res=7)
+
+
+def _shapefile_fixture_rows():
+    """Closed-form shapefile fixture shared by the query (which WRITES it
+    as real .shp/.dbf bytes and reads it back through the distributed
+    readers) and the oracle (which re-derives the expected table)."""
+    rows = []
+    for i in range(1, 41):
+        n_pts = 2 + i % 3
+        part = [[i * 0.5 + j * 0.25, i * 0.25 + j * 0.125] for j in range(n_pts)]
+        rows.append((i, part, f"Street {i}", str(30 + (i % 5) * 10)))
+    return rows
+
+
+def _q_shapefile_ingest(spark, sf_dir):
+    """S1/S2 real binary ingest: the fixture is WRITTEN as an actual ESRI
+    .shp/.shx + dBASE .dbf (io/shapefile.py writers), then read back
+    through the distributed .shx-offset readers and joined — the oracle
+    re-derives the expected rows in closed form. Golden tests against the
+    reference's faroe-islands fixture live in tests/test_shapefile.py."""
+    import tempfile
+
+    from morituri_spark.io import shapefile as S
+
+    rows = _shapefile_fixture_rows()
+    d = tempfile.mkdtemp(prefix="shp_fixture_")
+    base = f"{d}/roads"
+    S.write_shp(base + ".shp", [(i, [part]) for i, part, _n, _s in rows], S.SHAPE_POLYLINE)
+    S.write_dbf(base + ".dbf", [("ST_NAME", "C", 20), ("SPEED", "N", 3)],
+                [[n, s] for _i, _p, n, s in rows])
+    df = S.shapefile_table(spark, base)
+    return df.select(
+        "fid",
+        "shape_type",
+        F.size(F.element_at("parts", 1)).alias("n_points"),
+        F.round(F.element_at(F.element_at(F.element_at("parts", 1), 1), 1), 6).alias("x0"),
+        F.round(F.element_at(F.element_at(F.element_at("parts", 1), -1), 2), 6).alias("y_last"),
+        F.col("ST_NAME").alias("st_name"),
+        F.col("SPEED").alias("speed"),
+    )
+
+
+def _shapefile_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({i}, 3, {len(part)}, {round(part[0][0], 6)}, {round(part[-1][1], 6)}, "
+        f"'{name}', '{speed}')"
+        for i, part, name, speed in _shapefile_fixture_rows()
+    )
+    return f"""
+        SELECT CAST(fid AS BIGINT) AS fid, CAST(shape_type AS INT) AS shape_type,
+               CAST(n_points AS INT) AS n_points,
+               CAST(x0 AS DOUBLE) AS x0, CAST(y_last AS DOUBLE) AS y_last,
+               st_name, speed
+        FROM (VALUES {vals}) AS t(fid, shape_type, n_points, x0, y_last, st_name, speed)
+    """
+
+
+# --- oracle generators for the (formerly rows-only) hash/ANN/media ops ----
+#
+# Technique (FIXTURES.md §12, applied here in round 3): restructure the
+# query onto an ANSI-SQL-replayable parameterization of the SAME operator
+# (hash family / quantizer / waveform as shared literals), then have DuckDB
+# recompute the full pipeline symbolically. The engine code path under test
+# is unchanged — k-min-aggregate signatures, banding, bucket joins, Arrow
+# kernels, codecs — only the opaque JVM hash (xxhash64) / RNG inputs are
+# swapped for closed forms.
+
+
+def _minhash_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    P = MERSENNE31
+    params = affine_hash_params(64)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    sid = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i AS INT) + {j}, 1)) AS BIGINT) * {256 ** (4 - j)}"
+        for j in range(5)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, {sid} AS sid
+          FROM documents, LATERAL (
+              SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t),
+        params(pi, a, b) AS (VALUES {values}),
+        mh AS (
+          SELECT doc_id, pi, min((a * (sid % {P}) + b) % {P}) AS mv
+          FROM sh CROSS JOIN params GROUP BY doc_id, pi),
+        bands AS (
+          SELECT doc_id, pi // 4 AS band, list(mv ORDER BY pi) AS sig
+          FROM mh GROUP BY doc_id, pi // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.sid = x.sid
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    P = MERSENNE31
+    (a1, b1), (a2, b2) = affine_hash_params(2, seed=7)
+    blocks = " OR ".join(
+        f"((a.s >> {bk * 16}) & 65535) = ((b.s >> {bk * 16}) & 65535)"
+        for bk in range(4)
+    )
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '')) AS tok
+          FROM documents),
+        tid AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(1, length(tok) + 1),
+                     j -> CAST(ascii(substr(tok, CAST(j AS INT), 1)) AS BIGINT)),
+                     (acc, c) -> (acc * 131 + c) % {P}) AS t
+          FROM tk),
+        th AS (
+          SELECT doc_id,
+                 (({a1} * t + {b1}) % {P}) * {1 << 31} + (({a2} * t + {b2}) % {P}) AS h
+          FROM tid),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, LATERAL (SELECT unnest(range(0, 62)) AS j) b
+          GROUP BY 1, 2),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS s
+          FROM votes GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ({blocks}) AND bit_count(xor(a.s, b.s)) <= 6
+    """
+
+
+def _fingerprint_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31
+
+    P = MERSENNE31
+    h = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i AS INT) + {j}, 1)) AS BIGINT) * {pow(131, j, P)}"
+        for j in range(16)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, (i - 1) // 16 AS s, ({h}) % {P} AS h
+          FROM documents, LATERAL (
+              SELECT unnest(range(1, length(text) - 14)) AS i) t),
+        m AS (SELECT doc_id, s, min(h) AS mh FROM w GROUP BY 1, 2)
+        SELECT doc_id, bit_xor(mh) AS fingerprint FROM m GROUP BY 1
+    """
+
+
+def _audio_oracle_sql() -> str:
+    return """
+        WITH clips AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS i),
+        s AS (
+          SELECT i, CAST(t AS BIGINT) AS t,
+                 CAST(floor(sin(((2 * pi()) * (200.0 + 10.0 * CAST(i AS DOUBLE)))
+                      * CAST(t AS DOUBLE) / 16000.0) * 13106.8) AS BIGINT) AS v
+          FROM clips, LATERAL (SELECT unnest(range(0, 4000)) AS t) ts),
+        x AS (SELECT i, t, v, lead(v) OVER (PARTITION BY i ORDER BY t) AS nv FROM s),
+        f AS (
+          SELECT i, count(*) AS n,
+                 sqrt(avg((v / 32768.0) * (v / 32768.0))) AS rms,
+                 max(abs(v)) / 32768.0 AS peak,
+                 sum(CASE WHEN nv IS NOT NULL AND ((v < 0) != (nv < 0))
+                          THEN 1 ELSE 0 END) AS zc
+          FROM x GROUP BY i)
+        SELECT printf('clip%04d', i) AS audio_id,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               round(n / 16000.0, 6) AS duration_s,
+               round(rms, 9) AS rms,
+               round(peak, 9) AS peak,
+               round(zc / (n - 1.0), 9) AS zero_crossing_rate
+        FROM f
+    """
+
+
+def _zonal_oracle_sql() -> str:
+    return f"""
+        SELECT z.zone_id, CAST(3 AS INT) AS admin_lvl,
+               count(*) AS n_images,
+               round(avg(e.event_id % 256), 4) AS avg_r,
+               round(avg((e.event_id * 3) % 256), 4) AS avg_g,
+               round(avg(CASE WHEN (e.event_id * 7) % 256
+                                   - ((e.event_id % 256 + (e.event_id * 3) % 256
+                                      + (e.event_id * 7) % 256) % 3) < 0
+                              THEN (e.event_id * 7) % 256
+                                   - ((e.event_id % 256 + (e.event_id * 3) % 256
+                                      + (e.event_id * 7) % 256) % 3) + 3
+                              ELSE (e.event_id * 7) % 256
+                                   - ((e.event_id % 256 + (e.event_id * 3) % 256
+                                      + (e.event_id * 7) % 256) % 3)
+                         END), 4) AS avg_b,
+               CAST(0.0 AS DOUBLE) AS avg_texture,
+               CAST(0.0 AS DOUBLE) AS avg_phash_bits
+        FROM (SELECT event_id, {_IMG_LON} AS lon, {_LAT} AS lat
+              FROM events WHERE event_id < 500) e
+        JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
+          ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
+        GROUP BY z.zone_id
+    """
+
+
+def _flagship_images_oracle_sql() -> str:
+    return f"""
+        SELECT 7 * 288230376151711744
+                 + CAST(floor((e.lon + 180) / 360 * 128) AS BIGINT) * 536870912
+                 + CAST(floor((e.lat + 90) / 180 * 128) AS BIGINT) AS tile,
+               z.zone_id,
+               count(*) AS n_images,
+               min(e.image_id) AS first_image_id
+        FROM (SELECT printf('img%08d', event_id) AS image_id,
+                     {_LON} AS lon, {_LAT} AS lat FROM events) e
+        JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
+          ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
+        GROUP BY 1, 2
+    """
+
+
+def _sql_arr(row) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+
+def _ann_lsh_oracle_sql() -> str:
+    from morituri_spark.ml.simsearch import rademacher_planes
+
+    H = rademacher_planes(64, 8)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_sql_arr(H[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+        p AS (SELECT q.query_id, c.vec_id,
+                     round(CAST(list_cosine_similarity(q.qv, c.v) AS DOUBLE), 6) AS cosine
+              FROM q JOIN b c USING (bucket))
+        SELECT query_id, vec_id, CAST(rk - 1 AS INT) AS rank, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+            FROM p) t
+        WHERE rk <= 3
+    """
+
+
+def _ann_ivf_oracle_sql() -> str:
+    from morituri_spark.ml.simsearch import fixed_centroids
+
+    C = fixed_centroids(16, 64)
+    cent_vals = ", ".join(f"({j}, {_sql_arr(C[j])})" for j in range(len(C)))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent(j, c) AS (VALUES {cent_vals}),
+        ea AS (SELECT e.vec_id, e.v,
+                      (SELECT j FROM cent
+                       ORDER BY list_inner_product(e.v, c) DESC, j LIMIT 1) AS lst
+               FROM e),
+        qa AS (SELECT e.vec_id AS query_id, e.v AS qv, l.j AS lst
+               FROM e, LATERAL (SELECT j FROM cent
+                                ORDER BY list_inner_product(e.v, c) DESC, j LIMIT 2) l
+               WHERE e.vec_id < 20),
+        p AS (SELECT qa.query_id, c.vec_id,
+                     round(CAST(list_cosine_similarity(qa.qv, c.v) AS DOUBLE), 6) AS cosine
+              FROM qa JOIN ea c USING (lst))
+        SELECT query_id, vec_id, CAST(rk - 1 AS INT) AS rank, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+            FROM p) t
+        WHERE rk <= 3
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1039,21 +1479,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the query runs the INDEPENDENT Catalyst implementation)
         "zsplit_golden_vectors": _q_zsplit_golden,
         "ring_chunking_golden": _q_ring_chunk,
-        # rows-only (non-SQL-expressible)
-        "street_conversion": _q_street_conversion,
-        "turn_restrictions": _q_turn_restrictions,
-        "admin_boundaries": _q_admin_boundaries,
+        # hash/ANN/media families — oracle-checked since round 3 via
+        # SQL-replayable parameterizations (see the oracle generators above)
         "minhash_near_dup": _q_minhash_neardup,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_recall_gates": _q_ann_recall,
+        "shapefile_ingest": _q_shapefile_ingest,
         "payload_fidelity_violations": _q_payload_fidelity,
         "wkb_roundtrip_violations": _q_wkb_roundtrip,
         "audio_features": _q_audio_features,
         "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,
+        # rows-only (NumPy-RNG synth sources — the oracle-checked *_oracle
+        # variants above cover the same operator pipelines)
+        "street_conversion": _q_street_conversion,
+        "turn_restrictions": _q_turn_restrictions,
+        "admin_boundaries": _q_admin_boundaries,
     }
 
 
@@ -1286,6 +1731,35 @@ def oracle_sql() -> dict[str, str]:
         "zsplit_golden_vectors": _zsplit_oracle_sql(),
         "ring_chunking_golden": _ring_chunk_oracle_sql(),
         "langid_heuristic": _langid_oracle_sql(),
+        "minhash_near_dup": _minhash_oracle_sql(),
+        "simhash_near_dup": _simhash_oracle_sql(),
+        "doc_fingerprint": _fingerprint_oracle_sql(),
+        "audio_features": _audio_oracle_sql(),
+        "zonal_image_stats": _zonal_oracle_sql(),
+        "flagship_images": _flagship_images_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "shapefile_ingest": _shapefile_oracle_sql(),
+        # invariant gates: the closed-form expected output is the EMPTY set
+        # (codec PSNR/caption/phash invariants, WKB round-trip identity,
+        # ANN recall floors) — the oracle states that expectation with the
+        # matching schema
+        "ann_recall_gates": """
+            SELECT CAST(NULL AS VARCHAR) AS method,
+                   CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS DOUBLE) AS recall
+            WHERE FALSE
+        """,
+        "payload_fidelity_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS BOOLEAN) AS psnr_ok,
+                   CAST(NULL AS BOOLEAN) AS caption_ok,
+                   CAST(NULL AS BOOLEAN) AS phash_ok
+            WHERE FALSE
+        """,
+        "wkb_roundtrip_violations": """
+            SELECT CAST(NULL AS BIGINT) AS zone_id WHERE FALSE
+        """,
         # Expected street_ways output in closed form: segments per z-shape
         # (hand-derived from navteq.hpp:347-469, cross-checked against the 44
         # golden vectors) + the tag decision trees (tag_parser:21-221).

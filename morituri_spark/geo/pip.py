@@ -428,7 +428,10 @@ def assign_zones(
     mirroring the reference's hand-built broadcast hash joins
     (navteq.hpp:966-1009).
     """
-    n = zones.count()
+    # limit+count instead of a full count: stops scanning as soon as the
+    # threshold is exceeded, so a huge zone table costs one partition read,
+    # not a full-table aggregation, to route to the shuffle path
+    n = zones.limit(broadcast_threshold + 1).count()
     if n <= broadcast_threshold:
         return assign_zones_catalyst(points, zones, res=min(res, 10), **kw)
     return assign_zones_shuffle(points, zones, res, **kw)

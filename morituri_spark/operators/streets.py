@@ -39,6 +39,10 @@ def area_imperial_flags(mtd_area: DataFrame, cntry_ref: DataFrame) -> DataFrame:
     area — they're constant per area, so ``min`` is equivalent and
     deterministic."""
     area_govt = mtd_area.groupBy("AREA_ID").agg(F.min("GOVT_CODE").alias("GOVT_CODE"))
+    if cntry_ref is None:
+        # no MtdCntryRef layer → metric everywhere (imperial only on an
+        # explicit UNTMEASURE == 'E', tag_parser:230-258)
+        return area_govt.select("AREA_ID", F.lit(False).alias("imperial"))
     return (
         area_govt.join(F.broadcast(cntry_ref.select("GOVT_CODE", "UNTMEASURE")), "GOVT_CODE", "left")
         .select("AREA_ID", (F.col("UNTMEASURE") == "E").alias("imperial"))

@@ -159,3 +159,24 @@ def test_varint_negative_id_two_complement():
         val |= (b & 0x7F) << shift
         shift += 7
     assert val & 0xFFFFFFFFFFFFFFFF == 0xFFFFFFFFFFFFFFFF
+
+
+def test_cli_module_entry(spark, tmp_path):
+    """`python -m morituri_spark INFILE OUTFILE` — the comm2osm command
+    surface (in-process via main(); the session is reused)."""
+    from morituri_spark.__main__ import main
+
+    d = str(tmp_path / "cli_input")
+    os.makedirs(d)
+    streets = synth.streets_table(spark, n=20, n_vertices=4)
+    streets.write.parquet(f"{d}/streets.parquet")
+    synth.zlevels_table(spark, []).write.parquet(f"{d}/zlevels.parquet")
+    cdms = synth.cdms_table(spark, 20)
+    cdms.write.parquet(f"{d}/cdms.parquet")
+    synth.cnd_mod_table(spark, cdms).write.parquet(f"{d}/cnd_mod.parquet")
+    synth.mtd_area_table(spark).write.parquet(f"{d}/mtd_area.parquet")
+
+    out = str(tmp_path / "cli_out.osm")
+    assert main([d, out]) == 0
+    root = ET.parse(out).getroot()
+    assert root.tag == "osm" and len(root.findall("way")) > 0
