@@ -958,6 +958,39 @@ def _q_streaming_rollup(spark, sf_dir):
     )
 
 
+def _q_streaming_first_seen(spark, sf_dir):
+    """§2.8 CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    first-seen dedup over a re-keyed events stream (key = event_id % 500 →
+    ~20 re-deliveries per key at sf0.01). The source is ONE file → one
+    availableNow micro-batch, so the first-seen timestamp is the global
+    min and the oracle is a plain min/count aggregation."""
+    import tempfile
+
+    from morituri_spark.streaming.pipeline import stream_images
+    from morituri_spark.streaming.stateful import streaming_first_seen
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="first_seen_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = stream_images(spark, d, ev.schema, max_files_per_trigger=64)
+    out = streaming_first_seen(stream, key_col="key", ts_col="ts")
+    _STREAM_RUNS[0] += 1
+    name = f"drv_first_seen_{_STREAM_RUNS[0]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "key",
+        F.col("first_ts").cast("timestamp_ntz").alias("first_ts"),
+        "n_first",
+    )
+
+
 def _q_wkb_roundtrip(spark, sf_dir):
     """G1 WKB bridge gate: zones → MultiPolygon WKB → rings; rows where the
     ring set does not survive the round-trip (expect 0)."""
@@ -1041,22 +1074,9 @@ def _q_audio_features(spark, sf_dir):
     rms/peak/zero-crossings straight from the sample formula while the
     query goes through encode_wav → decode_wav → the Arrow feature kernel.
     A feature mismatch means the codec or kernel broke."""
-    import numpy as np
-    import pandas as pd
-
     from morituri_spark.multimodal import audio as A
 
-    rate = 16_000
-    n = 4_000
-    t = np.arange(n, dtype=np.float64)
-    rows = []
-    for i in range(50):
-        freq = 200.0 + 10.0 * i
-        # expression shape mirrors the oracle SQL exactly (same op order)
-        s = np.floor(np.sin(((2 * np.pi) * freq) * t / rate) * 13106.8).astype(np.int16)
-        rows.append((f"clip{i:04d}", bytes(A.encode_wav(s, rate))))
-    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
-    return A.audio_features(df)
+    return A.audio_features(_audio_clips_df(spark))
 
 
 def _rect_zones_lvl(spark: SparkSession) -> DataFrame:
@@ -1120,6 +1140,53 @@ def _constant_images(spark, sf_dir, n: int = 500) -> DataFrame:
         "image_id string, bytes binary, fmt string, w int, h int, "
         "lon double, lat double",
     )
+
+
+def _audio_clips_df(spark):
+    """The shared closed-form WAV clip table (see _q_audio_features)."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal import audio as A
+
+    rate, n = 16_000, 4_000
+    t = np.arange(n, dtype=np.float64)
+    rows = []
+    for i in range(50):
+        freq = 200.0 + 10.0 * i
+        s = np.floor(np.sin(((2 * np.pi) * freq) * t / rate) * 13106.8).astype(np.int16)
+        rows.append((f"clip{i:04d}", bytes(A.encode_wav(s, rate))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+
+
+def _q_audio_frames(spark, sf_dir):
+    """Fixed-window audio frame sampling (the video-frame-sampling analog):
+    50ms windows over the closed-form clips → per-frame RMS, oracle-checked
+    the same way as audio_features (DuckDB groups the symbolic samples by
+    t // 800)."""
+    from morituri_spark.multimodal import audio as A
+
+    return A.sample_audio_frames(_audio_clips_df(spark), frame_ms=50)
+
+
+def _audio_frames_oracle_sql() -> str:
+    return """
+        WITH clips AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS i),
+        s AS (
+          SELECT i, CAST(t AS BIGINT) AS t,
+                 CAST(floor(sin(((2 * pi()) * (200.0 + 10.0 * CAST(i AS DOUBLE)))
+                      * CAST(t AS DOUBLE) / 16000.0) * 13106.8) AS BIGINT) AS v
+          FROM clips, LATERAL (SELECT unnest(range(0, 4000)) AS t) ts),
+        f AS (
+          SELECT i, t // 800 AS frame_seq,
+                 sqrt(avg((v / 32768.0) * (v / 32768.0))) AS rms
+          FROM s GROUP BY 1, 2)
+        SELECT printf('clip%04d', i) AS audio_id,
+               CAST(frame_seq AS INT) AS frame_seq,
+               CAST(frame_seq * 50 AS BIGINT) AS start_ms,
+               round(rms, 9) AS rms
+        FROM f
+    """
 
 
 def _q_zonal_stats(spark, sf_dir):
@@ -1462,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
         "streaming_tile_rollup": _q_streaming_rollup,
+        "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
         "dedup_exact_groups": _q_dedup_exact,
         "shingle_counts": _q_shingle_count,
@@ -1492,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_fidelity_violations": _q_payload_fidelity,
         "wkb_roundtrip_violations": _q_wkb_roundtrip,
         "audio_features": _q_audio_features,
+        "audio_frames": _q_audio_frames,
         "zonal_image_stats": _q_zonal_stats,
         "flagship_images": _q_flagship_images,
         # rows-only (NumPy-RNG synth sources — the oracle-checked *_oracle
@@ -1670,6 +1739,11 @@ def oracle_sql() -> dict[str, str]:
               ON e.lon >= z.x0 AND e.lon < z.x1 AND e.lat >= z.y0 AND e.lat < z.y1
             GROUP BY 1, 2, 3
         """,
+        "streaming_first_seen": """
+            SELECT event_id % 500 AS key, min(ts) AS first_ts,
+                   count(*) AS n_first
+            FROM events GROUP BY 1
+        """,
         "dedup_exact_groups": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
                    count(*) AS n_docs
@@ -1735,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(),
         "doc_fingerprint": _fingerprint_oracle_sql(),
         "audio_features": _audio_oracle_sql(),
+        "audio_frames": _audio_frames_oracle_sql(),
         "zonal_image_stats": _zonal_oracle_sql(),
         "flagship_images": _flagship_images_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

@@ -25,6 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "4000000"))
 N_PAYLOAD = int(os.environ.get("BENCH_N_PAYLOAD", "20000"))
+N_MID_PIP = int(os.environ.get("BENCH_N_MID_PIP", "1000000"))
+
+
+def cpu_ticks():
+    """(total_ticks, steal_ticks) from /proc/stat — CLAUDE.md rule 6: this
+    shared host shows 2-14% steal at different times; numbers without a
+    steal record cannot be compared across runs."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
 def main() -> None:
@@ -44,11 +55,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
 
     def timed(name: str, fn):
+        c0, s0 = cpu_ticks()
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        c1, s1 = cpu_ticks()
+        steal[name] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
         return out
 
     # ---- materialize inputs once (excluded from timings) ----
@@ -75,15 +90,20 @@ def main() -> None:
         ``min_runs`` — a single non-improving early run is usually still
         interpreted, not converged. Holds ONE DataFrame — fresh plans would
         regenerate codegen source and restart JIT from zero."""
-        best = None
+        best, best_steal = None, 0.0
         for i in range(max_runs):
+            c0, s0 = cpu_ticks()
             t0 = time.perf_counter()
             df.count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            c1, s1 = cpu_ticks()
+            if best is None or dt < best:
+                best = dt
+                best_steal = 100.0 * (s1 - s0) / max(c1 - c0, 1)
             if i + 1 >= min_runs and dt <= 1.1 * best:
                 break
         timings[name] = round(best, 3)
+        steal[name] = round(best_steal, 2)
 
     # ---- flagship: images/sec through broadcast PIP + tile rollup ----
     rolled = flagship.run_flagship(images, zones, res=10, tile_res=7)
@@ -112,6 +132,28 @@ def main() -> None:
     steady_state("shuffle_pip_hot_salted", hot_auto, max_runs=3, min_runs=2)
     hot_off = pip.assign_zones_shuffle(images, heavy_zones, res=10, salt_target_work=1e18)
     steady_state("shuffle_pip_hot_unsalted", hot_off, max_runs=3, min_runs=2)
+
+    # mid-regime PIP (>4096 total edges, few zones — the production
+    # admin-boundary case): Arrow broadcast kernel (the default route since
+    # r3) vs the old covers-join + interpreted-HOF pip_expr plan. The HOF
+    # pair runs on a points SUBSET (its per-edge-per-row interpreted cost
+    # would dominate the whole bench at 4M rows); per-M-rows numbers are
+    # what to compare.
+    mid_zones = spark.createDataFrame(
+        [
+            (z, [synth._regular_polygon(
+                1.0 + 1.1 * (z % 8), 41.0 + 1.1 * (z // 8), 0.52, 102)])
+            for z in range(64)
+        ],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    mid_pts = images.limit(N_MID_PIP).persist()
+    mid_pts.count()
+    arrow_mid = pip.assign_zones_catalyst(mid_pts, mid_zones, res=8)
+    steady_state("pip_mid_arrow_broadcast", arrow_mid, max_runs=3, min_runs=2)
+    hof_mid = pip.assign_zones_catalyst(mid_pts, mid_zones, res=8, mid_strategy="hof")
+    steady_state("pip_mid_hof_covers", hof_mid, max_runs=2, min_runs=1)
+    mid_pts.unpersist()
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(
@@ -164,11 +206,46 @@ def main() -> None:
 
     timed("zsplit_20k_links", lambda: ST.street_ways(streets, zl).count())
 
+    # 10× scale stress: shows the Arrow-kernel z-split's headroom under the
+    # measured ~4.5M rows/s/node Python ceiling (input is one row per LINK,
+    # not per vertex) — expect ~linear in links
+    n_stress = 200_000
+    streets_xl = synth.streets_table(spark, n=n_stress, n_vertices=10).persist()
+    streets_xl.count()
+    zl_xl = synth.zlevels_table(
+        spark, [(10_000 + i, [0, 1, 1, 0, 0, 2, 2, 0, 3, 0]) for i in range(n_stress)]
+    ).persist()
+    zl_xl.count()
+    timed("zsplit_200k_links", lambda: ST.street_ways(streets_xl, zl_xl).count())
+    streets_xl.unpersist()
+    zl_xl.unpersist()
+
     # text dedup at sf documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from morituri_spark.text.dedup import minhash_near_duplicates
 
     timed("minhash_near_dup", lambda: minhash_near_duplicates(docs, threshold=0.5).count())
+
+    # 10× corpus stress: each replica k gets a distinct suffix so the
+    # near-dup structure is preserved without creating degenerate
+    # mass-duplicate buckets — shows the banded join + cap discipline at
+    # ~50k docs
+    docs_xl = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"), "doc_id", "text"
+        )
+        .select(
+            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", F.col("k").cast("string")).alias("text"),
+        )
+        .persist()
+    )
+    docs_xl.count()
+    timed(
+        "minhash_near_dup_50k_docs",
+        lambda: minhash_near_duplicates(docs_xl, threshold=0.5).count(),
+    )
+    docs_xl.unpersist()
 
     # ANN top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -190,9 +267,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steal_pct": steal,
                 "sf": sf,
                 "cpus": cpus,
                 "n_images": N_IMAGES,
+                "n_mid_pip": N_MID_PIP,
                 "images_per_sec_flagship": images_per_sec,
             }
         )

@@ -377,6 +377,10 @@ def assign_zones_union(
 # interpreted evaluation), which is why there is no inlined-CASE middle path.
 _UNION_EDGE_BUDGET = 4096
 
+# Above this zone COUNT the broadcast Arrow kernel's per-zone Python bbox
+# loop dominates; route to the cell-cover cogroup join instead.
+_KERNEL_ZONE_BUDGET = 4096
+
 
 def assign_zones_catalyst(
     points: DataFrame,
@@ -386,16 +390,25 @@ def assign_zones_catalyst(
     lat="lat",
     zone_id="zone_id",
     rings_col="rings",
+    mid_strategy: str = "arrow",
 ) -> DataFrame:
-    """Broadcast spatial join with ZERO Python on the point side.
+    """Broadcast spatial join, physical shape chosen by total edge count:
 
-    Two physical shapes, chosen by total edge count:
-      * small edge budget → ``assign_zones_union``: ONE whole-stage-codegen
-        scan, per-zone literal-edge tests as array elements (JIT-friendly —
-        each element becomes its own generated method), no join at all.
-      * big edge budget → cell-cover equi-join prefilter (broadcast hash
-        join) + the HOF ``pip_expr`` over the joined rings (still JVM-side,
-        no Python on the fact table).
+      * ≤ ``_UNION_EDGE_BUDGET`` edges → ``assign_zones_union``: ONE
+        whole-stage-codegen scan, per-zone literal-edge tests as array
+        elements (JIT-friendly — each element becomes its own generated
+        method), no join, no Python.
+      * above the budget (big multi-ring admin polygons) → the Arrow
+        broadcast kernel (``assign_zones_broadcast``): rings ship once in
+        the closure, one vectorized ray-cast pass per batch. BENCHED in
+        round 3 against the previous HOF-covers plan (cell-cover equi-join
+        + interpreted ``pip_expr`` fold): the HOF path measured ~20× slower
+        at 64 zones × 102 edges / 1M points (bench.py
+        ``pip_mid_hof_covers`` vs ``pip_mid_arrow_broadcast``) — Catalyst
+        higher-order functions evaluate interpreted per edge per row
+        (CLAUDE.md rule 8), while the kernel is one NumPy pass under the
+        measured ~4.5M rows/s/node Python ceiling. ``mid_strategy='hof'``
+        keeps the old plan reachable for cross-checks and re-benching.
     """
     zone_rows = [
         (r[0], r[1]) for r in zones.select(zone_id, rings_col).collect()
@@ -405,6 +418,16 @@ def assign_zones_catalyst(
 
     if n_edges <= _UNION_EDGE_BUDGET:
         return assign_zones_union(points, zone_rows, lon, lat, zone_id).select(*out_cols)
+
+    if mid_strategy == "arrow":
+        if len(zone_rows) > _KERNEL_ZONE_BUDGET:
+            # huge zone COUNT: the kernel's per-zone bbox loop would cost
+            # O(n_zones) NumPy ops per batch — the cell-cover cogroup plan
+            # (rings shipped once per zone group) is the right shape there
+            return assign_zones_shuffle(
+                points, zones, res, lon, lat, zone_id, rings_col
+            )
+        return assign_zones_broadcast(points, zones, lon, lat, zone_id, rings_col)
 
     covers = zone_covers(zones, res, zone_id, rings_col)
     pts = points.withColumn("_cell", C.cell_col(F.col(lon), F.col(lat), res))

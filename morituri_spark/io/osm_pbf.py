@@ -294,22 +294,48 @@ def read_osm_pbf(path: str) -> dict:
                 continue
             block = _Msg(payload)
             strings = [s.decode("utf-8") for s in _Msg(block.one(1)).all(1)]
+            # granularity/offset (fields 17/19/20, defaults 100/0/0): values
+            # normalize to the engine's 1e-7° fixed point (nanodeg / 100)
+            gran = _unpack_one(block.one(17)) if block.one(17) is not None else 100
+            lat_off = _unpack_one(block.one(19)) if block.one(19) is not None else 0
+            lon_off = _unpack_one(block.one(20)) if block.one(20) is not None else 0
+
+            def to_fixed(raw, off):
+                return (off + gran * raw) // 100
+
             for graw in block.all(2):
                 g = _Msg(graw)
-                if g.one(2) is not None:
-                    # DenseNodes (PrimitiveGroup field 2) — used by virtually
-                    # every real-world PBF. This validating reader only parses
-                    # plain Node groups (what the writer emits); fail loudly
-                    # instead of silently returning zero nodes.
-                    raise ValueError(
-                        "PBF contains DenseNodes (PrimitiveGroup field 2); "
-                        "this reader only supports plain Node groups"
-                    )
+                dense = g.one(2)
+                if dense is not None:
+                    # DenseNodes: delta-coded packed sint64 ids/lats/lons +
+                    # interleaved keys_vals (0 terminates a node's tags) —
+                    # what virtually every real-world PBF uses
+                    d = _Msg(dense)
+                    ids = _undelta(_unzigzag(v) for v in _unpack(d.one(1, b"")))
+                    lats = _undelta(_unzigzag(v) for v in _unpack(d.one(8, b"")))
+                    lons = _undelta(_unzigzag(v) for v in _unpack(d.one(9, b"")))
+                    kv = _unpack(d.one(10, b""))
+                    tag_iter = iter(kv)
+                    for nid, la, lo in zip(ids, lats, lons):
+                        tags = {}
+                        for k in tag_iter:
+                            if k == 0:
+                                break
+                            v = next(tag_iter)
+                            tags[strings[k]] = strings[v]
+                        out["nodes"].append(
+                            (nid, to_fixed(la, lat_off), to_fixed(lo, lon_off), tags)
+                        )
                 for nraw in g.all(1):
                     n = _Msg(nraw)
                     tags = _tags(strings, n)
                     out["nodes"].append(
-                        (_unzigzag(n.one(1)), _unzigzag(n.one(8)), _unzigzag(n.one(9)), tags)
+                        (
+                            _unzigzag(n.one(1)),
+                            to_fixed(_unzigzag(n.one(8)), lat_off),
+                            to_fixed(_unzigzag(n.one(9)), lon_off),
+                            tags,
+                        )
                     )
                 for wraw in g.all(3):
                     w = _Msg(wraw)

@@ -192,3 +192,19 @@ def test_multipolygon_islands(spark, strategy):
     else:
         got = pip.assign_zones_shuffle(pts, z, res=9)
     assert {r["image_id"] for r in got.collect()} == {"in_a", "in_b"}
+
+
+def test_catalyst_mid_regime_strategies_agree(spark, data):
+    """>4096 edges, ≤4096 zones: the default Arrow-broadcast mid-regime
+    plan and the HOF covers plan produce identical assignments (and both
+    match brute force)."""
+    images, _, _ = data
+    pts = images.select("image_id", "lon", "lat").limit(300).cache()
+    zones = _grid_zones(spark, 4, zone_id="zid", extra_vertices=80)
+    arrow = pip.assign_zones_catalyst(pts, zones, res=6, zone_id="zid")
+    hof = pip.assign_zones_catalyst(pts, zones, res=6, zone_id="zid", mid_strategy="hof")
+    a = {(r["image_id"], r["zid"]) for r in arrow.collect()}
+    h = {(r["image_id"], r["zid"]) for r in hof.collect()}
+    assert a == h
+    zones_rows = [(r["zid"], r["rings"]) for r in zones.collect()]
+    assert a == brute_force(pts.toPandas(), zones_rows)

@@ -57,3 +57,47 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     gset = {(r["tile"], r["zone_id"], r["n"]) for r in got}
     wset = {(r["tile"], r["zone_id"], r["n"]) for r in want}
     assert gset == wset and len(gset) > 0
+
+
+def test_streaming_first_seen_exactly_once(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: keys re-delivered across
+    micro-batches emit exactly once, with the first batch's min timestamp."""
+    import pandas as pd
+
+    from morituri_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "fs_src")
+    rows1 = pd.DataFrame({
+        "image_id": ["a", "b", "a"],
+        "ts": pd.to_datetime(["2026-01-01 00:00:02", "2026-01-01 00:00:05",
+                               "2026-01-01 00:00:01"]),
+    })
+    rows2 = pd.DataFrame({
+        "image_id": ["b", "c", "a"],   # b and a re-delivered
+        "ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:09",
+                               "2026-01-01 00:00:00"]),
+    })
+    schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src, mode="append")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src, mode="append")
+
+    stream = SP.stream_images(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_first_seen(stream, key_col="image_id", ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("t_first_seen")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["image_id"]: (r["first_ts"].isoformat(), r["n_first"])
+           for r in spark.table("t_first_seen").collect()}
+    # exactly once per key
+    assert sorted(got) == ["a", "b", "c"]
+    assert spark.table("t_first_seen").count() == 3
+    # c appears only in batch 2
+    assert got["c"] == ("2026-01-01T00:00:09", 1)
+    # a/b first emission came from whichever file's batch ran first; both
+    # candidate (ts, count) pairs are per-single-file — never a merge of both
+    assert got["a"] in {("2026-01-01T00:00:01", 2), ("2026-01-01T00:00:00", 1)}
+    assert got["b"] in {("2026-01-01T00:00:05", 1), ("2026-01-01T00:00:00", 1)}
