@@ -1023,6 +1023,53 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """The SCALE path of embedding near-dup (LSH sign-bucket prefilter →
+    exact cosine verify), oracle-checked with literal Rademacher planes:
+    DuckDB replays the bucket assignment and the pair verify. The exact
+    all-pairs form is oracled separately (embedding_near_dup)."""
+    from morituri_spark.ml.simsearch import rademacher_planes, with_lsh_bucket
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ab = with_lsh_bucket(
+        emb.select("vec_id", "embedding"), dim=64, n_bits=8,
+        planes=rademacher_planes(64, 8),
+    )
+    a = ab.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"), "bucket")
+    b = ab.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"), "bucket")
+    paired = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        paired.withColumn("cosine", F.round(dot / (na * nb), 6))
+        .where(F.col("cosine") >= 0.3)
+        .select("vec_a", "vec_b", "cosine")
+        .distinct()
+    )
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    from morituri_spark.ml.simsearch import rademacher_planes
+
+    H = rademacher_planes(64, 8)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_sql_arr(H[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+        SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               round(CAST(list_cosine_similarity(a.v, b2.v) AS DOUBLE), 6) AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE round(CAST(list_cosine_similarity(a.v, b2.v) AS DOUBLE), 6) >= 0.3
+    """
+
+
 def _q_ann_recall(spark, sf_dir):
     """Recall gate for BOTH approximate ANN paths vs the exact top-k on the
     same inputs: per (method, query) recall@3; emits the queries whose
@@ -1537,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ratios": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # composed reference entry points (oracle-checked)
         "street_ways_oracle": _q_street_ways_oracle,
@@ -1815,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "shapefile_ingest": _shapefile_oracle_sql(),
+        "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
         # invariant gates: the closed-form expected output is the EMPTY set
         # (codec PSNR/caption/phash invariants, WKB round-trip identity,
         # ANN recall floors) — the oracle states that expectation with the

@@ -226,18 +226,21 @@ def main() -> None:
 
     timed("minhash_near_dup", lambda: minhash_near_duplicates(docs, threshold=0.5).count())
 
-    # 10× corpus stress: each replica k gets a distinct suffix so the
-    # near-dup structure is preserved without creating degenerate
-    # mass-duplicate buckets — shows the banded join + cap discipline at
-    # ~50k docs
+    # 10× corpus stress at ~50k docs: replica k remaps the 9 most common
+    # letters (rotation k of 'etaoinshr'), so WITHIN a replica the corpus's
+    # near-dup structure is preserved while ACROSS replicas shingles share
+    # almost nothing — output pairs scale ~10×, not quadratically (a
+    # suffix-only variant made every replica family a near-dup clique:
+    # 45 true pairs per doc — a different, output-bound benchmark)
+    alph = "etaoinshr"
+    tx = F.col("text")
+    for k in range(1, 10):
+        tx = F.when(F.col("k") == k, F.translate("text", alph, alph[k:] + alph[:k])).otherwise(tx)
     docs_xl = (
         docs.select(
             F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"), "doc_id", "text"
         )
-        .select(
-            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
-            F.concat_ws(" ", "text", F.col("k").cast("string")).alias("text"),
-        )
+        .select((F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"), tx.alias("text"))
         .persist()
     )
     docs_xl.count()

@@ -402,8 +402,8 @@ def assign_zones_catalyst(
         broadcast kernel (``assign_zones_broadcast``): rings ship once in
         the closure, one vectorized ray-cast pass per batch. BENCHED in
         round 3 against the previous HOF-covers plan (cell-cover equi-join
-        + interpreted ``pip_expr`` fold): the HOF path measured ~20× slower
-        at 64 zones × 102 edges / 1M points (bench.py
+        + interpreted ``pip_expr`` fold): the HOF path measured 24-45× slower
+        at 64 zones × 102 edges (100k and 1M points) (bench.py
         ``pip_mid_hof_covers`` vs ``pip_mid_arrow_broadcast``) — Catalyst
         higher-order functions evaluate interpreted per edge per row
         (CLAUDE.md rule 8), while the kernel is one NumPy pass under the
