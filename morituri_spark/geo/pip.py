@@ -391,6 +391,7 @@ def assign_zones_catalyst(
     zone_id="zone_id",
     rings_col="rings",
     mid_strategy: str = "arrow",
+    kernel_zone_budget: int = _KERNEL_ZONE_BUDGET,
 ) -> DataFrame:
     """Broadcast spatial join, physical shape chosen by total edge count:
 
@@ -420,7 +421,7 @@ def assign_zones_catalyst(
         return assign_zones_union(points, zone_rows, lon, lat, zone_id).select(*out_cols)
 
     if mid_strategy == "arrow":
-        if len(zone_rows) > _KERNEL_ZONE_BUDGET:
+        if len(zone_rows) > kernel_zone_budget:
             # huge zone COUNT: the kernel's per-zone bbox loop would cost
             # O(n_zones) NumPy ops per batch — the cell-cover cogroup plan
             # (rings shipped once per zone group) is the right shape there

@@ -208,3 +208,17 @@ def test_catalyst_mid_regime_strategies_agree(spark, data):
     assert a == h
     zones_rows = [(r["zid"], r["rings"]) for r in zones.collect()]
     assert a == brute_force(pts.toPandas(), zones_rows)
+
+
+def test_catalyst_mid_regime_zone_budget_fallthrough(spark, data):
+    """>4096 edges AND zone count above the kernel budget → the catalyst
+    route falls through to the cogroup shuffle plan; results unchanged."""
+    images, _, _ = data
+    pts = images.select("image_id", "lon", "lat").limit(200).cache()
+    zones = _grid_zones(spark, 4, zone_id="zid", extra_vertices=80)
+    got = pip.assign_zones_catalyst(
+        pts, zones, res=6, zone_id="zid", kernel_zone_budget=4
+    )
+    got_set = {(r["image_id"], r["zid"]) for r in got.collect()}
+    zones_rows = [(r["zid"], r["rings"]) for r in zones.collect()]
+    assert got_set == brute_force(pts.toPandas(), zones_rows)

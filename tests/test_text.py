@@ -212,3 +212,14 @@ def test_fingerprint_mod_variant_matches_python(spark, docs):
         for s in range(0, len(hashes), w):
             fold ^= min(hashes[s:s + w])
         assert got[r["doc_id"]] == fold
+
+
+def test_sig_prefilter_preserves_results(spark, docs):
+    """Signature-agreement prefilter (scale path): same pairs as the exact
+    verify on the test corpus (margin 0.15 at k=64)."""
+    base = {(r["doc_a"], r["doc_b"]) for r in
+            D.minhash_near_duplicates(docs.where("doc_id != 7"), threshold=0.5).collect()}
+    pre = {(r["doc_a"], r["doc_b"]) for r in
+           D.minhash_near_duplicates(docs.where("doc_id != 7"), threshold=0.5,
+                                     sig_prefilter_margin=0.15).collect()}
+    assert base == pre and len(base) > 0
