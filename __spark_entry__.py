@@ -31,6 +31,12 @@ _LAT = "CAST(40 AS DOUBLE) + CAST(event_id % 1000 AS DOUBLE) / CAST(100 AS DOUBL
 # the user_id range is narrow
 _IMG_LON = "CAST((event_id * 7) % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)"
 
+# globe-spanning derivation for the Z-order layout query: pruning layers only
+# earn their keep when points cover many coarse cells
+_GLON = "CAST((event_id * 7919) % 360000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(180 AS DOUBLE)"
+_GLAT = "CAST((event_id * 104729) % 180000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(90 AS DOUBLE)"
+_LAYOUT_BBOX = (-30.0, -45.0, 60.0, 30.0)
+
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
 _ZONES_SQL = ", ".join(
@@ -324,6 +330,32 @@ def _q_tile_zone_rollup(spark, sf_dir):
         assigned.withColumn("tile", C.cell_col(F.col("lon"), F.col("lat"), 6))
         .groupBy("tile", "zone_id")
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("point_id").alias("first_id"))
+    )
+
+
+def _q_spatial_layout(spark, sf_dir):
+    """Z-order-clustered layout write + doubly-pruned bbox read (io/layout).
+
+    Writes a globe-spanning event point cloud cell-partitioned and
+    Morton-sorted, reads a bbox back through partition pruning + row-group
+    zorder stats + exact refine, and aggregates. The DuckDB oracle computes
+    the same aggregate with a plain WHERE over the source table — a hash
+    match proves the pruned read path loses and invents nothing.
+    """
+    import os
+
+    from morituri_spark.io import layout
+
+    pts = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    path = f"/tmp/morituri_layout_{os.path.basename(sf_dir.rstrip('/'))}"
+    layout.write_spatial(pts, path, res_part=3, res_sort=14)
+    box = layout.read_bbox(spark, path, *_LAYOUT_BBOX)
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
 
 
@@ -1575,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
+        "spatial_layout_bbox": _q_spatial_layout,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -1717,6 +1750,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, CAST(floor((l_linenumber - 1) / 3) AS BIGINT) AS chunk,
                    count(*) AS n_in_chunk
             FROM lineitem GROUP BY 1, 2
+        """,
+        "spatial_layout_bbox": f"""
+            SELECT event_type, count(*) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM (SELECT event_type, value, {_GLON} AS lon, {_GLAT} AS lat FROM events)
+            WHERE lon BETWEEN {_LAYOUT_BBOX[0]} AND {_LAYOUT_BBOX[2]}
+              AND lat BETWEEN {_LAYOUT_BBOX[1]} AND {_LAYOUT_BBOX[3]}
+            GROUP BY event_type
         """,
         "pip_zone_assign_broadcast": f"""
             SELECT e.event_id AS point_id, z.zone_id

@@ -1,0 +1,110 @@
+"""Z-order spatial layout: key math, pruning layers, exactness."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.geo import cells
+from morituri_spark.io import layout
+
+
+def _random_points(n, seed=7):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-89.9, 89.9, n)
+    return lon, lat
+
+
+def test_spread_bits_known_values():
+    assert layout.spread_bits(np.array([0b1011]))[0] == 0b1000101
+    assert layout.spread_bits(np.array([0b11111]))[0] == 0b101010101
+    # full-width 29-bit input stays within 58 bits
+    v = layout.spread_bits(np.array([(1 << 29) - 1]))[0]
+    assert v == int("01" * 29, 2)
+
+
+def test_catalyst_zorder_matches_numpy(spark):
+    lon, lat = _random_points(2000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    got = np.array(
+        [r[0] for r in df.select(layout.zorder_col(F.col("lon"), F.col("lat"), 14)).collect()]
+    )
+    want = layout.zorder_np(lon, lat, 14)
+    assert (got == want).all()
+
+
+def test_morton_corner_bound_contains_bbox_cells():
+    # every point inside the bbox codes between the two corner codes
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        lon0, lat0 = rng.uniform(-170, 160), rng.uniform(-80, 70)
+        lon1, lat1 = lon0 + rng.uniform(0.1, 9), lat0 + rng.uniform(0.1, 9)
+        zmin, zmax = layout.morton_range(lon0, lat0, lon1, lat1, 12)
+        lon = rng.uniform(lon0, lon1, 500)
+        lat = rng.uniform(lat0, lat1, 500)
+        z = layout.zorder_np(lon, lat, 12)
+        assert z.min() >= zmin and z.max() <= zmax
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "pts")
+    lon, lat = _random_points(60_000, seed=3)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "pid long, lon double, lat double",
+    )
+    layout.write_spatial(
+        df, path, res_part=3, res_sort=14,
+        parquet_options={"parquet.block.size": str(64 * 1024)},
+    )
+    return path, df
+
+
+BBOX = (12.0, 40.0, 58.0, 71.0)
+
+
+def test_read_bbox_exact(spark, clustered):
+    path, df = clustered
+    got = sorted(
+        r.pid for r in layout.read_bbox(spark, path, *BBOX).select("pid").collect()
+    )
+    want = sorted(
+        r.pid
+        for r in df.where(
+            F.col("lon").between(BBOX[0], BBOX[2]) & F.col("lat").between(BBOX[1], BBOX[3])
+        ).select("pid").collect()
+    )
+    assert got == want and len(want) > 100
+
+
+def test_read_bbox_plan_has_both_pruning_layers(spark, clustered):
+    import contextlib
+    import io
+
+    path, _ = clustered
+    df = layout.read_bbox(spark, path, *BBOX)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell_p" in plan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(zorder" in plan and "LessThanOrEqual(zorder" in plan
+
+
+def test_row_group_pruning_engages(clustered):
+    path, _ = clustered
+    zmin, zmax = layout.morton_range(*BBOX, 14)
+    st = layout.prune_stats(path, zmin, zmax)
+    assert st["row_groups_total"] > 8, st
+    # clustering means most row groups do NOT overlap a small bbox range
+    assert st["row_groups_overlapping"] < st["row_groups_total"] * 0.6, st
+
+
+def test_meta_roundtrip(spark, clustered):
+    path, _ = clustered
+    meta = layout.read_layout_meta(spark, path)
+    assert int(meta["res_part"]) == 3 and int(meta["res_sort"]) == 14
