@@ -359,6 +359,33 @@ def _q_spatial_layout(spark, sf_dir):
     )
 
 
+def _q_bucketed_join(spark, sf_dir):
+    """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
+    the key, joined exchange-free (asserted in tests/test_bucketed.py), then
+    rolled up. The oracle is the plain join — a hash match proves the
+    pre-shuffled layout changes the plan, not the answer.
+    """
+    import os
+
+    from morituri_spark.io import bucketed
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    base = f"/tmp/morituri_bucketed_{suffix}"
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    bucketed.write_bucketed(orders, f"t_orders_{suffix}", "custkey", 8, path=f"{base}/orders")
+    bucketed.write_bucketed(cust, f"t_cust_{suffix}", "custkey", 8, path=f"{base}/customer")
+    joined = bucketed.cobucketed_join(spark, f"t_orders_{suffix}", f"t_cust_{suffix}", "custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def _q_knn_ring(spark, sf_dir):
     """J11 kNN via geocell ring expansion, full SQL oracle (cross join +
     QUALIFY row_number in DuckDB)."""
@@ -1608,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zone_rollup": _q_tile_zone_rollup,
         "knn_ring_expansion": _q_knn_ring,
         "spatial_layout_bbox": _q_spatial_layout,
+        "bucketed_join_rollup": _q_bucketed_join,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -1758,6 +1786,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon BETWEEN {_LAYOUT_BBOX[0]} AND {_LAYOUT_BBOX[2]}
               AND lat BETWEEN {_LAYOUT_BBOX[1]} AND {_LAYOUT_BBOX[3]}
             GROUP BY event_type
+        """,
+        "bucketed_join_rollup": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "pip_zone_assign_broadcast": f"""
             SELECT e.event_id AS point_id, z.zone_id
