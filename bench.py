@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "4000000"))
 N_PAYLOAD = int(os.environ.get("BENCH_N_PAYLOAD", "20000"))
 N_MID_PIP = int(os.environ.get("BENCH_N_MID_PIP", "1000000"))
+N_LAYOUT = int(os.environ.get("BENCH_N_LAYOUT", "20000000"))
 
 
 def cpu_ticks():
@@ -151,9 +152,42 @@ def main() -> None:
     mid_pts.count()
     arrow_mid = pip.assign_zones_catalyst(mid_pts, mid_zones, res=8)
     steady_state("pip_mid_arrow_broadcast", arrow_mid, max_runs=3, min_runs=2)
-    hof_mid = pip.assign_zones_catalyst(mid_pts, mid_zones, res=8, mid_strategy="hof")
-    steady_state("pip_mid_hof_covers", hof_mid, max_runs=2, min_runs=1)
+    # the interpreted-HOF loser runs on a 10× smaller subset (measured 72×
+    # slower per row — 140s at 1M rows tells us nothing 14s at 100k doesn't);
+    # compare per-M-rows: hof_time*10 vs arrow_time
+    hof_pts = images.limit(N_MID_PIP // 10).persist()
+    hof_pts.count()
+    hof_mid = pip.assign_zones_catalyst(hof_pts, mid_zones, res=8, mid_strategy="hof")
+    steady_state("pip_mid_hof_covers_tenth", hof_mid, max_runs=2, min_runs=1)
     mid_pts.unpersist()
+    hof_pts.unpersist()
+
+    # spatial layout: Z-order clustered vs row-ordered control, same logical
+    # bbox query (io/layout) — the write pays once, every later scan prunes
+    from morituri_spark.io import layout as LAY
+
+    lay_pts = spark.range(N_LAYOUT).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 180000).cast("double") / 1000.0 - 90.0).alias("lat"),
+    )
+    LAY.write_spatial(lay_pts, "/tmp/bench_layout_clustered", res_part=3, res_sort=14)
+    (
+        lay_pts.withColumn("zorder", LAY.zorder_col(F.col("lon"), F.col("lat"), 14))
+        .withColumn("cell_p", C.cell_col(F.col("lon"), F.col("lat"), 3))
+        .write.mode("overwrite").parquet("/tmp/bench_layout_control")
+    )
+    bbox = (-30.0, -45.0, 60.0, 30.0)
+    clustered_q = LAY.read_bbox(spark, "/tmp/bench_layout_clustered", *bbox)
+    control_q = LAY.read_bbox(
+        spark, "/tmp/bench_layout_control", *bbox, res_part=3, res_sort=14, lon="lon", lat="lat"
+    )
+    steady_state("layout_bbox_clustered", clustered_q, max_runs=3, min_runs=2)
+    steady_state("layout_bbox_roworder_control", control_q, max_runs=3, min_runs=2)
+    # wall-clock here is page-cache-warm local IO; the scale currency is
+    # bytes NOT read — the row-group overlap ratio below (cold object-store
+    # scans pay for every non-pruned group)
+    prune = LAY.prune_stats("/tmp/bench_layout_clustered", LAY.morton_ranges(*bbox, 14))
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(
@@ -282,6 +316,10 @@ def main() -> None:
                 "n_images": N_IMAGES,
                 "n_mid_pip": N_MID_PIP,
                 "images_per_sec_flagship": images_per_sec,
+                "layout_row_groups_pruned": f"{prune['row_groups_overlapping']}/{prune['row_groups_total']} overlap",
+                "layout_rows_in_overlap_pct": round(
+                    100.0 * prune["rows_in_overlapping_groups"] / max(prune["rows_total"], 1), 1
+                ),
             }
         )
     )

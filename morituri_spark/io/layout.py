@@ -75,6 +75,72 @@ def morton_range(lon_min, lat_min, lon_max, lat_max, res: int):
     return zmin, zmax
 
 
+def _interleave2(x: int, y: int) -> int:
+    return int(spread_bits(np.array([x]))[0]) | (int(spread_bits(np.array([y]))[0]) << 1)
+
+
+def morton_ranges(lon_min, lat_min, lon_max, lat_max, res: int, max_ranges: int = 32):
+    """Quadtree-split Z-ranges covering the bbox (tight BIGMIN-style pruning).
+
+    The single corner-to-corner range is a valid bound but mostly dead
+    space for wide boxes (the Z-curve leaves and re-enters the box). An
+    axis-aligned quad at depth d maps to ONE contiguous z-interval of
+    length 4^(res-d), so covering the bbox with ≤``max_ranges`` quads and
+    merging adjacent intervals yields a small OR-of-BETWEENs that parquet
+    row-group stats can prune against. Quads that still straddle the
+    boundary when the budget runs out are emitted whole — every returned
+    set is a superset of the exact cell range, never a subset.
+    """
+    c0 = int(cells.latlng_to_cell(np.array([lon_min]), np.array([lat_min]), res)[0])
+    c1 = int(cells.latlng_to_cell(np.array([lon_max]), np.array([lat_max]), res)[0])
+    x0, y0 = (c0 >> _X_SHIFT) & _MASK29, c0 & _MASK29
+    x1, y1 = (c1 >> _X_SHIFT) & _MASK29, c1 & _MASK29
+
+    intervals: list[tuple[int, int]] = []
+    frontier = [(0, 0, 0)]  # (depth, qx, qy); quad side = 2^(res - depth) cells
+    while frontier:
+        partials = []
+        for depth, qx, qy in frontier:
+            s = res - depth
+            cx0, cy0 = qx << s, qy << s
+            cx1, cy1 = cx0 + (1 << s) - 1, cy0 + (1 << s) - 1
+            if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+                continue
+            if cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1:
+                z0 = _interleave2(cx0, cy0)
+                intervals.append((z0, z0 + (1 << (2 * s)) - 1))
+            else:
+                partials.append((depth, qx, qy))
+        if not partials:
+            break
+        if len(intervals) + 4 * len(partials) > max_ranges or partials[0][0] == res:
+            for depth, qx, qy in partials:  # out of budget: emit whole quads
+                s = res - depth
+                z0 = _interleave2(qx << s, qy << s)
+                intervals.append((z0, z0 + (1 << (2 * s)) - 1))
+            break
+        frontier = [
+            (d + 1, qx * 2 + dx, qy * 2 + dy)
+            for d, qx, qy in partials
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+    # clip to the corner bound (also a valid superset — the intersection of
+    # two supersets is one): budget-exhausted whole quads overhang it
+    zmin, zmax = _interleave2(x0, y0), _interleave2(x1, y1)
+    intervals = [
+        (max(lo, zmin), min(hi, zmax)) for lo, hi in intervals if hi >= zmin and lo <= zmax
+    ]
+    intervals.sort()
+    merged = [intervals[0]]
+    for lo, hi in intervals[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # Catalyst forms (pure bit math — stays inside whole-stage codegen)
 # ---------------------------------------------------------------------------
@@ -158,11 +224,14 @@ def read_bbox(
     res_sort: int | None = None,
     lon: str | None = None,
     lat: str | None = None,
+    max_ranges: int = 32,
 ) -> DataFrame:
     """Exact bbox read through both pruning layers + refine filter.
 
     Layout parameters default to the ``_layout_meta`` sidecar written by
-    :func:`write_spatial`.
+    :func:`write_spatial`. The zorder predicate is an OR of the
+    quadtree-split :func:`morton_ranges` (parquet pushes disjunctions of
+    range filters down to row-group stats).
     """
     if None in (res_part, res_sort, lon, lat):
         meta = read_layout_meta(spark, path)
@@ -171,25 +240,119 @@ def read_bbox(
         lon = lon or meta["lon"]
         lat = lat or meta["lat"]
     cover = [int(c) for c in cells.cover_bbox(lon_min, lat_min, lon_max, lat_max, res_part)]
-    zmin, zmax = morton_range(lon_min, lat_min, lon_max, lat_max, res_sort)
+    ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res_sort, max_ranges=max_ranges)
+    zpred = None
+    for zlo, zhi in ranges:
+        p = F.col("zorder").between(F.lit(zlo), F.lit(zhi))
+        zpred = p if zpred is None else (zpred | p)
     df = spark.read.parquet(path)
     return df.where(
         F.col("cell_p").isin(cover)
-        & F.col("zorder").between(F.lit(zmin), F.lit(zmax))
+        & zpred
         & F.col(lon).between(F.lit(float(lon_min)), F.lit(float(lon_max)))
         & F.col(lat).between(F.lit(float(lat_min)), F.lit(float(lat_max)))
     )
 
 
-def prune_stats(path: str, zmin: int, zmax: int) -> dict:
+def cell_z_interval(cell: int, res_sort: int) -> tuple[int, int]:
+    """The contiguous [z0, z1] interval of ``res_sort`` Morton codes whose
+    points fall inside ``cell`` (any resolution ≤ res_sort): an aligned
+    quad maps to exactly one Z-interval of length 4^(res_sort - res)."""
+    r = int(cells.cell_res(cell))
+    if r > res_sort:
+        raise ValueError(f"cell res {r} exceeds layout sort res {res_sort}")
+    s = res_sort - r
+    x = (cell >> _X_SHIFT) & _MASK29
+    y = cell & _MASK29
+    z0 = _interleave2(x << s, y << s)
+    return z0, z0 + (1 << (2 * s)) - 1
+
+
+def read_cells(
+    spark: SparkSession,
+    path: str,
+    cell_ids,
+    res_part: int | None = None,
+    res_sort: int | None = None,
+) -> DataFrame:
+    """EXACT read of the points inside a set of cells (kNN ring/disk
+    neighborhoods, polygon covers from :func:`cells.polygon_cover`).
+
+    Unlike :func:`read_bbox` no refine filter is needed: an aligned quad's
+    Z-interval contains precisely its descendant codes, so interval
+    membership IS cell membership at ``res_sort`` granularity. Intervals
+    are merged before planning (adjacent ring cells collapse), and the
+    directory layer prunes on each cell's ``res_part`` ancestor.
+    """
+    if None in (res_part, res_sort):
+        meta = read_layout_meta(spark, path)
+        res_part = res_part if res_part is not None else int(meta["res_part"])
+        res_sort = res_sort if res_sort is not None else int(meta["res_sort"])
+    cell_ids = [int(c) for c in cell_ids]
+    parents: set[int] = set()
+    for c in cell_ids:
+        r = int(cells.cell_res(c))
+        if r >= res_part:
+            parents.add(int(cells.cell_to_parent(c, res_part)))
+        else:  # coarser than the partition layer: expand to descendants
+            d = res_part - r
+            x = (c >> _X_SHIFT) & _MASK29
+            y = c & _MASK29
+            for i in range(1 << d):
+                for j in range(1 << d):
+                    parents.add(int(cells.pack_cell(res_part, (x << d) + i, (y << d) + j)))
+    parents = sorted(parents)
+    intervals = sorted(cell_z_interval(c, res_sort) for c in cell_ids)
+    merged = [intervals[0]]
+    for lo, hi in intervals[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    zpred = None
+    for zlo, zhi in merged:
+        p = F.col("zorder").between(F.lit(zlo), F.lit(zhi))
+        zpred = p if zpred is None else (zpred | p)
+    return spark.read.parquet(path).where(F.col("cell_p").isin(parents) & zpred)
+
+
+def read_polygon(
+    spark: SparkSession,
+    path: str,
+    rings,
+    res_cover: int = 8,
+    res_part: int | None = None,
+    res_sort: int | None = None,
+) -> DataFrame:
+    """Exact read of the points inside a polygon through the layout: the
+    polygon's cell cover (:func:`cells.polygon_cover` at ``res_cover``)
+    prunes the scan via :func:`read_cells`, then the candidate slice runs
+    the real ray-cast refine (geo.pip planner on a single literal zone) —
+    the layout-backed form of the engine's spatial join.
+    """
+    from morituri_spark.geo import pip
+
+    cover = cells.polygon_cover(rings, res_cover)
+    cand = read_cells(spark, path, cover, res_part=res_part, res_sort=res_sort)
+    zone = spark.createDataFrame(
+        [(0, [[[float(x), float(y)] for x, y in ring] for ring in rings])],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    return pip.assign_zones(cand, zone, res=res_cover).drop("zone_id")
+
+
+def prune_stats(path: str, ranges) -> dict:
     """Row-group-level evidence that the zorder clustering prunes: walks the
     parquet footers (local paths; at scale the engine relies on the scan's
     own stats filtering rather than this audit) and counts row groups whose
-    [min, max] zorder overlaps the query range."""
+    [min, max] zorder overlaps any query range. ``ranges`` is a (zmin, zmax)
+    pair or a list of them (the :func:`morton_ranges` output)."""
     import os
 
     import pyarrow.parquet as pq
 
+    if ranges and isinstance(ranges[0], (int, np.integer)):
+        ranges = [tuple(ranges)]
     total = kept = 0
     rows_total = rows_kept = 0
     for root, _dirs, files in os.walk(path):
@@ -202,7 +365,7 @@ def prune_stats(path: str, zmin: int, zmax: int) -> dict:
                 st = md.row_group(rg).column(zidx).statistics
                 total += 1
                 rows_total += md.row_group(rg).num_rows
-                if st is None or (st.min <= zmax and st.max >= zmin):
+                if st is None or any(st.min <= zhi and st.max >= zlo for zlo, zhi in ranges):
                     kept += 1
                     rows_kept += md.row_group(rg).num_rows
     return {

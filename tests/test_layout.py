@@ -48,6 +48,25 @@ def test_morton_corner_bound_contains_bbox_cells():
         assert z.min() >= zmin and z.max() <= zmax
 
 
+def test_morton_ranges_cover_bbox_and_tighten():
+    rng = np.random.default_rng(23)
+    for _ in range(15):
+        lon0, lat0 = rng.uniform(-170, 120), rng.uniform(-80, 40)
+        lon1, lat1 = lon0 + rng.uniform(1, 40), lat0 + rng.uniform(1, 40)
+        ranges = layout.morton_ranges(lon0, lat0, lon1, lat1, 12, max_ranges=32)
+        assert 1 <= len(ranges) <= 32
+        # superset property: every in-box point's code falls in some range
+        lon = rng.uniform(lon0, lon1, 400)
+        lat = rng.uniform(lat0, lat1, 400)
+        for z in layout.zorder_np(lon, lat, 12):
+            assert any(lo <= z <= hi for lo, hi in ranges)
+        # tightening: total covered width never exceeds the corner bound
+        zmin, zmax = layout.morton_range(lon0, lat0, lon1, lat1, 12)
+        width = sum(hi - lo + 1 for lo, hi in ranges)
+        assert width <= zmax - zmin + 1
+        assert ranges[0][0] >= zmin and ranges[-1][1] <= zmax
+
+
 @pytest.fixture(scope="module")
 def clustered(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("layout") / "pts")
@@ -97,14 +116,77 @@ def test_read_bbox_plan_has_both_pruning_layers(spark, clustered):
 
 def test_row_group_pruning_engages(clustered):
     path, _ = clustered
-    zmin, zmax = layout.morton_range(*BBOX, 14)
-    st = layout.prune_stats(path, zmin, zmax)
-    assert st["row_groups_total"] > 8, st
+    single = layout.prune_stats(path, layout.morton_range(*BBOX, 14))
+    multi = layout.prune_stats(path, layout.morton_ranges(*BBOX, 14))
+    assert single["row_groups_total"] > 8, single
     # clustering means most row groups do NOT overlap a small bbox range
-    assert st["row_groups_overlapping"] < st["row_groups_total"] * 0.6, st
+    assert single["row_groups_overlapping"] < single["row_groups_total"] * 0.6, single
+    # quadtree-split ranges prune at least as hard as the corner bound
+    assert multi["row_groups_overlapping"] <= single["row_groups_overlapping"], (multi, single)
 
 
 def test_meta_roundtrip(spark, clustered):
     path, _ = clustered
     meta = layout.read_layout_meta(spark, path)
     assert int(meta["res_part"]) == 3 and int(meta["res_sort"]) == 14
+
+
+def _expected_in_cells(df, cell_ids, res_sort):
+    import pandas as pd
+
+    pdf = df.toPandas()
+    fine = cells.latlng_to_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), res_sort)
+    keep = pd.Series(False, index=pdf.index)
+    for c in cell_ids:
+        r = int(cells.cell_res(c))
+        keep |= pd.Series(
+            np.asarray(cells.cell_to_parent(fine, r)) == c, index=pdf.index
+        )
+    return sorted(pdf.loc[keep, "pid"].tolist())
+
+
+def test_read_cells_exact_ring(spark, clustered):
+    # kNN-style neighborhood: a grid_disk at a res between part and sort
+    path, df = clustered
+    center = int(cells.latlng_to_cell(np.array([20.0]), np.array([50.0]), 8)[0])
+    disk = [int(c) for c in cells.grid_disk(center, 2)]
+    got = sorted(r.pid for r in layout.read_cells(spark, path, disk).select("pid").collect())
+    assert got == _expected_in_cells(df, disk, 14) and len(got) > 10
+
+
+def test_read_cells_coarser_than_partition_layer(spark, clustered):
+    # a res-1 cell is coarser than res_part=3: must expand to descendants
+    path, df = clustered
+    coarse = int(cells.latlng_to_cell(np.array([-100.0]), np.array([-40.0]), 1)[0])
+    got = sorted(
+        r.pid for r in layout.read_cells(spark, path, [coarse]).select("pid").collect()
+    )
+    assert got == _expected_in_cells(df, [coarse], 14) and len(got) > 1000
+
+
+def test_read_polygon_exact(spark, clustered):
+    # layout-backed spatial join: pruned read + ray-cast refine == full-scan PIP
+    from morituri_spark.geo import pip
+
+    path, df = clustered
+    ring = [[10.0, 45.0], [40.0, 42.0], [55.0, 60.0], [25.0, 68.0], [10.0, 45.0]]
+    got = sorted(
+        r.pid
+        for r in layout.read_polygon(spark, path, [ring]).select("pid").collect()
+    )
+    zone = spark.createDataFrame(
+        [(0, [ring])], "zone_id long, rings array<array<array<double>>>"
+    )
+    want = sorted(
+        r.pid for r in pip.assign_zones_broadcast(df, zone).select("pid").collect()
+    )
+    assert got == want and len(want) > 100
+
+
+def test_read_cells_at_sort_res_single_cell(spark, clustered):
+    path, df = clustered
+    target = int(cells.latlng_to_cell(np.array([20.0]), np.array([50.0]), 14)[0])
+    got = sorted(
+        r.pid for r in layout.read_cells(spark, path, [target]).select("pid").collect()
+    )
+    assert got == _expected_in_cells(df, [target], 14)
