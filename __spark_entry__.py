@@ -359,6 +359,46 @@ def _q_spatial_layout(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization via F.session_window (operators/sessions);
+    the oracle replays the gap rule with lag + running sum. Spark merges an
+    event arriving EXACTLY gap after the previous one (inclusive bound,
+    verified empirically in tests/test_sessions.py), so the oracle's
+    new-session test is strict `>`."""
+    from morituri_spark.operators.sessions import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def _q_value_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event type (Spark
+    `percentile` == DuckDB `quantile_cont`)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25D)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+    )
+
+
+def _q_cube_rollup(spark, sf_dir):
+    """Multi-dimensional CUBE aggregate (type × day incl. margins); grouping
+    nulls are coalesced to sentinels on both sides for the value compare."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("1970-01-01").cast("timestamp")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1626,6 +1666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_merge_lr": _q_string_merge,
         "hourly_rollup": _q_hourly_rollup,
         "chunk_fixed_size": _q_chunk_groups,
+        "sessionize_gap": _q_sessionize,
+        "value_quantiles": _q_value_quantiles,
+        "cube_rollup": _q_cube_rollup,
         # spatial core (oracle-checked)
         "pip_zone_assign_broadcast": _q_pip_zones,
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
@@ -1786,6 +1829,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon BETWEEN {_LAYOUT_BBOX[0]} AND {_LAYOUT_BBOX[2]}
               AND lat BETWEEN {_LAYOUT_BBOX[1]} AND {_LAYOUT_BBOX[3]}
             GROUP BY event_type
+        """,
+        "sessionize_gap": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+            FROM sess GROUP BY user_id, sid
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "cube_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day,
+                   count(*) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
         """,
         "bucketed_join_rollup": """
             SELECT c_mktsegment, count(*) AS n_orders,
