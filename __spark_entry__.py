@@ -399,6 +399,26 @@ def _q_cube_rollup(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof: union + windowed gap-fill, one
+    shuffle) — each non-purchase event picks up the user's most recent
+    purchase value at-or-before its timestamp. Oracle: DuckDB's native
+    ASOF LEFT JOIN. Right side is pre-aggregated unique per (user, ts) so
+    tie-breaking is well-defined on both engines."""
+    from morituri_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(left, right, on="user_id").select(
+        "event_id", "user_id", "last_purchase_value"
+    )
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1667,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": _q_hourly_rollup,
         "chunk_fixed_size": _q_chunk_groups,
         "sessionize_gap": _q_sessionize,
+        "asof_last_purchase": _q_asof_join,
         "value_quantiles": _q_value_quantiles,
         "cube_rollup": _q_cube_rollup,
         # spatial core (oracle-checked)
@@ -1848,6 +1869,16 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, sid
+        """,
+        "asof_last_purchase": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+            ), r AS (
+                SELECT user_id, ts, max(value) AS last_purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, r.last_purchase_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "value_quantiles": """
             SELECT event_type,
