@@ -37,6 +37,10 @@ _GLON = "CAST((event_id * 7919) % 360000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAS
 _GLAT = "CAST((event_id * 104729) % 180000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(90 AS DOUBLE)"
 _LAYOUT_BBOX = (-30.0, -45.0, 60.0, 30.0)
 
+# non-uniform value bands for the range-join query (shared literal VALUES)
+_BANDS = [(0, 0.0, 25.0), (1, 25.0, 40.0), (2, 40.0, 55.0), (3, 55.0, 80.0), (4, 80.0, 1000.0)]
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
 _ZONES_SQL = ", ".join(
@@ -417,6 +421,35 @@ def _q_asof_join(spark, sf_dir):
     return asof_join(left, right, on="user_id").select(
         "event_id", "user_id", "last_purchase_value"
     )
+
+
+def _q_range_join(spark, sf_dir):
+    """Interval join via the binned equi-join (operators/rangejoin) — no
+    nested-loop plan; the oracle is the plain inequality join."""
+    from morituri_spark.operators.rangejoin import range_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_BANDS, "band_id long, lo double, hi double")
+    return range_join(ev, bands, "value").groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_hll_gate(spark, sf_dir):
+    """Sketch-accuracy gate: approx_count_distinct (HLL++, rsd=0.02) vs the
+    exact distinct count per event type — emits VIOLATION rows where the
+    relative error exceeds 5%. Expected empty; the oracle is the empty set,
+    so the driver's hash compare fails the round if the sketch drifts."""
+    ev = _read(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.where(
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        > 0.05 * F.col("exact_users")
+    ).select("event_type", "approx_users", "exact_users")
 
 
 def _q_bucketed_join(spark, sf_dir):
@@ -1688,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_size": _q_chunk_groups,
         "sessionize_gap": _q_sessionize,
         "asof_last_purchase": _q_asof_join,
+        "range_join_bands": _q_range_join,
+        "hll_distinct_gate": _q_hll_gate,
         "value_quantiles": _q_value_quantiles,
         "cube_rollup": _q_cube_rollup,
         # spatial core (oracle-checked)
@@ -1879,6 +1914,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.event_id, l.user_id, r.last_purchase_value
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_bands": f"""
+            SELECT band_id, count(*) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
+              ON value >= lo AND value < hi
+            GROUP BY band_id
+        """,
+        "hll_distinct_gate": """
+            SELECT event_type, CAST(NULL AS BIGINT) AS approx_users,
+                   CAST(NULL AS BIGINT) AS exact_users
+            FROM events WHERE FALSE
         """,
         "value_quantiles": """
             SELECT event_type,

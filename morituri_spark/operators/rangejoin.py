@@ -1,0 +1,53 @@
+"""Interval / range join — binned equi-join + refine (no nested loop).
+
+Joining facts to value intervals (`lo <= v < hi`) is a non-equi join;
+Catalyst's only native plan for it is a broadcast nested loop — O(n·m)
+compares. The scalable shape is the same trick the spatial core uses for
+point-in-polygon (geo/pip.py covers join): quantize the value axis into
+fixed-width bins, explode each interval into the bins it covers, equi-join
+facts on their bin, then refine with the exact predicate. One shuffle on
+the bin key; interval replication is bounded by interval_width/bin_width.
+
+Bin width trades replication (wide intervals × narrow bins) against
+candidate false-positives (wide bins); a reasonable default is the median
+interval width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    val_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """facts ⋈ intervals on ``lo <= val < hi`` (half-open, like the PIP
+    edge rule). ``intervals`` columns ride along in the output."""
+    if bin_width is None:
+        med = intervals.select(
+            F.expr(f"percentile({hi_col} - {lo_col}, 0.5D)").alias("m")
+        ).head()["m"]
+        bin_width = float(med) if med else 1.0
+    w = float(bin_width)
+    binned = intervals.where(F.col(lo_col) < F.col(hi_col)).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                # hi is exclusive: the last covered bin is ceil(hi/w) - 1
+                # (exact on bin-aligned boundaries, no epsilon games)
+                (F.ceil(F.col(hi_col) / w) - 1).cast("long"),
+            )
+        ),
+    )
+    tagged = facts.withColumn("_bin", F.floor(F.col(val_col) / w).cast("long"))
+    joined = tagged.join(binned, "_bin", how).where(
+        (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+    )
+    return joined.drop("_bin")
