@@ -227,6 +227,19 @@ def main() -> None:
         ).agg(F.sum("nxt")).collect(),
     )
 
+    # event-analytics family at sf (one shuffle each: session_window agg /
+    # union+window as-of fill)
+    from morituri_spark.operators.asof import asof_join
+    from morituri_spark.operators.sessions import sessionize
+
+    timed("sessionize_gap", lambda: sessionize(ev).count())
+    asof_left = ev.where(F.col("event_type") != "purchase").select("event_id", "user_id", "ts")
+    asof_right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("pv"))
+    )
+    timed("asof_join_events", lambda: asof_join(asof_left, asof_right, on="user_id").count())
+
     # z-split operator throughput over synthetic z-heavy links
     # (inputs persisted first — generator time is not engine time)
     n_links = 20_000
