@@ -219,6 +219,113 @@ def write_osm_pbf(out_path, nodes=None, ways=None, relations=None,
     return counts
 
 
+# --- sharded (executor-parallel) writer --------------------------------------
+
+def _is_set(v) -> bool:
+    return v is not None and v == v  # NaN-safe (pandas numeric nulls)
+
+
+def write_osm_pbf_sharded(
+    out_dir: str,
+    nodes=None,
+    ways=None,
+    relations=None,
+    shards: int = 8,
+    generator: str = "morituri_spark",
+) -> list[dict]:
+    """Distributed PBF sink: the directory is the dataset (parquet part-file
+    convention), each task writes one standalone shard — own OSMHeader +
+    blocks — so the write parallelizes across executors instead of
+    funnelling through the driver (the single-writer funnel the one-file
+    ``write_osm_pbf`` interop sink has; r2 review item).
+
+    Each object class range-partitions on its id and sorts within shards,
+    and shard files are named by their first id, so lexicographic shard
+    order == global id order (``<kind>-<first_id>.osm.pbf``). Executors
+    must see a shared filesystem at ``out_dir`` (object store / NFS in
+    production, trivially true in local mode).
+
+    Returns the collected manifest: one ``{"shard", "n"}`` per file.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: list[dict] = []
+
+    def run(df, kind, id_col, field, excl, enc):
+        tag_cols = [c for c in df.columns if c not in excl]
+
+        def write_parts(batches):
+            f = None
+            st = _StringTable()
+            batch: list[bytes] = []
+            n = 0
+            path = None
+
+            def flush():
+                group = b"".join(_len_field(field, b) for b in batch)
+                f.write(_blob("OSMData", _primitive_block(st, [group])))
+
+            for pdf in batches:
+                for r in pdf.to_dict("records"):
+                    if f is None:
+                        path = os.path.join(
+                            out_dir, f"{kind}-{int(r[id_col]):015d}.osm.pbf"
+                        )
+                        f = open(path, "wb")
+                        f.write(_blob("OSMHeader", _header_block(generator)))
+                    tags = [(c, str(r[c])) for c in tag_cols if _is_set(r[c])]
+                    batch.append(enc(st, r, tags))
+                    n += 1
+                    if len(batch) >= GROUP_SIZE:
+                        flush()
+                        batch, st = [], _StringTable()
+            if f is not None:
+                if batch:
+                    flush()
+                f.close()
+                yield pd.DataFrame({"shard": [os.path.basename(path)], "n": [n]})
+
+        part = df.repartitionByRange(shards, id_col).sortWithinPartitions(id_col)
+        rows = part.mapInPandas(write_parts, schema="shard string, n long").collect()
+        manifest.extend({"shard": r["shard"], "n": r["n"]} for r in rows)
+
+    if nodes is not None:
+        run(
+            nodes, "nodes", "node_id", 1, ("node_id", "lon_i", "lat_i"),
+            lambda st, r, tags: _encode_node(st, int(r["node_id"]), int(r["lat_i"]), int(r["lon_i"]), tags),
+        )
+    if ways is not None:
+        run(
+            ways, "ways", "way_id", 3, ("way_id", "node_refs"),
+            lambda st, r, tags: _encode_way(st, int(r["way_id"]), [int(x) for x in r["node_refs"]], tags),
+        )
+    if relations is not None:
+        run(
+            relations, "relations", "relation_id", 4, ("relation_id", "members"),
+            lambda st, r, tags: _encode_relation(
+                st, int(r["relation_id"]),
+                [(m["mtype"], int(m["ref"]), m["role"]) for m in r["members"]], tags,
+            ),
+        )
+    return sorted(manifest, key=lambda m: m["shard"])
+
+
+def read_osm_pbf_dir(path: str) -> dict:
+    """Merge-read a sharded PBF directory (shard name order == id order)."""
+    import glob
+    import os
+
+    out = {"nodes": [], "ways": [], "relations": []}
+    for shard in sorted(glob.glob(os.path.join(path, "*.osm.pbf"))):
+        part = read_osm_pbf(shard)
+        for k in out:
+            out[k].extend(part[k])
+    return out
+
+
 # --- validating reader --------------------------------------------------------
 
 

@@ -202,3 +202,38 @@ def test_cli_module_entry(spark, tmp_path):
     assert main([d, out]) == 0
     root = ET.parse(out).getroot()
     assert root.tag == "osm" and len(root.findall("way")) > 0
+
+
+def test_pbf_sharded_roundtrip(spark, tmp_path, entities):
+    from morituri_spark.io.osm_pbf import read_osm_pbf_dir, write_osm_pbf_sharded
+
+    nodes, ways, relations = entities
+    out = str(tmp_path / "sharded")
+    manifest = write_osm_pbf_sharded(
+        out, nodes=nodes, ways=ways, relations=relations, shards=2
+    )
+    assert sum(m["n"] for m in manifest) == 4
+    back = read_osm_pbf_dir(out)
+    assert [n[0] for n in back["nodes"]] == [1, 2]
+    assert back["nodes"][0] == (1, 20_000_000, 10_000_000, {"name": "First & Main"})
+    assert back["ways"][0][:2] == (10, [1, 2])
+    assert back["relations"][0][1] == [("way", 10, "from"), ("node", 2, "via")]
+
+
+def test_pbf_sharded_parallel_matches_single_writer(spark, tmp_path):
+    from morituri_spark.io.osm_pbf import (
+        read_osm_pbf, read_osm_pbf_dir, write_osm_pbf, write_osm_pbf_sharded,
+    )
+
+    n = 25_000  # > GROUP_SIZE, split over several shards
+    nodes = spark.range(n).selectExpr(
+        "id AS node_id", "CAST(id * 10 AS LONG) AS lon_i", "CAST(id * 7 AS LONG) AS lat_i",
+        "CASE WHEN id % 3 = 0 THEN concat('poi', id) END AS name",
+    )
+    single = str(tmp_path / "single.osm.pbf")
+    write_osm_pbf(single, nodes=nodes)
+    out = str(tmp_path / "sharded_big")
+    manifest = write_osm_pbf_sharded(out, nodes=nodes, shards=4)
+    assert len(manifest) == 4 and sum(m["n"] for m in manifest) == n
+    # shard name order == id order, content identical to the driver writer
+    assert read_osm_pbf_dir(out)["nodes"] == read_osm_pbf(single)["nodes"]
