@@ -1175,6 +1175,23 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN over the PERSISTED list-partitioned index (ml.simsearch
+    build_ivf_index → partition-pruned probe scan). Same fixed quantizer
+    and parameters as ann_ivf_topk, so it shares that oracle — a hash match
+    proves the layout changes the scan, not the answer."""
+    import os
+
+    from morituri_spark.ml.simsearch import (
+        ann_topk_ivf_indexed, build_ivf_index, fixed_centroids,
+    )
+
+    q, emb = _ann_inputs(spark, sf_dir)
+    path = f"/tmp/morituri_ivf_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    build_ivf_index(emb, path, n_lists=16, centroids=fixed_centroids(16, 64))
+    return ann_topk_ivf_indexed(spark, path, q, k=3, n_probe=2)
+
+
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     """The SCALE path of embedding near-dup (LSH sign-bucket prefilter →
     exact cosine verify), oracle-checked with literal Rademacher planes:
@@ -1763,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
         "ann_recall_gates": _q_ann_recall,
         "shapefile_ingest": _q_shapefile_ingest,
         "payload_fidelity_violations": _q_payload_fidelity,
@@ -2091,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_images": _flagship_images_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "ann_ivf_indexed_topk": _ann_ivf_oracle_sql(),
         "shapefile_ingest": _shapefile_oracle_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
         # invariant gates: the closed-form expected output is the EMPTY set

@@ -208,8 +208,6 @@ def ann_topk_ivf(
     list id is the only shuffle — same scale shape as the LSH variant, with
     data-adaptive buckets; hot lists are salt-split at ``salt_target_rows``
     members."""
-    from pyspark.sql.window import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
     eb = _with_ivf_list(emb.select(id_col, vec_col), centroids, 1, vec_col).withColumnRenamed(
@@ -217,6 +215,14 @@ def ann_topk_ivf(
     )
     qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
     paired = _salted_probe_join(qb, eb, "ivf_list", id_col, salt_target_rows)
+    return _score_pairs_topk(paired, vec_col, qid_col, id_col, k)
+
+
+def _score_pairs_topk(paired: DataFrame, vec_col: str, qid_col: str, id_col: str, k: int):
+    """(query, candidate) pairs → exact cosine, dedup, windowed top-k.
+    Shared tail of the in-memory and persisted-index IVF paths."""
+    from pyspark.sql.window import Window
+
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_cand_vec"), lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -232,6 +238,58 @@ def ann_topk_ivf(
         .where(F.col("rank") < k)
         .select(qid_col, id_col, "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (list-partitioned layout; queries scan probed lists only)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    emb: DataFrame, path: str, n_lists: int = 16,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> np.ndarray:
+    """Materialize the inverted file: corpus vectors written
+    ``partitionBy(ivf_list)`` + a centroid sidecar. Queries then read ONLY
+    their probed list directories (Spark partition pruning) — index scan
+    cost is ~n_probe/n_lists of the corpus per query batch instead of a
+    full pass. The io/layout.py discipline applied to vector search."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
+    eb = _with_ivf_list(emb.select(id_col, vec_col), centroids, 1, vec_col)
+    eb.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    side = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id long, centroid array<double>",
+    )
+    side.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path.rstrip("/") + "_centroids").orderBy("list_id").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ann_topk_ivf_indexed(
+    spark, path: str, queries: DataFrame, k: int = 5, n_probe: int = 2,
+    vec_col: str = "embedding", qid_col: str = "query_id", id_col: str = "vec_id",
+    salt_target_rows: int = 200_000,
+) -> DataFrame:
+    """IVF ANN over a :func:`build_ivf_index` layout. The probed-list set
+    (≤ n_probe · |queries|, deduped; bounded by n_lists) prunes the index
+    scan to those partition directories before the probe join — the rest
+    is byte-identical to :func:`ann_topk_ivf`."""
+    centroids = load_ivf_centroids(spark, path)
+    qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
+    probed = sorted(r["ivf_list"] for r in qb.select("ivf_list").distinct().collect())
+    eb = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_list").isin([int(p) for p in probed]))
+        .withColumnRenamed(vec_col, "_cand_vec")
+    )
+    paired = _salted_probe_join(qb, eb, "ivf_list", id_col, salt_target_rows)
+    return _score_pairs_topk(paired, vec_col, qid_col, id_col, k)
 
 
 # ---------------------------------------------------------------------------

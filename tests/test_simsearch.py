@@ -138,3 +138,29 @@ def test_ivf_centroids_deterministic(spark, emb):
     c1 = S.train_ivf_centroids(df, n_lists=8)
     c2 = S.train_ivf_centroids(df, n_lists=8)
     assert np.allclose(c1, c2)
+
+
+def test_ivf_indexed_matches_in_memory(spark, emb, tmp_path):
+    # persisted list-partitioned index returns byte-identical results to the
+    # in-memory IVF path, and the scan is pruned to the probed partitions
+    import contextlib
+    import io
+
+    df, _ = emb
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 15")
+    path = str(tmp_path / "ivf_idx")
+    cents = S.build_ivf_index(df, path, n_lists=8)
+    loaded = S.load_ivf_centroids(spark, path)
+    assert np.allclose(cents, loaded)
+
+    want = sorted(
+        map(tuple, S.ann_topk_ivf(queries, df, k=3, n_lists=8, n_probe=2, centroids=cents).collect())
+    )
+    got_df = S.ann_topk_ivf_indexed(spark, path, queries, k=3, n_probe=2)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue() and "ivf_list" in buf.getvalue()
