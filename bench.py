@@ -315,6 +315,29 @@ def main() -> None:
         ).count(),
     )
 
+    # persisted IVF index: build once (timed), then the partition-pruned
+    # probe query vs the in-memory path that re-assigns the corpus per call
+    from morituri_spark.ml.simsearch import (
+        ann_topk_ivf, ann_topk_ivf_indexed, build_ivf_index, fixed_centroids,
+    )
+
+    qset = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(100).persist()
+    qset.count()
+    cents = fixed_centroids(16, 64)
+    timed(
+        "ann_ivf_index_build",
+        lambda: build_ivf_index(emb, "/tmp/bench_ivf_idx", n_lists=16, centroids=cents),
+    )
+    timed(
+        "ann_ivf_indexed_query",
+        lambda: ann_topk_ivf_indexed(spark, "/tmp/bench_ivf_idx", qset, k=5, n_probe=2).count(),
+    )
+    timed(
+        "ann_ivf_inmemory_control",
+        lambda: ann_topk_ivf(qset, emb, k=5, n_lists=16, n_probe=2, centroids=cents).count(),
+    )
+    qset.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

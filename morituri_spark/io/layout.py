@@ -341,6 +341,41 @@ def read_polygon(
     return pip.assign_zones(cand, zone, res=res_cover).drop("zone_id")
 
 
+def compact_spatial(
+    spark: SparkSession,
+    path: str,
+    out_path: str | None = None,
+    n_files: int | None = None,
+) -> str:
+    """Rewrite a spatial layout with bounded file count (small-file
+    compaction — incremental appends at 100 TB accrete many small sorted
+    files per coarse cell; row-group stats stay effective but per-file
+    open/list overhead grows). Reads the layout, re-sorts, rewrites with
+    the same meta. In-place (default) writes a sibling then swaps via
+    rename — a brief unavailability window; at scale the swap is a catalog
+    pointer flip (Iceberg-style snapshot commit), never a filesystem
+    rename."""
+    import os
+    import shutil
+
+    meta = read_layout_meta(spark, path)
+    inplace = out_path is None
+    dest = path.rstrip("/") + "__compact" if inplace else out_path
+    df = spark.read.parquet(path).drop("zorder", "cell_p")
+    write_spatial(
+        df, dest,
+        res_part=int(meta["res_part"]), res_sort=int(meta["res_sort"]),
+        lon=meta["lon"], lat=meta["lat"], n_files=n_files,
+    )
+    if inplace:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+        shutil.rmtree(path.rstrip("/") + "_layout_meta", ignore_errors=True)
+        os.rename(dest.rstrip("/") + "_layout_meta", path.rstrip("/") + "_layout_meta")
+        return path
+    return dest
+
+
 def prune_stats(path: str, ranges) -> dict:
     """Row-group-level evidence that the zorder clustering prunes: walks the
     parquet footers (local paths; at scale the engine relies on the scan's

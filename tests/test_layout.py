@@ -131,6 +131,33 @@ def test_meta_roundtrip(spark, clustered):
     assert int(meta["res_part"]) == 3 and int(meta["res_sort"]) == 14
 
 
+def test_compact_preserves_content_and_bounds_files(spark, tmp_path):
+    import glob
+
+    lon, lat = _random_points(20_000, seed=17)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "pid long, lon double, lat double",
+    )
+    path = str(tmp_path / "frag")
+    # fragment like incremental ingest does: four append batches → four
+    # sorted files per coarse cell
+    for b in range(4):
+        layout.write_spatial(
+            df.where(F.col("pid") % 4 == b), path, res_part=2, res_sort=12,
+            mode="append" if b else "overwrite",
+        )
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    got_before = sorted(r.pid for r in layout.read_bbox(spark, path, *BBOX).select("pid").collect())
+    layout.compact_spatial(spark, path, n_files=4)
+    after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    got_after = sorted(r.pid for r in layout.read_bbox(spark, path, *BBOX).select("pid").collect())
+    assert after <= before / 4
+    assert got_after == got_before and len(got_after) > 50
+    meta = layout.read_layout_meta(spark, path)
+    assert int(meta["res_part"]) == 2 and int(meta["res_sort"]) == 12
+
+
 def _expected_in_cells(df, cell_ids, res_sort):
     import pandas as pd
 
