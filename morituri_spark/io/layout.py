@@ -91,6 +91,11 @@ def morton_ranges(lon_min, lat_min, lon_max, lat_max, res: int, max_ranges: int 
     boundary when the budget runs out are emitted whole — every returned
     set is a superset of the exact cell range, never a subset.
     """
+    if lon_min > lon_max or lat_min > lat_max:
+        raise ValueError(
+            "bbox min must be <= max on both axes (antimeridian-crossing "
+            "boxes: split into two reads at ±180)"
+        )
     c0 = int(cells.latlng_to_cell(np.array([lon_min]), np.array([lat_min]), res)[0])
     c1 = int(cells.latlng_to_cell(np.array([lon_max]), np.array([lat_max]), res)[0])
     x0, y0 = (c0 >> _X_SHIFT) & _MASK29, c0 & _MASK29

@@ -67,6 +67,11 @@ def test_morton_ranges_cover_bbox_and_tighten():
         assert ranges[0][0] >= zmin and ranges[-1][1] <= zmax
 
 
+def test_antimeridian_bbox_rejected():
+    with pytest.raises(ValueError, match="antimeridian"):
+        layout.morton_ranges(170.0, 10.0, -170.0, 20.0, 12)
+
+
 @pytest.fixture(scope="module")
 def clustered(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("layout") / "pts")
