@@ -950,6 +950,28 @@ def _q_minhash_neardup(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the oracle-checked MinHash pair graph fed through
+    distributed connected components (text/components.py large-star/
+    small-star). The DuckDB oracle replays the same pairs and labels them
+    with a recursive-CTE reachability min — a hash match proves the
+    iterative DataFrame algorithm computes exact components."""
+    from morituri_spark.text.components import connected_components
+    from morituri_spark.text.dedup import (
+        affine_hash_expr, affine_hash_params, minhash_near_duplicates,
+        shingle_df_sql,
+    )
+
+    pairs = minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5,
+        hash_exprs=affine_hash_expr(affine_hash_params(64)),
+        shingle_fn=shingle_df_sql,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -1537,6 +1559,25 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _near_dup_clusters_oracle_sql() -> str:
+    """Connected components over the minhash pair graph: the same pair SQL
+    as the minhash oracle, labeled via recursive-CTE reachability minimum."""
+    inner = _minhash_oracle_sql()
+    return f"""
+        WITH RECURSIVE und AS (
+            SELECT doc_a AS a, doc_b AS b FROM ({inner})
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM ({inner})
+        ),
+        reach(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
 def _simhash_oracle_sql() -> str:
     from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
 
@@ -1775,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash/ANN/media families — oracle-checked since round 3 via
         # SQL-replayable parameterizations (see the oracle generators above)
         "minhash_near_dup": _q_minhash_neardup,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -2101,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         "ring_chunking_golden": _ring_chunk_oracle_sql(),
         "langid_heuristic": _langid_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "simhash_near_dup": _simhash_oracle_sql(),
         "doc_fingerprint": _fingerprint_oracle_sql(),
         "audio_features": _audio_oracle_sql(),
