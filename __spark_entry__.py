@@ -972,6 +972,35 @@ def _q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_representatives(spark, sf_dir):
+    """The dedup END USE: drop every non-representative cluster member
+    (keep the component minimum), return the surviving corpus profile per
+    language. Composition of the oracled MinHash pairs + connected
+    components + an anti-join."""
+    from morituri_spark.text.components import connected_components
+    from morituri_spark.text.dedup import (
+        affine_hash_expr, affine_hash_params, minhash_near_duplicates,
+        shingle_df_sql,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, threshold=0.5,
+        hash_exprs=affine_hash_expr(affine_hash_params(64)),
+        shingle_fn=shingle_df_sql,
+    ).select("doc_a", "doc_b")
+    dropped = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .where(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -1817,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-replayable parameterizations (see the oracle generators above)
         "minhash_near_dup": _q_minhash_neardup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_representatives": _q_dedup_representatives,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -2144,6 +2174,14 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic": _langid_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "dedup_representatives": f"""
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM ({_near_dup_clusters_oracle_sql()})
+                WHERE doc_id <> cluster_id)
+            GROUP BY lang
+        """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "doc_fingerprint": _fingerprint_oracle_sql(),
         "audio_features": _audio_oracle_sql(),
