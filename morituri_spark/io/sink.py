@@ -98,8 +98,15 @@ def write_osm(
     relations: DataFrame | None = None,
 ) -> dict:
     """Suffix-dispatched sink (base_plugin.hpp:66-76): .osm/.pbf/.opl with
-    optional .gz/.bz2 on the text formats."""
+    optional .gz/.bz2 on the text formats; a ``.pbf.d`` directory suffix
+    selects the executor-parallel sharded PBF sink."""
     path = out_path
+    if path.rstrip("/").endswith(".pbf.d"):
+        # directory convention → executor-parallel sharded PBF sink
+        from .osm_pbf import write_osm_pbf_sharded
+
+        manifest = write_osm_pbf_sharded(path.rstrip("/"), nodes, ways, relations)
+        return {"shards": len(manifest), "objects": sum(m["n"] for m in manifest)}
     opener = open
     if path.endswith(".gz"):
         opener, path = gzip.open, path[: -len(".gz")]

@@ -237,3 +237,14 @@ def test_pbf_sharded_parallel_matches_single_writer(spark, tmp_path):
     assert len(manifest) == 4 and sum(m["n"] for m in manifest) == n
     # shard name order == id order, content identical to the driver writer
     assert read_osm_pbf_dir(out)["nodes"] == read_osm_pbf(single)["nodes"]
+
+
+def test_sink_autodetect_sharded_dir(spark, tmp_path, entities):
+    from morituri_spark.io.osm_pbf import read_osm_pbf_dir
+
+    nodes, ways, relations = entities
+    out = str(tmp_path / "export.osm.pbf.d")
+    result = write_osm(out, nodes=nodes, ways=ways, relations=relations)
+    assert result["objects"] == 4 and result["shards"] >= 3
+    back = read_osm_pbf_dir(out)
+    assert len(back["nodes"]) == 2 and len(back["ways"]) == 1 and len(back["relations"]) == 1
