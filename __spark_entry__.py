@@ -452,6 +452,29 @@ def _q_hll_gate(spark, sf_dir):
     ).select("event_type", "approx_users", "exact_users")
 
 
+def _q_layout_polygon(spark, sf_dir):
+    """read_polygon end-to-end: polygon cover → pruned read_cells → exact
+    ray-cast refine, over the Z-order layout. A rectangular ring makes the
+    containment SQL-expressible with the SAME half-open edge rule the PIP
+    oracles established (bottom/left in, top/right out)."""
+    import os
+
+    from morituri_spark.io import layout
+
+    pts = _read(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    path = f"/tmp/morituri_polyread_{os.path.basename(sf_dir.rstrip('/'))}"
+    layout.write_spatial(pts, path, res_part=3, res_sort=14)
+    ring = [[-20.0, -10.0], [45.0, -10.0], [45.0, 25.0], [-20.0, 25.0], [-20.0, -10.0]]
+    inside = layout.read_polygon(spark, path, [ring], res_cover=6)
+    return inside.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1822,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring_expansion": _q_knn_ring,
         "spatial_layout_bbox": _q_spatial_layout,
         "bucketed_join_rollup": _q_bucketed_join,
+        "layout_polygon_read": _q_layout_polygon,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -2030,6 +2054,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
+        """,
+        "layout_polygon_read": f"""
+            SELECT count(*) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM (SELECT value, {_GLON} AS lon, {_GLAT} AS lat FROM events)
+            WHERE lon >= -20.0 AND lon < 45.0 AND lat >= -10.0 AND lat < 25.0
         """,
         "bucketed_join_rollup": """
             SELECT c_mktsegment, count(*) AS n_orders,

@@ -303,6 +303,20 @@ def main() -> None:
     )
     docs_xl.unpersist()
 
+    # iterative connected components: ~120k mixed chain/random edges →
+    # large-star/small-star rounds with per-round localCheckpoint
+    from morituri_spark.text.components import connected_components
+
+    cc_e1 = spark.range(100_000).selectExpr("id AS a", "id + 1 AS b").where("id % 50 != 49")
+    cc_e2 = spark.range(100_000).selectExpr(
+        "CAST(hash(id) % 150000 AS LONG) AS a",
+        "CAST(hash(id + 7) % 150000 AS LONG) AS b",
+    ).where("a >= 0 AND b >= 0")
+    cc_edges = cc_e1.union(cc_e2).persist()
+    cc_edges.count()
+    timed("connected_components_120k_edges", lambda: connected_components(cc_edges).count())
+    cc_edges.unpersist()
+
     # ANN top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from morituri_spark.ml.simsearch import ann_topk_lsh
