@@ -1024,6 +1024,22 @@ def _q_dedup_representatives(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash sampling (text/sampling): membership
+    = affine-hash(doc_id) under a per-stratum threshold — rerun-stable,
+    partition-invariant, and exactly replayable in ANSI SQL."""
+    from morituri_spark.text.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.1}, key_col="doc_id"
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -1611,6 +1627,22 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _stratified_sample_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+    from morituri_spark.text.sampling import sample_threshold
+
+    a, b = affine_hash_params(1, seed=42)[0]
+    thr = {lang: sample_threshold(r) for lang, r in (("en", 0.5), ("de", 0.2), ("fr", 0.1))}
+    case = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(thr.items()))
+    return f"""
+        SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE ({a} * (doc_id % {MERSENNE31}) + {b}) % {MERSENNE31}
+              < (CASE {case} ELSE 0 END)
+        GROUP BY lang
+    """
+
+
 def _near_dup_clusters_oracle_sql() -> str:
     """Connected components over the minhash pair graph: the same pair SQL
     as the minhash oracle, labeled via recursive-CTE reachability minimum."""
@@ -1871,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_neardup,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_representatives": _q_dedup_representatives,
+        "stratified_sample": _q_stratified_sample,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -2204,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic": _langid_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "dedup_representatives": f"""
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents

@@ -1,0 +1,43 @@
+"""Deterministic hash sampling: stability, rate accuracy, stratification."""
+
+from pyspark.sql import functions as F
+
+from morituri_spark.text.sampling import hash_sample, sample_threshold, stratified_sample
+
+
+def test_deterministic_and_partition_invariant(spark):
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    a = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(13), "k", 0.3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_rate_accuracy_and_nesting(spark):
+    df = spark.range(50_000).select(F.col("id").alias("k"))
+    n10 = hash_sample(df, "k", 0.10).count()
+    n30 = hash_sample(df, "k", 0.30).count()
+    assert abs(n10 / 50_000 - 0.10) < 0.01
+    assert abs(n30 / 50_000 - 0.30) < 0.01
+    # same seed => smaller rate is a SUBSET of the larger (threshold nesting)
+    s10 = {r.k for r in hash_sample(df, "k", 0.10).collect()}
+    s30 = {r.k for r in hash_sample(df, "k", 0.30).collect()}
+    assert s10 <= s30
+
+
+def test_stratified_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    out = stratified_sample(df, "grp", {"0": 0.5, "1": 0.05}, key_col="k")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["0"] / 10_000 - 0.5) < 0.03
+    assert abs(counts["1"] / 10_000 - 0.05) < 0.02
+    assert "2" not in counts  # default rate 0
+
+
+def test_threshold_bounds():
+    import pytest
+
+    assert sample_threshold(0.0) == 0
+    with pytest.raises(ValueError):
+        sample_threshold(1.5)
