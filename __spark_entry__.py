@@ -1040,6 +1040,21 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget packing per language (text/packing Arrow
+    kernel — running fill with reset, inexpressible as a window). The
+    oracle replays the same sequential semantics with a linear recursive
+    CTE."""
+    from morituri_spark.text.packing import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    packed = pack_greedy(docs, "n_chars", budget=2000, part_col="lang", order_col="doc_id")
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("pack_chars"),
+    )
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -1904,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_representatives": _q_dedup_representatives,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -2238,6 +2254,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "pack_sequences": """
+            WITH RECURSIVE seq AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ), packs AS (
+                SELECT lang, rn, n_chars, n_chars AS fill, CAST(0 AS BIGINT) AS pack_id
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.lang, s.rn, s.n_chars,
+                       CASE WHEN p.fill + s.n_chars > 2000 THEN s.n_chars
+                            ELSE p.fill + s.n_chars END,
+                       CASE WHEN p.fill + s.n_chars > 2000 THEN p.pack_id + 1
+                            ELSE p.pack_id END
+                FROM packs p JOIN seq s ON s.lang = p.lang AND s.rn = p.rn + 1
+            )
+            SELECT lang, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS pack_chars
+            FROM packs GROUP BY lang, pack_id
+        """,
         "dedup_representatives": f"""
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
