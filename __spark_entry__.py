@@ -1055,6 +1055,31 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub (text/quality.redact_pii, chained regexp_replace in pure
+    Catalyst) over documents salted with deterministic synthetic PII. The
+    oracle replays the same RE2/Java-portable patterns in DuckDB (with the
+    'g' flag — DuckDB replaces first-match-only by default); md5 of the
+    redacted text makes the compare byte-strict."""
+    from morituri_spark.text.quality import pii_counts, redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -1920,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _q_dedup_representatives,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
         "langid_heuristic": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -2254,6 +2280,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "pii_redaction": r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       substr(text, 1, 50) || ' contact user' ||
+                       CAST(doc_id AS VARCHAR) || '@example.com or +1 (415) 555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                   ) AS redacted_md5,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4
+            FROM salted
+        """,
         "pack_sequences": """
             WITH RECURSIVE seq AS (
                 SELECT doc_id, lang, n_chars,

@@ -151,3 +151,33 @@ def fingerprint(
             yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": np.asarray(fps, dtype=np.int64)})
 
     return src.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (cleaning stage: scrub before training)
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the regex subset Java and RE2 interpret identically
+# (no backrefs, no lookaround), so an ANSI engine can replay the scrub.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Chained regexp_replace — pure Catalyst, order matters (emails before
+    phones so the digits in a mailbox name don't half-match)."""
+    col = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-pattern match counts (audit columns for scrub reports)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for name, pat, _repl in PII_PATTERNS
+    }
