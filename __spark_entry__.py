@@ -475,6 +475,51 @@ def _q_layout_polygon(spark, sf_dir):
     )
 
 
+def _q_simplify_violations(spark, sf_dir):
+    """Douglas–Peucker gate (geo/simplify): per-user event polylines are
+    simplified at eps, then an INDEPENDENT kernel re-measures the max
+    deviation of every original vertex from the simplified line and checks
+    endpoint preservation. Violations expected: none (empty-set oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.geo import simplify as SIM
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr(_GLON).alias("x"), F.expr(_GLAT).alias("y")
+    )
+    lines = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "x", "y"))
+            ).alias("pts")
+        )
+        .where(F.size("pts") >= 3)
+        .select(
+            F.col("user_id").alias("geom_id"),
+            F.transform("pts", lambda p: F.array(p["x"], p["y"])).alias("line"),
+        )
+    )
+    eps = 2.0
+    simplified = SIM.simplify_lines(lines, eps=eps).withColumnRenamed("line", "simp")
+    joined = lines.join(simplified, "geom_id")
+
+    def check(batches):
+        for pdf in batches:
+            bad = []
+            for gid, line, simp in zip(pdf["geom_id"], pdf["line"], pdf["simp"]):
+                o = np.asarray([[p[0], p[1]] for p in line])
+                s = np.asarray([[p[0], p[1]] for p in simp])
+                dev = SIM.max_deviation(o, s)
+                ends_ok = (o[0] == s[0]).all() and (o[-1] == s[-1]).all()
+                if dev > eps + 1e-9 or not ends_ok or len(s) > len(o):
+                    bad.append((int(gid), float(dev)))
+            yield pd.DataFrame(bad, columns=["geom_id", "deviation"])
+
+    return joined.mapInPandas(check, "geom_id long, deviation double")
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1918,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_layout_bbox": _q_spatial_layout,
         "bucketed_join_rollup": _q_bucketed_join,
         "layout_polygon_read": _q_layout_polygon,
+        "simplify_violations": _q_simplify_violations,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -2114,6 +2160,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_gate": """
             SELECT event_type, CAST(NULL AS BIGINT) AS approx_users,
                    CAST(NULL AS BIGINT) AS exact_users
+            FROM events WHERE FALSE
+        """,
+        "simplify_violations": """
+            SELECT CAST(NULL AS BIGINT) AS geom_id, CAST(NULL AS DOUBLE) AS deviation
             FROM events WHERE FALSE
         """,
         "value_quantiles": """
