@@ -520,6 +520,20 @@ def _q_simplify_violations(spark, sf_dir):
     return joined.mapInPandas(check, "geom_id long, deviation double")
 
 
+def _q_path_lengths(spark, sf_dir):
+    """Geodesic per-user path length (geo/measures: haversine in pure
+    Catalyst + one keyed window). The oracle evaluates the identical
+    closed form — multiplication instead of power, explicit rounding —
+    per the engine's DECIMAL/trig parity rules."""
+    from morituri_spark.geo.measures import path_lengths
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return path_lengths(pts, "user_id", ["ts", "event_id"])
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1964,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_rollup": _q_bucketed_join,
         "layout_polygon_read": _q_layout_polygon,
         "simplify_violations": _q_simplify_violations,
+        "path_lengths_haversine": _q_path_lengths,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -2165,6 +2180,24 @@ def oracle_sql() -> dict[str, str]:
         "simplify_violations": """
             SELECT CAST(NULL AS BIGINT) AS geom_id, CAST(NULL AS DOUBLE) AS deviation
             FROM events WHERE FALSE
+        """,
+        "path_lengths_haversine": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events
+            ), steps AS (
+                SELECT user_id,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+                FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_points,
+                   round(sum(
+                       2.0 * 6371.0088 * asin(sqrt(
+                           sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                           + cos(radians(plat)) * cos(radians(lat))
+                             * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+                       ))
+                   ), 4) AS path_km
+            FROM steps GROUP BY user_id
         """,
         "value_quantiles": """
             SELECT event_type,
