@@ -534,6 +534,23 @@ def _q_path_lengths(spark, sf_dir):
     return path_lengths(pts, "user_id", ["ts", "event_id"])
 
 
+def _q_tile_pyramid(spark, sf_dir):
+    """Multi-zoom tile pyramid (pipelines/pyramid): one raw scan at
+    res_max, every coarser level cascades from the previous level's
+    aggregates via parent-cell bit math. The oracle aggregates each level
+    DIRECTLY from raw — a hash match proves cascade == direct at every
+    zoom."""
+    from morituri_spark.pipelines.pyramid import tile_pyramid
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"), "value"
+    )
+    pyr = tile_pyramid(pts, res_max=8, res_min=5, value_col="value")
+    return pyr.select(
+        "res", "tile", "n_points", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout join (io/bucketed): both sides written co-bucketed on
     the key, joined exchange-free (asserted in tests/test_bucketed.py), then
@@ -1742,6 +1759,25 @@ def _stratified_sample_oracle_sql() -> str:
     """
 
 
+def _tile_pyramid_oracle_sql() -> str:
+    """Each zoom level aggregated DIRECTLY from raw (the cascade must match)."""
+    parts = []
+    for r in range(5, 9):
+        n = 1 << r
+        parts.append(f"""
+            SELECT {r} AS res,
+                   {r} * 288230376151711744
+                     + CAST(floor((lon + 180) / 360 * {n}) AS BIGINT) * 536870912
+                     + CAST(floor((lat + 90) / 180 * {n}) AS BIGINT) AS tile,
+                   count(*) AS n_points,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM pts GROUP BY 1, 2""")
+    return (
+        f"WITH pts AS (SELECT value, {_GLON} AS lon, {_GLAT} AS lat FROM events)\n"
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _near_dup_clusters_oracle_sql() -> str:
     """Connected components over the minhash pair graph: the same pair SQL
     as the minhash oracle, labeled via recursive-CTE reachability minimum."""
@@ -1979,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_polygon_read": _q_layout_polygon,
         "simplify_violations": _q_simplify_violations,
         "path_lengths_haversine": _q_path_lengths,
+        "tile_pyramid_levels": _q_tile_pyramid,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -2363,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
         "pii_redaction": r"""
             WITH salted AS (
                 SELECT doc_id,
