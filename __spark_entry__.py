@@ -534,6 +534,19 @@ def _q_path_lengths(spark, sf_dir):
     return path_lengths(pts, "user_id", ["ts", "event_id"])
 
 
+def _q_ring_areas(spark, sf_dir):
+    """Shoelace polygon area per user over the ts-ordered point ring
+    (geo/measures.ring_areas: one window + aggregate, closing edge via
+    full-frame first/last). Oracle = the same closed form in SQL."""
+    from morituri_spark.geo.measures import ring_areas
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return ring_areas(pts, "user_id", ["ts", "event_id"])
+
+
 def _q_tile_pyramid(spark, sf_dir):
     """Multi-zoom tile pyramid (pipelines/pyramid): one raw scan at
     res_max, every coarser level cascades from the previous level's
@@ -2016,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_violations": _q_simplify_violations,
         "path_lengths_haversine": _q_path_lengths,
         "tile_pyramid_levels": _q_tile_pyramid,
+        "ring_areas_shoelace": _q_ring_areas,
         "streaming_tile_rollup": _q_streaming_rollup,
         "streaming_first_seen": _q_streaming_first_seen,
         # training-data ops (oracle-checked)
@@ -2401,6 +2415,24 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
+        "ring_areas_shoelace": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events
+            ), staged AS (
+                SELECT user_id,
+                       lon * lead(lat) OVER w - lead(lon) OVER w * lat AS cr,
+                       first_value(lon) OVER wf AS fx, first_value(lat) OVER wf AS fy,
+                       last_value(lon) OVER wf AS lx, last_value(lat) OVER wf AS ly
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, count(*) AS n_points,
+                   round(abs(sum(cr) + any_value(lx) * any_value(fy)
+                             - any_value(fx) * any_value(ly)) / 2.0, 4) AS ring_area
+            FROM staged GROUP BY user_id
+        """,
         "pii_redaction": r"""
             WITH salted AS (
                 SELECT doc_id,

@@ -25,6 +25,43 @@ def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def ring_areas(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Per-key shoelace area of the closed polygon through the ordered
+    points (planar coordinates; |signed area| — self-intersections
+    contribute with sign, the standard shoelace semantics). Pure window +
+    aggregate expressions; the closing edge uses full-frame
+    first/last_value so no second pass is needed."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cross = F.col(x) * F.lead(y).over(w) - F.lead(x).over(w) * F.col(y)
+    staged = df.select(
+        key_col,
+        cross.alias("_cross"),
+        F.first(x).over(wf).alias("_fx"),
+        F.first(y).over(wf).alias("_fy"),
+        F.last(x).over(wf).alias("_lx"),
+        F.last(y).over(wf).alias("_ly"),
+    )
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.abs(
+                F.sum("_cross")
+                + F.first("_lx") * F.first("_fy")
+                - F.first("_fx") * F.first("_ly")
+            )
+            / 2.0,
+            4,
+        ).alias("ring_area"),
+    )
+
+
 def path_lengths(
     df: DataFrame,
     key_col: str,

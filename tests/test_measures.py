@@ -33,3 +33,19 @@ def test_path_lengths_per_key(spark):
     assert got[2] == (1, None) or got[2] == (1, 0.0)  # no steps -> sum of empty
     n, km = got[1]
     assert n == 3 and abs(km - 2 * 111.195) < 0.5
+
+
+def test_ring_areas_known_shapes(spark):
+    from morituri_spark.geo.measures import ring_areas
+
+    rows = (
+        # unit square, ordered CCW
+        [(1, i, x, y) for i, (x, y) in enumerate([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])]
+        # 2x3 rectangle, CW order (abs value)
+        + [(2, i, x, y) for i, (x, y) in enumerate([(0.0, 0.0), (0.0, 3.0), (2.0, 3.0), (2.0, 0.0)])]
+        # triangle base 4 height 2
+        + [(3, i, x, y) for i, (x, y) in enumerate([(0.0, 0.0), (4.0, 0.0), (2.0, 2.0)])]
+    )
+    df = spark.createDataFrame(rows, "k long, seq long, lon double, lat double")
+    got = {r.k: r.ring_area for r in ring_areas(df, "k", ["seq"]).collect()}
+    assert got == {1: 1.0, 2: 6.0, 3: 4.0}
