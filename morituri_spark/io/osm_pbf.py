@@ -258,11 +258,22 @@ def write_osm_pbf_sharded(
         tag_cols = [c for c in df.columns if c not in excl]
 
         def write_parts(batches):
+            # Task-commit protocol: write to a per-attempt temp name and
+            # os.replace() (atomic on POSIX) to the final shard path only
+            # after the file is complete. A speculative duplicate or a
+            # retried task then can never interleave bytes with another
+            # attempt — last complete attempt wins, both attempts are
+            # whole files (r3 ADVICE item).
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            attempt = tc.taskAttemptId() if tc is not None else 0
             f = None
             st = _StringTable()
             batch: list[bytes] = []
             n = 0
             path = None
+            tmp_path = None
 
             def flush():
                 group = b"".join(_len_field(field, b) for b in batch)
@@ -274,7 +285,8 @@ def write_osm_pbf_sharded(
                         path = os.path.join(
                             out_dir, f"{kind}-{int(r[id_col]):015d}.osm.pbf"
                         )
-                        f = open(path, "wb")
+                        tmp_path = f"{path}.attempt-{attempt}.tmp"
+                        f = open(tmp_path, "wb")
                         f.write(_blob("OSMHeader", _header_block(generator)))
                     tags = [(c, str(r[c])) for c in tag_cols if _is_set(r[c])]
                     batch.append(enc(st, r, tags))
@@ -286,6 +298,7 @@ def write_osm_pbf_sharded(
                 if batch:
                     flush()
                 f.close()
+                os.replace(tmp_path, path)
                 yield pd.DataFrame({"shard": [os.path.basename(path)], "n": [n]})
 
         part = df.repartitionByRange(shards, id_col).sortWithinPartitions(id_col)

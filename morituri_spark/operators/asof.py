@@ -57,15 +57,28 @@ def asof_join(
         .orderBy("_ts", "_is_l")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward-fill ONE struct of the whole right row, not each column
+    # independently: per-column last(..., ignorenulls=True) would splice a
+    # NULL value column from an OLDER right row into the matched row,
+    # diverging from ASOF semantics (the matched row travels whole, nulls
+    # included). The struct is non-null exactly on right rows, so one fill
+    # carries every right column together.
+    r_struct = F.when(
+        F.col("_is_l") == 0, F.struct(*[F.col(c) for c in rcols])
+    )
     filled = u.select(
         *keys,
         "_ts",
         "_is_l",
         *[F.col(c) for c in lcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(r_struct, ignorenulls=True).over(w).alias("_r"),
     )
     return (
         filled.where(F.col("_is_l") == 1)
-        .drop("_is_l")
-        .withColumnRenamed("_ts", ts_col)
+        .select(
+            *keys,
+            F.col("_ts").alias(ts_col),
+            *[F.col(c) for c in lcols],
+            *[F.col(f"_r.{c}").alias(c) for c in rcols],
+        )
     )

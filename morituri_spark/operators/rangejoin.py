@@ -35,8 +35,14 @@ def range_join(
         ).head()["m"]
         bin_width = float(med) if med else 1.0
     w = float(bin_width)
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would need the refine applied from the interval
+        # side too (and dedup across exploded bins); unsupported rather
+        # than silently wrong.
+        raise ValueError(f"range_join supports inner/left/semi/anti, not {how!r}")
     binned = intervals.where(F.col(lo_col) < F.col(hi_col)).withColumn(
-        "_bin",
+        "_ibin",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w).cast("long"),
@@ -46,8 +52,17 @@ def range_join(
             )
         ),
     )
-    tagged = facts.withColumn("_bin", F.floor(F.col(val_col) / w).cast("long"))
-    joined = tagged.join(binned, "_bin", how).where(
-        (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+    tagged = facts.withColumn("_fbin", F.floor(F.col(val_col) / w).cast("long"))
+    # The exact refine lives INSIDE the join condition: a post-join .where()
+    # would drop left-outer's null-extended rows (degrading to inner) and
+    # cannot even resolve interval columns after a semi/anti join. A fact
+    # has exactly one bin, so no dedup is needed across the explode.
+    cond = (
+        (F.col("_fbin") == F.col("_ibin"))
+        & (F.col(val_col) >= F.col(lo_col))
+        & (F.col(val_col) < F.col(hi_col))
     )
-    return joined.drop("_bin")
+    joined = tagged.join(binned, cond, how)
+    if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
+        return joined.drop("_fbin")
+    return joined.drop("_fbin", "_ibin")

@@ -161,8 +161,11 @@ def fingerprint(
 # (no backrefs, no lookaround), so an ANSI engine can replay the scrub.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    # ipv4 BEFORE phone: dotted quads ≥9 chars (192.168.1.1) are inside the
+    # phone pattern's character class and would otherwise be mislabeled
+    # <PHONE>, making the n_ipv4 audit disagree with the actual scrub.
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
 )
 
 
@@ -176,8 +179,14 @@ def redact_pii(text_col: str = "text") -> Column:
 
 
 def pii_counts(text_col: str = "text") -> dict[str, Column]:
-    """Per-pattern match counts (audit columns for scrub reports)."""
-    return {
-        f"n_{name}": F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
-        for name, pat, _repl in PII_PATTERNS
-    }
+    """Per-pattern match counts (audit columns for scrub reports). Each
+    pattern counts on the text AFTER the earlier patterns' replacements —
+    exactly what ``redact_pii`` replaces — so the audit can never disagree
+    with the scrub (e.g. an IPv4 also matching the later phone pattern is
+    counted once, as <IP>)."""
+    out: dict[str, Column] = {}
+    col = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, repl)
+    return out

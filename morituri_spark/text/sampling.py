@@ -17,13 +17,32 @@ Pure Catalyst; the filter pushes into the scan.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from .dedup import MERSENNE31, affine_hash_params
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
-def _hash_col(key_col: Column, seed: int) -> Column:
+
+def _key_to_long(df: DataFrame, key_col: str) -> Column:
+    """Integral keys pass through; string keys hash via xxhash64 (stable
+    across reruns and cluster sizes, but engine-specific — the ANSI-oracle
+    replay path needs an integral key). A silent ``cast('long')`` on a
+    string doc id would NULL out under non-ANSI and drop every row, so any
+    other type is a hard error."""
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, _INTEGRAL):
+        return F.col(key_col).cast("long")
+    if isinstance(dt, T.StringType):
+        return F.abs(F.xxhash64(F.col(key_col)))
+    raise ValueError(
+        f"hash sampling key {key_col!r} must be integral or string, got {dt.simpleString()}"
+    )
+
+
+def _hash_col(key_long: Column, seed: int) -> Column:
     a, b = affine_hash_params(1, seed=seed)[0]
-    return (F.lit(a) * F.pmod(key_col.cast("long"), F.lit(MERSENNE31)) + F.lit(b)) % F.lit(
+    return (F.lit(a) * F.pmod(key_long, F.lit(MERSENNE31)) + F.lit(b)) % F.lit(
         MERSENNE31
     )
 
@@ -38,7 +57,7 @@ def sample_threshold(rate: float) -> int:
 def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 42) -> DataFrame:
     """Keep rows whose keyed hash falls under ``rate`` — deterministic,
     rerun-stable, and join-consistent across tables sharing the key."""
-    return df.where(_hash_col(F.col(key_col), seed) < F.lit(sample_threshold(rate)))
+    return df.where(_hash_col(_key_to_long(df, key_col), seed) < F.lit(sample_threshold(rate)))
 
 
 def stratified_sample(
@@ -54,4 +73,4 @@ def stratified_sample(
     thr = F.lit(sample_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(sample_threshold(rate))).otherwise(thr)
-    return df.where(_hash_col(F.col(key_col), seed) < thr)
+    return df.where(_hash_col(_key_to_long(df, key_col), seed) < thr)

@@ -60,3 +60,21 @@ def test_asof_matches_bruteforce(spark):
         cand = [r for r in rp if r.k == lr.k and r.ts <= lr.ts]
         want = max(cand, key=lambda r: r.ts).rv if cand else None
         assert got[lr.lid] == want, (lr, got[lr.lid], want)
+
+
+def test_asof_null_right_value_travels_whole(spark):
+    """A NULL in one right column must NOT be back-filled from an older
+    right row — the matched row travels as a unit (r3 ADVICE fix)."""
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), "x")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 10.0, "old"),
+            (1, datetime(2024, 1, 1, 11, 0), None, "new"),  # matched row, v NULL
+        ],
+        "k long, ts timestamp, v double, src string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.src == "new"
+    assert row.v is None  # NOT 10.0 spliced from the older row

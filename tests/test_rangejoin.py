@@ -50,3 +50,29 @@ def test_empty_interval_ignored(spark):
     )
     out = [r.band_id for r in range_join(facts, bands, "v").collect()]
     assert out == [1]
+
+
+def test_left_outer_keeps_unmatched(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 300.0)], "fid long, v double"  # 300 matches nothing
+    )
+    out = {r.fid: r.band_id for r in range_join(facts, _bands(spark), "v", how="left").collect()}
+    assert out == {1: 0, 2: None}
+
+
+def test_semi_and_anti(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 300.0), (3, 76.0)], "fid long, v double"
+    )
+    semi = sorted(r.fid for r in range_join(facts, _bands(spark), "v", how="left_semi").collect())
+    anti = sorted(r.fid for r in range_join(facts, _bands(spark), "v", how="left_anti").collect())
+    assert semi == [1]
+    assert anti == [2, 3]  # 76.0 falls in the [75.5, 80) gap
+
+
+def test_unsupported_how_raises(spark):
+    import pytest
+
+    facts = spark.createDataFrame([(1, 10.0)], "fid long, v double")
+    with pytest.raises(ValueError, match="range_join supports"):
+        range_join(facts, _bands(spark), "v", how="full")

@@ -41,3 +41,23 @@ def test_threshold_bounds():
     assert sample_threshold(0.0) == 0
     with pytest.raises(ValueError):
         sample_threshold(1.5)
+
+
+def test_string_keys_hash_not_null_cast(spark):
+    """String doc ids must sample via a real hash — the old cast('long')
+    NULLed every key and silently returned an empty sample (r3 ADVICE)."""
+    df = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(20_000)], "k string"
+    )
+    a = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(7), "k", 0.3).collect())
+    assert a == b
+    assert abs(len(a) / 20_000 - 0.3) < 0.02  # not empty, near the rate
+
+
+def test_unsupported_key_type_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.5,)], "k double")
+    with pytest.raises(ValueError, match="integral or string"):
+        hash_sample(df, "k", 0.5)

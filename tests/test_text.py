@@ -223,3 +223,23 @@ def test_sig_prefilter_preserves_results(spark, docs):
            D.minhash_near_duplicates(docs.where("doc_id != 7"), threshold=0.5,
                                      sig_prefilter_margin=0.15).collect()}
     assert base == pre and len(base) > 0
+
+
+def test_pii_ipv4_not_mislabeled_as_phone(spark):
+    """Dotted IPv4 ≥9 chars sits inside the phone pattern's character
+    class; the scrub must label it <IP> (ipv4 ordered before phone, r3
+    ADVICE) and the audit counts must agree with the replacement."""
+    from morituri_spark.text.quality import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "server at 192.168.1.1 and call +1 (415) 555-0199 or a@b.co")],
+        "doc_id long, text string",
+    )
+    counts = pii_counts("text")
+    row = df.select(
+        redact_pii("text").alias("red"),
+        *[c.alias(n) for n, c in counts.items()],
+    ).collect()[0]
+    assert "<IP>" in row.red and "<PHONE>" in row.red and "<EMAIL>" in row.red
+    assert "192.168" not in row.red
+    assert (row.n_email, row.n_ipv4, row.n_phone) == (1, 1, 1)
