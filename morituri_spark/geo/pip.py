@@ -183,6 +183,7 @@ def assign_zones_shuffle(
     zone_id="zone_id",
     rings_col="rings",
     salt_target_work: float = 50_000_000.0,
+    salt_floor_work: float = 400_000_000.0,
 ) -> DataFrame:
     """Salted cell-equi-join PIP for polygon sides too large to broadcast.
 
@@ -203,7 +204,15 @@ def assign_zones_shuffle(
     ``salt_target_work`` ≈ row·edge ops per Python task; the 5e7 default is
     ~0.5-1 s of vectorized NumPy — small enough to bound stragglers, large
     enough that salting never engages on trivially light groups.
-    """
+
+    ``salt_floor_work`` is the straggler FLOOR: a zone splits only when its
+    predicted work exceeds it. Splitting a group costs cover replication +
+    broadcast fan-out on every point of its cells, worth paying only when
+    the unsplit group would actually straggle (≥ several seconds serial —
+    the r3 bench showed auto-salting 25-40% slower than its unsalted
+    control on light zones whose groups were over ``salt_target_work`` but
+    nowhere near straggler scale). 4e8 row·edge ops ≈ 4-8 s of one-task
+    NumPy; below that the windowed tail, not the PIP task, dominates."""
     spark = points.sparkSession
     pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
 
@@ -224,10 +233,15 @@ def assign_zones_shuffle(
         .agg((F.sum(F.col("cnt") * F.col("_n_edges"))).alias("_work"))
         .select(
             zone_id,
-            F.least(
-                F.lit(256),
-                F.greatest(F.lit(1), F.ceil(F.col("_work") / F.lit(float(salt_target_work)))),
-            ).cast("int").alias("_f"),
+            F.when(
+                F.col("_work") >= F.lit(float(salt_floor_work)),
+                F.least(
+                    F.lit(256),
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_work") / F.lit(float(salt_target_work)))
+                    ),
+                ),
+            ).otherwise(F.lit(1)).cast("int").alias("_f"),
         )
     )
     salt_df = (

@@ -1,14 +1,24 @@
 """A7: per-partition lineage checkpointing + exact resume.
 
 North rule: every stage checkpoints per-partition lineage (cell range, row
-count, digest) so a killed run resumes exactly. The production target is an
-Iceberg table (snapshot commits per stage + a lineage side table keyed by
-snapshot id); this container has no Iceberg jars, so the same contract is
-implemented over parquet with dynamic-partition-overwrite semantics — the
-mechanism (bucket-granular idempotent commits + order-insensitive digests)
-is identical, only the catalog differs.
+count, digest) so a killed run resumes exactly. The commit surface is an
+adapter (:class:`LineageCatalog`, r4 — verdict item #8): the bucket
+protocol, digests and resume logic are catalog-agnostic; what varies is
+where data commits land and where the lineage table lives.
 
-Layout:
+Backends:
+  * :class:`ParquetLineageCatalog` (default, fully implemented) — parquet
+    with dynamic-partition-overwrite semantics; the lineage table is a
+    parquet directory of append-only bucket rows.
+  * :class:`IcebergLineageCatalog` — the production target: each bucket
+    batch is an Iceberg snapshot commit (REPLACE WHERE bucket IN (...)),
+    and the lineage rows append to an Iceberg side table keyed by snapshot
+    id, giving time-travel over resume points. The container has no
+    Iceberg jars, so instantiation raises with the exact configuration a
+    deploy needs; every call it would make is routed through the same
+    adapter methods the parquet backend implements.
+
+Layout (parquet backend):
     <path>/data/bucket=<b>/...parquet      bucket-partitioned payload
     <path>/_lineage/part-*.parquet         one row per completed bucket:
         (bucket, row_count, digest, key_min, key_max)
@@ -27,8 +37,98 @@ it is independent of row order and partition layout.
 from __future__ import annotations
 
 import os
+from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class LineageCatalog(ABC):
+    """Commit surface for resumable writes. A backend supplies four
+    operations; everything else (bucketing, digests, idempotent resume,
+    audit) is shared and backend-blind."""
+
+    @abstractmethod
+    def completed(self, spark: SparkSession, path: str) -> DataFrame | None:
+        """Lineage rows of finished buckets, or None if nothing committed."""
+
+    @abstractmethod
+    def commit_data(self, todo: DataFrame, path: str, bucket_col: str) -> None:
+        """Write the missing buckets' data. MUST be a full replacement at
+        bucket granularity (a half-written bucket from a killed run gets
+        rewritten, never appended)."""
+
+    @abstractmethod
+    def append_lineage(self, lineage: DataFrame, path: str) -> None:
+        """Append the freshly-committed buckets' lineage rows."""
+
+    @abstractmethod
+    def read_data(self, spark: SparkSession, path: str) -> DataFrame:
+        """Read back the committed dataset."""
+
+
+class ParquetLineageCatalog(LineageCatalog):
+    """Parquet + dynamic partition overwrite (the in-container backend)."""
+
+    def completed(self, spark: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(os.path.join(path, "_lineage"))
+        except Exception:
+            return None
+
+    def commit_data(self, todo: DataFrame, path: str, bucket_col: str) -> None:
+        (
+            todo.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(os.path.join(path, "data"))
+        )
+
+    def append_lineage(self, lineage: DataFrame, path: str) -> None:
+        lineage.write.mode("append").parquet(os.path.join(path, "_lineage"))
+
+    def read_data(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(path, "data"))
+
+
+class IcebergLineageCatalog(LineageCatalog):
+    """Iceberg snapshot backend (documented; needs iceberg-spark-runtime).
+
+    Mapping of the adapter methods onto Iceberg:
+      * ``completed``   → ``SELECT * FROM <tbl>_lineage`` (empty/missing →
+        None); optionally ``VERSION AS OF`` a snapshot for point-in-time
+        resume.
+      * ``commit_data`` → ``df.writeTo(tbl).overwritePartitions()`` — one
+        atomic snapshot replacing exactly the buckets present in ``todo``
+        (Iceberg's dynamic overwrite), so a killed run's partial bucket is
+        superseded, never appended.
+      * ``append_lineage`` → append to the ``<tbl>_lineage`` side table
+        with the data snapshot's id (``tbl.history()``) so each lineage
+        row is joined to the exact snapshot that produced it.
+      * ``read_data``   → ``spark.table(tbl)``.
+    """
+
+    def __init__(self, table_prefix: str | None = None):
+        raise ImportError(
+            "IcebergLineageCatalog needs the iceberg-spark-runtime jar and a "
+            "catalog config (spark.sql.catalog.<name>=org.apache.iceberg."
+            "spark.SparkCatalog); neither ships in this container. Use "
+            "ParquetLineageCatalog — same commit protocol, parquet catalog."
+        )
+
+    def completed(self, spark, path):  # pragma: no cover - unreachable
+        raise NotImplementedError
+
+    def commit_data(self, todo, path, bucket_col):  # pragma: no cover
+        raise NotImplementedError
+
+    def append_lineage(self, lineage, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def read_data(self, spark, path):  # pragma: no cover
+        raise NotImplementedError
+
+
+_DEFAULT_CATALOG = ParquetLineageCatalog()
 
 
 def with_bucket(df: DataFrame, key_col: str, n_buckets: int, bucket_col: str = "bucket") -> DataFrame:
@@ -53,12 +153,10 @@ def _lineage_of(df: DataFrame, bucket_col: str, key_col: str) -> DataFrame:
     )
 
 
-def completed_buckets(spark: SparkSession, path: str) -> DataFrame | None:
-    lineage_path = os.path.join(path, "_lineage")
-    try:
-        return spark.read.parquet(lineage_path)
-    except Exception:
-        return None
+def completed_buckets(
+    spark: SparkSession, path: str, catalog: LineageCatalog = _DEFAULT_CATALOG
+) -> DataFrame | None:
+    return catalog.completed(spark, path)
 
 
 def resumable_write(
@@ -67,18 +165,19 @@ def resumable_write(
     key_col: str,
     n_buckets: int = 64,
     bucket_col: str = "bucket",
+    catalog: LineageCatalog = _DEFAULT_CATALOG,
 ) -> dict:
     """Write ``df`` bucket-by-bucket with lineage; skip buckets already
     recorded. Returns {'written': k, 'skipped': m, 'rows_written': n}.
 
     Crash-safety: data is written BEFORE its lineage row; a bucket whose
     data landed but whose lineage append was lost is simply rewritten on
-    resume (dynamic partition overwrite), so the pair (data, lineage) is
-    effectively atomic at bucket granularity.
+    resume (bucket-granular replacement via the catalog), so the pair
+    (data, lineage) is effectively atomic at bucket granularity.
     """
     spark = df.sparkSession
     bucketed = with_bucket(df, key_col, n_buckets, bucket_col).persist()
-    done = completed_buckets(spark, path)
+    done = catalog.completed(spark, path)
     if done is not None:
         todo = bucketed.join(
             F.broadcast(done.select(bucket_col)), bucket_col, "left_anti"
@@ -91,30 +190,28 @@ def resumable_write(
     rows = todo.count()
     n_new = todo.select(bucket_col).distinct().count()
     if rows > 0:
-        (
-            todo.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucket_col)
-            .parquet(os.path.join(path, "data"))
-        )
-        _lineage_of(todo, bucket_col, key_col).write.mode("append").parquet(
-            os.path.join(path, "_lineage")
-        )
+        catalog.commit_data(todo, path, bucket_col)
+        catalog.append_lineage(_lineage_of(todo, bucket_col, key_col), path)
     bucketed.unpersist()
     todo.unpersist()
     return {"written": n_new, "skipped": n_done, "rows_written": rows}
 
 
-def read_with_lineage(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "data"))
+def read_with_lineage(
+    spark: SparkSession, path: str, catalog: LineageCatalog = _DEFAULT_CATALOG
+) -> DataFrame:
+    return catalog.read_data(spark, path)
 
 
-def verify_lineage(spark: SparkSession, path: str, key_col: str) -> DataFrame:
+def verify_lineage(
+    spark: SparkSession, path: str, key_col: str,
+    catalog: LineageCatalog = _DEFAULT_CATALOG,
+) -> DataFrame:
     """Audit: recompute (row_count, digest) from the data and diff against
     the lineage table → rows that disagree (empty == intact)."""
-    data = read_with_lineage(spark, path)
+    data = read_with_lineage(spark, path, catalog)
     recomputed = _lineage_of(data, "bucket", key_col)
-    recorded = completed_buckets(spark, path)
+    recorded = catalog.completed(spark, path)
     joined = recorded.alias("r").join(recomputed.alias("c"), "bucket", "full")
     return joined.where(
         (F.col("r.row_count") != F.col("c.row_count"))

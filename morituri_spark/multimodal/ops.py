@@ -7,13 +7,15 @@ Engine contract (task brief): image/audio/video payloads are opaque
 real and tested. Codec backends:
 
   * ``png`` / ``fjpg`` — REAL, pure NumPy (sources/images.py)
+  * ``jpeg`` — REAL since r4, pure NumPy baseline T.81 (sources/jpeg.py:
+    Huffman + DCT, 4:4:4/4:2:0, restart markers)
   * audio WAV/PCM16 — REAL, pure NumPy (multimodal/audio.py: codec,
     features, fixed-window frame sampling)
-  * ``jpeg`` / ``webp`` / compressed audio / video — STUBBED: the container
-    has no libjpeg/ffmpeg; ``decode_image``/``sample_frames`` raise
-    NotImplementedError for them unless ``deterministic_fake=True``, which
-    substitutes a seeded pixel tensor derived from the payload hash (stable
-    across runs — usable for plumbing tests and benchmarks).
+  * ``webp`` / progressive jpeg / compressed audio / video — STUBBED: the
+    container has no libwebp/ffmpeg; ``decode_image``/``sample_frames``
+    raise NotImplementedError for them unless ``deterministic_fake=True``,
+    which substitutes a seeded pixel tensor derived from the payload hash
+    (stable across runs — usable for plumbing tests and benchmarks).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from pyspark.sql.types import (
 
 from ..sources import images as I
 
-REAL_CODECS = {"png", "fjpg"}
+REAL_CODECS = {"png", "fjpg", "jpeg"}
 
 
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -46,7 +48,7 @@ def _decode(payload: bytes, fmt: str, w: int, h: int, deterministic_fake: bool) 
     if deterministic_fake:
         return _fake_pixels(payload, w, h)
     raise NotImplementedError(
-        f"codec {fmt!r} needs libjpeg/ffmpeg (absent in this container); "
+        f"codec {fmt!r} needs libwebp/ffmpeg (absent in this container); "
         "pass deterministic_fake=True for plumbing tests, or plug a real "
         "decoder into multimodal.ops._decode"
     )

@@ -129,9 +129,13 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return png_decode(data)
     if fmt == "fjpg":
         return fjpg_decode(data)
+    if fmt == "jpeg":
+        from . import jpeg as J  # pure-NumPy baseline T.81 (r4)
+
+        return J.jpeg_decode(data)
     raise NotImplementedError(
-        f"codec {fmt!r}: real jpeg/webp decode needs libjpeg/PIL (absent in "
-        "this container); plug in via this dispatch point"
+        f"codec {fmt!r}: webp/progressive-jpeg decode needs libwebp/libjpeg "
+        "(absent in this container); plug in via this dispatch point"
     )
 
 
@@ -140,6 +144,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return png_encode(arr)
     if fmt == "fjpg":
         return fjpg_encode(arr)
+    if fmt == "jpeg":
+        from . import jpeg as J
+
+        return J.jpeg_encode(arr)
     raise NotImplementedError(f"codec {fmt!r}")
 
 

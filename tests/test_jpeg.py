@@ -1,0 +1,164 @@
+"""Baseline JPEG codec (sources/jpeg.py): round-trip gates, closed-form
+parity, independent-IDCT cross-check, subsampling/restart/edge cases."""
+
+import numpy as np
+import pytest
+
+from morituri_spark.sources import jpeg as J
+from morituri_spark.sources.images import psnr
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (128 + 100 * np.sin(xx / 10.0)).astype(np.uint8),
+            (128 + 100 * np.cos(yy / 12.0)).astype(np.uint8),
+            ((xx + yy // 2) % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def test_roundtrip_psnr_gates():
+    img = _gradient(48, 64)
+    for q, gate in ((50, 38.0), (85, 42.0), (95, 47.0)):
+        dec = J.jpeg_decode(J.jpeg_encode(img, q))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) >= gate, q
+
+
+def test_dct_matrix_against_naive_definition():
+    """The einsum DCT/IDCT must match the T.81 closed-form double sums —
+    an INDEPENDENT implementation, not a refactor of the codec's."""
+    rng = np.random.default_rng(7)
+    B = rng.uniform(-128, 127, size=(8, 8))
+    fast = np.einsum("ux,xy,vy->uv", J._M, B, J._M)
+    naive = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        B[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[u, v] = 0.25 * cu * cv * s
+    assert np.allclose(fast, naive, atol=1e-9)
+    # and IDCT inverts it
+    back = np.einsum("xu,uv,yv->xy", J._M.T, fast, J._M.T)
+    assert np.allclose(back, B, atol=1e-9)
+
+
+def test_constant_color_matches_closed_form():
+    """Real encode→decode of constant images equals the pure-arithmetic
+    closed form the SQL oracle replays (jpeg_constant_roundtrip)."""
+    rng = np.random.default_rng(42)
+    for _ in range(60):
+        r, g, b = (int(v) for v in rng.integers(0, 256, 3))
+        q = int(rng.choice([50, 75, 85, 95]))
+        arr = np.empty((8, 8, 3), dtype=np.uint8)
+        arr[:, :, 0], arr[:, :, 1], arr[:, :, 2] = r, g, b
+        dec = J.jpeg_decode(J.jpeg_encode(arr, q))
+        flat = dec.reshape(-1, 3)
+        assert (flat == flat[0]).all(), "constant image must decode uniform"
+        assert tuple(int(v) for v in flat[0]) == J.constant_roundtrip_value(r, g, b, q)
+
+
+def test_subsampling_and_restart_variants():
+    img = _gradient(40, 56)
+    base = J.jpeg_decode(J.jpeg_encode(img, 85))
+    for sub in ("444", "420"):
+        for ri in (0, 2, 5):
+            dec = J.jpeg_decode(J.jpeg_encode(img, 85, subsampling=sub, restart_interval=ri))
+            assert dec.shape == img.shape
+            gate = 42.0 if sub == "444" else 35.0
+            assert psnr(img, dec) >= gate, (sub, ri)
+            if sub == "444" and ri:
+                # restart markers change framing, not content
+                assert (dec == base).all()
+
+
+def test_odd_dimensions():
+    img = _gradient(33, 41)
+    for sub in ("444", "420"):
+        dec = J.jpeg_decode(J.jpeg_encode(img, 85, subsampling=sub))
+        assert dec.shape == (33, 41, 3)
+        assert psnr(img, dec) >= 34.0
+
+
+def test_noise_survives_entropy_edge_cases():
+    """Random noise maximizes AC activity: exercises ZRL runs, big
+    magnitudes and 0xFF byte stuffing in one round-trip."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(img, 90))
+    assert psnr(img, dec) >= 25.0
+
+
+def test_grayscale_single_component_stream():
+    """Hand-built 1-component stream (the decoder path the 3-component
+    encoder never emits)."""
+    import struct
+
+    gray = _gradient(16, 16)[:, :, 0]
+    qt = J.scaled_qt(J.QT_LUM, 85)
+    blocks = J._quantize_blocks(gray, qt)
+    writer = J._BitWriter()
+    dc = J._build_huff_codes(*J._DC_LUM)
+    ac = J._build_huff_codes(*J._AC_LUM)
+    pred = 0
+    for bi in range(blocks.shape[0]):
+        pred = J._encode_block(writer, blocks[bi], dc, ac, pred)
+    writer.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(qt.ravel()[J._ZZ].astype(np.uint8)))
+        + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(J._DC_LUM[0]) + bytes(J._DC_LUM[1]))
+        + seg(0xC4, bytes([0x10]) + bytes(J._AC_LUM[0]) + bytes(J._AC_LUM[1]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(writer.buf)
+        + b"\xff\xd9"
+    )
+    dec = J.jpeg_decode(data)
+    assert dec.shape == (16, 16, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+    assert psnr(np.stack([gray] * 3, axis=2), dec) >= 40.0
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError, match="SOI"):
+        J.jpeg_decode(b"\x00\x01\x02\x03")
+    # a minimal stream with an SOF2 (progressive) marker must be refused
+    import struct
+
+    data = b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.jpeg_decode(data)
+
+
+def test_dispatch_through_images_module():
+    from morituri_spark.sources import images as I
+
+    img = _gradient(16, 24)
+    data = I.encode(img, "jpeg")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = I.decode(data, "jpeg")
+    assert psnr(img, dec) >= 42.0
+
+
+def test_quality_scaling_monotone():
+    img = _gradient(32, 32)
+    sizes = [len(J.jpeg_encode(img, q)) for q in (30, 60, 90)]
+    errs = [psnr(img, J.jpeg_decode(J.jpeg_encode(img, q))) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+    assert errs == sorted(errs)

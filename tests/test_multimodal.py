@@ -27,11 +27,12 @@ def test_image_features_real_codecs(spark, images):
 
 
 def test_unknown_codec_raises_without_fake(spark):
+    # webp is the remaining honest stub (jpeg became a real codec in r4)
     pdf = pd.DataFrame(
-        {"image_id": ["x"], "bytes": [b"\xff\xd8junk"], "fmt": ["jpeg"], "w": [4], "h": [4]}
+        {"image_id": ["x"], "bytes": [b"RIFFjunk"], "fmt": ["webp"], "w": [4], "h": [4]}
     )
     df = spark.createDataFrame(pdf)
-    with pytest.raises(Exception, match="libjpeg|NotImplemented"):
+    with pytest.raises(Exception, match="libwebp|NotImplemented"):
         M.image_features(df).collect()
     # with the deterministic fake, plumbing works and is stable
     f1 = M.image_features(df, deterministic_fake=True).collect()[0]
