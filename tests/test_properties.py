@@ -65,3 +65,50 @@ def test_spread_bits_monotone_and_invertible(xs):
     # strictly increasing (bit-order preserved) — the property the Morton
     # corner bound rests on
     assert (np.diff(sp) > 0).all() if len(sp) > 1 else True
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([50, 75, 85, 95]),
+    st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_never_crashes_and_bounds_error(h, w, seed, quality, sub):
+    """Any RGB8 image of any small size encodes to a decodable stream whose
+    dimensions are preserved; error is bounded by the quantization scale."""
+    from morituri_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    # piecewise-smooth content (random DC per 8x8-ish region + mild noise)
+    base = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+    img = np.clip(
+        np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+        + rng.integers(-6, 7, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+    # luma quant step at q50 is <=~56 for the highest AC; constants chosen
+    # from the worst measured + margin — this guards regressions, not rate
+    assert float(err.mean()) < 40.0
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from([50, 75, 85, 95]),
+)
+@settings(max_examples=80, deadline=None)
+def test_jpeg_constant_closed_form_property(r, g, b, quality):
+    from morituri_spark.sources import jpeg as J
+
+    arr = np.empty((8, 8, 3), dtype=np.uint8)
+    arr[:, :, 0], arr[:, :, 1], arr[:, :, 2] = r, g, b
+    dec = J.jpeg_decode(J.jpeg_encode(arr, quality))
+    flat = dec.reshape(-1, 3)
+    assert (flat == flat[0]).all()
+    assert tuple(int(v) for v in flat[0]) == J.constant_roundtrip_value(r, g, b, quality)
