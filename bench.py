@@ -39,6 +39,25 @@ def cpu_ticks():
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
+def calib_ms() -> float:
+    """Single-core contention sentinel: best-of-5 time for a fixed NumPy
+    workload. The r4 adjudication showed steal ticks UNDER-REPORT sibling
+    contention (Arrow-heavy entries inflated 1.5-2.5× at 0.2% steal); this
+    reference workload shifts with the frequency/LLC pressure steal misses.
+    Compare across rounds: a calib_ms drift of +20% means wall-clock
+    deltas of that order are environmental, not regressions."""
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.float64)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            x = np.sqrt(x * 1.0000001 + 1.0)
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000.0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -55,6 +74,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    calib_start = calib_ms()
     timings: dict[str, float] = {}
     steal: dict[str, float] = {}
 
@@ -437,6 +457,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "steal_pct": steal,
+                "calib_ms_start": calib_start,
+                "calib_ms_end": calib_ms(),
                 "sf": sf,
                 "cpus": cpus,
                 "n_images": N_IMAGES,

@@ -421,6 +421,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
+        while marker == 0xFF:  # optional fill bytes before a marker (B.1.1.2)
+            marker = data[pos]
+            pos += 1
         if marker == 0xD9:
             raise ValueError("EOI before SOS")
         (ln,) = struct.unpack(">H", data[pos : pos + 2])

@@ -162,3 +162,14 @@ def test_quality_scaling_monotone():
     errs = [psnr(img, J.jpeg_decode(J.jpeg_encode(img, q))) for q in (30, 60, 90)]
     assert sizes == sorted(sizes)
     assert errs == sorted(errs)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2)."""
+    img = _gradient(16, 16)
+    data = J.jpeg_encode(img, 85)
+    # inject fill bytes before the SOF0 marker
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i + 1:]  # \xff (fill) ... \xff\xc0
+    dec = J.jpeg_decode(padded)
+    assert (dec == J.jpeg_decode(data)).all()
