@@ -1184,6 +1184,15 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_repetition_ratios(spark, sf_dir):
+    """Gopher-style repetition quality gates (text/quality.repetition_stats):
+    duplicate-line, duplicate-3-gram and top-2-gram fractions per document —
+    explode + two-stage agg, DuckDB replays via regexp_split + unnest."""
+    from morituri_spark.text.quality import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -2136,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 ---
         "knn_ring_haversine": _q_knn_ring_haversine,
         "jpeg_constant_roundtrip": _q_jpeg_roundtrip,
+        "repetition_ratios": _q_repetition_ratios,
         # --- implementation touched in r4 (asof struct-fill, rangejoin
         # refine-in-condition, ANN scoring tail) — re-verify ---
         "asof_last_purchase": _q_asof_join,
@@ -2159,13 +2169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_levels": _q_tile_pyramid,
         "ring_areas_shoelace": _q_ring_areas,
         "streaming_tile_rollup": _q_streaming_rollup,
-        "streaming_first_seen": _q_streaming_first_seen,
         # --- composed reference entry points (oracle-checked) ---
         "street_ways_oracle": _q_street_ways_oracle,
         "admin_relations_oracle": _q_admin_relations_oracle,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
         # ---------------- position > 50: driver-green in r1-r3 ----------------
+        "streaming_first_seen": _q_streaming_first_seen,
         # golden-table oracles (Python kernel derives the expected VALUES;
         # the query runs the INDEPENDENT Catalyst implementation)
         "zsplit_golden_vectors": _q_zsplit_golden,
@@ -2628,6 +2638,48 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_oracle_sql(),
         "audio_frames": _audio_frames_oracle_sql(),
         "jpeg_constant_roundtrip": _jpeg_roundtrip_oracle_sql(),
+        "repetition_ratios": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS ws,
+                     str_split(text, chr(10)) AS ls
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS dl FROM w
+            ),
+            g2 AS (
+              SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+              WHERE len(ws) >= 2
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                       || ' ' || ws[CAST(i AS INT) + 2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+              WHERE len(ws) >= 3
+            ),
+            s2 AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_2gram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY doc_id
+            ),
+            s3 AS (
+              SELECT doc_id,
+                     CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_3gram_frac
+              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   round(CAST(1 AS DOUBLE) - CAST(dl AS DOUBLE) / CAST(greatest(nl, 1) AS DOUBLE), 9) AS dup_line_frac,
+                   round(coalesce(s3.dup_3gram_frac, 0.0), 9) AS dup_3gram_frac,
+                   round(coalesce(s2.top_2gram_frac, 0.0), 9) AS top_2gram_frac
+            FROM lines l
+            LEFT JOIN s2 ON l.doc_id = s2.doc_id
+            LEFT JOIN s3 ON l.doc_id = s3.doc_id
+        """,
         "zonal_image_stats": _zonal_oracle_sql(),
         "flagship_images": _flagship_images_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
 )
 
 
@@ -248,6 +248,67 @@ def train_ivf_centroids(
             if len(members):
                 c = members.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def train_ivf_centroids_distributed(
+    emb: DataFrame, n_lists: int = 16, iters: int = 10, seed: int = 42,
+    vec_col: str = "embedding", tol: float = 1e-6,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus (the scale path for
+    :func:`train_ivf_centroids`, whose driver-side sample caps at a few
+    thousand vectors): per round, an Arrow kernel assigns every vector to
+    its nearest centroid (one matmul per batch against the broadcast
+    centroid matrix — the with_lsh_bucket pattern), then one groupBy
+    computes per-list means as 2·dim aggregate columns (whole-stage
+    codegen, map-side combine; only k×dim numbers reach the driver).
+
+    Init is the deterministic sample k-means, so small corpora converge to
+    the same quantizer either way. Stops early when centroids move < tol.
+    Cost per round = one corpus scan + one k-row shuffle — the same shape
+    at 100 TB, with no per-round lineage growth (each round reads the
+    SOURCE DataFrame, not the previous round's output)."""
+    C = train_ivf_centroids(emb, n_lists=n_lists, iters=iters, seed=seed, vec_col=vec_col)
+    dim = C.shape[1]
+    src = emb.select(vec_col)
+    schema = StructType(
+        [StructField("ivf_list", LongType(), False),
+         StructField("_nvec", ArrayType(DoubleType()), False)]
+    )
+    for _ in range(iters):
+        bc = src.sparkSession.sparkContext.broadcast(C)
+
+        def assign(batches):
+            CC = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                lst = np.argmax(v @ CC.T, axis=1).astype(np.int64)
+                yield pd.DataFrame({"ivf_list": lst, "_nvec": list(v)})
+
+        assigned = src.mapInPandas(assign, schema)
+        # per-list mean of the NORMALIZED members (spherical update, same
+        # as the sample trainer): dim separate tiny agg expressions —
+        # whole-stage codegen with map-side combine, k×dim to the driver
+        elems = [
+            F.sum(F.col("_nvec").getItem(i)).alias(f"_s{i}") for i in range(dim)
+        ]
+        rows = (
+            assigned.groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).alias("_n"), *elems)
+            .collect()
+        )
+        newC = C.copy()
+        for r in rows:
+            j = int(r["ivf_list"])
+            mean = np.array([r[f"_s{i}"] for i in range(dim)]) / max(int(r["_n"]), 1)
+            newC[j] = mean / max(np.linalg.norm(mean), 1e-12)
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
     return C
 
 

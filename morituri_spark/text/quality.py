@@ -154,6 +154,95 @@ def fingerprint(
 
 
 # ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style quality gates: repetitive docs are the
+# classic low-quality signature in web-scale training corpora)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition ratios (the Gopher/MassiveText-family
+    quality gates, public literature — Rae et al. 2021 §A1.1):
+
+      * ``dup_line_frac``  — 1 − distinct lines / lines
+      * ``dup_3gram_frac`` — 1 − distinct word 3-grams / 3-grams
+      * ``top_2gram_frac`` — occurrences of the most frequent word 2-gram
+        / total 2-grams
+
+    Scale shape: n-grams explode to (doc, gram) rows and aggregate in two
+    codegen stages (gram counts → per-doc ratios) — the same shuffle
+    pattern as the shingle pipeline, no HOF fold on the hot path; lines
+    stay row-level (split + array_distinct on a small array). Docs with
+    fewer than 3 words report 0 for the n-gram ratios (nothing to repeat).
+    DuckDB replays every ratio exactly (regexp_split + unnest)."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(
+        id_col,
+        words.alias("_w"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+    )
+    nw = F.size("_w")
+    lines = base.select(
+        id_col,
+        F.size("_lines").alias("_nl"),
+        F.size(F.array_distinct("_lines")).alias("_dl"),
+    )
+    idx2 = F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(0)))
+    idx3 = F.sequence(F.lit(1), F.greatest(nw - 2, F.lit(0)))
+    g2 = base.where(nw >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx2,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    g3 = base.where(nw >= 3).select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx3,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("_w", i),
+                    F.element_at("_w", i + 1),
+                    F.element_at("_w", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    s2 = (
+        g2.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_2gram_frac"))
+    )
+    s3 = (
+        g3.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_3gram_frac")
+        )
+    )
+    return (
+        lines.join(s2, id_col, "left")
+        .join(s3, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0) - F.col("_dl") / F.greatest(F.col("_nl"), F.lit(1)), 9
+            ).alias("dup_line_frac"),
+            F.round(F.coalesce("dup_3gram_frac", F.lit(0.0)), 9).alias("dup_3gram_frac"),
+            F.round(F.coalesce("top_2gram_frac", F.lit(0.0)), 9).alias("top_2gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (cleaning stage: scrub before training)
 # ---------------------------------------------------------------------------
 

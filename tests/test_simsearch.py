@@ -164,3 +164,39 @@ def test_ivf_indexed_matches_in_memory(spark, emb, tmp_path):
     with contextlib.redirect_stdout(buf):
         got_df.explain("formatted")
     assert "PartitionFilters" in buf.getvalue() and "ivf_list" in buf.getvalue()
+
+
+def test_distributed_kmeans_matches_quality_and_serves_ivf(spark, emb):
+    """Distributed Lloyd's over the full corpus: valid unit centroids,
+    objective no worse than the sample trainer's, and the resulting IVF
+    ANN keeps recall vs brute force."""
+    from morituri_spark.ml.simsearch import (
+        ann_topk_ivf, knn_join_bruteforce, train_ivf_centroids,
+        train_ivf_centroids_distributed,
+    )
+
+    df, vecs = emb
+    Cd = train_ivf_centroids_distributed(df, n_lists=8, iters=8)
+    assert Cd.shape == (8, DIM)
+    assert np.allclose(np.linalg.norm(Cd, axis=1), 1.0, atol=1e-9)
+
+    X = vecs.astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def objective(C):
+        return float(np.mean(np.max(X @ C.T, axis=1)))  # mean best-cosine
+
+    Cs = train_ivf_centroids(df, n_lists=8)
+    assert objective(Cd) >= objective(Cs) - 1e-6
+
+    q = df.limit(20).withColumnRenamed("vec_id", "query_id")
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_topk_ivf(q, df, k=3, n_probe=4, centroids=Cd).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_join_bruteforce(q, df, k=3).collect()
+    }
+    hits = sum(got.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.8  # recall floor with 4/8 lists probed

@@ -243,3 +243,21 @@ def test_pii_ipv4_not_mislabeled_as_phone(spark):
     assert "<IP>" in row.red and "<PHONE>" in row.red and "<EMAIL>" in row.red
     assert "192.168" not in row.red
     assert (row.n_email, row.n_ipv4, row.n_phone) == (1, 1, 1)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from morituri_spark.text.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b\nc c c\na b a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    # lines: 3 total, 2 distinct; 2-grams: top 'a b' 4/10; 3-grams: 7 distinct of 9
+    assert abs(r1.dup_line_frac - (1 - 2 / 3)) < 1e-9
+    assert abs(r1.top_2gram_frac - 0.4) < 1e-9
+    assert abs(r1.dup_3gram_frac - (1 - 7 / 9)) < 1e-9
+    # short/empty docs: nothing to repeat
+    assert rows[2].dup_3gram_frac == 0.0 and rows[2].top_2gram_frac == 0.0
+    assert rows[3].dup_line_frac == 0.0
