@@ -261,3 +261,13 @@ def test_repetition_stats_hand_computed(spark):
     # short/empty docs: nothing to repeat
     assert rows[2].dup_3gram_frac == 0.0 and rows[2].top_2gram_frac == 0.0
     assert rows[3].dup_line_frac == 0.0
+
+
+def test_minhash_verify_kernel_matches_join(spark, docs):
+    import morituri_spark.text.dedup as D
+
+    a = {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in
+         D.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    b = {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in
+         D.minhash_near_duplicates(docs, threshold=0.5, verify_strategy="kernel").collect()}
+    assert a == b and len(a) > 0
