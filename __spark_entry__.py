@@ -1386,6 +1386,36 @@ def _q_streaming_first_seen(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """§2.8 streaming EXACT dedup (streaming/stateful.streaming_dedup):
+    the streaming face of dedup_exact — each content hash emits once with
+    the introducing batch's lowest doc_id. A salted duplicate table (every
+    doc_id % 7 == 0 re-delivered with a shifted id) over ONE file → one
+    availableNow micro-batch, so the oracle is plain md5/min/count SQL."""
+    import tempfile
+
+    from morituri_spark.streaming.pipeline import stream_images
+    from morituri_spark.streaming.stateful import streaming_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    src = docs.unionByName(dup)
+    d = tempfile.mkdtemp(prefix="sdedup_src_")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = stream_images(spark, d, src.schema, max_files_per_trigger=64)
+    out = streaming_dedup(stream, content_col="text", id_col="doc_id")
+    _STREAM_RUNS[0] += 1
+    name = f"drv_sdedup_{_STREAM_RUNS[0]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("content_hash", "doc_id", "n_dropped")
+
+
 def _q_wkb_roundtrip(spark, sf_dir):
     """G1 WKB bridge gate: zones → MultiPolygon WKB → rings; rows where the
     ring set does not survive the round-trip (expect 0)."""
@@ -2167,14 +2197,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_violations": _q_simplify_violations,
         "path_lengths_haversine": _q_path_lengths,
         "tile_pyramid_levels": _q_tile_pyramid,
-        "ring_areas_shoelace": _q_ring_areas,
         "streaming_tile_rollup": _q_streaming_rollup,
+        "streaming_dedup_exact": _q_streaming_dedup,
         # --- composed reference entry points (oracle-checked) ---
         "street_ways_oracle": _q_street_ways_oracle,
         "admin_relations_oracle": _q_admin_relations_oracle,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
         # ---------------- position > 50: driver-green in r1-r3 ----------------
+        "ring_areas_shoelace": _q_ring_areas,
         "streaming_first_seen": _q_streaming_first_seen,
         # golden-table oracles (Python kernel derives the expected VALUES;
         # the query runs the INDEPENDENT Catalyst implementation)
@@ -2638,6 +2669,18 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_oracle_sql(),
         "audio_frames": _audio_frames_oracle_sql(),
         "jpeg_constant_roundtrip": _jpeg_roundtrip_oracle_sql(),
+        "streaming_dedup_exact": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) - 1 AS n_dropped
+            FROM src GROUP BY 1
+        """,
         "repetition_ratios": r"""
             WITH w AS (
               SELECT doc_id,

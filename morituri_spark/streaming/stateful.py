@@ -61,3 +61,51 @@ def streaming_first_seen(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming EXACT dedup — the streaming face of text/dedup.py's
+    ``dedup_exact``: emit each row whose content hash has not been seen in
+    any earlier micro-batch (and keep only the first occurrence within the
+    batch that introduces the hash, lowest id wins). Re-deliveries and
+    backfilled duplicates are dropped at ingest instead of waiting for the
+    next batch dedup pass.
+
+    State per hash is a single boolean — same unbounded-lifetime contract
+    (and the same production TTL + downstream batch re-dedup discipline)
+    as :func:`streaming_first_seen`."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = stream.withColumn("_h", F.md5(F.col(content_col)))
+    id_field = stream.schema[id_col]
+    out_schema = (
+        f"content_hash string, {id_col} {id_field.dataType.simpleString()}, "
+        "n_dropped long"
+    )
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return
+        best, n = None, 0
+        for pdf in pdfs:
+            m = pdf[id_col].min()
+            best = m if best is None else min(best, m)
+            n += len(pdf)
+        state.update((True,))
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], id_col: [best], "n_dropped": [n - 1]}
+        )
+
+    return hashed.groupBy("_h").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -101,3 +101,40 @@ def test_streaming_first_seen_exactly_once(spark, tmp_path):
     # candidate (ts, count) pairs are per-single-file — never a merge of both
     assert got["a"] in {("2026-01-01T00:00:01", 2), ("2026-01-01T00:00:00", 1)}
     assert got["b"] in {("2026-01-01T00:00:05", 1), ("2026-01-01T00:00:00", 1)}
+
+
+def test_streaming_dedup_drops_redelivered_content(spark, tmp_path):
+    """Streaming exact dedup: a content hash emits once (lowest doc_id of
+    its introducing batch); re-deliveries in later batches emit nothing."""
+    import pandas as pd
+
+    from morituri_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    b1 = pd.DataFrame({"doc_id": [3, 1, 5], "text": ["aaa", "aaa", "bbb"]})
+    b2 = pd.DataFrame({"doc_id": [9, 2], "text": ["aaa", "ccc"]})  # aaa re-delivered
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+    ])
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src, mode="append")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src, mode="append")
+
+    stream = SP.stream_images(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_dedup(stream, content_col="text", id_col="doc_id")
+    q = (out.writeStream.format("memory").queryName("t_sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.table("t_sdedup").collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["content_hash"], []).append((r["doc_id"], r["n_dropped"]))
+    # exactly one emission per distinct content
+    assert sorted(len(v) for v in by_text.values()) == [1, 1, 1]
+    emitted = {r["doc_id"] for r in rows}
+    # 'aaa' emitted from whichever batch ran first: (1, dropped 1) or (9, 0);
+    # 'bbb' always 5; 'ccc' always 2
+    assert 5 in emitted and 2 in emitted
+    pairs = {p for v in by_text.values() for p in v}
+    assert (1, 1) in pairs or (9, 0) in pairs
