@@ -92,7 +92,10 @@ class FlatPolygons:
         return len(self.zone_ids)
 
     def assign(self, px: np.ndarray, py: np.ndarray):
-        """→ (point_idx, zone_id) arrays: every containing zone per point."""
+        """→ (point_idx, zone_id) arrays: every containing zone per point.
+        O(n_zones) vectorized bbox passes per batch — fine for dimension-
+        sized zone sets; :class:`GridIndexedPolygons` is the large-zone-set
+        variant."""
         out_idx, out_zone = [], []
         for i, rl in enumerate(self.rings):
             b = self.bbox[i]
@@ -109,9 +112,99 @@ class FlatPolygons:
         return np.concatenate(out_idx), np.concatenate(out_zone)
 
 
-def _collect_polygons(zones: DataFrame, zone_id="zone_id", rings_col="rings") -> FlatPolygons:
+class GridIndexedPolygons(FlatPolygons):
+    """FlatPolygons + a uniform bbox grid: ``assign`` buckets the point
+    batch by grid cell and tests only the zones whose bbox overlaps that
+    cell. Results are identical to FlatPolygons (same bbox + even-odd
+    tests after the coarser prefilter; asserted in tests).
+
+    MEASURED NEGATIVE RESULT (r4) — kept as documentation, OFF by default:
+    at 10k zones × 1M points the grid path ran 12.9s vs 3.5s for the plain
+    per-zone bbox loop. The Arrow batch (~10k points) splinters into
+    thousands of tiny per-cell NumPy calls whose Python dispatch overhead
+    dwarfs the work, while the "naive" O(n_zones) loop is 10k CHEAP
+    vectorized passes. The plain loop also beat the salted shuffle at
+    every zone count tried (10k: 3.5 vs 6.3s; 20k: 5.9 vs 13.6s; 40k:
+    8.8 vs >20s), which is why ``_KERNEL_ZONE_BUDGET`` was raised instead
+    of indexing the kernel — broadcast's real limit is ring-set memory,
+    not zone count."""
+
+    def __init__(self, zone_ids, ring_lists, grid: int | None = None):
+        super().__init__(zone_ids, ring_lists)
+        n = max(len(self.rings), 1)
+        # ~4 zones per occupied cell for uniformly-spread zone sets
+        self.grid = int(grid) if grid else max(int(np.sqrt(n)) * 2, 1)
+        gx0 = float(self.bbox[:, 0].min()) if n else 0.0
+        gy0 = float(self.bbox[:, 1].min()) if n else 0.0
+        gx1 = float(self.bbox[:, 2].max()) if n else 1.0
+        gy1 = float(self.bbox[:, 3].max()) if n else 1.0
+        self.gx0, self.gy0 = gx0, gy0
+        self.sx = (gx1 - gx0) / self.grid or 1.0
+        self.sy = (gy1 - gy0) / self.grid or 1.0
+        self.cell_zones: dict[int, np.ndarray] = {}
+        tmp: dict[int, list[int]] = {}
+        for i in range(n):
+            b = self.bbox[i]
+            cx0, cx1 = self._cx(b[0]), self._cx(b[2])
+            cy0, cy1 = self._cy(b[1]), self._cy(b[3])
+            for cx in range(cx0, cx1 + 1):
+                for cy in range(cy0, cy1 + 1):
+                    tmp.setdefault(cx * (self.grid + 1) + cy, []).append(i)
+        self.cell_zones = {k: np.asarray(v, dtype=np.int64) for k, v in tmp.items()}
+
+    def _cx(self, x):
+        return int(min(max((x - self.gx0) / self.sx, 0), self.grid))
+
+    def _cy(self, y):
+        return int(min(max((y - self.gy0) / self.sy, 0), self.grid))
+
+    def assign(self, px: np.ndarray, py: np.ndarray):
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        cx = np.clip(((px - self.gx0) / self.sx).astype(np.int64), 0, self.grid)
+        cy = np.clip(((py - self.gy0) / self.sy).astype(np.int64), 0, self.grid)
+        keys = cx * (self.grid + 1) + cy
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.nonzero(np.diff(sk))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sk)]))
+        out_idx, out_zone = [], []
+        for s, e in zip(starts, ends):
+            zlist = self.cell_zones.get(int(sk[s]))
+            if zlist is None:
+                continue
+            pts = order[s:e]
+            bpx, bpy = px[pts], py[pts]
+            for i in zlist:
+                b = self.bbox[i]
+                cand = np.nonzero(
+                    (bpx >= b[0]) & (bpx <= b[2]) & (bpy >= b[1]) & (bpy <= b[3])
+                )[0]
+                if len(cand) == 0:
+                    continue
+                hit = points_in_polygon_np(bpx[cand], bpy[cand], self.rings[i])
+                sel = pts[cand[hit]]
+                if len(sel):
+                    out_idx.append(sel)
+                    out_zone.append(np.full(len(sel), self.zone_ids[i], dtype=np.int64))
+        if not out_idx:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_idx), np.concatenate(out_zone)
+
+
+def _collect_polygons(
+    zones: DataFrame, zone_id="zone_id", rings_col="rings",
+    grid_index: str = "never",
+) -> FlatPolygons:
+    """``grid_index='always'`` opts into GridIndexedPolygons — measured
+    slower at every scale tried (see its docstring), so 'never' is the
+    default and there is no 'auto'."""
     rows = zones.select(zone_id, rings_col).collect()
-    return FlatPolygons([r[0] for r in rows], [r[1] for r in rows])
+    ids, rls = [r[0] for r in rows], [r[1] for r in rows]
+    if grid_index == "always":
+        return GridIndexedPolygons(ids, rls)
+    return FlatPolygons(ids, rls)
 
 
 def assign_zones_broadcast(
@@ -391,9 +484,14 @@ def assign_zones_union(
 # interpreted evaluation), which is why there is no inlined-CASE middle path.
 _UNION_EDGE_BUDGET = 4096
 
-# Above this zone COUNT the broadcast Arrow kernel's per-zone Python bbox
-# loop dominates; route to the cell-cover cogroup join instead.
-_KERNEL_ZONE_BUDGET = 4096
+# Above this zone COUNT route to the cell-cover cogroup join. r4 raised it
+# 4096 → 65536: the kernel's per-zone bbox loop is 10-40k CHEAP vectorized
+# passes per batch and beat the salted shuffle at every count measured
+# (10k zones × 1M pts: 3.5 vs 6.3s; 20k: 5.9 vs 13.6s; 40k: 8.8 vs >20s);
+# a grid-indexed kernel was tried and measured SLOWER (GridIndexedPolygons
+# docstring). Broadcast's true limit is the ring set's executor-memory
+# footprint, which assign_zones' row-count threshold guards separately.
+_KERNEL_ZONE_BUDGET = 65536
 
 
 def assign_zones_catalyst(

@@ -222,3 +222,61 @@ def test_catalyst_mid_regime_zone_budget_fallthrough(spark, data):
     got_set = {(r["image_id"], r["zid"]) for r in got.collect()}
     zones_rows = [(r["zid"], r["rings"]) for r in zones.collect()]
     assert got_set == brute_force(pts.toPandas(), zones_rows)
+
+
+def test_grid_indexed_polygons_match_flat(spark):
+    """GridIndexedPolygons.assign ≡ FlatPolygons.assign (same candidate
+    filtering + even-odd tests, just bucketed) — random zones incl. a
+    holed MultiPolygon, random + boundary points."""
+    import numpy as np
+
+    from morituri_spark.geo.pip import FlatPolygons, GridIndexedPolygons
+
+    rng = np.random.default_rng(11)
+    zone_ids, ring_lists = [], []
+    for z in range(150):
+        cx, cy = rng.uniform(-10, 10), rng.uniform(35, 55)
+        r = rng.uniform(0.1, 1.5)
+        k = int(rng.integers(3, 9))
+        ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        ring = [[cx + r * np.cos(a), cy + r * np.sin(a)] for a in ang]
+        ring.append(ring[0])
+        rings = [ring]
+        if z % 10 == 0:  # hole
+            hr = r * 0.4
+            hole = [[cx + hr * np.cos(a), cy + hr * np.sin(a)] for a in ang]
+            hole.append(hole[0])
+            rings.append(hole)
+        if z % 17 == 0:  # second island exterior
+            rings.append([[cx + 3, cy], [cx + 3.5, cy], [cx + 3.5, cy + 0.5],
+                          [cx + 3, cy + 0.5], [cx + 3, cy]])
+        zone_ids.append(z)
+        ring_lists.append(rings)
+
+    px = rng.uniform(-12, 12, 5000)
+    py = rng.uniform(33, 57, 5000)
+    flat = FlatPolygons(zone_ids, ring_lists)
+    grid = GridIndexedPolygons(zone_ids, ring_lists)
+    fi, fz = flat.assign(px, py)
+    gi, gz = grid.assign(px, py)
+    assert sorted(zip(fi.tolist(), fz.tolist())) == sorted(zip(gi.tolist(), gz.tolist()))
+    assert len(fi) > 0
+
+
+def test_collect_polygons_grid_index_opt_in(spark):
+    import numpy as np
+
+    from morituri_spark.geo import pip as P
+
+    rows = []
+    for z in range(100):
+        x = float(z % 10), float(z // 10)
+        rows.append((z, [[[x[0], x[1]], [x[0] + 0.9, x[1]], [x[0] + 0.9, x[1] + 0.9],
+                          [x[0], x[1] + 0.9], [x[0], x[1]]]]))
+    zones = spark.createDataFrame(rows, "zone_id long, rings array<array<array<double>>>")
+    # default stays PLAIN (grid index measured slower — negative result
+    # documented on GridIndexedPolygons); 'always' opts in
+    assert not isinstance(P._collect_polygons(zones), P.GridIndexedPolygons)
+    assert isinstance(
+        P._collect_polygons(zones, grid_index="always"), P.GridIndexedPolygons
+    )
