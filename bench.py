@@ -184,6 +184,44 @@ def main() -> None:
     mid_pts.unpersist()
     hof_pts.unpersist()
 
+    # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
+    # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
+    # zones × 1M points — broadcast won at every count measured (see
+    # geo/pip.py _KERNEL_ZONE_BUDGET notes; a grid-indexed kernel measured
+    # 3.7× slower and is documented as a negative result)
+    import numpy as np
+
+    zrows = []
+    zrng = np.random.default_rng(5)
+    for z in range(10_000):
+        zcx = -20.0 + (z % 100) * 0.4 + zrng.uniform(0, 0.1)
+        zcy = 30.0 + (z // 100) * 0.25 + zrng.uniform(0, 0.05)
+        ang = np.linspace(0, 2 * np.pi, 7)
+        ring = [[float(zcx + 0.35 * np.cos(a)), float(zcy + 0.35 * np.sin(a))] for a in ang]
+        zrows.append((z, [ring]))
+    many_zones = spark.createDataFrame(
+        zrows, "zone_id long, rings array<array<array<double>>>"
+    ).persist()
+    many_zones.count()
+    many_pts = spark.range(1_000_000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919 % 400000).cast("double") / 10000.0 - 20.0).alias("lon"),
+        ((F.col("id") * 104729 % 250000).cast("double") / 10000.0 + 30.0).alias("lat"),
+    ).repartition(64).persist()
+    many_pts.count()
+    steady_state(
+        "pip_broadcast_10k_zones",
+        pip.assign_zones_broadcast(many_pts, many_zones),
+        max_runs=3, min_runs=2,
+    )
+    steady_state(
+        "pip_shuffle_10k_zones_control",
+        pip.assign_zones_shuffle(many_pts, many_zones, res=8),
+        max_runs=3, min_runs=2,
+    )
+    many_zones.unpersist()
+    many_pts.unpersist()
+
     # spatial layout: Z-order clustered vs row-ordered control, same logical
     # bbox query (io/layout) — the write pays once, every later scan prunes
     from morituri_spark.io import layout as LAY
