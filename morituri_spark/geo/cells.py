@@ -79,6 +79,59 @@ def cell_to_parent(cell, parent_res: int):
     return pack_cell(parent_res, x >> shift, y >> shift)
 
 
+def compact_cover(cells: np.ndarray, res_min: int = 0) -> np.ndarray:
+    """Mixed-resolution compaction of a single-res cover: every complete
+    4-sibling group merges into its parent, recursively down to
+    ``res_min`` — the S2/H3 "compact covering" idea re-done on this
+    engine's quad grid. The covered REGION is exactly preserved (4
+    children ≡ parent) and the output cells stay pairwise disjoint, so a
+    point still matches at most one cover cell.
+
+    Scale regime (documented, not defaulted): cover row count drops from
+    O(area·4^res) toward O(perimeter·2^res) — decisive when huge zones
+    meet high res (country-scale at res ≥ 12: 10⁶-10⁸ rows/zone become
+    10³-10⁵). The price is on the JOIN's point side, which must probe one
+    ancestor cell per resolution LEVEL present in the compacted cover
+    (×L point rows, L ≤ res − res_min + 1) — so compaction wins exactly
+    when cover rows rival point rows, and the fixed-res cover stays right
+    for dimension-sized zones (the engine default)."""
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    if len(cur) == 0:
+        return cur
+    r = int(cell_res(cur[:1])[0])
+    out = []
+    while r > res_min and len(cur) >= 4:
+        parents = cell_to_parent(cur, r - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = set(uniq[counts == 4].tolist())
+        if not full:
+            break
+        merged = np.fromiter((int(p) in full for p in parents), dtype=bool, count=len(parents))
+        out.append(cur[~merged])
+        cur = np.asarray(sorted(full), dtype=np.int64)
+        r -= 1
+    out.append(cur)
+    return np.sort(np.concatenate(out))
+
+
+def expand_cover(cells: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of :func:`compact_cover`: every cell expands to its full
+    descendant set at ``res`` (test/oracle utility)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    out = []
+    for c in cells:
+        r = int(cell_res([c])[0])
+        if r > res:
+            raise ValueError("cell finer than target res")
+        shift = res - r
+        x, y = cell_xy([c])
+        xs = (int(x[0]) << shift) + np.arange(1 << shift, dtype=np.int64)
+        ys = (int(y[0]) << shift) + np.arange(1 << shift, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        out.append(pack_cell(res, gx.ravel(), gy.ravel()))
+    return np.sort(np.concatenate(out)) if out else cells
+
+
 def cell_bounds(cell):
     """(lon_min, lat_min, lon_max, lat_max) arrays for each cell."""
     cell = np.asarray(cell, dtype=np.int64)

@@ -240,11 +240,19 @@ def assign_zones_broadcast(
     return points.mapInPandas(run, schema=out_schema)
 
 
-def zone_covers(zones: DataFrame, res: int, zone_id="zone_id", rings_col="rings") -> DataFrame:
+def zone_covers(
+    zones: DataFrame, res: int, zone_id="zone_id", rings_col="rings",
+    compact_res_min: int | None = None,
+) -> DataFrame:
     """Explode each zone into its covering cells at ``res`` →
     (zone_id, cell, rings). The fan-out is the polygon side — small by
     assumption in the shuffle path (each zone covers O(area/cell_area) cells).
-    """
+
+    ``compact_res_min`` enables mixed-resolution compaction
+    (geo/cells.compact_cover): cover rows drop toward O(perimeter·2^res)
+    for huge zones; the join's point side must then probe one ancestor per
+    level in [compact_res_min, res] — see assign_zones_shuffle's
+    ``compact_res_min`` for the regime trade."""
     rings_type = zones.schema[rings_col].dataType
     schema = StructType(
         [zones.schema[zone_id]]
@@ -255,6 +263,8 @@ def zone_covers(zones: DataFrame, res: int, zone_id="zone_id", rings_col="rings"
             ids, cell_out, rings_out = [], [], []
             for zid, rings in zip(pdf[zone_id], pdf[rings_col]):
                 cover = C.polygon_cover(rings, res)
+                if compact_res_min is not None:
+                    cover = C.compact_cover(cover, res_min=compact_res_min)
                 ids.extend([zid] * len(cover))
                 cell_out.append(cover)
                 rings_out.extend([rings] * len(cover))
@@ -277,8 +287,19 @@ def assign_zones_shuffle(
     rings_col="rings",
     salt_target_work: float = 50_000_000.0,
     salt_floor_work: float = 400_000_000.0,
+    compact_res_min: int | None = None,
 ) -> DataFrame:
     """Salted cell-equi-join PIP for polygon sides too large to broadcast.
+
+    ``compact_res_min`` (opt-in): compact each zone's cover to mixed
+    resolutions ≥ compact_res_min (geo/cells.compact_cover) and explode
+    the POINT side by one ancestor cell per level in
+    [compact_res_min, res]. Compacted cover cells are pairwise disjoint,
+    so a point still pairs with a zone at most once and results are
+    identical (equivalence-tested against the broadcast strategy). Regime:
+    pays ×L on the fact side to divide the cover side by up to 4^L — the
+    right trade only when cover rows rival point rows (country-scale
+    zones at res ≥ 12); leave None for dimension-sized zones.
 
     Plan: ONE stats pass counts points per cell; the salt decision is then
     WORK-based, not row-based: the exact test for a (zone, salt) group costs
@@ -307,9 +328,22 @@ def assign_zones_shuffle(
     nowhere near straggler scale). 4e8 row·edge ops ≈ 4-8 s of one-task
     NumPy; below that the windowed tail, not the PIP task, dominates."""
     spark = points.sparkSession
-    pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
+    if compact_res_min is None:
+        pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
+    else:
+        pts = points.withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        C.cell_col(F.col(lon), F.col(lat), l)
+                        for l in range(compact_res_min, res + 1)
+                    ]
+                )
+            ),
+        )
 
-    covers = zone_covers(zones, res, zone_id, rings_col)
+    covers = zone_covers(zones, res, zone_id, rings_col, compact_res_min)
 
     # --- stats pass (the only fact-table aggregation) ---
     cell_counts = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))

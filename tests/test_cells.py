@@ -109,3 +109,49 @@ def test_cell_col_matches_numpy(spark):
         )
         want = C.latlng_to_cell(lon, lat, res)
         assert np.array_equal(got, want), f"res {res}"
+
+
+def test_compact_cover_preserves_region_and_disjointness():
+    """compact→expand round-trips to the original cell set; compacted
+    cells are pairwise disjoint (no cell is an ancestor of another)."""
+    import numpy as np
+
+    from morituri_spark.geo import cells as C
+
+    rng = np.random.default_rng(3)
+    res = 10
+    # a blobby region: all res-10 cells within a disc + noise cells
+    cx, cy = C.cell_xy(C.latlng_to_cell(np.array([5.0]), np.array([45.0]), res))
+    xs, ys = np.meshgrid(np.arange(-20, 21), np.arange(-20, 21))
+    mask = xs**2 + ys**2 <= 400
+    cells = C.pack_cell(res, int(cx[0]) + xs[mask], int(cy[0]) + ys[mask])
+    extra = C.pack_cell(res, int(cx[0]) + rng.integers(30, 60, 25),
+                        int(cy[0]) + rng.integers(30, 60, 25))
+    cells = np.unique(np.concatenate([cells, extra]))
+
+    comp = C.compact_cover(cells, res_min=4)
+    assert len(comp) < len(cells)  # something merged
+    back = C.expand_cover(comp, res)
+    assert np.array_equal(back, np.sort(cells))
+    # disjoint: no compacted cell is an ancestor of another
+    comp_set = set(comp.tolist())
+    for c in comp:
+        r = int(C.cell_res([c])[0])
+        for pr in range(4, r):
+            assert int(C.cell_to_parent([c], pr)[0]) not in comp_set
+
+
+def test_compact_cover_trivial_cases():
+    import numpy as np
+
+    from morituri_spark.geo import cells as C
+
+    assert len(C.compact_cover(np.empty(0, dtype=np.int64))) == 0
+    one = C.latlng_to_cell(np.array([1.0]), np.array([2.0]), 8)
+    assert np.array_equal(C.compact_cover(one), one)
+    # a full parent quad at res 8 compacts to exactly the res-7 parent
+    x, y = C.cell_xy(one)
+    quad = C.pack_cell(8, (int(x[0]) // 2 * 2) + np.array([0, 0, 1, 1]),
+                       (int(y[0]) // 2 * 2) + np.array([0, 1, 0, 1]))
+    comp = C.compact_cover(quad)
+    assert len(comp) == 1 and int(C.cell_res(comp)[0]) == 7

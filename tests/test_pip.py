@@ -280,3 +280,38 @@ def test_collect_polygons_grid_index_opt_in(spark):
     assert isinstance(
         P._collect_polygons(zones, grid_index="always"), P.GridIndexedPolygons
     )
+
+
+def test_shuffle_compact_cover_matches_broadcast(spark):
+    """Compacted mixed-res covers: identical assignments to the broadcast
+    strategy (point probes one ancestor per level; cover cells disjoint)."""
+    from morituri_spark.geo import pip as P
+    from morituri_spark.sources import synth
+
+    pts = synth.images_table(spark, 4000, partitions=4, with_payload=False).select(
+        "image_id", "lon", "lat"
+    )
+    zones = synth.zones_table(spark).select("zone_id", "rings")
+    want = sorted(
+        (r["image_id"], r["zone_id"])
+        for r in P.assign_zones_broadcast(pts, zones).collect()
+    )
+    got = sorted(
+        (r["image_id"], r["zone_id"])
+        for r in P.assign_zones_shuffle(pts, zones, res=10, compact_res_min=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_compact_cover_shrinks_big_zone():
+    """A big polygon's res-12 cover compacts by an order of magnitude."""
+    import numpy as np
+
+    from morituri_spark.geo import cells as C
+    from morituri_spark.sources.synth import _regular_polygon
+
+    ring = _regular_polygon(5.0, 45.0, 3.0, 64)
+    cover = C.polygon_cover([ring], 12)
+    comp = C.compact_cover(cover, res_min=5)
+    assert len(cover) / len(comp) > 5, (len(cover), len(comp))
+    assert np.array_equal(C.expand_cover(comp, 12), np.sort(cover))
