@@ -184,6 +184,23 @@ def main() -> None:
     mid_pts.unpersist()
     hof_pts.unpersist()
 
+    # J11 kNN at scale (r4: first bench evidence for the ring-expansion
+    # join): 1k queries × 1M candidates, k=5. res=12 starts with tighter
+    # rings (fewer candidates per round) and measured faster than res=10
+    # (12.7s vs 18.7s standalone) — the entry pins the res-12 shape.
+    knn_queries = images.limit(1000).withColumnRenamed("image_id", "query_id").persist()
+    knn_queries.count()
+    knn_cands = images.limit(1_000_000).withColumnRenamed("image_id", "cand_id").persist()
+    knn_cands.count()
+    from morituri_spark.geo.knn import knn_join
+
+    timed(
+        "knn_ring_1m_candidates",
+        lambda: knn_join(knn_queries, knn_cands, k=5, res=12).count(),
+    )
+    knn_queries.unpersist()
+    knn_cands.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see
