@@ -277,6 +277,41 @@ def zone_covers(
     return zones.select(zone_id, rings_col).mapInPandas(expand, schema=schema)
 
 
+def zone_cells(
+    zones: DataFrame, res: int, zone_id="zone_id", rings_col="rings",
+    compact_res_min: int | None = None,
+) -> DataFrame:
+    """THIN cover: (zone_id, cell, _n_edges) — no ring payload. r4 fix for
+    a measured scale hazard: :func:`zone_covers` attaches the full rings
+    array to EVERY cover row, and at 1000 big zones × res 13 (14.2M cover
+    rows) just materializing that cover cost 167s of Arrow transfer vs 47s
+    for the compacted thin form. The shuffle join only ever needs
+    (zone, cell) keys + the edge count for work prediction; rings travel
+    once per (zone, salt) group via the cogroup."""
+    schema = StructType([zones.schema[zone_id]]).add("cell", "long").add(
+        "_n_edges", "integer"
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_out, ne_out = [], [], []
+            for zid, rings in zip(pdf[zone_id], pdf[rings_col]):
+                cover = C.polygon_cover(rings, res)
+                if compact_res_min is not None:
+                    cover = C.compact_cover(cover, res_min=compact_res_min)
+                ne = sum(len(r) - 1 for r in rings)
+                ids.extend([zid] * len(cover))
+                cell_out.append(cover)
+                ne_out.extend([ne] * len(cover))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {zone_id: ids, "cell": np.concatenate(cell_out), "_n_edges": ne_out}
+            )
+
+    return zones.select(zone_id, rings_col).mapInPandas(expand, schema=schema)
+
+
 def assign_zones_shuffle(
     points: DataFrame,
     zones: DataFrame,
@@ -343,17 +378,14 @@ def assign_zones_shuffle(
             ),
         )
 
-    covers = zone_covers(zones, res, zone_id, rings_col, compact_res_min)
+    # THIN cover (zone_id, cell, _n_edges): ring arrays never replicate per
+    # cover cell (see zone_cells — 27× fewer rows AND no per-row ring
+    # payload for big zones); rings enter once per (zone, salt) group below
+    covers = zone_cells(zones, res, zone_id, rings_col, compact_res_min)
 
     # --- stats pass (the only fact-table aggregation) ---
     cell_counts = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
-    edges = covers.select(
-        zone_id,
-        "cell",
-        F.aggregate(
-            F.col(rings_col), F.lit(0), lambda a, r: a + F.size(r) - 1
-        ).alias("_n_edges"),
-    )
+    edges = covers
     zone_work = (
         edges.join(cell_counts, "cell", "inner")
         .groupBy(zone_id)
@@ -396,12 +428,24 @@ def assign_zones_shuffle(
     # candidates carry NO ring data — only (point cols, zone_id, salt).
     # Rings are cogrouped in once per (zone, salt) group, so the heavy
     # nested-array payload never rides the per-point shuffle.
-    paired = pts.join(covers.drop(rings_col), ["cell", "salt"], "inner").drop("cell")
-    # rename the zone side's key columns: both cogroup sides descend from
-    # `covers`, and identical attribute ids trip the ambiguous-self-join check
-    zone_salts = covers.groupBy(
-        F.col(zone_id).alias("_zid"), F.col("salt").alias("_zsalt")
-    ).agg(F.first(rings_col).alias(rings_col))
+    paired = pts.join(
+        covers.select(zone_id, "cell", "salt"), ["cell", "salt"], "inner"
+    ).drop("cell")
+    # one rings row per (zone, salt) group, built from the ZONE table (not
+    # the cover — rings never touched the cover rows): a zone's salt range
+    # is the max n_salt over its cells (a shared hot cell can push it past
+    # the zone's own factor). Renamed keys: identical attribute ids would
+    # trip the ambiguous-self-join check in the cogroup.
+    zone_max_salt = covers.groupBy(zone_id).agg(F.max("salt").alias("_ms"))
+    zone_salts = (
+        zones.select(F.col(zone_id).alias("_zid"), rings_col)
+        .join(
+            F.broadcast(zone_max_salt.select(F.col(zone_id).alias("_zid"), "_ms")),
+            "_zid",
+        )
+        .withColumn("_zsalt", F.explode(F.sequence(F.lit(0), F.col("_ms"))))
+        .select("_zid", "_zsalt", rings_col)
+    )
 
     point_cols = [f.name for f in points.schema.fields]
     out_schema = StructType(points.schema.fields + [zones.schema[zone_id]])
