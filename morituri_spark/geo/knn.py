@@ -151,11 +151,19 @@ def knn_join(
     metric: str = "euclidean_deg",
     qid_col: str = "query_id",
     cid_col: str = "cand_id",
+    topk_salt: int | None = 32,
 ) -> DataFrame:
     """→ (query_id, cand_id, dist, rank<k). Both inputs need lon/lat.
 
     Driver-side loop over expansion rounds (bounded by ``max_rings``);
     per-round state lives in persisted DataFrames, never on the driver.
+
+    ``topk_salt``: sub-group count for the two-stage per-round top-k (None
+    disables) — bounds the per-query sort when a mega-cell floods one
+    query's ring with candidates. The candidate side is also re-spread if
+    it arrives under-partitioned (a ``limit()`` upstream collapses to ONE
+    partition and serialized the whole join — measured 343s vs 20s on the
+    same input at bench scale).
     """
     spark = queries.sparkSession
     # Cell extents: y (lat) spans 180°/2^res, x (lon) 360°/2^res — x is twice
@@ -172,7 +180,11 @@ def knn_join(
         F.col("lon").alias("_clon"),
         F.col("lat").alias("_clat"),
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_ccell"),
-    ).persist()
+    )
+    par = spark.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < par:
+        cand = cand.repartition(par)
+    cand = cand.persist()
 
     # Exhaustion bound: once a query's explored disk covers the candidate
     # bbox there is nothing left to find (otherwise k > |candidates in
@@ -217,7 +229,27 @@ def knn_join(
             qid_col, "_qlon", "_qlat", "_qcell", cid_col,
             _dist_expr(F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat"), metric).alias("dist"),
         )
+        # TWO-STAGE top-k (r4): stage 1 ranks within (query,
+        # candidate-hash salt) sub-groups keeping k per sub-group; stage 2
+        # merges ≤ salt·k rows per query. Top-k of per-group top-ks ≡
+        # global top-k (oracle-pinned, unchanged results). This bounds the
+        # per-query sort when a mega-cell floods one query's ring with
+        # candidates (30% of a geo corpus in one urban cell is NORMAL
+        # data); at the healthy bench shape it measures within run noise
+        # of the single window (A/B 24.0/20.5/9.1s across JIT states).
+        # NOTE the 343s pathology this hunt found was NOT the window: an
+        # upstream limit() had collapsed the candidate side to ONE
+        # partition — see the repartition defense above.
         pool = hits if topk is None else topk.unionByName(hits)
+        if topk_salt:
+            w_pre = Window.partitionBy(
+                qid_col, F.pmod(F.xxhash64(F.col(cid_col)), F.lit(topk_salt))
+            ).orderBy("dist", cid_col)
+            pool = (
+                pool.withColumn("_prk", F.row_number().over(w_pre))
+                .where(F.col("_prk") <= k)
+                .drop("_prk")
+            )
         new_topk = (
             pool.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
