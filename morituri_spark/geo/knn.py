@@ -182,7 +182,7 @@ def knn_join(
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_ccell"),
     )
     par = spark.sparkContext.defaultParallelism
-    if cand.rdd.getNumPartitions() < par:
+    if cand.rdd.getNumPartitions() < par:  # rdd-meta-ok
         cand = cand.repartition(par)
     cand = cand.persist()
 
