@@ -752,6 +752,10 @@ _STREET_ATTR_SQL = {
     "L_POSTCODE": "CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 3 AS STRING) END",
     "R_POSTCODE": "CASE WHEN o_orderkey % 6 = 0 THEN '' ELSE CAST(5500 + o_orderkey % 2 AS STRING) END",
     "FERRY_TYPE": "CASE WHEN o_orderkey % 17 = 0 THEN 'B' WHEN o_orderkey % 17 = 1 THEN 'R' ELSE 'H' END",
+    # J4 area chain inputs (street_conversion, r5): areas 1-5 exist in the
+    # literal MtdArea table; 0 and 6 are deliberately unmatched (→ metric)
+    "L_AREA_ID": "CAST(o_orderkey % 7 AS BIGINT)",
+    "R_AREA_ID": "CAST(o_orderkey % 5 + 1 AS BIGINT)",
     # house-number interpolation inputs (G8 gating, navteq.hpp:536-544)
     "ADDR_TYPE": "CASE WHEN o_orderkey % 3 = 0 THEN 'B' ELSE '' END",
     "L_REFADDR": "CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE CAST(2 + o_orderkey % 7 AS STRING) END",
@@ -810,17 +814,14 @@ def _q_street_ways_oracle(spark, sf_dir):
     )
 
 
-def _q_turn_restrictions_oracle(spark, sf_dir):
-    """Entry point 2 (turn restrictions) hash-checked end-to-end: chained
-    streets with dense row_number link ids (link L spans x∈[c·0.005,
-    (c+1)·0.005], c = L mod 50, so consecutive ids in a row share an
-    endpoint), rdms/cdms from modulo arithmetic. Exercises A3 sequence
-    collect, the found-and-≠7 skip, W5 orientation walk, P8 completeness,
-    and J9 via-node resolution (2-way case gets a shared-endpoint node
-    member). The oracle derives the surviving relations in closed form."""
+def _derived_restriction_inputs(spark, sf_dir):
+    """Closed-form turn-restriction inputs shared by turn_restrictions_oracle
+    and the nodes-free turn_restrictions variant: chained streets with dense
+    row_number link ids (link L spans x∈[c·0.005, (c+1)·0.005], c = L mod
+    50, so consecutive ids in a row share an endpoint), rdms/cdms from
+    modulo arithmetic. Returns (rdms, cdms, ways, nodes)."""
     from pyspark.sql.window import Window
 
-    from morituri_spark.operators import restrictions as R
     from morituri_spark.operators import streets as ST
     from morituri_spark.sources import synth
 
@@ -870,6 +871,19 @@ def _q_turn_restrictions_oracle(spark, sf_dir):
     zl = synth.zlevels_table(spark, [])
     ways = ST.street_ways(streets, zl)
     nodes = ST.street_nodes(streets, zl)
+    return rdms, cdms, ways, nodes
+
+
+def _q_turn_restrictions_oracle(spark, sf_dir):
+    """Entry point 2 (turn restrictions) hash-checked end-to-end over the
+    shared closed-form inputs (_derived_restriction_inputs). Exercises A3
+    sequence collect, the found-and-≠7 skip, W5 orientation walk, P8
+    completeness, and J9 via-node resolution (2-way case gets a
+    shared-endpoint node member). The oracle derives the surviving
+    relations in closed form."""
+    from morituri_spark.operators import restrictions as R
+
+    rdms, cdms, ways, nodes = _derived_restriction_inputs(spark, sf_dir)
     rels = R.build_turn_restrictions(rdms, cdms, ways, nodes)
     return rels.select(
         "relation_id",
@@ -1021,35 +1035,79 @@ def _q_ring_chunk(spark, sf_dir):
 
 
 def _q_street_conversion(spark, sf_dir):
+    """Entry point 1 WITH the full dimension chain (J2-J4, r5 — previously a
+    NumPy-RNG rows-only demo): closed-form Cdms/CndMod conditions and the
+    literal MtdArea/MtdCntryRef tables drive link_restrictions
+    (operators/streets.py:52-108) — per-link MIN nonzero MOD_VAL per type,
+    any-imperial-wins L/R-area units, and the fixture-pinned %.6g / feet-
+    inches formatting (util.hpp:165-189) — the surface street_ways_oracle
+    does not cover. The DuckDB oracle replays conditions, mins, the
+    imperial flag, and both format families symbolically."""
     from morituri_spark.operators import streets as ST
     from morituri_spark.sources import synth
 
-    streets = synth.streets_table(spark, n=100, n_vertices=6)
-    zl = synth.zlevels_table(spark, [(10_000 + i, [0, 1, 1, 0, 2, 0]) for i in range(0, 100, 3)])
-    cdms = synth.cdms_table(spark, 100)
-    cnd = synth.cnd_mod_table(spark, cdms)
-    return ST.street_ways(
-        streets, zl, cdms, cnd, synth.mtd_area_table(spark), synth.mtd_cntry_ref_table(spark)
-    ).select("way_id", "link_id", "seg_seq", "layer", "highway", "name", "maxspeed", "maxheight")
+    streets, zl = _derived_streets(spark, sf_dir)
+    o = _read(spark, sf_dir, "orders").where(_LINKS_FILTER).select("o_orderkey")
+    # condition A on every link ≡1 (mod 3); condition B additionally on ≡1
+    # (mod 6) links, so those links carry TWO conds (exercises the per-type
+    # MIN); A's mod row is withheld on ≡0 (mod 11) links (inner-join drop)
+    # and zeroed on ≡0 (mod 13) links (the MOD_VAL > 0 gate).
+    cond_a = o.where("o_orderkey % 3 = 1").selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS LINK_ID",
+        "CAST(o_orderkey * 10 + 1 AS BIGINT) AS COND_ID",
+        "CAST(7 AS INT) AS COND_TYPE",
+    )
+    cond_b = o.where("o_orderkey % 6 = 1").selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS LINK_ID",
+        "CAST(o_orderkey * 10 + 2 AS BIGINT) AS COND_ID",
+        "CAST(3 AS INT) AS COND_TYPE",
+    )
+    mod_a = o.where("o_orderkey % 3 = 1 AND o_orderkey % 11 != 0").selectExpr(
+        "CAST(o_orderkey * 10 + 1 AS BIGINT) AS COND_ID",
+        "CAST(41 + o_orderkey % 5 AS INT) AS MOD_TYPE",
+        "CAST(CASE WHEN o_orderkey % 13 = 0 THEN 0 "
+        "ELSE 100 + o_orderkey % 4000 END AS BIGINT) AS MOD_VAL",
+    )
+    mod_b = o.where("o_orderkey % 6 = 1").selectExpr(
+        "CAST(o_orderkey * 10 + 2 AS BIGINT) AS COND_ID",
+        "CAST(41 + o_orderkey % 2 AS INT) AS MOD_TYPE",
+        "CAST(50 + o_orderkey % 3000 AS BIGINT) AS MOD_VAL",
+    )
+    ways = ST.street_ways(
+        streets, zl, cond_a.unionByName(cond_b), mod_a.unionByName(mod_b),
+        synth.mtd_area_table(spark), synth.mtd_cntry_ref_table(spark),
+    )
+    return ways.select(
+        "way_id", "link_id", F.col("seg_seq").cast("int").alias("seg_seq"),
+        "layer", "highway", "name", "maxspeed",
+        "maxheight", "maxwidth", "maxlength", "maxweight", "maxaxleload",
+    )
 
 
 def _q_turn_restrictions(spark, sf_dir):
+    """Entry point 2 WITHOUT the nodes table (r5 — previously a NumPy-RNG
+    rows-only demo): the same closed-form chained-street parameterization as
+    turn_restrictions_oracle, but build_turn_restrictions runs with
+    nodes=None — the reference's warning path (navteq.hpp:97-134) where a
+    2-way restriction's via NODE cannot be resolved, so members stay
+    ways-only (n_members = 2 instead of 3)."""
     from morituri_spark.operators import restrictions as R
-    from morituri_spark.operators import streets as ST
-    from morituri_spark.sources import synth
 
-    streets = synth.streets_table(spark, n=100, n_vertices=6)
-    zl = synth.zlevels_table(spark, [])
-    ways = ST.street_ways(streets, zl)
-    rdms = synth.rdms_table(spark, 15)
-    cdms = synth.cdms_table(spark, 100)
+    rdms, cdms, ways, _nodes = _derived_restriction_inputs(spark, sf_dir)
     rels = R.build_turn_restrictions(rdms, cdms, ways)
     return rels.select(
-        "relation_id", "cond_id", F.size("members").alias("n_members"), "restriction", "type"
+        "relation_id", "cond_id",
+        F.size("members").cast("int").alias("n_members"), "restriction", "type",
     )
 
 
 def _q_admin_boundaries(spark, sf_dir):
+    """Entry point 3 over the LITERAL fixture boundaries (r5 — now
+    golden-oracled): the five hand-written polygons (rectangles, a hexagon,
+    one rect-with-hole) and the literal MtdArea names/levels are
+    deterministic, so the expected relation table is a closed-form VALUES
+    oracle (containment-parity ring roles, 2×level admin_level, single
+    sub-1000-node chunk per ring)."""
     from morituri_spark.operators import admin as A
     from morituri_spark.sources import synth
 
@@ -2869,6 +2927,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT link_id, side, addr_interpolation, ref_housenumber,
                    nref_housenumber, CAST(6 AS INT) AS n_nodes
             FROM sides
+        """,
+        # street_conversion (r5): the street_ways_oracle segment/tag replay
+        # PLUS the J2-J4 restriction chain — closed-form conds/mods, per-type
+        # MIN over positive MOD_VALs, any-imperial-wins L/R areas (areas 1
+        # and 4 map to GOVT 101 = UNTMEASURE 'E' in the literal MtdArea/
+        # MtdCntryRef fixtures), and the two format families: %.6g metric
+        # (× 1e-2 len / × 1e-3 kg→t / × 0.90718474/2000 lbs→t — the exact
+        # multiplies the Arrow UDFs perform) and feet'inches".
+        "street_conversion": """
+            WITH links AS (
+              SELECT o_orderkey AS link_id,
+                     o_orderkey % 4 AS shape,
+                     CAST(o_orderkey % 5 + 1 AS INT) AS z,
+                     (o_orderkey % 17 < 2) AS is_ferry,
+                     concat('Road ', CAST(o_orderkey % 10 AS STRING)) AS name,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 6 + 1 END AS route,
+                     o_orderkey % 5 + 1 AS func,
+                     (o_orderkey % 2 = 0) AS urban,
+                     CASE WHEN o_orderkey % 7 < 2 THEN 'F' WHEN o_orderkey % 7 < 4 THEN 'T' ELSE 'B' END AS dir,
+                     CASE o_orderkey % 11 WHEN 0 THEN 0 WHEN 1 THEN 998 WHEN 2 THEN 999
+                          WHEN 3 THEN 30 WHEN 4 THEN 50 WHEN 5 THEN 80 WHEN 6 THEN 100
+                          WHEN 7 THEN 130 WHEN 8 THEN 50 WHEN 9 THEN 60 ELSE 70 END AS fr_i,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 0 WHEN o_orderkey % 13 = 1 THEN 998
+                          WHEN o_orderkey % 13 = 2 THEN 999 WHEN o_orderkey % 13 = 3 THEN 30
+                          WHEN o_orderkey % 13 = 4 THEN 50 WHEN o_orderkey % 13 = 5 THEN 100
+                          ELSE (o_orderkey % 13) * 10 END AS to_i
+              FROM orders WHERE o_orderkey < 8000),
+            segs AS (
+              SELECT link_id, 0 AS seg_seq, 0 AS from_idx, 5 AS to_idx, CAST(NULL AS INT) AS zl
+                FROM links WHERE is_ferry OR shape = 0
+              UNION ALL SELECT link_id, 0, 0, 3, z FROM links WHERE NOT is_ferry AND shape = 1
+              UNION ALL SELECT link_id, 1, 3, 5, 0 FROM links WHERE NOT is_ferry AND shape = 1
+              UNION ALL SELECT link_id, 0, 0, 2, z FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 1, 2, 3, 0 FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 2, 3, 5, z FROM links WHERE NOT is_ferry AND shape = 2
+              UNION ALL SELECT link_id, 0, 0, 1, 0 FROM links WHERE NOT is_ferry AND shape = 3
+              UNION ALL SELECT link_id, 1, 1, 4, z FROM links WHERE NOT is_ferry AND shape = 3
+              UNION ALL SELECT link_id, 2, 4, 5, 0 FROM links WHERE NOT is_ferry AND shape = 3),
+            mods AS (
+              SELECT link_id, 41 + link_id % 5 AS mt,
+                     CASE WHEN link_id % 13 = 0 THEN 0 ELSE 100 + link_id % 4000 END AS mv
+              FROM links WHERE link_id % 3 = 1 AND link_id % 11 <> 0
+              UNION ALL
+              SELECT link_id, 41 + link_id % 2, 50 + link_id % 3000
+              FROM links WHERE link_id % 6 = 1),
+            mins AS (
+              SELECT link_id,
+                     min(CASE WHEN mt = 41 AND mv > 0 THEN mv END) AS r41,
+                     min(CASE WHEN mt = 42 AND mv > 0 THEN mv END) AS r42,
+                     min(CASE WHEN mt = 43 AND mv > 0 THEN mv END) AS r43,
+                     min(CASE WHEN mt = 44 AND mv > 0 THEN mv END) AS r44,
+                     min(CASE WHEN mt = 45 AND mv > 0 THEN mv END) AS r45
+              FROM mods GROUP BY link_id),
+            imp AS (
+              SELECT link_id,
+                     ((link_id % 7) IN (1, 4) OR (link_id % 5 + 1) IN (1, 4)) AS imperial
+              FROM links)
+            SELECT CAST(row_number() OVER (ORDER BY s.link_id, s.seg_seq) AS BIGINT) AS way_id,
+                   s.link_id,
+                   CAST(s.seg_seq AS INT) AS seg_seq,
+                   CASE WHEN s.zl IS NOT NULL AND s.zl <> 0 THEN CAST(s.zl AS STRING) END AS layer,
+                   CASE WHEN l.is_ferry THEN NULL
+                        WHEN l.route IS NULL THEN
+                          CASE WHEN l.func >= 4 THEN (CASE WHEN l.urban THEN 'residential' ELSE 'tertiary' END)
+                               WHEN l.func >= 2 THEN 'secondary'
+                               WHEN l.func = 1 THEN 'primary' END
+                        WHEN l.route IN (1, 2) THEN 'motorway'
+                        WHEN l.route = 3 THEN 'primary'
+                        WHEN l.route = 4 THEN 'secondary'
+                        WHEN l.route = 5 THEN 'tertiary'
+                        WHEN l.route = 6 THEN 'unclassified' END AS highway,
+                   l.name,
+                   CASE WHEN l.is_ferry THEN NULL
+                        WHEN l.fr_i = 998 OR l.to_i = 998 THEN NULL
+                        WHEN l.fr_i <> 0 AND l.to_i <> 0 AND l.fr_i = l.to_i
+                          THEN (CASE WHEN l.fr_i = 999 THEN 'none' ELSE CAST(l.fr_i AS STRING) END)
+                        WHEN l.fr_i <> 0 AND l.to_i = 0
+                          THEN (CASE WHEN l.fr_i = 999 THEN 'none' ELSE CAST(l.fr_i AS STRING) END)
+                        WHEN l.fr_i = 0 AND l.to_i <> 0
+                          THEN (CASE WHEN l.to_i = 999 THEN 'none' ELSE CAST(l.to_i AS STRING) END)
+                        END AS maxspeed,
+                   CASE WHEN m.r41 IS NULL THEN NULL
+                        WHEN i.imperial THEN concat(CAST(m.r41 // 12 AS VARCHAR), '''', CAST(m.r41 % 12 AS VARCHAR), '"')
+                        ELSE printf('%.6g', CAST(m.r41 AS DOUBLE) * 1e-2) END AS maxheight,
+                   CASE WHEN m.r45 IS NULL THEN NULL
+                        WHEN i.imperial THEN concat(CAST(m.r45 // 12 AS VARCHAR), '''', CAST(m.r45 % 12 AS VARCHAR), '"')
+                        ELSE printf('%.6g', CAST(m.r45 AS DOUBLE) * 1e-2) END AS maxwidth,
+                   CASE WHEN m.r44 IS NULL THEN NULL
+                        WHEN i.imperial THEN concat(CAST(m.r44 // 12 AS VARCHAR), '''', CAST(m.r44 % 12 AS VARCHAR), '"')
+                        ELSE printf('%.6g', CAST(m.r44 AS DOUBLE) * 1e-2) END AS maxlength,
+                   CASE WHEN m.r42 IS NULL THEN NULL
+                        WHEN i.imperial THEN printf('%.6g', CAST(m.r42 AS DOUBLE) * (0.90718474 / 2000.0))
+                        ELSE printf('%.6g', CAST(m.r42 AS DOUBLE) * 1e-3) END AS maxweight,
+                   CASE WHEN m.r43 IS NULL THEN NULL
+                        WHEN i.imperial THEN printf('%.6g', CAST(m.r43 AS DOUBLE) * (0.90718474 / 2000.0))
+                        ELSE printf('%.6g', CAST(m.r43 AS DOUBLE) * 1e-3) END AS maxaxleload
+            FROM segs s JOIN links l USING (link_id)
+            LEFT JOIN mins m USING (link_id)
+            LEFT JOIN imp i USING (link_id)
+        """,
+        # turn_restrictions (r5, nodes-free variant): same survivors as the
+        # oracle twin, but the 2-link conds' via NODE is unresolvable →
+        # ways-only members (n_members = 2).
+        "turn_restrictions": f"""
+            WITH links AS (
+              SELECT row_number() OVER (ORDER BY o_orderkey) AS lid
+              FROM orders WHERE {_LINKS_FILTER}),
+            bound AS (SELECT count(*) AS n FROM links),
+            cands AS (
+              SELECT 5000 + lid AS cond_id, 3 AS n_members
+              FROM links, bound
+              WHERE lid % 10 = 2 AND lid % 50 <= 47 AND lid + 2 <= n
+                AND lid % 20 <> 2
+              UNION ALL
+              SELECT 5000 + lid, 2 FROM links, bound
+              WHERE lid % 10 = 7 AND lid % 50 <= 48 AND lid + 1 <= n)
+            SELECT CAST(row_number() OVER (ORDER BY cond_id) AS BIGINT) AS relation_id,
+                   CAST(cond_id AS BIGINT) AS cond_id,
+                   CAST(n_members AS INT) AS n_members,
+                   'no_straight_on' AS restriction,
+                   'restriction' AS type
+            FROM cands
+        """,
+        # admin_boundaries (r5): golden VALUES over the literal fixtures —
+        # areas 1-5 with MtdArea levels (1,3,5,2,7) → admin_level 2×level;
+        # every ring is < 1000 nodes → one chunk; only area 5's second rect
+        # is containment-inside its first → the single inner ring.
+        "admin_boundaries": """
+            SELECT CAST(relation_id AS BIGINT) AS relation_id,
+                   CAST(area_id AS BIGINT) AS area_id,
+                   CAST(admin_level AS VARCHAR) AS admin_level,
+                   CAST(n_outer AS INT) AS n_outer,
+                   CAST(n_inner AS INT) AS n_inner
+            FROM (VALUES (1, 1, '2', 1, 0), (2, 2, '6', 1, 0),
+                         (3, 3, '10', 1, 0), (4, 4, '4', 1, 0),
+                         (5, 5, '14', 1, 1))
+              AS t(relation_id, area_id, admin_level, n_outer, n_inner)
         """,
         # Expected relations: chunk count = 1 + (n_nodes - 1) // 999
         # (navteq.hpp:675-692 do-while), admin_level = 2 × navteq level.

@@ -504,28 +504,50 @@ def main() -> None:
     ps_q.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steal_pct": steal,
-                "calib_ms_start": calib_start,
-                "calib_ms_end": calib_ms(),
-                "sf": sf,
-                "cpus": cpus,
-                "n_images": N_IMAGES,
-                "n_mid_pip": N_MID_PIP,
-                "images_per_sec_flagship": images_per_sec,
-                "layout_row_groups_pruned": f"{prune['row_groups_overlapping']}/{prune['row_groups_total']} overlap",
-                "layout_rows_in_overlap_pct": round(
-                    100.0 * prune["rows_in_overlapping_groups"] / max(prune["rows_total"], 1), 1
-                ),
-            }
-        )
-    )
+    detail = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "steal_pct": steal,
+        "calib_ms_start": calib_start,
+        "calib_ms_end": calib_ms(),
+        "sf": sf,
+        "cpus": cpus,
+        "n_images": N_IMAGES,
+        "n_mid_pip": N_MID_PIP,
+        "images_per_sec_flagship": images_per_sec,
+        "layout_row_groups_pruned": f"{prune['row_groups_overlapping']}/{prune['row_groups_total']} overlap",
+        "layout_rows_in_overlap_pct": round(
+            100.0 * prune["rows_in_overlapping_groups"] / max(prune["rows_total"], 1), 1
+        ),
+    }
+    # Full per-query record goes to a sidecar file; stdout's FINAL line is a
+    # COMPACT summary. Round 4's single fat line outgrew the driver's
+    # output-tail capture and BENCH_r04.json came back "parsed": null — the
+    # head (flagship timings, bench_total_seconds) was truncated away. The
+    # driver parses the LAST line, so keep it small and print it last.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json")
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "sf": sf,
+        "cpus": cpus,
+        "images_per_sec_flagship": images_per_sec,
+        "calib_ms_start": detail["calib_ms_start"],
+        "calib_ms_end": detail["calib_ms_end"],
+        "max_steal_pct": max(steal.values()) if steal else 0.0,
+        "n_queries_timed": len(timings),
+        "detail_file": "BENCH/last_run.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

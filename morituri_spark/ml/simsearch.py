@@ -19,6 +19,18 @@ from pyspark.sql.types import (
 )
 
 
+def _round6(x):
+    """Oracle-shared rounding at 6 dp (CLAUDE.md rule 16): half-up AWAY FROM
+    ZERO with a dust epsilon. ``np.round`` is banker's (0.1234565 → .123456)
+    while DuckDB ``round()`` and Spark ``F.round`` are half-up (→ .123457) —
+    a boundary cosine rounded differently flips the strict value compare or
+    adds/drops a pair at a ``>= threshold`` filter. Sign-aware because
+    cosines are signed and both SQL engines round half away from zero on
+    negatives; the 1e-8 epsilon (shared scale with the jpeg codec's
+    ``_round_half_up``) absorbs cross-engine float dust at the boundary."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5 + 1e-8) / 1e6
+
+
 def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     """Σ aᵢ·bᵢ unrolled left-to-right over ``getItem`` — bit-identical to
     the ``aggregate(zip_with(...))`` fold (same add order from a 0.0
@@ -105,7 +117,7 @@ def knn_join_bruteforce(
                     rows[qid_col].append(pdf[qid_col].iloc[qi])
                     rows[id_col].append(cids[ci])
                     rows["rank"].append(r)
-                    rows["cosine"].append(round(float(sims[qi, ci]), 6))
+                    rows["cosine"].append(float(_round6(sims[qi, ci])))
             yield pd.DataFrame(rows)
 
     return queries.select(qid_col, vec_col).mapInPandas(run, schema)
@@ -198,7 +210,7 @@ def _cogroup_score_topk(
         sims = (Q @ C.T) / (
             np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
         )
-        sims = np.round(sims, 6)
+        sims = _round6(sims)
         cids = cp[id_col].to_numpy()
         kk = min(k, sims.shape[1])
         # per-group top-k with the GLOBAL ordering (cosine desc, id asc):
@@ -300,6 +312,9 @@ def train_ivf_centroids_distributed(
             .agg(F.count(F.lit(1)).alias("_n"), *elems)
             .collect()
         )
+        # the round's broadcast is consumed by the collect above — release
+        # it, or k×dim copies accumulate per iteration for the session's life
+        bc.unpersist(blocking=False)
         newC = C.copy()
         for r in rows:
             j = int(r["ivf_list"])
@@ -476,14 +491,17 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = False,
+    salt_target_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine ≥ t), a < b.
 
     Scale path (default): LSH bucket grouping → per-bucket matmul kernel
     emitting pairs ≥ t with a < b (recall < 1 for borderline pairs —
     near-dups at t ≥ 0.9 land in the same sign-bucket with high
-    probability). ``exact=True`` does the full self-join with the HOF
-    cosine (small inputs / oracle parity only).
+    probability). Buckets above ``salt_target_rows`` members split into
+    pair-blocks and every task tiles its matmul, so per-task memory and
+    compute stay bounded on hot buckets. ``exact=True`` does the full
+    self-join with the HOF cosine (small inputs / oracle parity only).
     """
     if exact:
         a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")).withColumn(
@@ -510,20 +528,90 @@ def embedding_near_duplicates(
     )
     thr = float(threshold)
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Hot-bucket defense (r4 advice): with n_bits=8 there are only 256
+    # buckets, and correlated embeddings pile into a few of them — one
+    # applyInPandas task holding an m-member bucket would pay O(m²) float64
+    # for the full V@Vᵀ (100k members ≈ 80 GB). Two bounds instead:
+    #   * PAIR-BLOCK SPLITTING: members of a bucket above salt_target_rows
+    #     hash into s sub-groups; the self-join decomposes into the
+    #     s·(s+1)/2 unordered sub-group blocks (a ≤ b), each its own task.
+    #     A member with sub-group h joins every block containing h (s
+    #     blocks), so each unordered pair {i, j} lands in EXACTLY one block
+    #     (min(h_i,h_j), max(h_i,h_j)) — no symmetric dedup needed, and
+    #     per-task compute/memory drops s²-fold. Replication is s× for hot
+    #     buckets only (the _salt_sides discipline applied to a self-join).
+    #   * TILED MATMUL: inside a task, score query rows against the block
+    #     in ≤32M-element tiles, so the similarity buffer stays ≤256 MB
+    #     regardless of block size.
+    stats = (
+        ab.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "bucket",
+            F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(salt_target_rows)))
+            .cast("int")
+            .alias("_ns"),
+        )
+        .where(F.col("_ns") > 1)
+    )
+    m = (
+        ab.join(F.broadcast(stats), "bucket", "left")
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"))
+        .withColumn(
+            "_blk",
+            F.explode(F.expr("transform(sequence(0, _ns - 1), j -> "
+                             "struct(least(_h, j) AS a, greatest(_h, j) AS b))")),
+        )
+    )
+
+    def pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk_a, blk_b = int(key[1]), int(key[2])
         if len(pdf) < 2:
             return pd.DataFrame({f.name: [] for f in out_schema.fields})
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        n = np.linalg.norm(V, axis=1)
-        sims = np.round((V @ V.T) / (n[:, None] * n[None, :]), 6)
-        ids = pdf[id_col].to_numpy()
-        ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
-        lo, hi = np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ii, jj]})
+        hs = pdf["_h"].to_numpy()
+        if blk_a == blk_b:
+            left = right = pdf
+            same = True
+        else:
+            left, right = pdf[hs == blk_a], pdf[hs == blk_b]
+            same = False
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        L = np.stack([np.asarray(v, dtype=np.float64) for v in left[vec_col]])
+        R = L if same else np.stack(
+            [np.asarray(v, dtype=np.float64) for v in right[vec_col]]
+        )
+        ln = np.linalg.norm(L, axis=1)
+        rn = ln if same else np.linalg.norm(R, axis=1)
+        lids, rids = left[id_col].to_numpy(), right[id_col].to_numpy()
+        tile = max(1, (32 << 20) // max(len(R), 1))
+        frames = []
+        for t0 in range(0, len(L), tile):
+            t1 = min(t0 + tile, len(L))
+            sims = _round6(
+                (L[t0:t1] @ R.T) / (ln[t0:t1, None] * rn[None, :])
+            )
+            hit = sims >= thr
+            if same:
+                # global strict-upper-triangle of the sub-group, sliced to
+                # this row tile (each unordered pair once, no self-pairs)
+                hit &= np.arange(len(R))[None, :] > np.arange(t0, t1)[:, None]
+            ii, jj = np.nonzero(hit)
+            if len(ii):
+                a, b = lids[ii + t0], rids[jj]
+                frames.append(pd.DataFrame({
+                    "vec_a": np.minimum(a, b),
+                    "vec_b": np.maximum(a, b),
+                    "cosine": sims[ii, jj],
+                }))
+        if not frames:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        return pd.concat(frames, ignore_index=True)
 
     return (
-        ab.groupBy("bucket")
-        .applyInPandas(lambda _k, pdf: pairs(pdf), out_schema)
+        m.groupBy("bucket", "_blk.a", "_blk.b")
+        .applyInPandas(pairs, out_schema)
         .distinct()
     )
 

@@ -70,3 +70,12 @@ def test_catalog_adapter_roundtrip(spark, df, tmp_path):
     assert again["written"] == 0 and again["skipped"] == 8
     with pytest.raises(ImportError, match="iceberg-spark-runtime"):
         L.IcebergLineageCatalog()
+
+
+def test_verify_lineage_on_uncommitted_path_raises(spark, tmp_path):
+    """Auditing a path where nothing was ever committed must fail with a
+    descriptive error, not an AttributeError on None (r4 advice)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no lineage has been committed"):
+        L.verify_lineage(spark, str(tmp_path / "never_written"), key_col="key")

@@ -200,3 +200,44 @@ def test_distributed_kmeans_matches_quality_and_serves_ivf(spark, emb):
     }
     hits = sum(got.get(k) == v for k, v in exact.items())
     assert hits / len(exact) >= 0.8  # recall floor with 4/8 lists probed
+
+
+def test_round6_is_half_up_not_bankers():
+    """Rule 16: kernel rounding must match DuckDB/Spark half-up, not
+    np.round's banker's — and be half AWAY FROM ZERO on negatives."""
+    assert S._round6(np.float64(0.1234565)) == pytest.approx(0.123457)
+    assert S._round6(np.float64(-0.1234565)) == pytest.approx(-0.123457)
+    # the exact case banker's rounding gets "wrong" vs SQL engines
+    assert float(np.round(0.1234565, 6)) == pytest.approx(0.123456)
+    arr = S._round6(np.array([0.9999995, -0.0000005, 0.25]))
+    assert arr == pytest.approx([1.0, -0.000001, 0.25])
+
+
+def test_embedding_near_dup_blocksplit_matches_unsplit(spark, emb):
+    """Forcing hot-bucket pair-block splitting (tiny salt target) must
+    return exactly the single-task-per-bucket result: blocks partition the
+    unordered pair space, so splitting is a physical-plan change only."""
+    df, _ = emb
+
+    def rows(nd):
+        return sorted((r["vec_a"], r["vec_b"], r["cosine"]) for r in nd.collect())
+
+    base = rows(S.embedding_near_duplicates(df, threshold=0.3, dim=DIM, n_bits=4))
+    split = rows(
+        S.embedding_near_duplicates(
+            df, threshold=0.3, dim=DIM, n_bits=4, salt_target_rows=5
+        )
+    )
+    assert len(base) > 0
+    assert split == base
+    # and the LSH path agrees with the exact path on the pairs it recalls
+    # (same rounding rule on both sides)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.embedding_near_duplicates(
+            df, threshold=0.3, dim=DIM, exact=True
+        ).collect()
+    }
+    for a, b, c in base:
+        assert (a, b) in exact
+        assert c == pytest.approx(exact[(a, b)], abs=2e-6)
