@@ -201,6 +201,36 @@ def main() -> None:
     knn_queries.unpersist()
     knn_cands.unpersist()
 
+    # mega-cell skew (r5, verdict #5): HALF of 1M candidates collapse into
+    # one ~0.001° patch (a single res-12 cell), so ring 0 floods each
+    # in-cell query with 500k candidates — the distribution the two-stage
+    # per-round top-k (topk_salt) exists for. 200 queries, 100 of them
+    # inside the patch; the control disables the salt stage so the pair
+    # measures its cost/benefit at the pathological shape.
+    def skew_pts(n, id_name):
+        return spark.range(n).select(
+            F.col("id").alias(id_name),
+            F.when(F.col("id") % 2 == 0, 10.0 + (F.col("id") % 97).cast("double") * 1e-5)
+            .otherwise(-150.0 + (F.col("id") % 300).cast("double")).alias("lon"),
+            F.when(F.col("id") % 2 == 0, 45.0 + (F.col("id") % 89).cast("double") * 1e-5)
+            .otherwise(-60.0 + (F.col("id") % 120).cast("double")).alias("lat"),
+        )
+
+    skew_cands = skew_pts(1_000_000, "cand_id").repartition(64).persist()
+    skew_cands.count()
+    skew_q = skew_pts(200, "query_id").persist()
+    skew_q.count()
+    timed(
+        "knn_megacell_1m_salted",
+        lambda: knn_join(skew_q, skew_cands, k=5, res=12).count(),
+    )
+    timed(
+        "knn_megacell_1m_unsalted_control",
+        lambda: knn_join(skew_q, skew_cands, k=5, res=12, topk_salt=None).count(),
+    )
+    skew_cands.unpersist()
+    skew_q.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see

@@ -312,6 +312,45 @@ def zone_cells(
     return zones.select(zone_id, rings_col).mapInPandas(expand, schema=schema)
 
 
+def _auto_compact_res_min(est_points: int, est_cover_rows: int, res: int) -> int | None:
+    """The measured compaction crossover (BENCH/BASELINE.md thin-cover
+    section) as a routing rule: compaction pays ×L on the fact side
+    (one ancestor probe per level) to divide the cover side by ≤ 4^(L-1),
+    so it wins only once cover rows RIVAL point rows. Below the crossover →
+    None (fixed-res cover); above → depth L ≈ log4(cover/points), clamped
+    to [2, 7] levels, i.e. compact_res_min = res - (L - 1)."""
+    import math
+
+    pts = max(int(est_points), 1)
+    if est_cover_rows < pts:
+        return None
+    levels = min(7, max(2, 1 + math.ceil(math.log(est_cover_rows / pts, 4))))
+    return max(0, res - (levels - 1))
+
+
+def estimate_cover_rows(zones: DataFrame, res: int, rings_col="rings") -> int:
+    """Upper-bound estimate of the fixed-res cover row count: per zone the
+    bbox cell-rectangle at ``res`` (polygon_cover emits a subset of it),
+    summed with one zones-sided aggregation. HOF folds are fine here —
+    zones-sized input, one pass, off the per-point hot path (rule 8)."""
+    n = 1 << res
+    flat = F.flatten(F.col(rings_col))
+    x0 = F.aggregate(flat, F.lit(180.0), lambda a, p: F.least(a, p[0]))
+    x1 = F.aggregate(flat, F.lit(-180.0), lambda a, p: F.greatest(a, p[0]))
+    y0 = F.aggregate(flat, F.lit(90.0), lambda a, p: F.least(a, p[1]))
+    y1 = F.aggregate(flat, F.lit(-90.0), lambda a, p: F.greatest(a, p[1]))
+
+    def cell_x(c):
+        return F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((c + 180.0) / 360.0 * n)))
+
+    def cell_y(c):
+        return F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((c + 90.0) / 180.0 * n)))
+
+    per_zone = (cell_x(x1) - cell_x(x0) + 1) * (cell_y(y1) - cell_y(y0) + 1)
+    row = zones.select(F.sum(per_zone).alias("est")).first()
+    return int(row["est"] or 0)
+
+
 def assign_zones_shuffle(
     points: DataFrame,
     zones: DataFrame,
@@ -322,19 +361,26 @@ def assign_zones_shuffle(
     rings_col="rings",
     salt_target_work: float = 50_000_000.0,
     salt_floor_work: float = 400_000_000.0,
-    compact_res_min: int | None = None,
+    compact_res_min: int | None | str = "auto",
 ) -> DataFrame:
     """Salted cell-equi-join PIP for polygon sides too large to broadcast.
 
-    ``compact_res_min`` (opt-in): compact each zone's cover to mixed
-    resolutions ≥ compact_res_min (geo/cells.compact_cover) and explode
-    the POINT side by one ancestor cell per level in
-    [compact_res_min, res]. Compacted cover cells are pairwise disjoint,
-    so a point still pairs with a zone at most once and results are
-    identical (equivalence-tested against the broadcast strategy). Regime:
-    pays ×L on the fact side to divide the cover side by up to 4^L — the
-    right trade only when cover rows rival point rows (country-scale
-    zones at res ≥ 12); leave None for dimension-sized zones.
+    ``compact_res_min``: compact each zone's cover to mixed resolutions
+    ≥ compact_res_min (geo/cells.compact_cover) and explode the POINT side
+    by one ancestor cell per level in [compact_res_min, res]. Compacted
+    cover cells are pairwise disjoint, so a point still pairs with a zone
+    at most once and results are identical (equivalence-tested against the
+    broadcast strategy). Regime: pays ×L on the fact side to divide the
+    cover side by up to 4^(L-1) — the right trade only when cover rows
+    rival point rows (country-scale zones at res ≥ 12).
+
+    ``"auto"`` (default, r5): route by the measured crossover —
+    :func:`estimate_cover_rows` (bbox upper bound, one zones-sided pass)
+    vs ``points.count()``; below the crossover the fixed-res cover runs
+    unchanged, above it the depth follows log4(cover/points)
+    (:func:`_auto_compact_res_min`). Pass an int to force compaction, or
+    ``None`` to force it off — both skip the estimate pass (at very large
+    fact tables where even the count matters, pass the decision in).
 
     Plan: ONE stats pass counts points per cell; the salt decision is then
     WORK-based, not row-based: the exact test for a (zone, salt) group costs
@@ -363,6 +409,10 @@ def assign_zones_shuffle(
     nowhere near straggler scale). 4e8 row·edge ops ≈ 4-8 s of one-task
     NumPy; below that the windowed tail, not the PIP task, dominates."""
     spark = points.sparkSession
+    if compact_res_min == "auto":
+        compact_res_min = _auto_compact_res_min(
+            points.count(), estimate_cover_rows(zones, res, rings_col), res
+        )
     if compact_res_min is None:
         pts = points.withColumn("cell", C.cell_col(F.col(lon), F.col(lat), res))
     else:

@@ -1,17 +1,24 @@
-"""Baseline sequential JPEG (ITU-T T.81) — pure NumPy + stdlib, no libjpeg.
+"""Sequential + progressive JPEG (ITU-T T.81) — pure NumPy + stdlib, no
+libjpeg.
 
 Closes the r3 verdict's largest honest stub (multimodal/ops.py jpeg) the
 same way .shp/.dbf/PBF/WAV were closed: the public interchange format is
-implemented from the spec. Scope: baseline DCT, 8-bit, Huffman, YCbCr
-(and single-component grayscale), 4:4:4 and 4:2:0 subsampling, restart
-markers. Progressive/arithmetic/12-bit are out of scope (rejected with a
-clear error).
+implemented from the spec. Scope: DCT Huffman modes — baseline/extended
+sequential (SOF0/1) and PROGRESSIVE (SOF2, r5: spectral selection +
+successive approximation, §G.2) — 8-bit, YCbCr (and single-component
+grayscale), 4:4:4 / 4:2:0 / 4:2:2 sampling, restart markers.
+Arithmetic coding, hierarchical modes, and 12-bit stay rejected with a
+clear error.
 
-Encoder: 4:4:4, Annex K quantization tables scaled by libjpeg's quality
-formula, Annex K standard Huffman tables — every structural feature the
-decoder must handle (DC prediction, ZRL/EOB runs, byte stuffing) is
-exercised by round-trips. The decoder additionally handles 4:2:0 and DRI
-via hand-built streams in tests.
+Encoders: baseline 4:4:4/4:2:0 (``jpeg_encode``) and progressive 4:4:4
+(``jpeg_encode_progressive``) share the quantization pipeline, so the two
+streams decode bit-identically — the structural parity gate. Annex K
+quantization tables scaled by libjpeg's quality formula; Annex K Huffman
+tables for sequential, a full-alphabet canonical AC table for progressive
+(EOBn symbols need codes Annex K lacks). Every structural feature the
+decoder must handle (DC prediction, ZRL/EOB runs spanning blocks,
+refinement correction bits, byte stuffing) is exercised by round-trips;
+4:2:0 and DRI additionally via hand-built streams in tests.
 
 Rounding contract (shared with the SQL oracle in __spark_entry__): the
 final sample reconstruction and color conversion use floor(x + 0.5)
@@ -403,11 +410,436 @@ def jpeg_encode(
     return bytes(out)
 
 
+# --- progressive encoder (r5) ----------------------------------------------
+#
+# Emits a spectral-selection + successive-approximation scan script (T.81
+# §G.1): DC first at Al=1 → AC first scans per component (Y split into two
+# bands to exercise cross-band EOB runs) → DC refinement → AC refinements.
+# Quantized coefficients are IDENTICAL to jpeg_encode's, so progressive
+# decode must reproduce the baseline decode bit-for-bit — the round-trip
+# parity gate in tests and the jpeg_progressive_parity driver query.
+
+# AC Huffman table covering ALL 256 symbols (EOBn runs included — Annex K's
+# AC tables lack EOBn for n>0): 255 symbols at 8 bits + 1 at 9, canonical,
+# never all-ones.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _flush_eobrun_enc(writer, ac, state):
+    """Emit the pending EOBn symbol + its accumulated correction bits."""
+    if state["eobrun"] > 0:
+        t = state["eobrun"].bit_length() - 1
+        code, ln = ac[t << 4]
+        writer.write(code, ln)
+        if t:
+            writer.write(state["eobrun"] - (1 << t), t)
+        for b in state["br"]:
+            writer.write(b, 1)
+        state["eobrun"] = 0
+        state["br"] = []
+
+
+def _enc_ac_first_block(writer, ac, zz, ss, se, al, state):
+    """G.1.2.2: band [ss, se] of one block at point transform al (magnitude
+    shift truncates toward zero), with EOB-run accumulation."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        vals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+    nz = [i for i, v in enumerate(vals) if v != 0]
+    if not nz:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun_enc(writer, ac, state)
+        return
+    _flush_eobrun_enc(writer, ac, state)
+    last = nz[-1]
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac[0xF0]  # ZRL
+            writer.write(code, ln)
+            r -= 16
+        t = abs(v).bit_length()
+        code, ln = ac[(r << 4) | t]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << t) - 1, t)
+        r = 0
+    if last < se - ss:  # trailing zeros → the block closes with an EOB
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun_enc(writer, ac, state)
+
+
+def _enc_ac_refine_block(writer, ac, zz, ss, se, al, state):
+    """G.1.2.3: newly-significant coefficients as (run, 1) symbols with a
+    sign bit; one correction bit per already-nonzero coefficient passed
+    (buffered until the next emitted symbol or carried with the EOB run)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            _flush_eobrun_enc(writer, ac, state)
+            code, ln = ac[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: next magnitude bit rides along
+            br.append(t & 1)
+            continue
+        _flush_eobrun_enc(writer, ac, state)
+        code, ln = ac[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["br"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun_enc(writer, ac, state)
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    spectral_split: int = 6,
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB8 (h, w, 3) uint8 → PROGRESSIVE JFIF bytes (SOF2), 4:4:4.
+    Same quantized coefficients as :func:`jpeg_encode` — decode parity with
+    the baseline stream is exact. ``restart_interval`` > 0 emits DRI + RSTn
+    every that many MCUs/blocks in every scan (EOB runs never cross a
+    restart boundary)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    qt_l = scaled_qt(QT_LUM, quality)
+    qt_c = scaled_qt(QT_CHROMA, quality)
+
+    rgb = arr.astype(np.float64)
+    r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168735892 * r_ - 0.331264108 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418687589 * g_ - 0.081312411 * b_
+    planes = [
+        np.clip(_round_half_up(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    blocks = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(
+            plane, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"
+        )
+        blocks.append(_quantize_blocks(p, qt_l if ci == 0 else qt_c))
+
+    dc_codes = [_build_huff_codes(*_DC_LUM), _build_huff_codes(*_DC_CHROMA)]
+    ac_prog = _build_huff_codes(*_AC_PROG)
+    n_units = mcux * mcuy
+
+    def dc_scan(al_shift, refine):
+        writer = _BitWriter()
+        pred = [0, 0, 0]
+        rst = 0
+        for u in range(n_units):
+            for ci in range(3):
+                v = int(blocks[ci][u][0]) >> al_shift  # arithmetic shift (G.1.2.1)
+                if refine:
+                    writer.write(v & 1, 1)
+                else:
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t = abs(diff).bit_length()
+                    code, ln = dc_codes[0 if ci == 0 else 1][t]
+                    writer.write(code, ln)
+                    if t:
+                        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            if restart_interval and (u + 1) % restart_interval == 0 and u + 1 < n_units:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+        writer.flush()
+        return writer.buf
+
+    def ac_scan(ci, ss, se, al_shift, refine):
+        writer = _BitWriter()
+        state = {"eobrun": 0, "br": []}
+        rst = 0
+        enc = _enc_ac_refine_block if refine else _enc_ac_first_block
+        for u in range(n_units):
+            enc(writer, ac_prog, blocks[ci][u], ss, se, al_shift, state)
+            if restart_interval and (u + 1) % restart_interval == 0 and u + 1 < n_units:
+                _flush_eobrun_enc(writer, ac_prog, state)
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+        _flush_eobrun_enc(writer, ac_prog, state)
+        writer.flush()
+        return writer.buf
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l.ravel()[_ZZ].astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qt_c.ravel()[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in range(3):
+        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG)
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_dc(ah, al_shift):
+        hdr = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (ah << 4) | al_shift])
+        return seg(0xDA, hdr)
+
+    def sos_ac(ci, ss, se, ah, al_shift):
+        hdr = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al_shift])
+        return seg(0xDA, hdr)
+
+    split = max(1, min(spectral_split, 63))
+    out += sos_dc(0, 1) + dc_scan(1, refine=False)
+    out += sos_ac(0, 1, split - 1, 0, 1) + ac_scan(0, 1, split - 1, 1, False) if split > 1 else b""
+    out += sos_ac(0, split, 63, 0, 1) + ac_scan(0, split, 63, 1, False)
+    out += sos_ac(1, 1, 63, 0, 1) + ac_scan(1, 1, 63, 1, False)
+    out += sos_ac(2, 1, 63, 0, 1) + ac_scan(2, 1, 63, 1, False)
+    out += sos_dc(1, 0) + dc_scan(0, refine=True)
+    if split > 1:
+        out += sos_ac(0, 1, split - 1, 1, 0) + ac_scan(0, 1, split - 1, 0, True)
+    out += sos_ac(0, split, 63, 1, 0) + ac_scan(0, split, 63, 0, True)
+    out += sos_ac(1, 1, 63, 1, 0) + ac_scan(1, 1, 63, 0, True)
+    out += sos_ac(2, 1, 63, 1, 0) + ac_scan(2, 1, 63, 0, True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------------
+#
+# Architecture (r5): every scan — baseline's single full-band scan and
+# progressive's spectral-selection / successive-approximation scans alike —
+# accumulates into per-component ZIGZAG coefficient arrays; dequantization
+# and the IDCT run once after the last scan. Progressive semantics follow
+# T.81 §G.2 (EOB runs, refinement correction bits) — implemented fresh from
+# the spec, same public algorithm libjpeg's phuff codecs realize.
+
+
+def _dec_block_seq(reader, dct, act, zz, pred: int) -> int:
+    """Sequential (full-band) block decode into zigzag ``zz``; returns the
+    new DC predictor."""
+    t = _decode_huff(reader, dct)
+    pred += _extend(reader.bits(t), t) if t else 0
+    zz[0] = pred
+    k = 1
+    while k <= 63:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.bits(s), s)
+        k += 1
+    return pred
+
+
+def _dec_dc_first(reader, dct, zz, pred: int, al: int) -> int:
+    """Progressive DC first scan (G.2.1): diff-coded (DC ≫ Al), stored
+    shifted back up."""
+    t = _decode_huff(reader, dct)
+    pred += _extend(reader.bits(t), t) if t else 0
+    zz[0] = pred << al
+    return pred
+
+
+def _dec_dc_refine(reader, zz, al: int) -> None:
+    """Progressive DC refinement: one bit ORed into the stored value —
+    two's-complement append works for negative DCs because the first scan
+    truncated toward −∞ (arithmetic shift)."""
+    if reader.bit():
+        zz[0] |= 1 << al
+
+
+def _dec_ac_first(reader, act, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan for band [ss, se] at bit position al;
+    returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:  # EOBn: run of 2^r + ext bits blocks ends here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _dec_ac_refine(reader, act, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (G.2.3): newly-significant coefficients
+    arrive as ±1·2^Al; every already-nonzero coefficient passed on the way
+    carries one correction bit. Zero-history positions alone count toward
+    the zero-run r."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOBn — correction bits for the rest of the band
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("refinement placement past band end")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0 and reader.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data, pos, scan, huff, restart_interval, progressive,
+    ss, se, ah, al, mcux, mcuy, hmax, vmax, w, h,
+) -> int:
+    """Decode one entropy-coded scan into the components' ``coefs`` arrays;
+    returns the stream position of the next marker."""
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        comp = scan[0][0]
+        # non-interleaved scans walk the COMPONENT's own block grid
+        # (A.2.2), which can be narrower than the MCU-padded storage grid
+        cw = -(-(w * comp["hi"]) // hmax)
+        ch = -(-(h * comp["vi"]) // vmax)
+        bw_s, bh_s = -(-cw // 8), -(-ch // 8)
+        n_units = bw_s * bh_s
+
+    def unit_blocks(u):
+        """(comp, dct, act, storage block index) tuples of unit u."""
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for comp, td, ta in scan:
+                for by in range(comp["vi"]):
+                    for bx in range(comp["hi"]):
+                        bi = (my * comp["vi"] + by) * comp["bw"] + (mx * comp["hi"] + bx)
+                        yield comp, td, ta, bi
+        else:
+            comp, td, ta = scan[0]
+            row, col = divmod(u, bw_s)
+            yield comp, td, ta, row * comp["bw"] + col
+
+    unit = 0
+    while unit < n_units:
+        try:
+            for comp, td, ta, bi in unit_blocks(unit):
+                zz = comp["coefs"][bi]
+                if not progressive:
+                    pred[comp["id"]] = _dec_block_seq(
+                        reader, huff[(0, td)], huff[(1, ta)], zz, pred[comp["id"]]
+                    )
+                elif ss == 0:  # DC scan (Se == 0 per G.1.1.1.1)
+                    if ah == 0:
+                        pred[comp["id"]] = _dec_dc_first(
+                            reader, huff[(0, td)], zz, pred[comp["id"]], al
+                        )
+                    else:
+                        _dec_dc_refine(reader, zz, al)
+                else:  # AC scan — always non-interleaved
+                    if ah == 0:
+                        eobrun = _dec_ac_first(reader, huff[(1, ta)], zz, ss, se, al, eobrun)
+                    else:
+                        eobrun = _dec_ac_refine(reader, huff[(1, ta)], zz, ss, se, al, eobrun)
+            unit += 1
+            if restart_interval and unit % restart_interval == 0 and unit < n_units:
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c, _, _ in scan}
+                eobrun = 0
+        except _RestartMarker:
+            reader.sync_restart()
+            pred = {c["id"]: 0 for c, _, _ in scan}
+            eobrun = 0
+
+    # resync: advance to the next true marker (skip stuffing and stray RSTs)
+    p = reader.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p
+
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
-    Supports 4:4:4 / 4:2:0 / 4:2:2, DRI restart intervals."""
+    """JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated). Supports
+    baseline and extended-sequential (SOF0/1) and PROGRESSIVE (SOF2, r5 —
+    spectral selection + successive approximation, any scan script), with
+    4:4:4 / 4:2:0 / 4:2:2 sampling and DRI restart intervals. Arithmetic
+    coding, hierarchical modes, and 12-bit precision are rejected."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -415,7 +847,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = 0
+    hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
+    progressive = False
+    n_scans = 0
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -424,8 +859,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         while marker == 0xFF:  # optional fill bytes before a marker (B.1.1.2)
             marker = data[pos]
             pos += 1
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS")
+        if marker == 0xD9:  # EOI
+            break
         (ln,) = struct.unpack(">H", data[pos : pos + 2])
         payload = data[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -447,82 +882,54 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _build_huff_decode(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             depth, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if depth != 8:
-                raise NotImplementedError("only 8-bit baseline")
+                raise NotImplementedError("only 8-bit precision")
             comps = []
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "hi": samp >> 4, "vi": samp & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/arithmetic JPEG not supported")
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["hi"]  # blocks per row (MCU-padded grid)
+                c["bh"] = mcuy * c["vi"]
+                c["coefs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("arithmetic/hierarchical/lossless JPEG not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, continue the marker loop
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
             scan = []
             for i in range(ns):
                 cs, tables = payload[1 + 2 * i], payload[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0xF))
-            pos += ln
-            break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + ln, scan, huff, restart_interval, progressive,
+                ss, se, ahal >> 4, ahal & 0xF, mcux, mcuy, hmax, vmax, w, h,
+            )
+            n_scans += 1
+            continue
         pos += ln
-
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["hi"]  # blocks per row
-        c["bh"] = mcuy * c["vi"]
-        c["blocks"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
-
-    reader = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
-    mcu = 0
-    while mcu < mcux * mcuy:
-        try:
-            my, mx = divmod(mcu, mcux)
-            for comp, td, ta in scan:
-                dct, act = huff[(0, td)], huff[(1, ta)]
-                for by in range(comp["vi"]):
-                    for bx in range(comp["hi"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _decode_huff(reader, dct)
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k <= 63:
-                            rs = _decode_huff(reader, act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        bi = (my * comp["vi"] + by) * comp["bw"] + (mx * comp["hi"] + bx)
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZZ] = zz * qts[comp["tq"]].ravel()[_ZZ]
-                        comp["blocks"][bi] = blk.reshape(8, 8)
-            mcu += 1
-            if restart_interval and mcu % restart_interval == 0 and mcu < mcux * mcuy:
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in comps}
-        except _RestartMarker:
-            reader.sync_restart()
-            pred = {c["id"]: 0 for c in comps}
+    if comps is None or n_scans == 0:
+        raise ValueError("EOI before SOS")
 
     planes = []
     for c in comps:
-        sp = np.einsum("xu,nuv,yv->nxy", _M.T, c["blocks"], _M.T)
+        deq = c["coefs"].astype(np.float64) * qts[c["tq"]].ravel()[_ZZ][None, :]
+        blocks = np.zeros((len(deq), 8, 8), dtype=np.float64)
+        blocks.reshape(len(deq), 64)[:, _ZZ] = deq
+        sp = np.einsum("xu,nuv,yv->nxy", _M.T, blocks, _M.T)
         full = (
             sp.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)

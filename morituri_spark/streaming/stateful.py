@@ -9,11 +9,18 @@ aggregation can't express "emit on first occurrence, then never again
 regardless of time" — that is per-key state with unbounded lifetime, i.e.
 GroupState.
 
-State per key is one boolean + the first timestamp (a few bytes); with
-billions of keys, production deployments bound it with a state-store TTL
-(``GroupStateTimeout.ProcessingTimeTimeout`` + a re-dedup batch join —
-the exact-dedup operator — downstream), mirroring the cap discipline in
-text/dedup.py.
+State per key is one boolean + the first timestamp (a few bytes) — but at
+10¹² keys even that is unbounded. Both operators therefore take
+``state_ttl_ms`` (r5, verdict item #3): when set, state uses
+``GroupStateTimeout.ProcessingTimeTimeout`` with a SLIDING window (every
+sighting of the key refreshes the clock), so only keys idle longer than
+the TTL are evicted. The dedup guarantee weakens from exactly-once to
+at-least-once-per-TTL-window: a key re-delivered after its state expired
+is re-emitted, and the documented contract is that a downstream BATCH
+re-dedup (text/dedup.py ``dedup_exact`` on the sink table, min-id/min-ts
+wins) restores exactly-once — the cap-and-surface discipline of
+text/dedup.py applied to state stores. ``state_ttl_ms=None`` (default)
+keeps the unbounded NoTimeout behavior for bounded key spaces.
 """
 
 from __future__ import annotations
@@ -25,12 +32,15 @@ def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "image_id",
     ts_col: str = "ts",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """stream → one output row per DISTINCT key: (key, first_ts, n_first) —
     emitted in the first micro-batch that contains the key (n_first = that
     batch's occurrence count); later batches with the same key emit
     nothing. Key/timestamp column names are parameters; the key column's
-    type follows the input schema."""
+    type follows the input schema. With ``state_ttl_ms`` set, a key whose
+    state has been idle past the TTL is evicted and a later re-delivery
+    re-emits (see module docstring for the downstream re-dedup contract)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -41,11 +51,17 @@ def streaming_first_seen(
         "first_ts timestamp, n_first long"
     )
     state_schema = "seen boolean"
+    ttl = state_ttl_ms
 
     def fn(key, pdfs, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             for _ in pdfs:  # drain; already emitted
                 pass
+            if ttl is not None:
+                state.setTimeoutDuration(ttl)  # sliding TTL refresh
             return
         first, n = None, 0
         for pdf in pdfs:
@@ -53,13 +69,17 @@ def streaming_first_seen(
             first = m if first is None else min(first, m)
             n += len(pdf)
         state.update((True,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
         yield pd.DataFrame({key_col: [key[0]], "first_ts": [first], "n_first": [n]})
 
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         stream.groupBy(key_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
     )
 
 
@@ -67,6 +87,7 @@ def streaming_dedup(
     stream: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming EXACT dedup — the streaming face of text/dedup.py's
     ``dedup_exact``: emit each row whose content hash has not been seen in
@@ -75,9 +96,9 @@ def streaming_dedup(
     backfilled duplicates are dropped at ingest instead of waiting for the
     next batch dedup pass.
 
-    State per hash is a single boolean — same unbounded-lifetime contract
-    (and the same production TTL + downstream batch re-dedup discipline)
-    as :func:`streaming_first_seen`."""
+    State per hash is a single boolean; ``state_ttl_ms`` bounds the store
+    at unbounded hash spaces (sliding processing-time TTL + downstream
+    batch re-dedup — module docstring)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -90,11 +111,17 @@ def streaming_dedup(
         "n_dropped long"
     )
     state_schema = "seen boolean"
+    ttl = state_ttl_ms
 
     def fn(key, pdfs, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             for _ in pdfs:
                 pass
+            if ttl is not None:
+                state.setTimeoutDuration(ttl)
             return
         best, n = None, 0
         for pdf in pdfs:
@@ -102,10 +129,16 @@ def streaming_dedup(
             best = m if best is None else min(best, m)
             n += len(pdf)
         state.update((True,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
         yield pd.DataFrame(
             {"content_hash": [key[0]], id_col: [best], "n_dropped": [n - 1]}
         )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return hashed.groupBy("_h").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )

@@ -135,15 +135,82 @@ def test_grayscale_single_component_stream():
     assert psnr(np.stack([gray] * 3, axis=2), dec) >= 40.0
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError, match="SOI"):
         J.jpeg_decode(b"\x00\x01\x02\x03")
-    # a minimal stream with an SOF2 (progressive) marker must be refused
+    # arithmetic coding (SOF9) stays refused — progressive (SOF2) is
+    # supported since r5
     import struct
 
-    data = b"\xff\xd8" + bytes([0xFF, 0xC2]) + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data = b"\xff\xd8" + bytes([0xFF, 0xC9]) + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.jpeg_decode(data)
+
+
+def test_progressive_decode_matches_baseline_bitexact():
+    """r5 verdict #4: jpeg_encode_progressive shares jpeg_encode's
+    quantization pipeline, so the progressive decode must equal the
+    baseline decode BIT-FOR-BIT — across shapes (odd dims → edge padding),
+    qualities, and spectral splits (EOB runs crossing band boundaries)."""
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (17, 9), (32, 40)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        base = J.jpeg_decode(J.jpeg_encode(img, quality=85))
+        for split in (2, 6, 33):
+            prog = J.jpeg_decode(
+                J.jpeg_encode_progressive(img, quality=85, spectral_split=split)
+            )
+            assert np.array_equal(base, prog), (shape, split)
+
+
+def test_progressive_quality_and_psnr():
+    """Round-trip PSNR through the progressive stream matches baseline
+    (same coefficients) and clears the codec's lossy gate."""
+    img = _gradient(24, 32)
+    for q in (50, 85, 95):
+        dec = J.jpeg_decode(J.jpeg_encode_progressive(img, quality=q))
+        assert np.array_equal(dec, J.jpeg_decode(J.jpeg_encode(img, quality=q)))
+    assert psnr(img, J.jpeg_decode(J.jpeg_encode_progressive(img, quality=85))) >= 40.0
+
+
+def test_progressive_restart_intervals():
+    """DRI + RSTn inside every progressive scan (EOB runs flushed at each
+    boundary, DC predictors reset) — decode still bit-equal to baseline."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(img, quality=70))
+    for ri in (1, 2, 5):
+        prog = J.jpeg_decode(
+            J.jpeg_encode_progressive(img, quality=70, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), ri
+
+
+def test_progressive_eobrun_heavy_constant():
+    """A constant image maximizes cross-block EOB runs (every AC band
+    empty → one EOBn covers whole block runs); exercises the EOBn
+    extension-bit path on both sides."""
+    img = np.full((64, 64, 3), 137, np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(img, quality=85))
+    prog = J.jpeg_decode(J.jpeg_encode_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
+    # 64×64 → 64 blocks per component; the AC first scans should be tiny
+    # (a handful of EOBn symbols), visibly smaller than the baseline stream
+    assert len(J.jpeg_encode_progressive(img, quality=85)) < 3 * len(
+        J.jpeg_encode(img, quality=85)
+    )
+
+
+def test_progressive_constant_matches_closed_form():
+    """The progressive stream of a constant image lands on the exact
+    closed-form round-trip value (DC-only information survives the scan
+    script unchanged) — ties the new codec path to the SQL-oracle mirror."""
+    img = np.full((8, 8, 3), 200, np.uint8)
+    # constant image: DC-only information ⇒ even the full progressive
+    # stream reconstructs exactly the constant round-trip value
+    r, g, b = J.constant_roundtrip_value(200, 200, 200, quality=85)
+    dec = J.jpeg_decode(J.jpeg_encode_progressive(img, quality=85))
+    assert (dec[0, 0] == (r, g, b)).all()
 
 
 def test_dispatch_through_images_module():

@@ -315,3 +315,78 @@ def test_compact_cover_shrinks_big_zone():
     comp = C.compact_cover(cover, res_min=5)
     assert len(cover) / len(comp) > 5, (len(cover), len(comp))
     assert np.array_equal(C.expand_cover(comp, 12), np.sort(cover))
+
+
+def test_auto_compact_routing_decision():
+    """r5 verdict #6: the auto route engages compaction at the measured
+    crossover (cover rows rival point rows) and NOT below it, with depth
+    following log4(cover/points)."""
+    from morituri_spark.geo.pip import _auto_compact_res_min
+
+    # far below crossover: many points, few cover rows → fixed-res cover
+    assert _auto_compact_res_min(1_000_000, 1_000, 13) is None
+    # just below: cover = points - 1 → still off
+    assert _auto_compact_res_min(1_000, 999, 13) is None
+    # at/above: engages with bounded depth
+    assert _auto_compact_res_min(1_000, 1_000, 13) == 12  # minimum 2 levels
+    assert _auto_compact_res_min(1_000, 1_000_000, 13) == 8  # log4(1000)≈5 → 6 levels
+    assert _auto_compact_res_min(1, 10**12, 13) == 7  # clamped at 7 levels
+    assert _auto_compact_res_min(1, 10**12, 3) == 0  # res floor
+
+
+def test_estimate_cover_rows_bbox_bound(spark):
+    """Estimator: bbox cell-rectangle per zone, an upper bound on the real
+    polygon cover, exact for axis-aligned rects."""
+    from morituri_spark.geo import cells as C
+    from morituri_spark.geo.pip import estimate_cover_rows
+    from morituri_spark.sources.synth import _rect, _regular_polygon
+
+    rect = _rect(0.0, 0.0, 45.0, 45.0)  # 45° square from the equator
+    zones = spark.createDataFrame(
+        [(0, [rect])], "zone_id long, rings array<array<array<double>>>"
+    )
+    est = estimate_cover_rows(zones, 6)
+    real = len(C.polygon_cover([rect], 6))
+    assert est >= real
+    # 45° = 8 cells of 5.625° (x) / 16 of 2.8125° (y) + boundary cell
+    assert est <= (8 + 1) * (16 + 1)
+
+    hexa = _regular_polygon(5.0, 45.0, 3.0, 6)
+    zh = spark.createDataFrame(
+        [(0, [hexa])], "zone_id long, rings array<array<array<double>>>"
+    )
+    assert estimate_cover_rows(zh, 12) >= len(C.polygon_cover([hexa], 12))
+
+
+def test_auto_compact_end_to_end_matches_forced_off(spark):
+    """At an engaging shape (one 6°-wide zone at res 12 vs 500 points →
+    cover ≫ points) the default auto route must return exactly the
+    forced-off result — compaction is a physical-plan change only."""
+    from pyspark.sql import functions as F
+
+    from morituri_spark.geo import pip as P
+    from morituri_spark.geo.pip import _auto_compact_res_min, estimate_cover_rows
+    from morituri_spark.sources.synth import _regular_polygon
+
+    zones = spark.createDataFrame(
+        [(0, [_regular_polygon(5.0, 45.0, 3.0, 32)])],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        (2.0 + (F.col("id") % 100).cast("double") * 0.06).alias("lon"),
+        (42.0 + (F.col("id") % 90).cast("double") * 0.07).alias("lat"),
+    )
+    # the routing decision at this shape is "engage"
+    assert _auto_compact_res_min(
+        pts.count(), estimate_cover_rows(zones, 12), 12
+    ) is not None
+    auto = sorted(
+        (r["pid"], r["zone_id"])
+        for r in P.assign_zones_shuffle(pts, zones, res=12).collect()
+    )
+    off = sorted(
+        (r["pid"], r["zone_id"])
+        for r in P.assign_zones_shuffle(pts, zones, res=12, compact_res_min=None).collect()
+    )
+    assert auto == off and len(auto) > 0

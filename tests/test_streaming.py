@@ -138,3 +138,93 @@ def test_streaming_dedup_drops_redelivered_content(spark, tmp_path):
     assert 5 in emitted and 2 in emitted
     pairs = {p for v in by_text.values() for p in v}
     assert (1, 1) in pairs or (9, 0) in pairs
+
+
+def test_streaming_first_seen_ttl_expiry_and_batch_rededup(spark, tmp_path):
+    """state_ttl_ms (r5): a key idle past the TTL is evicted — its later
+    re-delivery RE-EMITS (at-least-once within the TTL contract) — and the
+    documented downstream batch re-dedup restores exactly-once. Three
+    single-file micro-batches: the middle batch carries no 'a' data, so
+    'a''s 1ms state times out there and batch 3's re-delivery re-emits."""
+    import pandas as pd
+
+    from morituri_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "ttl_src")
+    schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    batches = [
+        pd.DataFrame({"image_id": ["a", "b"],
+                      "ts": pd.to_datetime(["2026-01-01 00:00:01",
+                                            "2026-01-01 00:00:02"])}),
+        pd.DataFrame({"image_id": ["c"],
+                      "ts": pd.to_datetime(["2026-01-01 00:00:03"])}),
+        pd.DataFrame({"image_id": ["a"],   # re-delivered after expiry
+                      "ts": pd.to_datetime(["2026-01-01 00:00:09"])}),
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(src, mode="append")
+        time.sleep(0.05)  # distinct file mtimes → stable batch order
+
+    stream = SP.stream_images(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_first_seen(stream, key_col="image_id", ts_col="ts",
+                               state_ttl_ms=1)
+    q = (out.writeStream.format("memory").queryName("t_fs_ttl")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.table("t_fs_ttl").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["image_id"], []).append(r["first_ts"].isoformat())
+    # b and c exactly once; a emitted in its first batch AND again after the
+    # idle batch expired its state (file order is mtime-deterministic here,
+    # but accept >= 2 to stay robust: the point is re-emission happened)
+    assert len(by_key["b"]) == 1 and len(by_key["c"]) == 1
+    assert len(by_key["a"]) >= 2
+    assert "2026-01-01T00:00:01" in by_key["a"]
+    assert "2026-01-01T00:00:09" in by_key["a"]
+
+    # downstream batch re-dedup (the documented TTL contract): min first_ts
+    # per key over the streamed sink restores exactly-once
+    dedup = (
+        spark.table("t_fs_ttl")
+        .groupBy("image_id")
+        .agg(F.min("first_ts").alias("first_ts"))
+        .collect()
+    )
+    got = {r["image_id"]: r["first_ts"].isoformat() for r in dedup}
+    assert got == {
+        "a": "2026-01-01T00:00:01",
+        "b": "2026-01-01T00:00:02",
+        "c": "2026-01-01T00:00:03",
+    }
+
+
+def test_streaming_first_seen_no_ttl_unchanged(spark, tmp_path):
+    """Default state_ttl_ms=None keeps the unbounded exactly-once behavior
+    even across many batches (regression guard for the TTL refactor)."""
+    import pandas as pd
+
+    from morituri_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "nottl_src")
+    schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    for ids, ts in [(["a", "b"], ["2026-01-01 00:00:01", "2026-01-01 00:00:02"]),
+                    (["c"], ["2026-01-01 00:00:03"]),
+                    (["a"], ["2026-01-01 00:00:09"])]:
+        pdf = pd.DataFrame({"image_id": ids, "ts": pd.to_datetime(ts)})
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(src, mode="append")
+        time.sleep(0.05)
+
+    stream = SP.stream_images(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_first_seen(stream, key_col="image_id", ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("t_fs_nottl")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("t_fs_nottl").count() == 3  # one per distinct key
