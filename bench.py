@@ -205,8 +205,12 @@ def main() -> None:
     # one ~0.001° patch (a single res-12 cell), so ring 0 floods each
     # in-cell query with 500k candidates — the distribution the two-stage
     # per-round top-k (topk_salt) exists for. 200 queries, 100 of them
-    # inside the patch; the control disables the salt stage so the pair
-    # measures its cost/benefit at the pathological shape.
+    # inside the patch; the pair FORCES the salt on/off so it measures the
+    # stage's cost at this shape. r5 adjudication: salt loses 1.7-2.4×
+    # here (per-query 500k-row sorts don't straggle), which is why
+    # knn_join's default is now "auto" (engages at max cell ≥ 4M — the
+    # multi-million-per-query flood regime this shape can't reach at 1M
+    # corpus); the auto probe itself routes to the control's plan.
     def skew_pts(n, id_name):
         return spark.range(n).select(
             F.col("id").alias(id_name),
@@ -222,7 +226,7 @@ def main() -> None:
     skew_q.count()
     timed(
         "knn_megacell_1m_salted",
-        lambda: knn_join(skew_q, skew_cands, k=5, res=12).count(),
+        lambda: knn_join(skew_q, skew_cands, k=5, res=12, topk_salt=32).count(),
     )
     timed(
         "knn_megacell_1m_unsalted_control",

@@ -151,7 +151,8 @@ def knn_join(
     metric: str = "euclidean_deg",
     qid_col: str = "query_id",
     cid_col: str = "cand_id",
-    topk_salt: int | None = 32,
+    topk_salt: int | None | str = "auto",
+    salt_cell_threshold: int = 4_000_000,
 ) -> DataFrame:
     """→ (query_id, cand_id, dist, rank<k). Both inputs need lon/lat.
 
@@ -160,10 +161,19 @@ def knn_join(
 
     ``topk_salt``: sub-group count for the two-stage per-round top-k (None
     disables) — bounds the per-query sort when a mega-cell floods one
-    query's ring with candidates. The candidate side is also re-spread if
-    it arrives under-partitioned (a ``limit()`` upstream collapses to ONE
-    partition and serialized the whole join — measured 343s vs 20s on the
-    same input at bench scale).
+    query's ring with candidates. ``"auto"`` (default, r5) engages it only
+    when the corpus' max cell population reaches ``salt_cell_threshold``:
+    the r5 mega-cell A/B (500k candidates in ONE cell, BENCH/BASELINE.md)
+    measured the always-on salt 1.7-2.4× SLOWER than the plain window —
+    per-query sorts of ≲1M rows finish in well under a second, so the
+    extra per-round shuffle+window never pays; the stage exists for the
+    regime where ONE query's candidate list itself reaches several million
+    rows and its single-task sort straggles (or OOMs) the round. The
+    threshold decision costs one count-per-cell agg over the persisted
+    corpus. The candidate side is also re-spread if it arrives
+    under-partitioned (a ``limit()`` upstream collapses to ONE partition
+    and serialized the whole join — measured 343s vs 20s on the same input
+    at bench scale).
     """
     spark = queries.sparkSession
     # Cell extents: y (lat) spans 180°/2^res, x (lon) 360°/2^res — x is twice
@@ -185,6 +195,12 @@ def knn_join(
     if cand.rdd.getNumPartitions() < par:  # rdd-meta-ok
         cand = cand.repartition(par)
     cand = cand.persist()
+
+    if topk_salt == "auto":
+        max_cell = (
+            cand.groupBy("_ccell").count().agg(F.max("count")).first()[0] or 0
+        )
+        topk_salt = 32 if max_cell >= salt_cell_threshold else None
 
     # Exhaustion bound: once a query's explored disk covers the candidate
     # bbox there is nothing left to find (otherwise k > |candidates in
@@ -235,8 +251,10 @@ def knn_join(
         # global top-k (oracle-pinned, unchanged results). This bounds the
         # per-query sort when a mega-cell floods one query's ring with
         # candidates (30% of a geo corpus in one urban cell is NORMAL
-        # data); at the healthy bench shape it measures within run noise
-        # of the single window (A/B 24.0/20.5/9.1s across JIT states).
+        # data). r5 A/B at 500k-in-one-cell measured the stage 1.7-2.4×
+        # SLOWER than the plain window (the extra per-round shuffle never
+        # pays below multi-million-row per-query floods), hence the
+        # max-cell-population auto gate above.
         # NOTE the 343s pathology this hunt found was NOT the window: an
         # upstream limit() had collapsed the candidate side to ONE
         # partition — see the repartition defense above.

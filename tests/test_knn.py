@@ -102,3 +102,21 @@ def test_knn_releases_iteration_blocks(spark, pts):
     out.collect()
     leaked = ids() - before
     assert len(leaked) <= 1, f"leaked persistent RDDs: {sorted(leaked)}"
+
+
+def test_knn_topk_salt_auto_routing(spark, pts):
+    """"auto" engages the two-stage top-k only at max cell population ≥
+    salt_cell_threshold, and the result is identical either way (top-k of
+    per-sub-group top-ks ≡ global top-k)."""
+    q, cand = pts
+    base = _as_map(knn.knn_join(q, cand, k=5, res=8, topk_salt=None).collect())
+    # threshold=1 → every cell qualifies → salt engaged; results unchanged
+    salted = _as_map(
+        knn.knn_join(
+            q, cand, k=5, res=8, topk_salt="auto", salt_cell_threshold=1
+        ).collect()
+    )
+    assert salted == base
+    # default threshold (4M) cannot engage on a 2k corpus; same results
+    auto = _as_map(knn.knn_join(q, cand, k=5, res=8).collect())
+    assert auto == base
