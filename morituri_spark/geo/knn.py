@@ -7,7 +7,10 @@ caption enrichment. Algorithm (the classic grid-file expanding-ring search):
   (geo.cells.grid_ring) → equi-join candidates on cell → accumulate → keep
   per-query top-k (window). A query finishes when its current k-th distance
   is ≤ L · cell_min_dim: every unexplored cell lies at Chebyshev distance
-  > L, so no unseen candidate can be closer.
+  > L, so no unseen candidate can be closer. Rings are explored in
+  geometrically widening blocks by default (ring_batch) so the driver
+  loop is O(log max_rings) rounds, with termination bounds taken at each
+  block's outer radius.
 
 Distance metric: Euclidean in degrees (documented engine rule; suitable for
 the small-extent zones this engine targets — swap in haversine via
@@ -83,6 +86,43 @@ def _ring_cells_expr(res: int, ring: int, qcell):
     return F.array_distinct(F.transform(valid, lambda s: s["cell"]))
 
 
+def _annulus_cells_expr(res: int, lo: int, hi: int, qcell):
+    """Cells at Chebyshev distance in [lo, hi] (inclusive): the full
+    (2·hi+1)² square minus the (2·lo−1)² interior, one nested-HOF
+    expression (x wraps via pmod, y clips, distinct — same semantics as
+    per-ring). Used by the geometric ring batching: the frontier shrinks
+    while blocks widen, so the interpreted-HOF array cost stays bounded,
+    and the driver loop drops from O(R) rounds to O(log R)."""
+    if lo == hi:
+        return _ring_cells_expr(res, lo, qcell)
+    n = 1 << res
+    mask = (1 << 29) - 1
+    x = F.shiftright(qcell, 29).bitwiseAND(F.lit(mask))
+    y = qcell.bitwiseAND(F.lit(mask))
+    res_bits = qcell - x * F.lit(1 << 29) - y
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-hi), F.lit(hi)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-hi), F.lit(hi)),
+                lambda dy: F.struct(
+                    (
+                        res_bits
+                        + F.pmod(x + dx, F.lit(n)) * F.lit(1 << 29)
+                        + (y + dy)
+                    ).alias("cell"),
+                    (y + dy).alias("yp"),
+                    F.greatest(F.abs(dx), F.abs(dy)).alias("d"),
+                ),
+            ),
+        )
+    )
+    valid = F.filter(
+        pairs, lambda s: (s["yp"] >= 0) & (s["yp"] < n) & (s["d"] >= lo)
+    )
+    return F.array_distinct(F.transform(valid, lambda s: s["cell"]))
+
+
 def _dist_expr(qlon, qlat, clon, clat, metric: str):
     if metric == "euclidean_deg":
         # plain multiplication, NOT **2 (POWER(x, 2.0)) — keeps IEEE results
@@ -153,6 +193,7 @@ def knn_join(
     cid_col: str = "cand_id",
     topk_salt: int | None | str = "auto",
     salt_cell_threshold: int = 4_000_000,
+    ring_batch: bool = True,
 ) -> DataFrame:
     """→ (query_id, cand_id, dist, rank<k). Both inputs need lon/lat.
 
@@ -174,6 +215,16 @@ def knn_join(
     under-partitioned (a ``limit()`` upstream collapses to ONE partition
     and serialized the whole join — measured 343s vs 20s on the same input
     at bench scale).
+
+    ``ring_batch`` (default True, r5): explore rings in geometrically
+    widening blocks (0; 1-2; 3-6; 7-14; …) instead of one ring per round.
+    Each round is a driver barrier plus a window over the accumulated
+    pool; at 1000-executor scale those round-trips, not the joins,
+    dominate a sparse search — batching drops them from O(max_rings) to
+    O(log max_rings). The trade is bounded over-exploration: a query that
+    would stop at ring lo explores through hi ≤ 2·lo (≤4× area) in its
+    final block. Termination bounds use the block's OUTER radius, so
+    results are identical (brute-force-equivalence and oracle tested).
     """
     spark = queries.sparkSession
     # Cell extents: y (lat) spans 180°/2^res, x (lon) 360°/2^res — x is twice
@@ -232,12 +283,19 @@ def knn_join(
     n_left = frontier_round.df.count()  # materializes the persist; reused as
     # the loop-termination check so each round has exactly two driver barriers
 
-    for ring in range(max_rings + 1):
+    blocks = [(0, 0)]
+    lo = 1
+    while lo <= max_rings:
+        hi = min(2 * lo, max_rings) if ring_batch else lo
+        blocks.append((lo, hi))
+        lo = hi + 1
+
+    for blk, (lo, hi) in enumerate(blocks):
         if n_left == 0:
             break
         frontier = frontier_round.df
         ring_cells = frontier.withColumn(
-            "_cell", F.explode(_ring_cells_expr(res, ring, F.col("_qcell")))
+            "_cell", F.explode(_annulus_cells_expr(res, lo, hi, F.col("_qcell")))
         )
         hits = ring_cells.join(
             cand, ring_cells["_cell"] == cand["_ccell"], "inner"
@@ -278,7 +336,7 @@ def knn_join(
         # re-analyzed/re-windowed each iteration. Materialize (count/eager
         # checkpoint) BEFORE releasing the parent, or every round recomputes
         # the whole chain.
-        nt = _Round.materialize(new_topk, truncate=(ring % 4 == 3))
+        nt = _Round.materialize(new_topk, truncate=(blk % 2 == 1))
         nt.df.count()
         if topk_round is not None:
             topk_round.release()  # superseded accumulator's blocks
@@ -289,20 +347,20 @@ def knn_join(
         # beaten by anything outside the explored disk, OR when the disk
         # already covers the whole candidate bbox (exhaustion)
         if metric == "euclidean_deg":
-            bound = F.lit(ring * deg_y)
+            bound = F.lit(hi * deg_y)
         else:  # haversine_km: polar-safe per-query bound (see header note)
             lat_reach = F.least(
-                F.lit(90.0), F.abs(F.col("_qlat")) + F.lit((ring + 1) * deg_y)
+                F.lit(90.0), F.abs(F.col("_qlat")) + F.lit((hi + 1) * deg_y)
             )
             factor = F.least(F.lit(1.0), 2.0 * F.cos(F.radians(lat_reach)))
-            bound = F.lit(ring * deg_y * km_per_deg) * F.greatest(factor, F.lit(0.0))
+            bound = F.lit(hi * deg_y * km_per_deg) * F.greatest(factor, F.lit(0.0))
         stats = topk.groupBy(qid_col).agg(
             F.count(F.lit(1)).alias("_n"),
             F.max("dist").alias("_kth"),
             F.first("_qlat").alias("_qlat"),
         )
         done = stats.where((F.col("_n") >= k) & (F.col("_kth") <= bound)).select(qid_col)
-        exhausted = frontier.where(F.col("_max_ring") <= ring).select(qid_col)
+        exhausted = frontier.where(F.col("_max_ring") <= hi).select(qid_col)
         new_frontier = frontier.join(
             done.unionByName(exhausted).distinct(), qid_col, "left_anti"
         )
@@ -311,7 +369,7 @@ def knn_join(
         # the parent's blocks first forces a from-scratch recompute of the
         # whole anti-join chain every round (O(rings²) work; a 20-ring
         # sparse input went from minutes to seconds with this ordering).
-        nf = _Round.materialize(new_frontier, truncate=(ring % 4 == 3))
+        nf = _Round.materialize(new_frontier, truncate=(blk % 2 == 1))
         n_left = nf.df.count()
         frontier_round.release()
         frontier_round = nf

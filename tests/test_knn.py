@@ -120,3 +120,12 @@ def test_knn_topk_salt_auto_routing(spark, pts):
     # default threshold (4M) cannot engage on a 2k corpus; same results
     auto = _as_map(knn.knn_join(q, cand, k=5, res=8).collect())
     assert auto == base
+
+
+def test_knn_ring_batch_equivalence(spark, pts):
+    """Geometric ring batching (default) ≡ one-ring-per-round: the block's
+    outer-radius termination bound cannot admit a non-nearest result."""
+    q, cand = pts
+    batched = _as_map(knn.knn_join(q, cand, k=5, res=8).collect())
+    single = _as_map(knn.knn_join(q, cand, k=5, res=8, ring_batch=False).collect())
+    assert batched == single
