@@ -87,14 +87,13 @@ ROWS_ONLY_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
-def test_rows_only_queries_run(spark, entrymod, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    # known-nonempty checks
-    if name in {"zsplit_golden_vectors", "ring_chunking_golden", "street_conversion",
-                "turn_restrictions", "admin_boundaries", "langid_heuristic",
-                "doc_fingerprint", "ann_lsh_topk", "flagship_images",
-                "zonal_image_stats"}:
-        assert n > 0, f"{name} returned no rows"
+def test_every_query_has_an_oracle():
+    """Since r5 ALL queries() entries are oracle-checked (the last three
+    rows-only synth demos were re-pointed at closed-form inputs). This
+    gate keeps it that way: a new query without an oracle_sql() entry
+    fails here instead of silently weakening the driver's check to
+    rows-only."""
+    assert ROWS_ONLY_KEYS == [], (
+        f"queries without an oracle_sql entry: {ROWS_ONLY_KEYS} — add the "
+        "SQL oracle (or document a genuinely non-SQL-expressible op)"
+    )
