@@ -235,6 +235,35 @@ def main() -> None:
     skew_cands.unpersist()
     skew_q.unpersist()
 
+    # sparse shape (r5): 50k candidates over 300°×120° at res 12 → ~0.01
+    # candidates per cell, so k=5 needs 10+ rings. One ring per round made
+    # this driver-barrier-bound; geometric ring batching (knn_join default)
+    # is O(log max_rings) rounds — interleaved A/B measured 9.9-10.5s vs
+    # 22-23s single-ring at ≤2.5% steal (BENCH/BASELINE.md r5).
+    def sparse_pts(n, id_name):
+        return spark.range(n).select(
+            F.col("id").alias(id_name),
+            (-150.0 + (F.col("id") % 677).cast("double") * 0.443).alias("lon"),
+            (-60.0 + (F.floor(F.col("id") / 7) % 271).cast("double") * 0.443).alias("lat"),
+        )
+
+    sp_cands = sparse_pts(50_000, "cand_id").repartition(64).persist()
+    sp_cands.count()
+    sp_q = sparse_pts(500, "query_id").persist()
+    sp_q.count()
+    timed(
+        "knn_sparse_50k_batched",
+        lambda: knn_join(sp_q, sp_cands, k=5, res=12, max_rings=128).count(),
+    )
+    timed(
+        "knn_sparse_50k_single_ring_control",
+        lambda: knn_join(
+            sp_q, sp_cands, k=5, res=12, max_rings=128, ring_batch=False
+        ).count(),
+    )
+    sp_cands.unpersist()
+    sp_q.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see
