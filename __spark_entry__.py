@@ -2242,6 +2242,80 @@ def _ann_ivf_oracle_sql() -> str:
     """
 
 
+def _q_ann_pq(spark, sf_dir):
+    """PQ-scan ANN (ml/simsearch.py ann_topk_pq, r5): the corpus is encoded
+    to m=8 3-bit codes (argmin codeword per subspace on the normalized
+    vector) and scored by ADC — per query one (m × n_codes) dot-product
+    lookup table, each candidate = 8 gathers; candidates cross the wire as
+    CODES, never vectors. ORACLE-CHECKED end-to-end: the fixed codebooks
+    embed as literals in DuckDB SQL, which replays normalize → encode →
+    LUT → ADC in the kernel's exact left-to-right float order, then both
+    sides rank on the shared rounded score."""
+    from morituri_spark.ml.simsearch import ann_topk_pq, fixed_pq_codebooks
+
+    q, emb = _ann_inputs(spark, sf_dir)
+    return ann_topk_pq(q, emb, k=3, m=8, n_codes=8,
+                       codebooks=fixed_pq_codebooks(8, 8, 64))
+
+
+def _pq_oracle_sql() -> str:
+    """SQL replay of the PQ/ADC chain with codebook literals. Reduction
+    order contract: every `+` chain below is left-associated, matching the
+    kernel's element-sequential accumulators (np.sum's pairwise blocking
+    would NOT match — CLAUDE.md rule 16's argmin-sensitive cousin: encode
+    compares UNROUNDED distances, so the two engines must produce
+    bit-identical doubles, not merely round-6-identical)."""
+    from morituri_spark.ml.simsearch import fixed_pq_codebooks
+
+    B = fixed_pq_codebooks(8, 8, 64)
+    m, n_codes, dsub = B.shape
+    norm = " + ".join(f"e[{i + 1}] * e[{i + 1}]" for i in range(64))
+    ncols = ", ".join(f"e[{i + 1}] / n AS x{i + 1}" for i in range(64))
+    dl_cols = []
+    for j in range(m):
+        dists = []
+        for c in range(n_codes):
+            terms = " + ".join(
+                f"(x{j * dsub + d + 1} - ({float(B[j, c, d])!r})) *"
+                f" (x{j * dsub + d + 1} - ({float(B[j, c, d])!r}))"
+                for d in range(dsub)
+            )
+            dists.append(f"({terms})")
+        dl_cols.append("[" + ", ".join(dists) + f"] AS dl{j}")
+    code_cols = ", ".join(
+        f"list_indexof(dl{j}, list_min(dl{j})) - 1 AS code{j}" for j in range(m)
+    )
+    cases = []
+    for j in range(m):
+        whens = " ".join(
+            "WHEN {c} THEN ({dot})".format(
+                c=c,
+                dot=" + ".join(
+                    f"q.x{j * dsub + d + 1} * ({float(B[j, c, d])!r})"
+                    for d in range(dsub)
+                ),
+            )
+            for c in range(n_codes)
+        )
+        cases.append(f"(CASE c.code{j} {whens} END)")
+    score = " + ".join(cases)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        en AS (SELECT vec_id, e, sqrt({norm}) AS n FROM e),
+        nx AS (SELECT vec_id, {ncols} FROM en),
+        dl AS (SELECT vec_id, {", ".join(dl_cols)} FROM nx),
+        c AS (SELECT vec_id, {code_cols} FROM dl),
+        q AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM nx WHERE vec_id < 20),
+        scored AS (SELECT q.query_id, c.vec_id, round({score}, 6) AS adc_score
+                   FROM q CROSS JOIN c)
+        SELECT query_id, vec_id, CAST(rk - 1 AS INT) AS rank, adc_score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rk
+            FROM scored) t
+        WHERE rk <= 3
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only. Round-5 rotation (r4 verdict item #1): the 27 queries
@@ -2344,6 +2418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "asof_last_purchase": _q_asof_join,
         "range_join_bands": _q_range_join,
+        # r5 late addition (position 80 — outside the driver window by
+        # design; covered by the sweep + tests/test_entry.py replica)
+        "ann_pq_topk": _q_ann_pq,
     }
 
 
@@ -2490,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
               ON value >= lo AND value < hi
             GROUP BY band_id
         """,
+        "ann_pq_topk": _pq_oracle_sql(),
         "hll_distinct_gate": """
             SELECT event_type, CAST(NULL AS BIGINT) AS approx_users,
                    CAST(NULL AS BIGINT) AS exact_users

@@ -566,6 +566,55 @@ def main() -> None:
     ps_cand.unpersist()
     ps_q.unpersist()
 
+    # PQ/ADC exhaustive scan (r5): 32 queries × 500k candidates. The PQ
+    # path pays a per-run corpus ENCODE (argmin codeword per subspace,
+    # einsum fast path) and then scores via ADC table gathers with
+    # per-partition top-k partials — no shuffle of vectors at all; the
+    # float control scores the same pairs through the cogroup matmul
+    # kernel, which must move every 64-float vector into its (bucket,
+    # salt) group. PQ's structural win is that moved/held candidate state
+    # is m=8 small ints, not 64 floats — the 100 TB memory/shuffle story;
+    # at bench scale the timings mainly show the encode cost vs the
+    # group-shuffle cost.
+    from morituri_spark.ml.simsearch import ann_topk_pq, fixed_pq_codebooks
+
+    pq_cand = spark.range(500_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(sin((id + 1) * i) AS FLOAT))"
+        ).alias("embedding"),
+    ).repartition(cpus).persist()
+    pq_cand.count()
+    pq_q = spark.range(32).select(
+        F.col("id").alias("query_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(cos((id + 17) * i) AS FLOAT))"
+        ).alias("embedding"),
+    ).persist()
+    pq_q.count()
+    pq_books = fixed_pq_codebooks(8, 16, 64)
+
+    def pq_scan():
+        return ann_topk_pq(
+            pq_q, pq_cand, k=10, codebooks=pq_books, parity=False
+        ).count()
+
+    def float_scan():
+        qb = pq_q.withColumn("bucket", F.lit(0))
+        eb = (
+            pq_cand.withColumn("bucket", F.lit(0))
+            .withColumnRenamed("embedding", "_cand_vec")
+        )
+        return _cogroup_score_topk(
+            qb, eb, "bucket", 10, "query_id", "vec_id", "embedding"
+        ).count()
+
+    timed("ann_pq_encode_scan_500k_32q", pq_scan)
+    timed("ann_pq_encode_scan_500k_32q_warm", pq_scan)
+    timed("ann_float_scan_control_500k_32q", float_scan)
+    pq_cand.unpersist()
+    pq_q.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",

@@ -644,3 +644,320 @@ def ann_topk_lsh(
     return _cogroup_score_topk(
         qb, eb, "bucket", k, qid_col, id_col, vec_col, salt_target_rows
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ) — the 100 TB memory story
+# ---------------------------------------------------------------------------
+#
+# A 64-dim float32 corpus costs 256 B/vector; PQ with m=8 subspaces and
+# n_codes=8 (3-bit codes, stored as one int each) approximates it at 8
+# small ints — the candidate side of the ANN join carries CODES, not
+# vectors, so shuffle volume and executor memory drop ~32× and a 100 TB
+# embedding corpus scores from a ~3 TB code table. Scoring is ADC
+# (asymmetric distance computation, Jégou et al., TPAMI 2011): per query,
+# one (m × n_codes) lookup table of subvector dot products; each candidate
+# scores as m table gathers — no per-pair float math at all.
+#
+# ORACLE PARITY (CLAUDE.md rules 5/16): every float reduction here runs in
+# STRICT LEFT-TO-RIGHT order (np.sum's pairwise blocking at n≥8 differs
+# from SQL's left-assoc `a+b+c`), so a DuckDB oracle that replays the
+# normalize → encode(argmin) → LUT → ADC chain with literal codebooks is
+# bit-identical until the final shared _round6.
+
+
+def _seq_sumsq(V: np.ndarray) -> np.ndarray:
+    """Σ vᵢ² per row, strict left-to-right (oracle-parity reduction)."""
+    acc = np.zeros(len(V), dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d] * V[:, d]
+    return acc
+
+
+def fixed_pq_codebooks(m: int, n_codes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic data-independent codebooks ``(m, n_codes, dim//m)`` —
+    same contract as :func:`fixed_centroids`: the values embed as literals
+    in a SQL oracle. Scaled ~1/√dim so codewords sit at unit-vector
+    subvector magnitudes."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, n_codes, dim // m)) / np.sqrt(dim)
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = 8, n_codes: int = 16, sample: int = 4096,
+    iters: int = 10, seed: int = 7, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-adaptive codebooks: per-subspace Lloyd's k-means on a
+    deterministic sample of L2-NORMALIZED vectors (driver-side NumPy — the
+    sample is tiny; encoding at scale is distributed). The full-corpus
+    variant is :func:`train_ivf_centroids_distributed` run per subspace —
+    same one-scan-per-round shape — omitted here because the sample
+    quantizer already converges on the synth corpora."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "pq_code", parity: bool = True,
+) -> DataFrame:
+    """Append ``out_col array<int>``: per subspace, the index of the
+    nearest codeword (L2, on the NORMALIZED vector; first index wins ties,
+    matching both np.argmin and SQL ``list_indexof(l, list_min(l))``).
+
+    ``parity=True`` (default) runs the strict left-to-right reductions the
+    SQL oracle replays; ``parity=False`` is the production fast path
+    (einsum/matmul distance form ‖s‖²−2s·c+‖c‖²) — same codes except on
+    measure-zero distance ties (test_simsearch pins their agreement on the
+    synth corpus). One corpus scan, codebooks broadcast."""
+    m, n_codes, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(IntegerType()), False)]
+    )
+
+    def run(batches):
+        B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if parity:
+                Vn = V / np.sqrt(_seq_sumsq(V))[:, None]
+                codes = np.empty((len(V), m), dtype=np.int32)
+                for j in range(m):
+                    S = Vn[:, j * dsub:(j + 1) * dsub]
+                    dist = np.empty((len(V), n_codes))
+                    for c in range(n_codes):
+                        acc = np.zeros(len(V))
+                        for d in range(dsub):
+                            diff = S[:, d] - B[j, c, d]
+                            acc = acc + diff * diff
+                        dist[:, c] = acc
+                    codes[:, j] = np.argmin(dist, axis=1)
+            else:
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                S = Vn.reshape(len(V), m, dsub)
+                d2 = (
+                    (S * S).sum(axis=2)[:, :, None]
+                    - 2.0 * np.einsum("nmd,mcd->nmc", S, B)
+                    + (B * B).sum(axis=2)[None, :, :]
+                )
+                codes = np.argmin(d2, axis=2).astype(np.int32)
+            out = pdf.copy()
+            out[out_col] = list(codes)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def _adc_luts(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(nq, m, n_codes) tables: LUT[q,j,c] = seq-dot(q̂_subⱼ, codebook[j,c])
+    over the seq-normalized query — strict left-to-right, oracle order."""
+    m, n_codes, dsub = codebooks.shape
+    Qn = Q / np.sqrt(_seq_sumsq(Q))[:, None]
+    lut = np.zeros((len(Q), m, n_codes))
+    for j in range(m):
+        S = Qn[:, j * dsub:(j + 1) * dsub]
+        for c in range(n_codes):
+            acc = np.zeros(len(Q))
+            for d in range(dsub):
+                acc = acc + S[:, d] * codebooks[j, c, d]
+            lut[:, j, c] = acc
+    return lut
+
+
+def _adc_scores(lut: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(nq, nc) ADC scores: Σⱼ LUT[q,j,codes[c,j]], j-sequential."""
+    acc = np.zeros((lut.shape[0], len(codes)))
+    for j in range(lut.shape[1]):
+        acc = acc + lut[:, j, :][:, codes[:, j]]
+    return acc
+
+
+def ann_topk_pq(
+    queries: DataFrame, emb: DataFrame, k: int = 5, m: int = 8, n_codes: int = 8,
+    codebooks: np.ndarray | None = None, vec_col: str = "embedding",
+    qid_col: str = "query_id", id_col: str = "vec_id", parity: bool = True,
+) -> DataFrame:
+    """PQ-scan ANN: the query batch's ADC tables broadcast (nq·m·n_codes
+    doubles — tiny), the corpus is encoded and scored in ONE scan with no
+    shuffle of vectors at all; each partition emits only its per-query
+    top-k partials (nq·k rows), and a final window merges them. At 100 TB
+    that is the right shape: the corpus never moves, candidates cross the
+    wire as m small ints, and the only shuffle is O(partitions·nq·k).
+    Deterministic: rank on the _round6 score, ties by id — identical in
+    the partial and the merge, so partial top-k is a valid contraction."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        dim = len(queries.select(vec_col).first()[0])
+        codebooks = fixed_pq_codebooks(m, n_codes, dim)
+    qrows = queries.select(qid_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows])
+    lut = _adc_luts(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]), codebooks
+    )
+    bc = emb.sparkSession.sparkContext.broadcast((qids, lut))
+    coded = pq_encode(emb.select(id_col, vec_col), codebooks, vec_col, parity=parity)
+    out_schema = StructType(
+        [
+            queries.schema[qid_col],
+            emb.schema[id_col],
+            StructField("adc_score", DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        ids, L = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            cids = pdf[id_col].to_numpy()
+            sims = _round6(_adc_scores(L, codes))
+            kk = min(k, sims.shape[1])
+            order = np.lexsort((cids[None, :].repeat(len(ids), 0), -sims), axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    qid_col: np.repeat(ids, kk),
+                    id_col: cids[order.ravel()],
+                    "adc_score": np.take_along_axis(sims, order, axis=1).ravel(),
+                }
+            )
+
+    partial = coded.select(id_col, "pq_code").mapInPandas(score, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.col("adc_score").desc(), F.col(id_col))
+    return (
+        partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select(qid_col, id_col, "rank", "adc_score")
+    )
+
+
+def ann_topk_ivfpq(
+    queries: DataFrame, emb: DataFrame, k: int = 5, n_lists: int = 16,
+    n_probe: int = 2, m: int = 8, n_codes: int = 8,
+    centroids: np.ndarray | None = None, codebooks: np.ndarray | None = None,
+    refine: int = 0, vec_col: str = "embedding", qid_col: str = "query_id",
+    id_col: str = "vec_id", salt_target_rows: int = 500_000,
+) -> DataFrame:
+    """IVF-PQ: coarse centroids route candidates to inverted lists
+    (:func:`ann_topk_ivf`'s shape) but the lists carry PQ CODES instead of
+    vectors — per (list, salt) cogroup, queries build their ADC tables once
+    and every candidate scores as m gathers. ``refine > 0`` re-ranks each
+    query's ADC top-(k·refine) by EXACT cosine (a join back to the true
+    vectors of only those candidates — k·refine rows per query, never the
+    list) before the final top-k, the standard recall repair for
+    quantization error. Hot lists salt-split as in the float path."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
+    if codebooks is None:
+        dim = centroids.shape[1]
+        codebooks = fixed_pq_codebooks(m, n_codes, dim)
+    eb = pq_encode(
+        _with_ivf_list(emb.select(id_col, vec_col), centroids, 1, vec_col),
+        codebooks, vec_col,
+    ).select(id_col, "ivf_list", "pq_code")
+    qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
+    q, e = _salt_sides(qb, eb, "ivf_list", id_col, salt_target_rows)
+    bcb = emb.sparkSession.sparkContext.broadcast(codebooks)
+    out_schema = StructType(
+        [
+            queries.schema[qid_col],
+            emb.schema[id_col],
+            StructField("adc_score", DoubleType(), False),
+        ]
+    )
+    n_keep = k * refine if refine > 0 else k
+
+    def score(qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+        if len(qp) == 0 or len(cp) == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        L = _adc_luts(
+            np.stack([np.asarray(v, dtype=np.float64) for v in qp[vec_col]]),
+            bcb.value,
+        )
+        codes = np.stack(cp["pq_code"].to_numpy()).astype(np.int64)
+        cids = cp[id_col].to_numpy()
+        sims = _round6(_adc_scores(L, codes))
+        kk = min(n_keep, sims.shape[1])
+        order = np.lexsort((cids[None, :].repeat(len(L), 0), -sims), axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                qid_col: np.repeat(qp[qid_col].to_numpy(), kk),
+                id_col: cids[order.ravel()],
+                "adc_score": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    partial = (
+        q.groupBy("ivf_list", "_salt")
+        .cogroup(e.groupBy("ivf_list", "_salt"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("adc_score").desc(), F.col(id_col))
+    shortlist = (
+        partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < n_keep)
+    )
+    if refine <= 0:
+        return shortlist.select(qid_col, id_col, "rank", "adc_score")
+    # exact re-rank of the shortlist: pairs carry both true vectors (only
+    # k·refine per query), scored with the oracle-order seq dot/norms
+    qv = queries.select(qid_col, F.col(vec_col).alias("_qv"))
+    cv = emb.select(id_col, F.col(vec_col).alias("_cv"))
+    pairs = shortlist.select(qid_col, id_col).join(F.broadcast(qv), qid_col).join(cv, id_col)
+    pair_schema = StructType(
+        [
+            queries.schema[qid_col],
+            emb.schema[id_col],
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def exact(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
+            acc = np.zeros(len(Q))
+            for d in range(Q.shape[1]):
+                acc = acc + Q[:, d] * C[:, d]
+            cos = acc / (np.sqrt(_seq_sumsq(Q)) * np.sqrt(_seq_sumsq(C)))
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col],
+                    id_col: pdf[id_col],
+                    "cosine": _round6(cos),
+                }
+            )
+
+    rer = pairs.mapInPandas(exact, pair_schema)
+    w2 = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        rer.withColumn("rank", (F.row_number().over(w2) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select(qid_col, id_col, "rank", "cosine")
+    )

@@ -241,3 +241,116 @@ def test_embedding_near_dup_blocksplit_matches_unsplit(spark, emb):
     for a, b, c in base:
         assert (a, b) in exact
         assert c == pytest.approx(exact[(a, b)], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# PQ / IVF-PQ (r5)
+# ---------------------------------------------------------------------------
+
+def _pq_oracle(vecs, qids, codebooks, k):
+    """Driver-side NumPy replay of encode + ADC + (rounded, id) ranking."""
+    m, n_codes, dsub = codebooks.shape
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes = np.empty((len(vn), m), dtype=np.int64)
+    for j in range(m):
+        sub = vn[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    out = {}
+    for qid in qids:
+        score = np.zeros(len(vn))
+        for j in range(m):
+            lut = vn[qid, j * dsub:(j + 1) * dsub] @ codebooks[j].T
+            score = score + lut[codes[:, j]]
+        score = S._round6(score)
+        order = np.lexsort((np.arange(len(vn)), -score))[:k]
+        out[qid] = [(int(i), float(score[i])) for i in order]
+    return out
+
+
+def test_pq_encode_parity_and_fast_paths_agree(spark, emb):
+    df, _ = emb
+    cb = S.fixed_pq_codebooks(4, 8, DIM)
+    a = S.pq_encode(df, cb, parity=True).select("vec_id", "pq_code").toPandas()
+    b = S.pq_encode(df, cb, parity=False).select("vec_id", "pq_code").toPandas()
+    a = a.set_index("vec_id").sort_index()
+    b = b.set_index("vec_id").sort_index()
+    assert all(list(x) == list(y) for x, y in zip(a["pq_code"], b["pq_code"]))
+    assert all(0 <= c < 8 for row in a["pq_code"] for c in row)
+
+
+def test_ann_topk_pq_matches_numpy_adc(spark, emb):
+    df, vecs = emb
+    cb = S.fixed_pq_codebooks(4, 8, DIM)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 6")
+    got = S.ann_topk_pq(queries, df, k=3, codebooks=cb).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adc_score"]))
+    want = _pq_oracle(vecs.astype(np.float64), range(6), cb, 3)
+    for qid in range(6):
+        rows = sorted(by_q[qid])
+        assert [(v, s) for _, v, s in rows] == [
+            (v, pytest.approx(s, abs=1.5e-6)) for v, s in want[qid]
+        ]
+
+
+def test_ivfpq_full_probe_matches_pq_scan(spark, emb):
+    """n_probe = n_lists ⇒ every (query, candidate) pair is scored exactly
+    once across the probed lists, so the cogrouped IVF-PQ path must equal
+    the broadcast-LUT scan path row-for-row (same codebooks, same ranking
+    key) — the PQ analogue of the salted/unsalted parity test."""
+    df, _ = emb
+    cb = S.fixed_pq_codebooks(4, 8, DIM)
+    cents = S.fixed_centroids(4, DIM)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 8")
+    scan = S.ann_topk_pq(queries, df, k=3, codebooks=cb).collect()
+    ivf = S.ann_topk_ivfpq(
+        queries, df, k=3, n_lists=4, n_probe=4, centroids=cents, codebooks=cb
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a = {key(r): (r["vec_id"], round(r["adc_score"], 6)) for r in scan}
+    b = {key(r): (r["vec_id"], round(r["adc_score"], 6)) for r in ivf}
+    assert a == b
+
+
+def test_ivfpq_refine_restores_self_hit(spark, emb):
+    """Quantization can demote an exact-match query inside its ADC
+    shortlist, but exact re-rank must put self back at rank 0 with cosine
+    1.0 whenever ADC kept it in the top-(k·refine) — with full probing and
+    a generous refine factor that holds for every query on this corpus."""
+    df, _ = emb
+    cb = S.fixed_pq_codebooks(4, 8, DIM)
+    cents = S.fixed_centroids(4, DIM)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 10")
+    out = S.ann_topk_ivfpq(
+        queries, df, k=3, n_lists=4, n_probe=4, centroids=cents, codebooks=cb,
+        refine=30,
+    ).where("rank = 0").collect()
+    assert len(out) == 10
+    assert all(r["vec_id"] == r["query_id"] and r["cosine"] == 1.0 for r in out)
+
+
+def test_trained_pq_codebooks_beat_fixed_on_distortion(spark, emb):
+    """Data-adaptive quality property: per-subspace k-means codebooks give
+    strictly lower mean quantization distortion than data-independent
+    random codebooks on the same corpus (the reason train_pq_codebooks
+    exists), and training is deterministic."""
+    df, vecs = emb
+    t1 = S.train_pq_codebooks(df, m=4, n_codes=8)
+    t2 = S.train_pq_codebooks(df, m=4, n_codes=8)
+    assert np.array_equal(t1, t2)
+    fx = S.fixed_pq_codebooks(4, 8, DIM)
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+
+    def distortion(cb):
+        m, _, dsub = cb.shape
+        tot = 0.0
+        for j in range(m):
+            sub = vn[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            tot += float(d2.min(axis=1).mean())
+        return tot
+
+    assert distortion(t1) < distortion(fx)
