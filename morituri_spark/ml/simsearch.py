@@ -868,8 +868,6 @@ def ann_topk_ivfpq(
     vectors of only those candidates — k·refine rows per query, never the
     list) before the final top-k, the standard recall repair for
     quantization error. Hot lists salt-split as in the float path."""
-    from pyspark.sql.window import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
     if codebooks is None:
@@ -880,12 +878,32 @@ def ann_topk_ivfpq(
         codebooks, vec_col,
     ).select(id_col, "ivf_list", "pq_code")
     qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
+    return _ivfpq_adc_tail(
+        queries, qb, eb, codebooks, k, refine, emb,
+        vec_col, qid_col, id_col, salt_target_rows,
+    )
+
+
+def _ivfpq_adc_tail(
+    queries: DataFrame, qb: DataFrame, eb: DataFrame, codebooks: np.ndarray,
+    k: int, refine: int, emb: DataFrame | None,
+    vec_col: str, qid_col: str, id_col: str, salt_target_rows: int,
+) -> DataFrame:
+    """Shared scoring tail for the in-memory and persisted-index IVF-PQ
+    paths (the `_cogroup_score_topk`-sharing discipline of the float IVF
+    pair): same salting, same ADC kernel, same refine — so the two paths
+    are byte-identical and one oracle covers both. ``emb`` (true vectors)
+    is required only when ``refine > 0``."""
+    from pyspark.sql.window import Window
+
+    if refine > 0 and emb is None:
+        raise ValueError("refine > 0 needs the true-vector DataFrame (emb)")
     q, e = _salt_sides(qb, eb, "ivf_list", id_col, salt_target_rows)
-    bcb = emb.sparkSession.sparkContext.broadcast(codebooks)
+    bcb = queries.sparkSession.sparkContext.broadcast(codebooks)
     out_schema = StructType(
         [
             queries.schema[qid_col],
-            emb.schema[id_col],
+            eb.schema[id_col],
             StructField("adc_score", DoubleType(), False),
         ]
     )
@@ -931,7 +949,7 @@ def ann_topk_ivfpq(
     pair_schema = StructType(
         [
             queries.schema[qid_col],
-            emb.schema[id_col],
+            eb.schema[id_col],
             StructField("cosine", DoubleType(), False),
         ]
     )
@@ -960,4 +978,93 @@ def ann_topk_ivfpq(
         rer.withColumn("rank", (F.row_number().over(w2) - 1).cast("int"))
         .where(F.col("rank") < k)
         .select(qid_col, id_col, "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (codes-only inverted file)
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(
+    emb: DataFrame, path: str, n_lists: int = 16, m: int = 8, n_codes: int = 8,
+    centroids: np.ndarray | None = None, codebooks: np.ndarray | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the CODES-ONLY inverted file: ``(id, pq_code)`` rows
+    written ``partitionBy(ivf_list)``, plus centroid and codebook sidecars.
+    Unlike :func:`build_ivf_index` (which stores the full vectors), the
+    index holds m small ints per vector — a 64-dim float32 corpus indexes
+    at ~1/32 of its size, so a 100 TB corpus serves ANN from a ~3 TB
+    index; queries read only their probed list directories (partition
+    pruning) and refine (when asked) joins the SOURCE table for just the
+    k·refine shortlist vectors per query."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists=n_lists, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = fixed_pq_codebooks(m, n_codes, centroids.shape[1])
+    coded = pq_encode(
+        _with_ivf_list(emb.select(id_col, vec_col), centroids, 1, vec_col),
+        codebooks, vec_col,
+    )
+    coded.select(id_col, "ivf_list", "pq_code").write.mode("overwrite").partitionBy(
+        "ivf_list"
+    ).parquet(path)
+    spark = emb.sparkSession
+    side = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id long, centroid array<double>",
+    )
+    side.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    mm, nc, dsub = codebooks.shape
+    cb = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(mm)
+            for c in range(nc)
+        ],
+        "subspace long, code long, codeword array<double>",
+    )
+    cb.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks")
+    return centroids, codebooks
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(path.rstrip("/") + "_codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = int(rows[-1]["subspace"]) + 1
+    n_codes = int(rows[-1]["code"]) + 1
+    dsub = len(rows[0]["codeword"])
+    B = np.empty((m, n_codes, dsub))
+    for r in rows:
+        B[int(r["subspace"]), int(r["code"])] = np.asarray(
+            r["codeword"], dtype=np.float64
+        )
+    return B
+
+
+def ann_topk_ivfpq_indexed(
+    spark, path: str, queries: DataFrame, k: int = 5, n_probe: int = 2,
+    refine: int = 0, emb: DataFrame | None = None,
+    vec_col: str = "embedding", qid_col: str = "query_id",
+    id_col: str = "vec_id", salt_target_rows: int = 500_000,
+) -> DataFrame:
+    """IVF-PQ over a :func:`build_ivfpq_index` layout: the probed-list set
+    prunes the index scan to those partition directories, then the shared
+    :func:`_ivfpq_adc_tail` scores the CODES — byte-identical to the
+    in-memory :func:`ann_topk_ivfpq` with the same quantizers (pinned by
+    test). ``refine > 0`` re-ranks against ``emb`` (the source table; the
+    index itself carries no vectors)."""
+    centroids = load_ivf_centroids(spark, path)
+    codebooks = load_pq_codebooks(spark, path)
+    qb = _with_ivf_list(queries.select(qid_col, vec_col), centroids, n_probe, vec_col)
+    probed = sorted(r["ivf_list"] for r in qb.select("ivf_list").distinct().collect())
+    eb = spark.read.parquet(path).where(
+        F.col("ivf_list").isin([int(p) for p in probed])
+    )
+    return _ivfpq_adc_tail(
+        queries, qb, eb, codebooks, k, refine, emb,
+        vec_col, qid_col, id_col, salt_target_rows,
     )

@@ -354,3 +354,40 @@ def test_trained_pq_codebooks_beat_fixed_on_distortion(spark, emb):
         return tot
 
     assert distortion(t1) < distortion(fx)
+
+
+def test_ivfpq_indexed_matches_in_memory(spark, emb, tmp_path):
+    """The codes-only persisted index must serve byte-identical results to
+    the in-memory IVF-PQ path (shared _ivfpq_adc_tail), with and without
+    the exact-refine stage; refine without a source table raises."""
+    df, _ = emb
+    cb = S.fixed_pq_codebooks(4, 8, DIM)
+    cents = S.fixed_centroids(4, DIM)
+    idx = str(tmp_path / "ivfpq_idx")
+    S.build_ivfpq_index(df, idx, n_lists=4, centroids=cents, codebooks=cb)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding").where("query_id < 8")
+
+    key = lambda r: (r["query_id"], r["rank"])
+    mem = S.ann_topk_ivfpq(
+        queries, df, k=3, n_lists=4, n_probe=2, centroids=cents, codebooks=cb
+    ).collect()
+    ind = S.ann_topk_ivfpq_indexed(spark, idx, queries, k=3, n_probe=2).collect()
+    assert {key(r): (r["vec_id"], r["adc_score"]) for r in mem} == \
+           {key(r): (r["vec_id"], r["adc_score"]) for r in ind}
+
+    mem_r = S.ann_topk_ivfpq(
+        queries, df, k=3, n_lists=4, n_probe=2, centroids=cents, codebooks=cb,
+        refine=10,
+    ).collect()
+    ind_r = S.ann_topk_ivfpq_indexed(
+        spark, idx, queries, k=3, n_probe=2, refine=10, emb=df
+    ).collect()
+    assert {key(r): (r["vec_id"], r["cosine"]) for r in mem_r} == \
+           {key(r): (r["vec_id"], r["cosine"]) for r in ind_r}
+
+    with pytest.raises(ValueError, match="refine"):
+        S.ann_topk_ivfpq_indexed(spark, idx, queries, k=3, refine=5).collect()
+
+    # the sidecars round-trip exactly (float64 parquet)
+    assert np.array_equal(S.load_pq_codebooks(spark, idx), cb)
+    assert np.array_equal(S.load_ivf_centroids(spark, idx), cents)
