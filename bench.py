@@ -566,16 +566,15 @@ def main() -> None:
     ps_cand.unpersist()
     ps_q.unpersist()
 
-    # PQ/ADC exhaustive scan (r5): 32 queries × 500k candidates. The PQ
-    # path pays a per-run corpus ENCODE (argmin codeword per subspace,
-    # einsum fast path) and then scores via ADC table gathers with
-    # per-partition top-k partials — no shuffle of vectors at all; the
-    # float control scores the same pairs through the cogroup matmul
-    # kernel, which must move every 64-float vector into its (bucket,
-    # salt) group. PQ's structural win is that moved/held candidate state
-    # is m=8 small ints, not 64 floats — the 100 TB memory/shuffle story;
-    # at bench scale the timings mainly show the encode cost vs the
-    # group-shuffle cost.
+    # PQ/ADC exhaustive scan (r5): 32 queries × 500k candidates. NOTE the
+    # honest shape of this pair: the PQ entry RE-ENCODES the corpus every
+    # run (encode is really a one-time index-build cost — see
+    # build_ivfpq_index), so at this scale the warm float matmul control
+    # can WIN locally (measured clean: pq encode+scan 13.5s warm vs float
+    # 6.4s; ADC scan-only over pre-encoded persisted codes is 2.3-2.6s).
+    # PQ's structural win is held/moved candidate state of m=8 small ints
+    # instead of 64 floats — at 100 TB, 3 TB of codes scanned per query
+    # batch instead of 100 TB of vectors.
     from morituri_spark.ml.simsearch import ann_topk_pq, fixed_pq_codebooks
 
     pq_cand = spark.range(500_000).select(
