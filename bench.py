@@ -441,7 +441,84 @@ def main() -> None:
             docs_xl, threshold=0.5, sig_prefilter_margin=0.15
         ).count(),
     )
+
+    # r5 continuation: cross-doc duplicated-substring spans over the same
+    # 50k corpus — positional 20-grams (stride 4), the (doc,gram) pair agg
+    # + gram-partitioned window + doc rollup; and benchmark decontamination
+    # (gram set of a 1/7 slice broadcast against the rest). The corpus is
+    # re-partitioned first: docs_xl is a single-partition parquet explode
+    # (a bench artifact — real corpora scan as thousands of splits), and
+    # the per-doc gram explosion is map-side work that would otherwise
+    # serialize onto one core.
+    from morituri_spark.text.decontam import decontaminate, duplicate_span_stats
+
+    docs_xlp = docs_xl.repartition(cpus * 2).persist()
+    docs_xlp.count()
+    timed(
+        "duplicate_spans_50k_docs",
+        lambda: duplicate_span_stats(docs_xlp, k=20, stride=4).agg(
+            F.sum("n_dup_windows")
+        ).collect(),
+    )
+    timed(
+        "decontaminate_50k_docs",
+        lambda: decontaminate(
+            docs_xlp, docs_xlp.where("doc_id % 7 = 3"), n=13
+        ).agg(F.sum("n_hits")).collect(),
+    )
+    docs_xlp.unpersist()
     docs_xl.unpersist()
+
+    # budget-mixture sampler at 8M rows / 4 domains: the two-pass bucketed
+    # prefix (full-parallel agg + window over ONLY the boundary bucket)
+    # vs the naive per-domain window cumsum (4 domains -> 4 sort tasks, 28
+    # of 32 cores idle). The aggregate CONSUMES the selection (rule 18).
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+    from morituri_spark.text.sampling import mixture_by_budget
+
+    mix = spark.range(8_000_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("dom"),
+        (F.col("id") % 997 + 3).alias("tok"),
+    ).persist()
+    mix.count()
+    mix_budgets = {str(d): 200_000_000 for d in range(4)}
+    timed(
+        "mixture_budget_8m_two_pass",
+        lambda: mixture_by_budget(mix, "dom", mix_budgets, "tok", "k")
+        .agg(F.sum("n_tokens")).collect(),
+    )
+
+    def mixture_naive():
+        from pyspark.sql.window import Window
+
+        a, b = affine_hash_params(1, seed=42)[0]
+        h = (F.lit(a) * F.pmod(F.col("k"), F.lit(MERSENNE31)) + F.lit(b)) % F.lit(MERSENNE31)
+        w = Window.partitionBy("dom").orderBy(h.asc(), "k")
+        return (
+            mix.withColumn("_cb", F.sum("tok").over(w) - F.col("tok"))
+            .where(F.col("_cb") < 200_000_000)
+            .agg(F.sum("tok")).collect()
+        )
+
+    timed("mixture_budget_8m_naive_window_control", mixture_naive)
+    mix.unpersist()
+
+    # polyline -> zone length attribution over the sf events (one keyed
+    # window for segments+midpoints, broadcast PIP, map-side rollup)
+    from morituri_spark.geo.measures import segment_zone_lengths
+
+    path_pts = ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") * 7919 % 360000 / 1000.0 - 180).alias("lon"),
+        (F.col("event_id") * 104729 % 180000 / 1000.0 - 90).alias("lat"),
+    )
+    timed(
+        "segment_zone_lengths_events",
+        lambda: segment_zone_lengths(
+            path_pts, zones.select("zone_id", "rings"), "user_id", ["ts", "event_id"]
+        ).count(),
+    )
 
     # iterative connected components: ~120k mixed chain/random edges →
     # large-star/small-star rounds with per-round localCheckpoint

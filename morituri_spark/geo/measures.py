@@ -62,6 +62,65 @@ def ring_areas(
     )
 
 
+def segment_zone_lengths(
+    df: DataFrame,
+    zones: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    strategy: str = "broadcast",
+    **pip_kwargs,
+) -> DataFrame:
+    """Polyline → zone length rollup (vector↔zone assignment by length):
+    every consecutive-point segment of each key's ordered path is assigned
+    to the zone containing its MIDPOINT (the standard length-weighted
+    raster↔vector attribution — a segment's length accrues to exactly one
+    zone, so per-zone lengths sum to the network total inside the zone
+    set), then per-zone geodesic length: (zone_id, n_segments, road_km).
+
+    Composition of two existing primitives, no new kernel: the lag window
+    (one shuffle on the path key) emits (midpoint, segment_km) rows, and
+    the real PIP engine assigns them — ``strategy='broadcast'`` for small
+    zone sets, ``'shuffle'`` for the salted cell-cover path at continental
+    polygon counts. The final rollup partial-aggs map-side to one row per
+    zone. Segments whose midpoint falls in no zone are dropped (inner
+    PIP semantics), matching the reference's point-in-polygon admin
+    assignment rule.
+    """
+    from . import pip
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seg = df.select(
+        F.col(key_col),
+        F.lag(lon).over(w).alias("_plon"),
+        F.lag(lat).over(w).alias("_plat"),
+        F.col(lon),
+        F.col(lat),
+    ).where(F.col("_plon").isNotNull())
+    mids = seg.select(
+        ((F.col("_plon") + F.col(lon)) / F.lit(2.0)).alias("_mlon"),
+        ((F.col("_plat") + F.col(lat)) / F.lit(2.0)).alias("_mlat"),
+        haversine_km(
+            F.col("_plon"), F.col("_plat"), F.col(lon), F.col(lat)
+        ).alias("_seg_km"),
+    )
+    if strategy == "broadcast":
+        assigned = pip.assign_zones_broadcast(
+            mids, zones, lon="_mlon", lat="_mlat", **pip_kwargs
+        )
+    elif strategy == "shuffle":
+        assigned = pip.assign_zones_shuffle(
+            mids, zones, lon="_mlon", lat="_mlat", **pip_kwargs
+        )
+    else:
+        raise ValueError(f"strategy must be broadcast|shuffle, got {strategy!r}")
+    return assigned.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.sum("_seg_km"), 4).alias("road_km"),
+    )
+
+
 def path_lengths(
     df: DataFrame,
     key_col: str,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .dedup import MERSENNE31, affine_hash_params
 
@@ -74,3 +75,96 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(sample_threshold(rate))).otherwise(thr)
     return df.where(_hash_col(_key_to_long(df, key_col), seed) < thr)
+
+
+def mixture_by_budget(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    key_col: str,
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Curriculum-mixture sampling: per domain, take documents in
+    deterministic hash order until the domain's TOKEN budget is met.
+
+    Semantics (replayable as one SQL window): order each domain's docs by
+    (h(key), key); a doc is selected iff the running token total of all
+    docs strictly before it is < the domain's budget — so the selection is
+    an exact order-prefix that includes the budget-crossing doc. Domains
+    absent from ``budgets`` are dropped.
+
+    Scale shape: the naive form is a per-domain window cumsum — ONE sorted
+    task per domain at 10¹² docs. Instead, two passes (the zip_with_index
+    counts+offsets pattern, operators/nodes.py): (1) hash-RANGE-bucket
+    each doc (bucket = h // width is monotone in the sort order) and
+    aggregate (domain, bucket) token sums — ≤ |domains|·n_buckets rows to
+    the driver, the same adjudicated small-collect as dense-id offsets;
+    (2) buckets strictly below each domain's boundary bucket pass with a
+    broadcast when-filter (no sort at all), and ONLY the boundary bucket's
+    ~1/n_buckets slice pays a window cumsum, seeded with the exact offset.
+    Returns the selected rows (key, domain, tokens).
+    """
+    h = _hash_col(_key_to_long(df, key_col), seed)
+    width = -(-MERSENNE31 // n_buckets)  # ceil → bucket ids in [0, n_buckets)
+    base = df.where(F.col(domain_col).isin(*budgets.keys())).select(
+        F.col(key_col),
+        F.col(domain_col),
+        F.col(token_col).cast("long").alias("_tok"),
+        h.alias("_h"),
+    ).withColumn("_bucket", F.expr(f"CAST(_h DIV {width} AS INT)"))
+    # two deterministic scans, NOT a persist: caching the corpus costs more
+    # than the second scan at every measured shape (8M rows: persist 9.5s
+    # vs re-scan 2.3s) and is impossible at 10¹² rows anyway — the keyed
+    # hash makes both passes see identical values by construction
+    stats = (
+        base.groupBy(domain_col, "_bucket")
+        .agg(F.sum("_tok").alias("_sum"))
+        .collect()  # ≤ |domains|·n_buckets aggregated rows — driver-safe
+    )
+    per_dom: dict[str, list[tuple[int, int]]] = {}
+    for r in stats:
+        per_dom.setdefault(r[domain_col], []).append((r["_bucket"], r["_sum"]))
+    full_max: dict[str, int] = {}  # buckets < this are fully selected
+    boundary: dict[str, tuple[int, int]] = {}  # domain -> (bucket, offset)
+    for dom, pairs in per_dom.items():
+        budget, cum = int(budgets[dom]), 0
+        full_max[dom] = 1 << 31  # total under budget → everything passes
+        for b, s in sorted(pairs):
+            if cum + s >= budget:
+                full_max[dom] = b
+                boundary[dom] = (b, cum)
+                break
+            cum += s
+
+    full_thr = F.lit(-1)
+    for dom, b in sorted(full_max.items()):
+        full_thr = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(full_thr)
+    full = base.where(F.col("_bucket") < full_thr)
+
+    parts = [full]
+    if boundary:
+        bnd_b = F.lit(-1)
+        bnd_off = F.lit(0)
+        bnd_budget = F.lit(0)
+        for dom, (b, off) in sorted(boundary.items()):
+            bnd_b = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(bnd_b)
+            bnd_off = F.when(F.col(domain_col) == dom, F.lit(off)).otherwise(bnd_off)
+            bnd_budget = F.when(
+                F.col(domain_col) == dom, F.lit(int(budgets[dom]))
+            ).otherwise(bnd_budget)
+        w = Window.partitionBy(domain_col).orderBy("_h", key_col)
+        bnd = (
+            base.where(F.col("_bucket") == bnd_b)
+            .withColumn("_cum_before", F.sum("_tok").over(w) - F.col("_tok") + bnd_off)
+            .where(F.col("_cum_before") < bnd_budget)
+            .drop("_cum_before")
+        )
+        parts.append(bnd)
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return out.select(
+        F.col(key_col),
+        F.col(domain_col),
+        F.col("_tok").alias("n_tokens"),
+    )

@@ -49,3 +49,82 @@ def test_ring_areas_known_shapes(spark):
     df = spark.createDataFrame(rows, "k long, seq long, lon double, lat double")
     got = {r.k: r.ring_area for r in ring_areas(df, "k", ["seq"]).collect()}
     assert got == {1: 1.0, 2: 6.0, 3: 4.0}
+
+
+def test_segment_zone_lengths_midpoint_attribution(spark):
+    """Each segment accrues to the zone holding its midpoint; zone totals
+    are the per-zone haversine sums; out-of-zone midpoints drop."""
+    from morituri_spark.geo.measures import haversine_km, segment_zone_lengths
+    from pyspark.sql import functions as F
+
+    # one path crossing two adjacent unit zones, one segment fully outside
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 0.2, 0.5),   # seg A mid (0.35, 0.5)  -> zone 0
+            (1, 1, 0.5, 0.5),   # seg B mid (0.75, 0.5)  -> zone 0
+            (1, 2, 1.0, 0.5),   # seg C mid (1.25, 0.5)  -> zone 1
+            (1, 3, 1.5, 0.5),   # seg D mid (5.0, 0.5)   -> no zone
+            (1, 4, 8.5, 0.5),
+        ],
+        "k long, seq long, lon double, lat double",
+    )
+    zones = spark.createDataFrame(
+        [
+            (0, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]),
+            (1, [[[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]),
+        ],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    got = {
+        r.zone_id: (r.n_segments, r.road_km)
+        for r in segment_zone_lengths(pts, zones, "k", ["seq"]).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0][0] == 2 and got[1][0] == 1
+
+    def km(lon1, lat1, lon2, lat2):
+        return (
+            spark.range(1)
+            .select(
+                haversine_km(F.lit(lon1), F.lit(lat1), F.lit(lon2), F.lit(lat2)).alias("d")
+            )
+            .first()
+            .d
+        )
+
+    assert abs(got[0][1] - round(km(0.2, 0.5, 0.5, 0.5) + km(0.5, 0.5, 1.0, 0.5), 4)) < 1e-9
+    assert abs(got[1][1] - round(km(1.0, 0.5, 1.5, 0.5), 4)) < 1e-9
+
+
+def test_segment_zone_lengths_strategies_agree(spark):
+    from morituri_spark.geo.measures import segment_zone_lengths
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [
+            (u, s, rng.uniform(-1.0, 3.0), rng.uniform(-1.0, 2.0))
+            for u in range(20)
+            for s in range(10)
+        ],
+        "k long, seq long, lon double, lat double",
+    )
+    zones = spark.createDataFrame(
+        [
+            (0, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]),
+            (1, [[[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]),
+        ],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    a = sorted(
+        map(tuple, segment_zone_lengths(pts, zones, "k", ["seq"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            segment_zone_lengths(
+                pts, zones, "k", ["seq"], strategy="shuffle", res=6
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 2

@@ -61,3 +61,67 @@ def test_unsupported_key_type_raises(spark):
     df = spark.createDataFrame([(1.5,)], "k double")
     with pytest.raises(ValueError, match="integral or string"):
         hash_sample(df, "k", 0.5)
+
+
+def test_mixture_by_budget_prefix_semantics(spark):
+    """Selected set == exact hash-order prefix per domain: compare the
+    two-pass bucketed implementation against a straight window cumsum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+    from morituri_spark.text.sampling import mixture_by_budget
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("dom"),
+        (F.col("id") % 97 + 1).alias("tok"),
+    )
+    budgets = {"0": 10_000, "1": 500, "2": 1, "3": 10_000_000}
+    got = sorted(
+        (r.k, r.dom, r.n_tokens)
+        for r in mixture_by_budget(df, "dom", budgets, "tok", "k", n_buckets=8).collect()
+    )
+    a, b = affine_hash_params(1, seed=42)[0]
+    h = (F.lit(a) * F.pmod(F.col("k"), F.lit(MERSENNE31)) + F.lit(b)) % F.lit(MERSENNE31)
+    w = Window.partitionBy("dom").orderBy(h.asc(), "k")
+    thr = F.lit(0)
+    for d, bud in budgets.items():
+        thr = F.when(F.col("dom") == d, F.lit(bud)).otherwise(thr)
+    ref = (
+        df.withColumn("_cb", F.sum("tok").over(w) - F.col("tok"))
+        .where(F.col("_cb") < thr)
+        .select("k", "dom", F.col("tok").alias("n_tokens"))
+    )
+    exp = sorted((r.k, r.dom, r.n_tokens) for r in ref.collect())
+    assert got == exp and len(got) > 0
+    # budget semantics: every domain's total reaches (and only just crosses)
+    # its budget, or the domain ran out of docs
+    import collections
+
+    tot = collections.Counter()
+    for _, d, t in got:
+        tot[d] += t
+    assert tot["2"] > 0  # crossing doc included even on a 1-token budget
+    assert tot["3"] == sum(r.tok for r in df.where("dom = '3'").collect())
+
+
+def test_mixture_by_budget_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from morituri_spark.text.sampling import mixture_by_budget
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("dom"),
+        F.lit(10).alias("tok"),
+    )
+    budgets = {"0": 4_000, "1": 700}
+    a = sorted(r.k for r in mixture_by_budget(df, "dom", budgets, "tok", "k").collect())
+    b = sorted(
+        r.k
+        for r in mixture_by_budget(
+            df.repartition(11), "dom", budgets, "tok", "k", n_buckets=64
+        ).collect()
+    )
+    assert a == b and len(a) == 400 + 70
