@@ -46,6 +46,16 @@ _BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
 # tight, single-doc, and everything-under-budget
 _MIXTURE_BUDGETS = {"src0": 5000, "src1": 2500, "src2": 100, "src3": 99999}
 
+# 3×3 offset rect grid (cell 3.4°, origin (0.9, 41.1)) overlapping the 4×4
+# zone grid — the B side of the polygon-overlap join; grid lines chosen so
+# no edge coincides with the A grid (no zero-area boundary-touch pairs)
+_OVL_B = [
+    (gy * 3 + gx, 0.9 + gx * 3.4, 41.1 + gy * 3.4, 0.9 + (gx + 1) * 3.4, 41.1 + (gy + 1) * 3.4)
+    for gy in range(3)
+    for gx in range(3)
+]
+_OVL_B_SQL = ", ".join(f"({z}, {x0}, {y0}, {x1}, {y1})" for z, x0, y0, x1, y1 in _OVL_B)
+
 # 4×4 rect zone grid over the bbox (mirrors synth.zones_table admin_lvl=3).
 _GRID = 4
 _ZONES_SQL = ", ".join(
@@ -783,6 +793,36 @@ def _q_segment_zone_lengths(spark, sf_dir):
         F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
     )
     return segment_zone_lengths(pts, _rect_zones(spark), "user_id", ["ts", "event_id"])
+
+
+def _q_polygon_overlap(spark, sf_dir):
+    """Polygon-polygon overlap join (geo/overlay.polygon_overlap_join):
+    cell-cover candidate equi-join + Sutherland-Hodgman clip + shoelace
+    area in one Arrow kernel. Rect zone sets make the exact intersection
+    area SQL-expressible (interval algebra) while the ENGINE runs the
+    general clip pipeline — the oracle checks the whole chain."""
+    from morituri_spark.geo.overlay import polygon_overlap_join
+
+    zb = spark.createDataFrame(
+        [
+            (z, [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]])
+            for z, x0, y0, x1, y1 in _OVL_B
+        ],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    return polygon_overlap_join(_rect_zones(spark), zb, res=7)
+
+
+def _q_chunk_text(spark, sf_dir):
+    """Overlapping token-window chunking (text/chunking.chunk_text — the
+    RAG/pretraining splitter): 32-token windows, 8-token overlap, last
+    window short. Shuffle-free (in-row sequence + posexplode); the oracle
+    replays the DIV chunk-count closed form and 1-based token slicing."""
+    from morituri_spark.text.chunking import chunk_text
+
+    return chunk_text(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -2460,6 +2500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_ratio": _q_duplicate_spans,
         "mixture_budget_sample": _q_mixture_budget,
         "segment_zone_lengths": _q_segment_zone_lengths,
+        "chunk_text_windows": _q_chunk_text,
+        "polygon_overlap_join": _q_polygon_overlap,
         "ann_pq_topk": _q_ann_pq,  # r5-new, moved inside the window
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
@@ -2481,16 +2523,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # spatial core: shuffle PIP auto-compaction routing + kNN re-pins
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
-        "pip_zone_assign_broadcast": _q_pip_zones,
-        "knn_ring_expansion": _q_knn_ring,
         # stateful streaming: state_ttl_ms parameter added
         "streaming_dedup_exact": _q_streaming_dedup,
         # ---------------- position > 50: r4-green; each of these has an
         # in-window sibling exercising the same r5-touched code path
-        # (ann_ivf_topk ≡ byte-identical to the indexed probe;
-        # ann_recall_gates gates the same ANN paths; multipolygon PIP
-        # shares the ray-cast core with broadcast/salted; haversine kNN
-        # and the tile rollup share knn_ring/streaming_dedup machinery) --
+        # (assign_zones_broadcast runs in-window through
+        # segment_zone_lengths' midpoint assignment; ann_ivf_topk ≡
+        # byte-identical to the indexed probe; ann_recall_gates gates the
+        # same ANN paths; multipolygon PIP shares the ray-cast core with
+        # broadcast/salted; haversine kNN and the tile rollup share
+        # knn_ring/streaming_dedup machinery) ------------------------------
+        "pip_zone_assign_broadcast": _q_pip_zones,
+        "knn_ring_expansion": _q_knn_ring,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_recall_gates": _q_ann_recall,
         "pip_multipolygon_islands": _q_pip_multipolygon,
@@ -2919,6 +2963,39 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN dc USING (doc_id)
         """,
         "mixture_budget_sample": _mixture_budget_oracle_sql(),
+        "polygon_overlap_join": f"""
+            SELECT CAST(a.zone_id AS BIGINT) AS a_id,
+                   CAST(b.zone_id AS BIGINT) AS b_id,
+                   round(
+                       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                       * (least(a.y1, b.y1) - greatest(a.y0, b.y0)), 6) AS overlap_area
+            FROM (VALUES {_ZONES_SQL}) AS a(zone_id, x0, y0, x1, y1)
+            CROSS JOIN (VALUES {_OVL_B_SQL}) AS b(zone_id, x0, y0, x1, y1)
+            WHERE least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+              AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+        """,
+        "chunk_text_windows": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n <= 0 THEN 0
+                            WHEN n <= 32 THEN 1
+                            ELSE (n - 32 + 23) // 24 + 1 END AS nc
+                FROM s),
+            e AS (
+                SELECT doc_id, toks, n, CAST(i AS INT) AS chunk_id
+                FROM c, LATERAL (SELECT unnest(range(0, nc)) AS i) u)
+            SELECT doc_id, chunk_id,
+                   CAST(chunk_id * 24 AS INT) AS start_token,
+                   CAST(least(32, n - chunk_id * 24) AS INT) AS n_chunk_tokens,
+                   array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+            FROM e
+        """,
         "segment_zone_lengths": f"""
             WITH pts AS (
                 SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events),

@@ -1,0 +1,212 @@
+"""Polygon–polygon overlap join (vector↔vector overlay).
+
+Completes the spatial-join family (point↔zone PIP, raster-tile↔zone
+rollup, kNN) with the overlay case: for two zone sets, every overlapping
+pair with its exact intersection area — the primitive behind
+area-weighted reaggregation (e.g. census↔admin apportionment) and
+conflation QA.
+
+Spark shape (same skeleton as the shuffle PIP, geo/pip.py):
+
+1. **Candidates by cell cover** — both sides expand to quad-grid cell
+   covers (geo/cells.polygon_cover) and equi-join on cell; a pair can
+   only overlap if their covers share a cell. Pure shuffle join on the
+   cell key, distinct to one row per pair — never an all-pairs cross.
+2. **Exact refine** — each candidate pair is clipped with
+   Sutherland–Hodgman (subject = A's rings, clip = B's rings, B convex
+   per ring) and measured with the shoelace formula inside ONE Arrow
+   kernel. Hole semantics by inclusion–exclusion over (exterior, hole)
+   ring pairs: area = ΣextA∩extB − ΣholeA∩extB − ΣextA∩holeB +
+   ΣholeA∩holeB (exact when holes nest inside their exteriors and
+   islands are disjoint — the same MultiPolygon validity the PIP engine
+   assumes).
+
+Restriction (checked, not assumed): Sutherland–Hodgman requires the CLIP
+polygon convex — every ring of ``zones_b`` must be convex (subject side
+arbitrary). Swap the arguments if only one side is convex; pre-tessellate
+otherwise. The kernel raises on a non-convex clip ring rather than
+returning a silently-wrong area.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# NumPy geometry (driver/executor-side, batch of pairs per Arrow call)
+# --------------------------------------------------------------------------
+
+def _ring_np(ring) -> np.ndarray:
+    a = np.asarray([[p[0], p[1]] for p in ring], dtype=np.float64)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]  # drop closing duplicate
+    return a
+
+
+def _signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _ccw(r: np.ndarray) -> np.ndarray:
+    return r if _signed_area(r) >= 0 else r[::-1]
+
+
+def _is_convex_ccw(r: np.ndarray) -> bool:
+    a, b, c = r, np.roll(r, -1, axis=0), np.roll(r, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+        c[:, 0] - a[:, 0]
+    )
+    return bool((cross >= -1e-12).all())
+
+
+def clip_convex_np(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: subject ring clipped by a CONVEX CCW ring.
+    Returns the (possibly empty) clipped ring, open form."""
+    out = subject
+    n = len(clip)
+    for i in range(n):
+        if len(out) == 0:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        # inside = left of directed edge a->b (CCW ⇒ interior on the left)
+        px, py = out[:, 0], out[:, 1]
+        side = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        inside = side >= -1e-12
+        nxt_idx = np.roll(np.arange(len(out)), -1)
+        new_pts: list[tuple[float, float]] = []
+        for j in range(len(out)):
+            k = nxt_idx[j]
+            cur_in, nxt_in = inside[j], inside[k]
+            if cur_in:
+                new_pts.append((out[j, 0], out[j, 1]))
+            if cur_in != nxt_in:
+                # edge crosses the clip line at t where the signed side
+                # distance interpolates to zero: t = s1 / (s1 - s2)
+                s1, s2 = side[j], side[k]
+                if s1 == s2:
+                    continue
+                t = s1 / (s1 - s2)
+                x1, y1, x2, y2 = out[j, 0], out[j, 1], out[k, 0], out[k, 1]
+                new_pts.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+        out = np.asarray(new_pts, dtype=np.float64) if new_pts else np.empty((0, 2))
+    return out
+
+
+def _clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    clipped = clip_convex_np(subject, clip)
+    if len(clipped) < 3:
+        return 0.0
+    return abs(_signed_area(clipped))
+
+
+def polygon_pair_overlap_area(rings_a, rings_b) -> float:
+    """Exact overlap area of two MultiPolygon ring lists (first ring of
+    each island exterior, subsequent nested rings holes — the engine's
+    PIP even-odd convention maps to inclusion–exclusion here). Rings of
+    ``rings_b`` must each be convex."""
+    ext_a, hole_a, ext_b, hole_b = [], [], [], []
+    for ring in rings_a:
+        r = _ccw(_ring_np(ring))
+        (ext_a if _point_outside_all(r, ext_a) else hole_a).append(r)
+    for ring in rings_b:
+        r = _ccw(_ring_np(ring))
+        if not _is_convex_ccw(r):
+            raise ValueError(
+                "polygon_overlap_join: clip-side ring is not convex — swap "
+                "the arguments or tessellate zones_b"
+            )
+        (ext_b if _point_outside_all(r, ext_b) else hole_b).append(r)
+    total = 0.0
+    for sa, sign_a in [(ext_a, 1.0), (hole_a, -1.0)]:
+        for ra in sa:
+            for sb, sign_b in [(ext_b, 1.0), (hole_b, -1.0)]:
+                for rb in sb:
+                    total += sign_a * sign_b * _clip_area(ra, rb)
+    return total
+
+
+def _point_outside_all(r: np.ndarray, exteriors: list[np.ndarray]) -> bool:
+    """Heuristic exterior/hole classifier: a ring is a hole iff its first
+    vertex lies strictly inside an already-seen exterior (matches the
+    reference MultiPolygon layout: exterior first, its holes following)."""
+    if not exteriors:
+        return True
+    from .pip import points_in_ring_np
+
+    px = np.asarray([r[0, 0]])
+    py = np.asarray([r[0, 1]])
+    for ext in exteriors:
+        closed = np.vstack([ext, ext[:1]])
+        if points_in_ring_np(px, py, closed)[0]:
+            return False
+    return True
+
+
+# --------------------------------------------------------------------------
+# the distributed join
+# --------------------------------------------------------------------------
+
+def polygon_overlap_join(
+    zones_a: DataFrame,
+    zones_b: DataFrame,
+    res: int = 7,
+    id_a: str = "zone_id",
+    id_b: str = "zone_id",
+    rings_col: str = "rings",
+    min_area: float = 0.0,
+    area_round: int = 6,
+) -> DataFrame:
+    """(a_id, b_id, overlap_area) for every pair with overlap_area >
+    ``min_area`` (boundary-touch pairs clip to zero area and drop).
+
+    Candidates come from a cell-cover equi-join at ``res`` (coarser res →
+    fewer cover rows, more false candidates; the refine kernel zeroes
+    them). Both ring sets then attach by id and one Arrow kernel clips
+    each pair — rings cross Arrow once per candidate pair, no row-at-a-time
+    Python. Cites the reference's admin-area assignment semantics
+    (navteq.hpp:1147-1156) for ring layout: exterior first, holes after.
+    """
+    from . import pip
+
+    ca = pip.zone_cells(zones_a, res, zone_id=id_a, rings_col=rings_col).select(
+        F.col(id_a).alias("_aid"), "cell"
+    )
+    cb = pip.zone_cells(zones_b, res, zone_id=id_b, rings_col=rings_col).select(
+        F.col(id_b).alias("_bid"), "cell"
+    )
+    pairs = ca.join(cb, "cell").select("_aid", "_bid").distinct()
+    ra = zones_a.select(F.col(id_a).alias("_aid"), F.col(rings_col).alias("_ra"))
+    rb = zones_b.select(F.col(id_b).alias("_bid"), F.col(rings_col).alias("_rb"))
+    cand = pairs.join(ra, "_aid").join(rb, "_bid")
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            areas = np.empty(len(pdf), dtype=np.float64)
+            for i, (rga, rgb) in enumerate(zip(pdf["_ra"], pdf["_rb"])):
+                areas[i] = polygon_pair_overlap_area(rga, rgb)
+            # half-up rounding shared with the SQL oracle (rule 16)
+            areas = np.floor(areas * (10.0 ** area_round) + 0.5 + 1e-8) / (
+                10.0 ** area_round
+            )
+            keep = areas > min_area
+            out = pd.DataFrame(
+                {
+                    "a_id": pdf["_aid"].to_numpy()[keep],
+                    "b_id": pdf["_bid"].to_numpy()[keep],
+                    "overlap_area": areas[keep],
+                }
+            )
+            yield out
+
+    return cand.mapInPandas(
+        refine, schema="a_id long, b_id long, overlap_area double"
+    )

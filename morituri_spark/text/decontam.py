@@ -75,6 +75,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
+    bench_broadcast: bool = True,
 ) -> DataFrame:
     """Per-corpus-doc benchmark n-gram overlap:
     (doc_id, n_grams, n_hits, hit_ratio, contaminated).
@@ -89,7 +90,11 @@ def decontaminate(
     Scale: the benchmark gram set is broadcast (eval suites are small by
     definition); pass the corpus at any size — membership is a broadcast
     hash join on the exploded grams and the only shuffle is the final
-    doc-keyed count, partial-aggregated map-side.
+    doc-keyed count, partial-aggregated map-side. For an oversized
+    "benchmark" (e.g. decontaminating against another full corpus slice),
+    set ``bench_broadcast=False`` to route the membership test through a
+    gram-keyed sort-merge join instead of shipping the gram set to every
+    task — same result, one extra corpus exchange.
     """
     bench_col = bench_text_col or text_col
     bench_grams = (
@@ -108,8 +113,9 @@ def decontaminate(
         .select(id_col, "gram_hash")
         .distinct()
     )
+    bg = F.broadcast(bench_grams) if bench_broadcast else bench_grams
     per_doc = (
-        sh.join(F.broadcast(bench_grams), "gram_hash", "left")
+        sh.join(bg, "gram_hash", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

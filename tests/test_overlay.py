@@ -1,0 +1,90 @@
+"""Polygon-polygon overlap join: clip kernel geometry + distributed join."""
+
+import numpy as np
+import pytest
+
+from morituri_spark.geo.overlay import (
+    clip_convex_np,
+    polygon_overlap_join,
+    polygon_pair_overlap_area,
+)
+
+
+def _rect(x0, y0, x1, y1):
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+
+def test_clip_rect_rect_known_area():
+    s = np.asarray([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    c = np.asarray([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    out = clip_convex_np(s, c)
+    # unit square [1,2]x[1,2]
+    xs, ys = sorted(set(round(p, 9) for p in out[:, 0])), sorted(
+        set(round(p, 9) for p in out[:, 1])
+    )
+    assert xs == [1.0, 2.0] and ys == [1.0, 2.0]
+
+
+def test_pair_area_cases():
+    # full containment
+    a = [_rect(0, 0, 4, 4)]
+    b = [_rect(1, 1, 2, 2)]
+    assert polygon_pair_overlap_area(a, b) == pytest.approx(1.0)
+    # disjoint
+    assert polygon_pair_overlap_area([_rect(0, 0, 1, 1)], [_rect(5, 5, 6, 6)]) == 0.0
+    # triangle x+y<=4 (x,y>=0) vs rect clips: [0,2]^2 lies entirely under
+    # the hypotenuse (area 4); [2,4]^2 touches it only at the corner (2,2)
+    tri = [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]
+    assert polygon_pair_overlap_area(tri, [_rect(0, 0, 2, 2)]) == pytest.approx(4.0)
+    assert polygon_pair_overlap_area(tri, [_rect(2, 2, 4, 4)]) == pytest.approx(0.0)
+    # partial overlap: clip x in [1,3], y in [0,2]; width(y) = 2 for
+    # y<=1 then 3-y -> area = 2 + 3.5 - 2 = 3.5
+    assert polygon_pair_overlap_area(tri, [_rect(1, 0, 3, 2)]) == pytest.approx(3.5)
+
+
+def test_pair_area_hole_subtracts():
+    # A = square with a centered hole; B = left half-plane-ish rect
+    a = [_rect(0, 0, 4, 4), _rect(1, 1, 3, 3)]
+    b = [_rect(0, 0, 2, 4)]
+    # left half of the annulus: 2*4 minus hole's left half 1*2 = 6
+    assert polygon_pair_overlap_area(a, b) == pytest.approx(6.0)
+
+
+def test_nonconvex_clip_raises():
+    concave = [[[0.0, 0.0], [4.0, 0.0], [2.0, 1.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]]
+    with pytest.raises(ValueError, match="not convex"):
+        polygon_pair_overlap_area([_rect(0, 0, 1, 1)], concave)
+    # same rings are fine on the SUBJECT side
+    assert polygon_pair_overlap_area(concave, [_rect(0, 0, 4, 4)]) > 0
+
+
+def test_distributed_join_matches_rect_algebra(spark):
+    rows_a, rows_b = [], []
+    for gy in range(3):
+        for gx in range(3):
+            rows_a.append((gy * 3 + gx, [_rect(gx * 2.0, gy * 2.0, gx * 2.0 + 2, gy * 2.0 + 2)]))
+    for gy in range(2):
+        for gx in range(2):
+            rows_b.append(
+                (gy * 2 + gx, [_rect(0.9 + gx * 2.4, 1.1 + gy * 2.4, 0.9 + gx * 2.4 + 2.4, 1.1 + gy * 2.4 + 2.4)])
+            )
+    za = spark.createDataFrame(rows_a, "zone_id long, rings array<array<array<double>>>")
+    zb = spark.createDataFrame(rows_b, "zone_id long, rings array<array<array<double>>>")
+    got = {
+        (r.a_id, r.b_id): r.overlap_area
+        for r in polygon_overlap_join(za, zb, res=6).collect()
+    }
+    exp = {}
+    for aid, ra in rows_a:
+        ax0, ay0 = ra[0][0]
+        ax1, ay1 = ra[0][2]
+        for bid, rb in rows_b:
+            bx0, by0 = rb[0][0]
+            bx1, by1 = rb[0][2]
+            w = min(ax1, bx1) - max(ax0, bx0)
+            h = min(ay1, by1) - max(ay0, by0)
+            if w > 0 and h > 0:
+                exp[(aid, bid)] = round(w * h, 6)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
