@@ -504,6 +504,36 @@ def main() -> None:
     timed("mixture_budget_8m_naive_window_control", mixture_naive)
     mix.unpersist()
 
+    # polygon-polygon overlay at 5k x 5k zones: cover equi-join candidates
+    # (~4 true overlaps per zone) + S-H clip kernel refine — the cost is
+    # the cover join + one Arrow pass over ~20k pairs, never 25M pairs
+    from morituri_spark.geo.overlay import polygon_overlap_join
+
+    ogrid = spark.range(5_000).selectExpr(
+        "id AS zone_id",
+        "CAST(id % 100 AS DOUBLE) * 0.2 AS x0",
+        "CAST(id DIV 100 AS DOUBLE) * 0.2 + 40.0 AS y0",
+    ).selectExpr(
+        "zone_id",
+        "array(array(array(x0, y0), array(x0 + 0.2, y0), array(x0 + 0.2, y0 + 0.2), array(x0, y0 + 0.2), array(x0, y0))) AS rings",
+    ).persist()
+    ogrid.count()
+    ogrid_b = spark.range(5_000).selectExpr(
+        "id AS zone_id",
+        "CAST(id % 100 AS DOUBLE) * 0.2 + 0.07 AS x0",
+        "CAST(id DIV 100 AS DOUBLE) * 0.2 + 40.09 AS y0",
+    ).selectExpr(
+        "zone_id",
+        "array(array(array(x0, y0), array(x0 + 0.2, y0), array(x0 + 0.2, y0 + 0.2), array(x0, y0 + 0.2), array(x0, y0))) AS rings",
+    ).persist()
+    ogrid_b.count()
+    timed(
+        "polygon_overlap_5kx5k",
+        lambda: polygon_overlap_join(ogrid, ogrid_b, res=11).count(),
+    )
+    ogrid.unpersist()
+    ogrid_b.unpersist()
+
     # polyline -> zone length attribution over the sf events (one keyed
     # window for segments+midpoints, broadcast PIP, map-side rollup)
     from morituri_spark.geo.measures import segment_zone_lengths

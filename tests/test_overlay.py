@@ -88,3 +88,18 @@ def test_distributed_join_matches_rect_algebra(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_rect_fast_path_matches_general(spark):
+    # mixed batch: rects (fast path) + a triangle subject (general path)
+    rows_a = [(0, [_rect(0.0, 0.0, 2.0, 2.0)]),
+              (1, [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]])]
+    rows_b = [(0, [_rect(1.0, 1.0, 3.0, 3.0)]), (1, [_rect(0.0, 0.0, 2.0, 2.0)])]
+    za = spark.createDataFrame(rows_a, "zone_id long, rings array<array<array<double>>>")
+    zb = spark.createDataFrame(rows_b, "zone_id long, rings array<array<array<double>>>")
+    fast = sorted(map(tuple, polygon_overlap_join(za, zb, res=5).collect()))
+    slow = sorted(map(tuple, polygon_overlap_join(za, zb, res=5, rect_fast=False).collect()))
+    assert fast == slow and len(fast) >= 3
+    got = {(a, b): ar for a, b, ar in fast}
+    assert got[(0, 0)] == pytest.approx(1.0)   # rect x rect via fast path
+    assert got[(1, 1)] == pytest.approx(4.0)   # triangle via general path
