@@ -813,6 +813,60 @@ def _q_polygon_overlap(spark, sf_dir):
     return polygon_overlap_join(_rect_zones(spark), zb, res=7)
 
 
+# dwell-shaped closed-form trace: events in the same 1500-id block share
+# an anchor cell (jitter <= ~0.11 km), block changes jump >= ~1400 km —
+# both engines derive coordinates from the same integer formulas.
+# block index spelled (id - id % 1500) / 1500: Spark's DIV isn't DuckDB
+# syntax and DuckDB's // isn't Spark's — this form parses and evaluates
+# identically in both engines (non-negative ids, exact at these magnitudes)
+_TBLK = "CAST((event_id - (event_id % 1500)) / 1500 AS BIGINT)"
+_TLON = (
+    f"CAST(({_TBLK} * 7919) % 360000 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+    " - CAST(180 AS DOUBLE)"
+    " + CAST((event_id * 104729) % 997 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+)
+_TLAT = (
+    f"CAST(({_TBLK} * 104729) % 170000 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+    " - CAST(85 AS DOUBLE)"
+    " + CAST((event_id * 7919) % 997 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+)
+
+
+def _q_stay_points(spark, sf_dir):
+    """Trajectory stay-point detection (geo/trajectory.stay_points): per
+    user, a dwell breaks on a > 1 km step or a > 400000 s gap; runs with
+    >= 2 points and >= 3600 s span qualify. ONE exchange (window + reused
+    groupBy partitioning, plan-asserted in tests). Oracle replays the
+    identical window algebra: lag -> break flag -> running-sum stay_id ->
+    gated aggregate, with the rule-12 NTZ second-diff and the rule-16
+    shared-epsilon centroid rounding."""
+    from morituri_spark.geo.trajectory import stay_points
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_TLON).alias("lon"), F.expr(_TLAT).alias("lat"),
+    )
+    return stay_points(
+        pts, "user_id", "ts", ["ts", "event_id"],
+        radius_km=1.0, max_gap_s=400000, min_duration_s=3600, min_points=2,
+    )
+
+
+def _q_cell_density(spark, sf_dir):
+    """Grid density surface (geo/density.cell_density): 15-degree bins +
+    3x3 binomial smoothing. Points collapse to occupied cells at the
+    FIRST map-side-combinable aggregate; the 9-tap explode runs on cells
+    only (grid-bounded, not data-bounded). Oracle: same binning (floor of
+    a DIVISION — reciprocal-multiply flips boundary cells by one ulp) and
+    the same dyadic /16 kernel, exact in both engines."""
+    from morituri_spark.geo.density import cell_density
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return cell_density(pts, cell_deg=15.0)
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2503,6 +2557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text_windows": _q_chunk_text,
         "polygon_overlap_join": _q_polygon_overlap,
         "ann_pq_topk": _q_ann_pq,  # r5-new, moved inside the window
+        # r5-continuation: trajectory + density family (never checked;
+        # pip_zone_assign_salted / streaming_dedup_exact rotate out — both
+        # r4-green and replica-covered)
+        "trajectory_stay_points": _q_stay_points,
+        "grid_cell_density": _q_cell_density,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -2963,6 +3022,63 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN dc USING (doc_id)
         """,
         "mixture_budget_sample": _mixture_budget_oracle_sql(),
+        "trajectory_stay_points": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_TLON} AS lon, {_TLAT} AS lat
+                FROM events),
+            lagged AS (
+                SELECT user_id, ts, event_id, lon, lat,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                       lag(ts) OVER w AS prev_ts
+                FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            flagged AS (
+                SELECT user_id, ts, event_id, lon, lat,
+                       CASE WHEN prev_ts IS NULL
+                              OR 2.0 * 6371.0088 * asin(sqrt(
+                                   sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                                   + cos(radians(plat)) * cos(radians(lat))
+                                     * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+                                 )) > 1.0
+                              OR date_diff('second', prev_ts, ts) > 400000
+                            THEN 1 ELSE 0 END AS brk
+                FROM lagged),
+            runs AS (
+                SELECT user_id, ts, lon, lat,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS BIGINT) AS stay_id
+                FROM flagged),
+            agg AS (
+                SELECT user_id, stay_id, count(*) AS n_points,
+                       min(ts) AS start_ts, max(ts) AS end_ts,
+                       floor(avg(lon) * 1000000 + 0.5 + 1e-8) / 1000000 AS c_lon,
+                       floor(avg(lat) * 1000000 + 0.5 + 1e-8) / 1000000 AS c_lat
+                FROM runs GROUP BY 1, 2)
+            SELECT user_id, stay_id, CAST(n_points AS BIGINT) AS n_points,
+                   start_ts, end_ts,
+                   CAST(date_diff('second', start_ts, end_ts) AS BIGINT) AS duration_s,
+                   c_lon, c_lat
+            FROM agg
+            WHERE n_points >= 2
+              AND date_diff('second', start_ts, end_ts) >= 3600
+        """,
+        "grid_cell_density": f"""
+            WITH pts AS (SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            k(dx, dy, w) AS (VALUES
+                (-1,-1,1),(0,-1,2),(1,-1,1),
+                (-1,0,2),(0,0,4),(1,0,2),
+                (-1,1,1),(0,1,2),(1,1,1))
+            SELECT b.ix + dx AS ix, b.iy + dy AS iy,
+                   CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_points,
+                   round(CAST(sum(n * w) AS DOUBLE) / 16.0, 4) AS density
+            FROM b, k GROUP BY 1, 2
+        """,
         "polygon_overlap_join": f"""
             SELECT CAST(a.zone_id AS BIGINT) AS a_id,
                    CAST(b.zone_id AS BIGINT) AS b_id,

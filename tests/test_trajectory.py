@@ -1,0 +1,97 @@
+"""Stay-point detection (geo/trajectory.py) + grid density (geo/density.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from morituri_spark.geo.density import cell_density
+from morituri_spark.geo.trajectory import stay_points
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _rows():
+    # user 1: dwell A (3 pts, 10 min), jump, dwell B (2 pts, 6 min),
+    # then a time-gap break inside a spatially tight pair
+    return [
+        (1, _t(0), 10.0, 50.0),
+        (1, _t(5), 10.001, 50.001),
+        (1, _t(10), 10.002, 50.0),
+        (1, _t(15), 20.0, 10.0),       # spatial break, singleton
+        (1, _t(20), 30.0, -20.0),      # spatial break
+        (1, _t(26), 30.001, -20.001),  # dwell B closes (6 min)
+        (1, _t(50), 30.002, -20.0),    # 24-min gap > max_gap -> break
+        # user 2: tight pair but below min_duration
+        (2, _t(0), 0.0, 0.0),
+        (2, _t(1), 0.0005, 0.0005),
+    ]
+
+
+def test_stay_points_breaks_and_gates(spark):
+    df = spark.createDataFrame(
+        _rows(), "user_id int, ts timestamp, lon double, lat double"
+    )
+    got = stay_points(
+        df, "user_id", "ts", ["ts"], radius_km=2.0,
+        max_gap_s=20 * 60, min_duration_s=5 * 60, min_points=2,
+    ).collect()
+    by_key = {(r.user_id, r.stay_id): r for r in got}
+    assert set(by_key) == {(1, 1), (1, 3)}
+    a = by_key[(1, 1)]
+    assert a.n_points == 3 and a.duration_s == 600
+    assert a.c_lon == pytest.approx(10.001) and a.c_lat == pytest.approx(50.000333)
+    b = by_key[(1, 3)]
+    assert b.n_points == 2 and b.duration_s == 360
+
+
+def test_stay_points_gap_boundary_is_strict(spark):
+    # exactly-max_gap does NOT break (strict >)
+    rows = [(1, _t(0), 5.0, 5.0), (1, _t(10), 5.0001, 5.0001)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, lon double, lat double"
+    )
+    keep = stay_points(
+        df, "user_id", "ts", ["ts"], radius_km=1.0,
+        max_gap_s=600, min_duration_s=0, min_points=2,
+    ).collect()
+    assert len(keep) == 1 and keep[0].n_points == 2
+    brk = stay_points(
+        df, "user_id", "ts", ["ts"], radius_km=1.0,
+        max_gap_s=599, min_duration_s=0, min_points=2,
+    ).collect()
+    assert brk == []
+
+
+def test_stay_points_single_exchange(spark):
+    df = spark.createDataFrame(
+        _rows(), "user_id int, ts timestamp, lon double, lat double"
+    )
+    plan = stay_points(df, "user_id", "ts", ["ts"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cell_density_kernel_and_halo(spark):
+    # 16 points in one cell: center density 16*4/16=4, edges 2, corners 1
+    pts = spark.range(16).select(
+        F.lit(10.5).alias("lon"), F.lit(20.5).alias("lat")
+    )
+    got = {(r.ix, r.iy): r for r in cell_density(pts, cell_deg=1.0).collect()}
+    assert len(got) == 9
+    assert got[(10, 20)].n_points == 16 and got[(10, 20)].density == 4.0
+    assert got[(11, 20)].n_points == 0 and got[(11, 20)].density == 2.0
+    assert got[(11, 21)].density == 1.0
+    assert sum(r.density for r in got.values()) == pytest.approx(16.0)
+
+
+def test_cell_density_boundary_and_unsmoothed(spark):
+    # exact negative boundary: -15/15 = -1 -> ix=-1 (floor of exact int)
+    pts = spark.createDataFrame(
+        [(-15.0, 0.0), (-14.999, 0.5)], "lon double, lat double"
+    )
+    raw = {(r.ix, r.iy): r.n_points
+           for r in cell_density(pts, cell_deg=15.0, smooth=False).collect()}
+    assert raw == {(-1, 0): 2}
