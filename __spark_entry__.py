@@ -867,6 +867,54 @@ def _q_cell_density(spark, sf_dir):
     return cell_density(pts, cell_deg=15.0)
 
 
+# closed-form 63-bit perceptual hash over events: four 16-bit-ish fields
+# from distinct multipliers (top field 15 bits keeps the sum < 2^63 —
+# ANSI BIGINT overflow is an error, rule 14). Every id with id % 7 == 3
+# is a planted near-dup of id-1: same base fields, low bits xor'd with
+# flip ∈ {1,2,3} (hamming 1-2). Both engines evaluate the identical
+# integer algebra; only the xor spelling differs (Spark `^`, DuckDB
+# xor()).
+_PH_PID = "CASE WHEN event_id % 7 = 3 THEN event_id - 1 ELSE event_id END"
+_PH_FLIP = "CASE WHEN event_id % 7 = 3 THEN (event_id % 3) + 1 ELSE 0 END"
+
+
+def _phash_expr(xor_fn) -> str:
+    # PRIME field moduli (32749/65521/65407/65497), not powers of two:
+    # with 65536-moduli every field shares period 65536 in pid, so
+    # hash(pid) == hash(pid + 65536) — at 1M synth ids that structural
+    # aliasing produced 7.1M exact-dup pairs vs the 142k planted ones
+    # (and 115s vs 3.8s in the banded join). Distinct primes push the
+    # joint period to their product (~1.4e19): collisions are birthday-
+    # level, pairs are exactly the planted ones.
+    pid, flip = _PH_PID, _PH_FLIP
+    return (
+        f"(({pid}) * 48271) % 32749 * 281474976710656"
+        f" + (({pid}) * 40503) % 65521 * 4294967296"
+        f" + (({pid}) * 69621) % 65407 * 65536"
+        f" + {xor_fn(f'(({pid}) * 12345) % 65497', f'({flip})')}"
+    )
+
+
+def _q_phash_near_dup(spark, sf_dir):
+    """Image perceptual-hash near-dup join (multimodal/ops.
+    phash_near_duplicates → ml/hamming.hamming_near_duplicates): the
+    pigeonhole-banded bucket EQUI-join (3 blocks for hamming ≤ 2) + exact
+    bit_count(xor) verify, pure Catalyst. The oracle is a genuinely
+    independent brute-force all-pairs DuckDB join — matching it proves
+    the banding's exact-recall property, not just algebra replay."""
+    from morituri_spark.multimodal.ops import phash_near_duplicates
+
+    ph = _phash_expr(lambda a, b: f"({a}) ^ {b}")
+    imgs = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("image_id"), F.expr(ph).alias("phash")
+    )
+    return phash_near_duplicates(imgs, max_hamming=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2562,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green and replica-covered)
         "trajectory_stay_points": _q_stay_points,
         "grid_cell_density": _q_cell_density,
+        "phash_near_dup": _q_phash_near_dup,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3061,6 +3110,16 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE n_points >= 2
               AND date_diff('second', start_ts, end_ts) >= 3600
+        """,
+        "phash_near_dup": f"""
+            WITH h AS (
+                SELECT event_id AS image_id,
+                       {_phash_expr(lambda a, b: f"xor({a}, {b})")} AS phash
+                FROM events)
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
         """,
         "grid_cell_density": f"""
             WITH pts AS (SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),

@@ -264,6 +264,38 @@ def main() -> None:
     sp_cands.unpersist()
     sp_q.unpersist()
 
+    # phash Hamming near-dup (r5): 4M synthetic 63-bit perceptual hashes,
+    # 1-in-7 a planted hamming ≤ 2 dup of its neighbor (same closed form
+    # as the driver oracle's events synth). Pigeonhole 3-block bucket
+    # equi-join + bit_count verify — all Catalyst; candidate volume is
+    # ~N²/2^21 per block (~11M rows at 4M hashes), never all-pairs (8e12).
+    from morituri_spark.ml.hamming import hamming_near_duplicates
+
+    # prime field moduli — see __spark_entry__._phash_expr: power-of-two
+    # moduli alias hash(pid) == hash(pid+65536) and flood exact dups
+    pid = "CASE WHEN id % 7 = 3 THEN id - 1 ELSE id END"
+    flip = "CASE WHEN id % 7 = 3 THEN (id % 3) + 1 ELSE 0 END"
+    ph = (
+        f"(({pid}) * 48271) % 32749 * 281474976710656"
+        f" + (({pid}) * 40503) % 65521 * 4294967296"
+        f" + (({pid}) * 69621) % 65407 * 65536"
+        f" + (((({pid}) * 12345) % 65497) ^ ({flip}))"
+    )
+    ph_df = (
+        spark.range(4_000_000)
+        .select(F.col("id").alias("image_id"), F.expr(ph).alias("phash"))
+        .repartition(64)
+        .persist()
+    )
+    ph_df.count()
+    timed(
+        "phash_neardup_4m",
+        lambda: hamming_near_duplicates(
+            ph_df, "phash", id_col="image_id", max_hamming=2
+        ).count(),
+    )
+    ph_df.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see

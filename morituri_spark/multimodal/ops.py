@@ -173,3 +173,23 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+def phash_near_duplicates(
+    images: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    **kwargs,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the input table's
+    ``phash:int64`` column (BASELINE.json input_hint): pigeonhole-banded
+    bucket equi-join + exact bit_count(xor) verify — never all-pairs.
+    → (id_a, id_b, hamming). See ml/hamming.py for the scale contract
+    (max_bucket / cap_stats degenerate-bucket accounting; blank-image
+    constant phashes are exactly such a bucket)."""
+    from ..ml.hamming import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        images, phash_col, id_col=id_col, max_hamming=max_hamming, **kwargs
+    )
