@@ -915,6 +915,44 @@ def _q_phash_near_dup(spark, sf_dir):
     )
 
 
+# closed-form street segments for map-matching: 400 short segments
+# (extent ≤ 0.5°) scattered by prime multipliers distinct from the point
+# scatter's
+_SEG_AX = "CAST((event_id * 13007) % 360000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(180 AS DOUBLE)"
+_SEG_AY = "CAST((event_id * 20011) % 180000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(90 AS DOUBLE)"
+_SEG_DX = "CAST((event_id * 31) % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(0.5 AS DOUBLE)"
+_SEG_DY = "CAST((event_id * 47) % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(0.5 AS DOUBLE)"
+
+
+def _q_snap_segments(spark, sf_dir):
+    """Map-matching (geo/matching.snap_to_segments): each point's nearest
+    street segment within 0.25° — cell-cover candidate EQUI-join (never
+    all-pairs), codegen clamped-projection refine staged per rule 9, ONE
+    partial-aggregable min(struct) argmin per point. The oracle is an
+    independent brute-force all-pairs DuckDB join with the identical
+    expression tree and rule-16 rounding — a green row proves the cover
+    join's exact recall at this radius/cell pitch."""
+    from morituri_spark.geo.matching import snap_to_segments
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    segs = ev.where("event_id < 400").select(
+        F.col("event_id").alias("seg_id"),
+        F.expr(_SEG_AX).alias("ax"), F.expr(_SEG_AY).alias("ay"),
+        F.expr(f"({_SEG_AX}) + ({_SEG_DX})").alias("bx"),
+        F.expr(f"({_SEG_AY}) + ({_SEG_DY})").alias("by"),
+    )
+    out = snap_to_segments(pts, segs, radius=0.25, cell_deg=1.0)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.col("dist").cast("double").alias("dist"),
+    )
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2611,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stay_points": _q_stay_points,
         "grid_cell_density": _q_cell_density,
         "phash_near_dup": _q_phash_near_dup,
+        "snap_points_to_segments": _q_snap_segments,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3110,6 +3149,45 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE n_points >= 2
               AND date_diff('second', start_ts, end_ts) >= 3600
+        """,
+        "snap_points_to_segments": f"""
+            WITH p AS (
+                SELECT event_id AS point_id, {_GLON} AS px, {_GLAT} AS py
+                FROM events),
+            s AS (
+                SELECT event_id AS seg_id, {_SEG_AX} AS ax, {_SEG_AY} AS ay,
+                       ({_SEG_AX}) + ({_SEG_DX}) AS bx,
+                       ({_SEG_AY}) + ({_SEG_DY}) AS by
+                FROM events WHERE event_id < 400),
+            d AS (
+                SELECT point_id, seg_id, px, py, ax, ay,
+                       bx - ax AS dx, by - ay AS dy
+                FROM p, s),
+            l AS (
+                SELECT *, dx * dx + dy * dy AS len2 FROM d),
+            t AS (
+                SELECT point_id, seg_id, px, py, ax, ay, dx, dy,
+                       CASE WHEN len2 = 0.0 THEN 0.0
+                            ELSE least(greatest(
+                                ((px - ax) * dx + (py - ay) * dy) / len2,
+                                0.0), 1.0) END AS tt
+                FROM l),
+            e AS (
+                SELECT point_id, seg_id,
+                       px - (ax + tt * dx) AS ex, py - (ay + tt * dy) AS ey
+                FROM t),
+            c AS (
+                SELECT point_id, seg_id,
+                       floor(sqrt(ex * ex + ey * ey) * 1e9 + 0.5 + 1e-8) / 1e9
+                           AS dist
+                FROM e),
+            r AS (
+                SELECT point_id, seg_id, dist,
+                       row_number() OVER (
+                           PARTITION BY point_id ORDER BY dist, seg_id
+                       ) AS rn
+                FROM c WHERE dist <= 0.25)
+            SELECT point_id, seg_id, dist FROM r WHERE rn = 1
         """,
         "phash_near_dup": f"""
             WITH h AS (

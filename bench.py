@@ -296,6 +296,47 @@ def main() -> None:
     )
     ph_df.unpersist()
 
+    # map-matching (r5): 2M points snapped to 50k short street segments,
+    # radius 0.05° on a 0.5° candidate grid. Candidates come from the
+    # cell-cover equi-join (~segments-per-cell × points, never 1e11
+    # all-pairs); refine + argmin are codegen + partial agg.
+    from morituri_spark.geo.matching import snap_to_segments
+
+    mm_pts = (
+        spark.range(2_000_000)
+        .select(
+            F.col("id").alias("point_id"),
+            ((F.col("id") * 7919 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
+            ((F.col("id") * 104729 % 180000).cast("double") / 1000.0 - 90.0).alias("lat"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    mm_pts.count()
+    mm_segs = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("seg_id"),
+            ((F.col("id") * 13007 % 360000).cast("double") / 1000.0 - 180.0).alias("ax"),
+            ((F.col("id") * 20011 % 180000).cast("double") / 1000.0 - 90.0).alias("ay"),
+        )
+        .select(
+            "seg_id", "ax", "ay",
+            (F.col("ax") + (F.col("seg_id") * 31 % 200).cast("double") / 1000.0 - 0.1).alias("bx"),
+            (F.col("ay") + (F.col("seg_id") * 47 % 200).cast("double") / 1000.0 - 0.1).alias("by"),
+        )
+        .persist()
+    )
+    mm_segs.count()
+    timed(
+        "snap_segments_2m_points_50k_segs",
+        lambda: snap_to_segments(
+            mm_pts, mm_segs, radius=0.05, cell_deg=0.5
+        ).count(),
+    )
+    mm_pts.unpersist()
+    mm_segs.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see
