@@ -953,6 +953,34 @@ def _q_snap_segments(spark, sf_dir):
     )
 
 
+def _q_grid_clusters(spark, sf_dir):
+    """Grid-density clustering (geo/clustering.grid_clusters — DBSCAN
+    over cells): the dwell-shaped trace synth puts each 1500-id block in
+    one tiny patch, so core cells (≥ 100 points) are the block anchors;
+    8-adjacent cores merge through the distributed large-star/small-star
+    CC (text/components.py). Oracle: identical binning + recursive-CTE
+    reachability minimum (the near_dup_clusters pattern)."""
+    from morituri_spark.geo.clustering import grid_clusters
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_TLON).alias("lon"), F.expr(_TLAT).alias("lat")
+    )
+    return grid_clusters(pts, cell_deg=1.0, min_pts=100)
+
+
+def _q_hotspot_cells(spark, sf_dir):
+    """Hotspot cells (geo/clustering.hotspot_cells): z-scores over
+    occupied 15° cells with μ/σ² from EXACT integer sums (Σn, Σn², cnt)
+    so both engines evaluate one identical double expression tree; z is
+    rule-16 rounded before the ≥ 1.0 gate."""
+    from morituri_spark.geo.clustering import hotspot_cells
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return hotspot_cells(pts, cell_deg=15.0, z_threshold=1.0)
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2650,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_density": _q_cell_density,
         "phash_near_dup": _q_phash_near_dup,
         "snap_points_to_segments": _q_snap_segments,
+        "grid_density_clusters": _q_grid_clusters,
+        "grid_hotspot_cells": _q_hotspot_cells,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3149,6 +3179,58 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE n_points >= 2
               AND date_diff('second', start_ts, end_ts) >= 3600
+        """,
+        "grid_density_clusters": f"""
+            WITH RECURSIVE pts AS (
+                SELECT {_TLON} AS lon, {_TLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 1.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 1.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            k AS (
+                SELECT ix, iy, n, ix * 1000000 + iy AS key
+                FROM b WHERE n >= 100),
+            e AS (
+                SELECT a.key AS u, c.key AS v
+                FROM k a JOIN k c
+                  ON abs(a.ix - c.ix) <= 1 AND abs(a.iy - c.iy) <= 1
+                 AND a.key <> c.key),
+            reach(src, dst) AS (
+                SELECT key, key FROM k
+                UNION
+                SELECT r.src, e2.v FROM reach r JOIN e e2 ON e2.u = r.dst),
+            lbl AS (
+                SELECT src AS key, min(dst) AS cluster_id
+                FROM reach GROUP BY src)
+            SELECT k.ix, k.iy, CAST(k.n AS BIGINT) AS n_points, l.cluster_id
+            FROM k JOIN lbl l USING (key)
+        """,
+        "grid_hotspot_cells": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            s AS (
+                SELECT CAST(sum(n) AS BIGINT) AS s1,
+                       CAST(sum(n * n) AS BIGINT) AS s2,
+                       count(*) AS cnt
+                FROM b),
+            z AS (
+                SELECT ix, iy, n,
+                       floor((CAST(n AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                             / sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE)
+                                       * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                                    / (CAST(cnt AS DOUBLE) - 1.0))
+                             * 1e6 + 0.5 + 1e-8) / 1e6 AS z
+                FROM b, s)
+            SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
+            FROM z WHERE z >= 1.0
         """,
         "snap_points_to_segments": f"""
             WITH p AS (

@@ -1,0 +1,121 @@
+"""Grid-density spatial clustering (DBSCAN-over-cells) and hotspot cells.
+
+Two analytics built on the density-surface primitive (geo/density.py):
+
+- :func:`grid_clusters` — the grid formulation of density-based
+  clustering: points collapse to integer cells at ONE map-side-combinable
+  aggregate; cells holding ≥ ``min_pts`` points are *core*; 8-adjacent
+  core cells merge into clusters via the distributed large-star /
+  small-star connected components (text/components.py — per-round lineage
+  truncation, bit_xor convergence). Every stage is data-bounded only at
+  the first aggregate; the edge join and CC rounds run over CELLS, so at
+  10^12 points on a 10^7-cell grid the iterative part is ~10^7 rows.
+- :func:`hotspot_cells` — Getis-Ord-flavored z-scores over occupied
+  cells: μ/σ computed from EXACT integer sums (Σn, Σn², count), so both
+  engines evaluate the identical double arithmetic — no accumulation-
+  order dust for the oracle compare (CLAUDE.md rule 16 applies only to
+  the final division, shared-epsilon rounded).
+
+Cell key packing: ``key = ix * 1_000_000 + iy`` — injective while
+``|iy| < 500_000`` (any geographic grid at cell_deg ≥ 1e-3°; asserted),
+and replayable as plain integer algebra by the SQL oracle.
+
+Reference scope: no counterpart in morituri (raster side stops at tile
+rollups); extends the density family for the training-data use cases
+(dense-capture-region mining, over-represented-location downweighting).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .density import bin_cells
+
+_KEY_SPAN = 1_000_000
+
+
+def grid_clusters(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+    min_pts: int = 2,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """→ (ix, iy, n_points, cluster_id) for every core cell; cluster_id is
+    the minimum packed cell key of the connected component (8-adjacency
+    between core cells), so labels are deterministic."""
+    from ..text.components import connected_components
+
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    cells = bin_cells(df, lon, lat, cell_deg).where(
+        F.col("n_points") >= F.lit(int(min_pts))
+    )
+    core = cells.select(
+        "ix", "iy", "n_points",
+        (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
+    )
+
+    # 8-neighbor edges between core cells: explode each core cell to its 8
+    # neighbor keys and equi-join back on the core set — shuffle keys only,
+    # same thin-cover shape as the PIP cover join (never cell×cell).
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr = core.select(
+        F.col("key").alias("u"),
+        F.explode(
+            F.array(*[
+                ((F.col("ix") + F.lit(dx)) * F.lit(_KEY_SPAN) + F.col("iy") + F.lit(dy))
+                for dx, dy in offsets
+            ])
+        ).alias("v"),
+    )
+    edges = nbr.join(
+        core.select(F.col("key").alias("v")), "v", "inner"
+    ).select("u", "v")
+
+    labels = connected_components(edges, a_col="u", b_col="v", max_rounds=max_rounds)
+    out = core.join(
+        labels.withColumnRenamed("node", "key"), "key", "left"
+    ).select(
+        "ix", "iy", "n_points",
+        # isolated core cells (no core neighbor) are their own cluster
+        F.coalesce("cluster_id", "key").alias("cluster_id"),
+    )
+    return out
+
+
+def hotspot_cells(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """→ (ix, iy, n_points, z) for occupied cells whose count sits
+    ``z_threshold`` sample standard deviations above the occupied-cell
+    mean. μ and σ² derive from exact integer sums (no stddev() — its
+    accumulation order is nondeterministic across engines); z is
+    shared-epsilon rounded to 6 decimals before the threshold gate so the
+    boundary cannot flip between engines."""
+    cells = bin_cells(df, lon, lat, cell_deg)
+    stats = cells.agg(
+        F.sum("n_points").alias("_s1"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_s2"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    joined = cells.crossJoin(F.broadcast(stats))
+    mu = F.col("_s1").cast("double") / F.col("_cnt").cast("double")
+    var = (
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mu
+    ) / (F.col("_cnt").cast("double") - F.lit(1.0))
+    staged = joined.select(
+        "ix", "iy", "n_points",
+        ((F.col("n_points").cast("double") - mu) / F.sqrt(var)).alias("_z_raw"),
+    )
+    z = F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+    return staged.select("ix", "iy", "n_points", z.alias("z")).where(
+        F.col("z") >= F.lit(float(z_threshold))
+    )

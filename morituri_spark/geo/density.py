@@ -30,6 +30,29 @@ KERNEL_3X3 = [
 ]
 
 
+def bin_cells(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """(ix, iy, n_points): ONE map-side-combinable aggregate collapsing
+    points to occupied integer grid cells — the shared first stage of
+    the density surface, hotspot z-scores, and grid clustering."""
+    # divide, don't multiply by a reciprocal: lon/cell and lon*(1/cell)
+    # differ in the last ulp at exact cell boundaries (e.g. -180/15), and
+    # floor() amplifies that ulp into an off-by-one cell vs the oracle.
+    cell = F.lit(float(cell_deg))
+    return (
+        df.select(
+            F.floor(F.col(lon) / cell).cast("long").alias("ix"),
+            F.floor(F.col(lat) / cell).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 def cell_density(
     df: DataFrame,
     lon: str = "lon",
@@ -42,18 +65,7 @@ def cell_density(
     ``density`` the 3x3-binomial-smoothed count, rounded half-up to 4 dp.
     With ``smooth=False`` density equals the raw count and no halo rows
     appear."""
-    # divide, don't multiply by a reciprocal: lon/cell and lon*(1/cell)
-    # differ in the last ulp at exact cell boundaries (e.g. -180/15), and
-    # floor() amplifies that ulp into an off-by-one cell vs the oracle.
-    cell = F.lit(float(cell_deg))
-    binned = (
-        df.select(
-            F.floor(F.col(lon) / cell).cast("long").alias("ix"),
-            F.floor(F.col(lat) / cell).cast("long").alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
+    binned = bin_cells(df, lon, lat, cell_deg)
     if not smooth:
         return binned.select(
             "ix", "iy", "n_points",
