@@ -981,6 +981,20 @@ def _q_hotspot_cells(spark, sf_dir):
     return hotspot_cells(pts, cell_deg=15.0, z_threshold=1.0)
 
 
+def _q_morans_i(spark, sf_dir):
+    """Global Moran's I (geo/clustering.morans_i): spatial autocorrelation
+    of occupied-cell point counts under binary 8-neighbor weights. Every
+    data-dependent reduction is an exact integer sum (Σx_ix_j, Σ(x_i+x_j),
+    pair count, Σx, Σx²) so both engines evaluate ONE identical double
+    expression; I is rule-16 rounded to 6 dp."""
+    from morituri_spark.geo.clustering import morans_i
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return morans_i(pts, cell_deg=5.0)
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2680,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points_to_segments": _q_snap_segments,
         "grid_density_clusters": _q_grid_clusters,
         "grid_hotspot_cells": _q_hotspot_cells,
+        "morans_i_autocorrelation": _q_morans_i,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3231,6 +3246,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        "morans_i_autocorrelation": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 5.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 5.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            pairs AS (
+                SELECT CAST(sum(a.n * c.n) AS BIGINT) AS sxy,
+                       CAST(sum(a.n + c.n) AS BIGINT) AS sxs,
+                       count(*) AS w
+                FROM b a JOIN b c
+                  ON abs(a.ix - c.ix) <= 1 AND abs(a.iy - c.iy) <= 1
+                 AND NOT (a.ix = c.ix AND a.iy = c.iy)),
+            cells AS (
+                SELECT CAST(sum(n) AS BIGINT) AS s1,
+                       CAST(sum(n * n) AS BIGINT) AS s2,
+                       count(*) AS n
+                FROM b)
+            SELECT n AS n_cells, w AS w_pairs,
+                   floor(CAST(n AS DOUBLE)
+                         * (CAST(sxy AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sxs AS DOUBLE)
+                            + CAST(w AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / (CAST(w AS DOUBLE)
+                            * (CAST(s2 AS DOUBLE)
+                               - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS morans_i
+            FROM cells, pairs
+            WHERE w > 0
         """,
         "snap_points_to_segments": f"""
             WITH p AS (

@@ -15,6 +15,12 @@ Two analytics built on the density-surface primitive (geo/density.py):
   engines evaluate the identical double arithmetic — no accumulation-
   order dust for the oracle compare (CLAUDE.md rule 16 applies only to
   the final division, shared-epsilon rounded).
+- :func:`morans_i` — global Moran's I spatial autocorrelation over the
+  same occupied-cell grid with binary 8-neighbor weights. The cross
+  term Σ_w (x_i−μ)(x_j−μ) expands to S_xy − μ·S_xs + W·μ², so every
+  data-dependent reduction is an EXACT integer sum (Σ x_i x_j,
+  Σ (x_i+x_j), pair count) and the single double expression evaluates
+  identically in Spark and the SQL oracle.
 
 Cell key packing: ``key = ix * 1_000_000 + iy`` — injective while
 ``|iy| < 500_000`` (any geographic grid at cell_deg ≥ 1e-3°; asserted),
@@ -59,22 +65,7 @@ def grid_clusters(
         (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
     )
 
-    # 8-neighbor edges between core cells: explode each core cell to its 8
-    # neighbor keys and equi-join back on the core set — shuffle keys only,
-    # same thin-cover shape as the PIP cover join (never cell×cell).
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-    nbr = core.select(
-        F.col("key").alias("u"),
-        F.explode(
-            F.array(*[
-                ((F.col("ix") + F.lit(dx)) * F.lit(_KEY_SPAN) + F.col("iy") + F.lit(dy))
-                for dx, dy in offsets
-            ])
-        ).alias("v"),
-    )
-    edges = nbr.join(
-        core.select(F.col("key").alias("v")), "v", "inner"
-    ).select("u", "v")
+    edges = _neighbor_pairs(core).select("u", "v")
 
     labels = connected_components(edges, a_col="u", b_col="v", max_rounds=max_rounds)
     out = core.join(
@@ -85,6 +76,77 @@ def grid_clusters(
         F.coalesce("cluster_id", "key").alias("cluster_id"),
     )
     return out
+
+
+def _neighbor_pairs(core: DataFrame) -> DataFrame:
+    """Ordered 8-adjacent pairs between core cells: each cell explodes to
+    its 8 neighbor keys and equi-joins back on the core set — shuffle
+    carries keys only (the thin-cover shape), never cell×cell."""
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr = core.select(
+        F.col("key").alias("u"),
+        F.col("n_points").alias("n_u"),
+        F.explode(
+            F.array(*[
+                ((F.col("ix") + F.lit(dx)) * F.lit(_KEY_SPAN) + F.col("iy") + F.lit(dy))
+                for dx, dy in offsets
+            ])
+        ).alias("v"),
+    )
+    return nbr.join(
+        core.select(F.col("key").alias("v"), F.col("n_points").alias("n_v")),
+        "v",
+        "inner",
+    )
+
+
+def morans_i(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """→ ONE row (n_cells, w_pairs, morans_i): global Moran's I of the
+    occupied-cell point counts under binary 8-neighbor weights (W = count
+    of ORDERED adjacent pairs, the standard row-binary formulation over
+    the occupied cells only — empty cells carry no observation).
+
+        I = (N / W) · Σ_w (x_i−μ)(x_j−μ) / Σ (x_i−μ)²
+          = N·(S_xy − μ·S_xs + W·μ²) / (W·(S₂ − N·μ²))
+
+    with S_xy = Σ_w x_i·x_j, S_xs = Σ_w (x_i+x_j), S₁/S₂/N the cell sums
+    — all exact integer aggregates, so the only float math is one shared
+    expression tree (rule 16: shared-epsilon rounded to 6 dp). Cells with
+    no occupied neighbor contribute to N/S₁/S₂ but not W; the row is
+    empty when W = 0 (no adjacent occupied cells — I undefined)."""
+    cells = bin_cells(df, lon, lat, cell_deg)
+    core = cells.select(
+        "ix", "iy", "n_points",
+        (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
+    )
+    pair_sums = _neighbor_pairs(core).agg(
+        F.sum(F.col("n_u") * F.col("n_v")).alias("_sxy"),
+        F.sum(F.col("n_u") + F.col("n_v")).alias("_sxs"),
+        F.count(F.lit(1)).alias("_w"),
+    )
+    cell_sums = cells.agg(
+        F.sum("n_points").alias("_s1"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = cell_sums.crossJoin(F.broadcast(pair_sums))
+    n_d = F.col("_n").cast("double")
+    w_d = F.col("_w").cast("double")
+    mu = F.col("_s1").cast("double") / n_d
+    num = n_d * (F.col("_sxy").cast("double") - mu * F.col("_sxs").cast("double") + w_d * mu * mu)
+    den = w_d * (F.col("_s2").cast("double") - n_d * mu * mu)
+    i_raw = num / den
+    i6 = F.floor(i_raw * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+    return j.where(F.col("_w") > 0).select(
+        F.col("_n").alias("n_cells"),
+        F.col("_w").alias("w_pairs"),
+        i6.alias("morans_i"),
+    )
 
 
 def hotspot_cells(

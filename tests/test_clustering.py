@@ -86,6 +86,63 @@ def test_key_injectivity_guard():
         grid_clusters(None, cell_deg=1e-5)
 
 
+def _morans_ref(counts):
+    """counts: {(ix,iy): n} → (N, W, I) by the exact-sum formula."""
+    cells = list(counts.items())
+    n_vals = [n for _, n in cells]
+    N, S1, S2 = len(cells), sum(n_vals), sum(n * n for n in n_vals)
+    sxy = sxs = W = 0
+    for (ix, iy), nu in cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nv = counts.get((ix + dx, iy + dy))
+                if nv is not None:
+                    sxy += nu * nv
+                    sxs += nu + nv
+                    W += 1
+    mu = S1 / N
+    i_raw = N * (sxy - mu * sxs + W * mu * mu) / (W * (S2 - N * mu * mu))
+    return N, W, math.floor(i_raw * 1e6 + 0.5 + 1e-8) / 1e6
+
+
+def test_morans_i_clustered_vs_dispersed(spark):
+    from morituri_spark.geo.clustering import morans_i
+
+    # clustered: two adjacent heavy cells among light far cells → I > 0
+    rows = [(0.5, 0.5)] * 10 + [(1.5, 0.5)] * 10 + [(0.5, 1.5)] * 9 + [(1.5, 1.5)] * 9
+    rows += [(5.5, 5.5)] * 1 + [(6.5, 5.5)] * 1
+    got = morans_i(_pts(spark, rows), cell_deg=1.0).collect()
+    assert len(got) == 1
+    counts = {(0, 0): 10, (1, 0): 10, (0, 1): 9, (1, 1): 9, (5, 5): 1, (6, 5): 1}
+    N, W, I = _morans_ref(counts)
+    assert (got[0]["n_cells"], got[0]["w_pairs"]) == (N, W)
+    assert got[0]["morans_i"] == pytest.approx(I, abs=0)
+    assert got[0]["morans_i"] > 0
+
+    # checkerboard heavy/light → negative autocorrelation
+    rows2 = []
+    counts2 = {}
+    for ix in range(4):
+        for iy in range(4):
+            n = 9 if (ix + iy) % 2 == 0 else 1
+            counts2[(ix, iy)] = n
+            rows2 += [(ix + 0.5, iy + 0.5)] * n
+    got2 = morans_i(_pts(spark, rows2), cell_deg=1.0).collect()
+    N2, W2, I2 = _morans_ref(counts2)
+    assert (got2[0]["n_cells"], got2[0]["w_pairs"]) == (N2, W2)
+    assert got2[0]["morans_i"] == pytest.approx(I2, abs=0)
+    assert got2[0]["morans_i"] < 0
+
+
+def test_morans_i_no_adjacent_cells_is_empty(spark):
+    from morituri_spark.geo.clustering import morans_i
+
+    rows = [(0.5, 0.5), (10.5, 10.5)]  # isolated cells → W = 0, undefined
+    assert morans_i(_pts(spark, rows), cell_deg=1.0).count() == 0
+
+
 def test_hotspot_zscores(spark):
     # 9 cells with count 1, one cell with count 20 → clear hotspot
     rows = [(float(i), 0.5) for i in range(9)]
