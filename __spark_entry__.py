@@ -981,6 +981,20 @@ def _q_hotspot_cells(spark, sf_dir):
     return hotspot_cells(pts, cell_deg=15.0, z_threshold=1.0)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (ml/semdedup.semdedup): cluster-then-dedup semantic
+    near-duplicate removal — Arrow matmul assignment to the 8 lowest-id
+    seed centroids, within-cluster cogrouped pair kernel, drop-higher-id
+    keep rule. The oracle replays assignment (row_number over rounded
+    cosine DESC, centroid ASC) and the within-cluster pair EXISTS set
+    exactly — recall is 1.0 by construction, not probabilistic."""
+    from morituri_spark.ml.semdedup import semdedup
+
+    return semdedup(
+        _read(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.3, dim=64
+    )
+
+
 def _q_morans_i(spark, sf_dir):
     """Global Moran's I (geo/clustering.morans_i): spatial autocorrelation
     of occupied-cell point counts under binary 8-neighbor weights. Every
@@ -2695,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density_clusters": _q_grid_clusters,
         "grid_hotspot_cells": _q_hotspot_cells,
         "morans_i_autocorrelation": _q_morans_i,
+        "semdedup_keep_flags": _q_semdedup,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3246,6 +3261,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        "semdedup_keep_flags": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+            sim AS (
+                SELECT e.vec_id, c.cid,
+                       round(CAST(list_cosine_similarity(e.v, c.cv) AS DOUBLE), 6) AS cos
+                FROM e, c),
+            asg AS (
+                SELECT vec_id, CAST(cid AS INT) AS cluster_id
+                FROM (SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY cos DESC, cid) AS rn
+                      FROM sim) t
+                WHERE rn = 1),
+            d AS (
+                SELECT DISTINCT hi.vec_id
+                FROM asg lo
+                JOIN asg hi ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+                JOIN e el ON el.vec_id = lo.vec_id
+                JOIN e eh ON eh.vec_id = hi.vec_id
+                WHERE round(CAST(list_cosine_similarity(el.v, eh.v) AS DOUBLE), 6) >= 0.3)
+            SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+            FROM asg a LEFT JOIN d ON d.vec_id = a.vec_id
         """,
         "morans_i_autocorrelation": f"""
             WITH pts AS (

@@ -1,0 +1,133 @@
+"""SemDeDup — semantic deduplication via embedding clustering.
+
+The Abbas et al. 2023 recipe (arXiv:2303.09540) distributed: cluster the
+embedding corpus with k centroids, then search for near-duplicate pairs
+only WITHIN a cluster (cosine ≥ threshold) and keep one exemplar per
+duplicate relation. At 10^12 documents with k ≈ √N clusters this turns
+the quadratic all-pairs search into Σ m_c² work over clusters of expected
+size √N — the same candidate-bounding idea as LSH banding, but with
+EXACT candidate generation (recall 1.0 within the clustering's blocking
+assumption, which is the algorithm's published semantics).
+
+Spark shape:
+  * assignment — one ``mapInPandas`` pass: the k×dim centroid matrix is a
+    broadcast NumPy literal, each Arrow batch scores X @ Cᵀ in one matmul
+    and takes argmax of the ROUNDED cosine (first max → lowest centroid
+    id, replayable by ``ORDER BY cos DESC, cid`` in SQL). No shuffle.
+  * within-cluster pairs — :func:`simsearch.embedding_near_duplicates`
+    with ``bucket_col="cluster_id"``: per-cluster cogrouped matmul kernel
+    (CLAUDE.md rule 15), pair-block splitting above ``salt_target_rows``
+    members and ≤256 MB matmul tiles, so a hot cluster never concentrates
+    in one task.
+  * keep rule — drop the HIGHER id of every qualifying pair (``vec_b``);
+    deterministic, order-free, and SQL-replayable as a distinct anti-set
+    (no iterative chaining: SemDeDup drops any member that duplicates a
+    surviving-or-dropped lower id, exactly the paper's "keep one random
+    exemplar" made deterministic).
+
+Centroids: pass a trained matrix (e.g. ``simsearch.
+train_ivf_centroids_distributed``) for production; the default
+``seed_centroids`` takes the k lowest-id vectors so the whole pipeline —
+assignment included — is replayable by the DuckDB oracle with no
+engine-private state.
+
+Reference scope: no counterpart in morituri (the reference stops at
+location dedup, plugins/navteq/navteq.hpp:480-500); this is part of the
+training-data extension family (SURVEY.md §2 LLM-pipeline operators).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from .simsearch import _round6, embedding_near_duplicates
+
+
+def seed_centroids(
+    emb: DataFrame, n_clusters: int, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """k×dim matrix of the ``n_clusters`` lowest-id vectors — the
+    deterministic, oracle-replayable centroid seed (driver-side collect of
+    k rows only, the IVF-trainer discipline)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_clusters))
+        .collect()
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Append ``out_col``: index of the max-cosine centroid (ties → lowest
+    index). Cosines are rule-16 rounded BEFORE the argmax so the oracle's
+    ``row_number() OVER (ORDER BY cos DESC, cid)`` sees identical values;
+    argmax returns the first maximum, which is exactly the lowest centroid
+    id among the rounded ties. One Arrow matmul per batch, no shuffle."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    if np.any(cn == 0.0):
+        raise ValueError("zero-norm centroid: cosine undefined")
+    bc = emb.sparkSession.sparkContext.broadcast((C, cn))
+    schema = StructType(emb.schema.fields + [StructField(out_col, IntegerType(), False)])
+
+    def run(batches):
+        C, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0.0] = 1.0  # zero vector: cosine 0 to every centroid
+            sims = _round6((X @ C.T) / (xn[:, None] * cn[None, :]))
+            out = pdf.copy()
+            out[out_col] = np.argmax(sims, axis=1).astype(np.int32)
+            yield out
+
+    return emb.mapInPandas(run, schema)
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt_target_rows: int = 100_000,
+) -> DataFrame:
+    """→ (``id_col``, cluster_id, keep): ``keep`` is False iff some
+    lower-id member of the same cluster has rounded cosine ≥ ``threshold``
+    with this row. Feed ``centroids`` from a trained k-means for
+    production; default seeds are the k lowest ids (oracle-replayable)."""
+    C = seed_centroids(emb, n_clusters, vec_col, id_col) if centroids is None else centroids
+    assigned = assign_clusters(emb, C, vec_col, id_col)
+    pairs = embedding_near_duplicates(
+        assigned,
+        threshold=threshold,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        bucket_col="cluster_id",
+        salt_target_rows=salt_target_rows,
+    )
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return (
+        assigned.join(
+            dropped.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -492,6 +492,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     exact: bool = False,
     salt_target_rows: int = 100_000,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine ≥ t), a < b.
 
@@ -502,6 +503,10 @@ def embedding_near_duplicates(
     pair-blocks and every task tiles its matmul, so per-task memory and
     compute stay bounded on hot buckets. ``exact=True`` does the full
     self-join with the HOF cosine (small inputs / oracle parity only).
+    ``bucket_col`` names a PRECOMPUTED grouping column to use instead of
+    LSH (e.g. a SemDeDup cluster id): candidate generation is then exact
+    within the caller's groups, keeping the pair-block splitting and
+    tiled matmul.
     """
     if exact:
         a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")).withColumn(
@@ -518,7 +523,10 @@ def embedding_near_duplicates(
             .select("vec_a", "vec_b", "cosine")
             .distinct()
         )
-    ab = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits)
+    if bucket_col is not None:
+        ab = emb.select(id_col, vec_col, F.col(bucket_col).alias("bucket"))
+    else:
+        ab = with_lsh_bucket(emb.select(id_col, vec_col), dim, n_bits)
     out_schema = StructType(
         [
             StructField("vec_a", emb.schema[id_col].dataType, True),
