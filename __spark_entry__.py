@@ -2025,6 +2025,58 @@ def _constant_images(spark, sf_dir, n: int = 500) -> DataFrame:
     )
 
 
+def _gradient_images(spark, sf_dir, n: int = 500, w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic REAL-payload image table whose PIXELS (not just
+    stats) are closed-form: image i has channel values
+    r=(i+2y+3x)%256, g=(2i+y+5x)%256, b=(3i+4y+x)%256 at pixel (y,x) —
+    spatially varying, so per-patch sums and the position-weighted
+    checksum pin patch indexing/orientation. Payloads go through the real
+    PNG encoder here and the real decoder inside extract_patches."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.sources import images as I
+
+    ev = _read(spark, sf_dir, "events").where(f"event_id < {n}")
+    base = ev.select(F.col("event_id").alias("i"))
+
+    def gen(batches):
+        ys, xs = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["i"]:
+                i = int(i)
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[:, :, 0] = (i + 2 * ys + 3 * xs) % 256
+                arr[:, :, 1] = (2 * i + ys + 5 * xs) % 256
+                arr[:, :, 2] = (3 * i + 4 * ys + xs) % 256
+                rows["image_id"].append(f"img{i:08d}")
+                rows["bytes"].append(I.encode(arr, "png"))
+                rows["fmt"].append("png")
+                rows["w"].append(w)
+                rows["h"].append(h)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+
+
+def _q_extract_patches(spark, sf_dir):
+    """ViT-style patch tokenization (multimodal/ops.extract_patches) over
+    real PNG payloads: 16×16 gradient images → 8×8 patch grid rows with
+    exact integer channel sums + position-weighted checksum (layout-
+    sensitive: a transposed or mis-offset patch flips it) and mean_gray
+    as ONE IEEE division of an exact integer sum. The oracle re-derives
+    every pixel from the gradient closed form and aggregates per patch —
+    decode → slice → tokenize checked end-to-end, not just stats."""
+    from morituri_spark.multimodal.ops import extract_patches
+
+    return extract_patches(_gradient_images(spark, sf_dir), patch=8).drop(
+        "patch_bytes"
+    )
+
+
 def _q_jpeg_progressive_roundtrip(spark, sf_dir):
     """PROGRESSIVE JPEG (r5, verdict #4) end-to-end: the same constant-color
     images as jpeg_constant_roundtrip, but encoded with
@@ -2710,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_hotspot_cells": _q_hotspot_cells,
         "morans_i_autocorrelation": _q_morans_i,
         "semdedup_keep_flags": _q_semdedup,
+        "vit_patch_tokens": _q_extract_patches,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -3261,6 +3314,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        "vit_patch_tokens": """
+            WITH ids AS (
+                SELECT event_id AS i FROM events WHERE event_id < 500),
+            pix AS (
+                SELECT i, y, x,
+                       (i + 2 * y + 3 * x) % 256 AS r,
+                       (2 * i + y + 5 * x) % 256 AS g,
+                       (3 * i + 4 * y + x) % 256 AS b
+                FROM ids,
+                     generate_series(0, 15) AS ys(y),
+                     generate_series(0, 15) AS xs(x)),
+            agg AS (
+                SELECT i,
+                       CAST(y // 8 AS INT) AS py,
+                       CAST(x // 8 AS INT) AS px,
+                       CAST(sum(r) AS BIGINT) AS sum_r,
+                       CAST(sum(g) AS BIGINT) AS sum_g,
+                       CAST(sum(b) AS BIGINT) AS sum_b,
+                       CAST(sum(
+                           (((y % 8) * 8 + (x % 8)) * 3 + 1) * r
+                           + (((y % 8) * 8 + (x % 8)) * 3 + 2) * g
+                           + (((y % 8) * 8 + (x % 8)) * 3 + 3) * b
+                       ) AS BIGINT) AS checksum
+                FROM pix GROUP BY 1, 2, 3)
+            SELECT printf('img%08d', i) AS image_id, py, px,
+                   sum_r, sum_g, sum_b, checksum,
+                   CAST(sum_r + sum_g + sum_b AS DOUBLE) / 192.0 AS mean_gray
+            FROM agg
         """,
         "semdedup_keep_flags": """
             WITH e AS (

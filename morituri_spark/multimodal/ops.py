@@ -175,6 +175,76 @@ def sample_frames(
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+PATCH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("py", IntegerType(), False),
+        StructField("px", IntegerType(), False),
+        StructField("patch_bytes", BinaryType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("mean_gray", DoubleType(), False),
+    ]
+)
+
+
+def extract_patches(
+    images: DataFrame, patch: int = 16, deterministic_fake: bool = False
+) -> DataFrame:
+    """ViT-style patch tokenization: decode → non-overlapping ``patch`` ×
+    ``patch`` grid → one row per patch. ``patch_bytes`` carries the raw
+    interleaved-RGB pixel block (the training-token payload, row-major);
+    the integer channel sums and the POSITION-WEIGHTED checksum
+    Σ (k+1)·v_k over the flattened block (k = (y·p + x)·3 + c) pin the
+    exact pixel layout — a transposed or mis-offset patch changes the
+    checksum even when the sums survive. Pixels not covered by a full
+    patch (right/bottom remainders) are dropped, as ViT does.
+
+    Scale shape: one Arrow batch in, one vectorized reshape/tensordot per
+    image out — the fan-out is (h//p)·(w//p) rows per image with no
+    shuffle; ``mean_gray`` is a single IEEE division of an exact integer
+    sum, so the SQL oracle replays it bit-for-bit."""
+    src = images.select("image_id", "bytes", "fmt", "w", "h")
+    rows_schema = PATCH_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = int(patch)
+        wts = np.arange(1, p * p * 3 + 1, dtype=np.int64).reshape(p, p, 3)
+        for pdf in batches:
+            out = {k.name: [] for k in rows_schema.fields}
+            for iid, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                ny, nx = arr.shape[0] // p, arr.shape[1] // p
+                if ny == 0 or nx == 0:
+                    continue
+                # (ny, p, nx, p, 3) → per-patch views without copying
+                g = arr[: ny * p, : nx * p].reshape(ny, p, nx, p, 3)
+                a64 = g.astype(np.int64)
+                sums = a64.sum(axis=(1, 3))                     # (ny, nx, 3)
+                csum = np.einsum("ipjqc,pqc->ij", a64, wts)     # (ny, nx)
+                for iy in range(ny):
+                    for ix in range(nx):
+                        blk = np.ascontiguousarray(g[iy, :, ix, :, :])
+                        out["image_id"].append(iid)
+                        out["py"].append(iy)
+                        out["px"].append(ix)
+                        out["patch_bytes"].append(blk.tobytes())
+                        out["sum_r"].append(int(sums[iy, ix, 0]))
+                        out["sum_g"].append(int(sums[iy, ix, 1]))
+                        out["sum_b"].append(int(sums[iy, ix, 2]))
+                        out["checksum"].append(int(csum[iy, ix]))
+                        out["mean_gray"].append(
+                            float(int(sums[iy, ix].sum()) / float(3 * p * p))
+                        )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, rows_schema)
+
+
 def phash_near_duplicates(
     images: DataFrame,
     max_hamming: int = 2,
