@@ -2771,28 +2771,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
         "admin_boundaries": _q_admin_boundaries,
-        # _derived_streets gained area columns — re-pin its consumers
+        # _derived_streets gained area columns — house_numbers_oracle is the
+        # only query exercising G6-G8 house-number gating, so it keeps the
+        # last in-window slot; street_ways_oracle / turn_restrictions_oracle
+        # rotate below (their r5-touched pipelines run in-window through the
+        # street_conversion / turn_restrictions ex-demos on the same
+        # _derived_streets input)
+        "house_numbers_oracle": _q_house_numbers_oracle,
+        # ---------------- position > 50: r4-green; each of these has an
+        # in-window sibling exercising the same r5-touched code path
+        # (street/restriction chains via the ex-demos above;
+        # assign_zones_broadcast runs in-window through
+        # segment_zone_lengths' midpoint assignment; ann_cosine_topk is the
+        # untouched Catalyst F.round path while the r5-touched np kernels
+        # run in-window through semdedup_keep_flags; ann_ivf_topk ≡
+        # byte-identical to the indexed probe; ann_recall_gates gates the
+        # same ANN paths; multipolygon PIP shares the ray-cast core with
+        # broadcast/salted; haversine kNN and the tile rollup share
+        # knn_ring/streaming_dedup machinery) ------------------------------
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
-        "house_numbers_oracle": _q_house_numbers_oracle,
-        # ANN/embedding family: shared half-up rounding + block-split LSH
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        # spatial core: shuffle PIP auto-compaction routing + kNN re-pins
         "pip_zone_assign_salted": _q_pip_zones_shuffle,
-        # stateful streaming: state_ttl_ms parameter added
         "streaming_dedup_exact": _q_streaming_dedup,
-        # ---------------- position > 50: r4-green; each of these has an
-        # in-window sibling exercising the same r5-touched code path
-        # (assign_zones_broadcast runs in-window through
-        # segment_zone_lengths' midpoint assignment; ann_ivf_topk ≡
-        # byte-identical to the indexed probe; ann_recall_gates gates the
-        # same ANN paths; multipolygon PIP shares the ray-cast core with
-        # broadcast/salted; haversine kNN and the tile rollup share
-        # knn_ring/streaming_dedup machinery) ------------------------------
         "pip_zone_assign_broadcast": _q_pip_zones,
         "knn_ring_expansion": _q_knn_ring,
         "ann_ivf_topk": _q_ann_ivf,
