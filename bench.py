@@ -337,6 +337,63 @@ def main() -> None:
     mm_pts.unpersist()
     mm_segs.unpersist()
 
+    # grid analytics (r5): 4M points collapse to occupied cells at ONE
+    # map-side-combinable aggregate; the iterative CC (clusters) and the
+    # neighbor-join sums (Moran's I) then run over CELLS (~16k rows) —
+    # grid-bounded, not point-bounded, which is the whole 100 TB story
+    from morituri_spark.geo.clustering import grid_clusters, morans_i
+
+    # 2M uniform background (~123/cell at 2°, below min_pts) + 2M points in
+    # 500 dense patches → core cells form many SMALL components, the real
+    # clustering shape (a uniform field makes one world-spanning component
+    # whose CC convergence measures nothing but round overhead — probed at
+    # 35s vs ~5s for this mixture)
+    ga_bg = spark.range(2_000_000).select(
+        ((F.col("id") * 7919 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 180000).cast("double") / 1000.0 - 90.0).alias("lat"),
+    )
+    ga_hot = spark.range(2_000_000).select(
+        (((F.col("id") % 500) * 7919 % 360).cast("double") - 180.0
+         + (F.col("id") * 13 % 2500).cast("double") / 1000.0).alias("lon"),
+        (((F.col("id") % 500) * 104729 % 180).cast("double") - 90.0
+         + (F.col("id") * 17 % 2500).cast("double") / 1000.0).alias("lat"),
+    )
+    ga_pts = ga_bg.union(ga_hot).repartition(cpus * 2).persist()
+    ga_pts.count()
+    timed(
+        "grid_clusters_4m_points",
+        lambda: grid_clusters(ga_pts, cell_deg=2.0, min_pts=400).count(),
+    )
+    timed("morans_i_4m_points", lambda: morans_i(ga_pts, cell_deg=2.0).count())
+    ga_pts.unpersist()
+
+    # SemDeDup (r5): 200k vectors × 64 clusters — one assignment matmul
+    # pass, then within-cluster pair kernels (~3k rows/cluster at this
+    # shape; pair-block splitting bounds any hot cluster)
+    from morituri_spark.ml.semdedup import semdedup
+    from morituri_spark.ml.simsearch import fixed_centroids
+
+    sd_emb = (
+        spark.range(200_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST(sin((id + 1) * i) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    sd_emb.count()
+    timed(
+        "semdedup_200k_64clusters",
+        lambda: semdedup(
+            sd_emb, threshold=0.9, dim=64,
+            centroids=fixed_centroids(64, 64), salt_target_rows=20_000,
+        ).count(),
+    )
+    sd_emb.unpersist()
+
     # many-zone regime (r4 budget raise 4096→65536 zones): the per-zone
     # vectorized bbox broadcast kernel vs the salted shuffle on 10k hex
     # zones × 1M points — broadcast won at every count measured (see
@@ -420,6 +477,20 @@ def main() -> None:
         lambda: synth.images_table(spark, N_PAYLOAD, partitions=cpus, px=16)
         .agg(F.sum(F.length("bytes")), F.max("phash")).collect(),
     )
+
+    # ViT patch tokenization (r5): real PNG/FJPG decode → 16×16 patch grid
+    # rows with integer sums + layout checksum; decode dominates, fan-out
+    # is 4 rows/image with no shuffle
+    from morituri_spark.multimodal.ops import extract_patches
+
+    patch_imgs = synth.images_table(spark, N_PAYLOAD, partitions=cpus, px=32).persist()
+    patch_imgs.count()
+    timed(
+        "vit_patches_20k_images",
+        lambda: extract_patches(patch_imgs, patch=16)
+        .agg(F.sum("checksum"), F.count(F.lit(1))).collect(),
+    )
+    patch_imgs.unpersist()
 
     # relational headliners at sf
     timed(
