@@ -1009,6 +1009,21 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_idw_surface(spark, sf_dir):
+    """IDW interpolation surface (geo/interpolate.idw_surface): event
+    values interpolated to 5° cell centers from the 3×3 neighborhood,
+    QUANTIZED integer weights (⌊1e9/(1e-3+d²)⌋) summed as DECIMAL(38,0)
+    — partition-order-independent by construction, so Spark and DuckDB
+    agree exactly; the only float ops are the shared d² expression and
+    one final division."""
+    from morituri_spark.geo.interpolate import idw_surface
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"), "value"
+    )
+    return idw_surface(pts, cell_deg=5.0)
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -2763,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_autocorrelation": _q_morans_i,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
+        "idw_surface_cells": _q_idw_surface,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -2771,16 +2787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
         "admin_boundaries": _q_admin_boundaries,
-        # _derived_streets gained area columns — house_numbers_oracle is the
-        # only query exercising G6-G8 house-number gating, so it keeps the
-        # last in-window slot; street_ways_oracle / turn_restrictions_oracle
-        # rotate below (their r5-touched pipelines run in-window through the
-        # street_conversion / turn_restrictions ex-demos on the same
-        # _derived_streets input)
-        "house_numbers_oracle": _q_house_numbers_oracle,
         # ---------------- position > 50: r4-green; each of these has an
         # in-window sibling exercising the same r5-touched code path
-        # (street/restriction chains via the ex-demos above;
+        # (street/restriction chains and the shared _derived_streets fixture
+        # via the ex-demos above — house_number_ways itself is untouched
+        # since its r4 green row and stays covered by test_entry's replica;
         # assign_zones_broadcast runs in-window through
         # segment_zone_lengths' midpoint assignment; ann_cosine_topk is the
         # untouched Catalyst F.round path while the r5-touched np kernels
@@ -2789,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same ANN paths; multipolygon PIP shares the ray-cast core with
         # broadcast/salted; haversine kNN and the tile rollup share
         # knn_ring/streaming_dedup machinery) ------------------------------
+        "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
         "ann_cosine_topk": _q_ann_topk,
@@ -3375,6 +3387,39 @@ def oracle_sql() -> dict[str, str]:
                 WHERE round(CAST(list_cosine_similarity(el.v, eh.v) AS DOUBLE), 6) >= 0.3)
             SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
             FROM asg a LEFT JOIN d ON d.vec_id = a.vec_id
+        """,
+        "idw_surface_cells": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat, value FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 5.0) AS BIGINT) AS px,
+                       CAST(floor(lat / 5.0) AS BIGINT) AS py,
+                       lon AS x, lat AS y,
+                       CAST(floor(value * 1000.0) AS BIGINT) AS vq
+                FROM pts),
+            c AS (
+                SELECT b.*, px + dx.d AS ix, py + dy.d AS iy
+                FROM b,
+                     (VALUES (-1), (0), (1)) AS dx(d),
+                     (VALUES (-1), (0), (1)) AS dy(d)),
+            s AS (
+                SELECT ix, iy, vq,
+                       CAST(floor(1e9 / (1e-3
+                           + (x - (CAST(ix AS DOUBLE) + 0.5) * 5.0)
+                             * (x - (CAST(ix AS DOUBLE) + 0.5) * 5.0)
+                           + (y - (CAST(iy AS DOUBLE) + 0.5) * 5.0)
+                             * (y - (CAST(iy AS DOUBLE) + 0.5) * 5.0)
+                       )) AS BIGINT) AS wq
+                FROM c),
+            a AS (
+                SELECT ix, iy, count(*) AS n_samples,
+                       sum(CAST(wq AS DECIMAL(38,0))) AS sw,
+                       sum(CAST(wq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0))) AS swv
+                FROM s GROUP BY 1, 2)
+            SELECT ix, iy, n_samples,
+                   floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000.0
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS idw_value
+            FROM a WHERE sw > 0
         """,
         "morans_i_autocorrelation": f"""
             WITH pts AS (

@@ -365,6 +365,14 @@ def main() -> None:
         lambda: grid_clusters(ga_pts, cell_deg=2.0, min_pts=400).count(),
     )
     timed("morans_i_4m_points", lambda: morans_i(ga_pts, cell_deg=2.0).count())
+
+    # IDW surface over the same mixture: 9-way contribution explode + one
+    # map-side-combinable decimal aggregate — no join, no float-sum
+    # nondeterminism (quantized integer weights)
+    from morituri_spark.geo.interpolate import idw_surface
+
+    ga_val = ga_pts.withColumn("value", (F.col("lon") + F.lit(180.0)) * F.lit(1.37))
+    timed("idw_surface_4m_points", lambda: idw_surface(ga_val, cell_deg=2.0).count())
     ga_pts.unpersist()
 
     # SemDeDup (r5): 200k vectors × 64 clusters — one assignment matmul
