@@ -95,3 +95,63 @@ def test_cell_density_boundary_and_unsmoothed(spark):
     raw = {(r.ix, r.iy): r.n_points
            for r in cell_density(pts, cell_deg=15.0, smooth=False).collect()}
     assert raw == {(-1, 0): 2}
+
+
+def test_resample_track_linear_interp(spark):
+    from morituri_spark.geo.trajectory import resample_track
+
+    # user 1: fixes at 0s (0,0), 1000s (10,20), 2500s (10,5); T=900
+    rows = [
+        (1, _t(0, 0), 0.0, 0.0),
+        (1, dt.datetime(2024, 1, 1, 0, 16, 40), 10.0, 20.0),   # +1000s
+        (1, dt.datetime(2024, 1, 1, 0, 41, 40), 10.0, 5.0),    # +2500s
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, lon double, lat double")
+    got = {r["k"]: (r["x"], r["y"]) for r in
+           resample_track(df, "user_id", "ts", ["ts"], interval_s=900).collect()}
+
+    def r6(v):
+        import math
+        return math.floor(v * 1e6 + 0.5 + 1e-8) / 1e6
+
+    # k=0 first fix; k=1 at 900s in seg (0,1000]; k=2 at 1800s in (1000,2500]
+    f1 = 900.0 / 1000.0
+    f2 = (1800.0 - 1000.0) / 1500.0
+    assert got == {
+        0: (0.0, 0.0),
+        1: (r6(0.0 + 10.0 * f1), r6(0.0 + 20.0 * f1)),
+        2: (r6(10.0), r6(20.0 + (5.0 - 20.0) * f2)),
+    }
+
+
+def test_resample_grid_point_on_fix_emitted_once(spark):
+    from morituri_spark.geo.trajectory import resample_track
+
+    # second fix exactly at T=900: belongs to segment (0, 900], f=1
+    rows = [
+        (1, _t(0, 0), 0.0, 0.0),
+        (1, _t(15, 0), 3.0, 4.0),     # +900s
+        (1, _t(30, 0), 6.0, 8.0),     # +1800s
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, lon double, lat double")
+    out = resample_track(df, "user_id", "ts", ["ts"], interval_s=900).collect()
+    ks = sorted(r["k"] for r in out)
+    assert ks == [0, 1, 2]
+    got = {r["k"]: (r["x"], r["y"]) for r in out}
+    assert got[1] == (3.0, 4.0) and got[2] == (6.0, 8.0)
+
+
+def test_resample_dense_trace_collapses(spark):
+    from morituri_spark.geo.trajectory import resample_track
+
+    # 1 Hz fixes for 30 min → exactly 3 output rows at T=900 (k=0,1,2)
+    rows = [
+        (7, dt.datetime(2024, 1, 1, 0, 0, s // 60, 0) if False else
+            dt.datetime(2024, 1, 1, 0, s // 60, s % 60), float(s), float(-s))
+        for s in range(0, 1801, 1)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, lon double, lat double")
+    out = resample_track(df, "user_id", "ts", ["ts"], interval_s=900).collect()
+    assert sorted(r["k"] for r in out) == [0, 1, 2]
+    got = {r["k"]: (r["x"], r["y"]) for r in out}
+    assert got[1] == (900.0, -900.0) and got[2] == (1800.0, -1800.0)
