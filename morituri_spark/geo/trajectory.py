@@ -161,17 +161,24 @@ def resample_track(
     def _r6(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
 
-    first = seg.where(F.col("_rn") == 1).select(
-        F.col(key_col),
-        F.lit(0).alias("k"),
-        _r6(F.col(lon)).alias("x"),
-        _r6(F.col(lat)).alias("y"),
+    # ONE explode covers both row kinds (a union of a k=0 branch and an
+    # interpolation branch would recompute the window subtree twice —
+    # rule 21): the trace's first row extends its sequence down to k=0,
+    # where the interpolation CASE short-circuits to the fix itself (also
+    # covering single-fix and duplicate-second-leading traces, whose
+    # segment part is empty).
+    lo = F.when(F.col("_rn") == 1, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"_off div {T}") + F.lit(1)
     )
-    lo = F.expr(f"_off div {T}") + F.lit(1)
-    hi = F.expr(f"_noff div {T}")
-    ks = seg.where(
-        F.col("_noff").isNotNull() & (F.col("_noff") > F.col("_off"))
-    ).select(
+    hi = F.when(
+        F.col("_noff").isNotNull() & (F.col("_noff") > F.col("_off")),
+        F.expr(f"_noff div {T}"),
+    ).otherwise(
+        F.when(F.col("_rn") == 1, F.lit(0).cast("bigint")).otherwise(
+            F.lit(-1).cast("bigint")
+        )
+    )
+    ks = seg.select(
         key_col, lon, lat, "_off", "_noff", "_nlon", "_nlat",
         F.explode(
             F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
@@ -182,12 +189,21 @@ def resample_track(
     f = (F.col("k") * F.lit(T) - F.col("_off")).cast("double") / (
         F.col("_noff") - F.col("_off")
     ).cast("double")
-    interp = ks.select(
+    # k·T == off happens ONLY for the injected k=0 on the first row (every
+    # segment k satisfies k·T > off strictly), so the CASE is the exact
+    # "grid point on the anchor fix" rule, not an approximation
+    on_anchor = F.col("k") * F.lit(T) == F.col("_off")
+    return ks.select(
         F.col(key_col),
         F.col("k").cast("int").alias("k"),
-        _r6(F.col(lon) + (F.col("_nlon") - F.col(lon)) * f).alias("x"),
-        _r6(F.col(lat) + (F.col("_nlat") - F.col(lat)) * f).alias("y"),
+        _r6(
+            F.when(on_anchor, F.col(lon)).otherwise(
+                F.col(lon) + (F.col("_nlon") - F.col(lon)) * f
+            )
+        ).alias("x"),
+        _r6(
+            F.when(on_anchor, F.col(lat)).otherwise(
+                F.col(lat) + (F.col("_nlat") - F.col(lat)) * f
+            )
+        ).alias("y"),
     )
-    return first.select(
-        key_col, F.col("k").cast("int").alias("k"), "x", "y"
-    ).unionByName(interp)

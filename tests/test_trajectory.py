@@ -155,3 +155,18 @@ def test_resample_dense_trace_collapses(spark):
     assert sorted(r["k"] for r in out) == [0, 1, 2]
     got = {r["k"]: (r["x"], r["y"]) for r in out}
     assert got[1] == (900.0, -900.0) and got[2] == (1800.0, -1800.0)
+
+
+def test_resample_single_fix_and_plan(spark):
+    from morituri_spark.geo.trajectory import resample_track
+
+    # single-fix user still yields its k=0 anchor row
+    rows = [(9, _t(0, 0), 2.5, -3.5)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, lon double, lat double")
+    out = resample_track(df, "user_id", "ts", ["ts"], interval_s=900).collect()
+    assert [(r["k"], r["x"], r["y"]) for r in out] == [(0, 2.5, -3.5)]
+
+    # one-pass plan: exactly one Exchange (rule 21 — no union recompute)
+    plan = resample_track(df, "user_id", "ts", ["ts"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
