@@ -60,10 +60,14 @@ def grid_clusters(
     cells = bin_cells(df, lon, lat, cell_deg).where(
         F.col("n_points") >= F.lit(int(min_pts))
     )
+    # core is referenced THREE times (neighbor explode, join-back side,
+    # final label join): without materialization each branch re-runs the
+    # full point aggregate (rule 21/22). The table is grid-bounded (tiny),
+    # so one localCheckpoint trades three 10^12-row scans for one.
     core = cells.select(
         "ix", "iy", "n_points",
         (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
-    )
+    ).localCheckpoint()
 
     edges = _neighbor_pairs(core).select("u", "v")
 
@@ -119,7 +123,10 @@ def morans_i(
     expression tree (rule 16: shared-epsilon rounded to 6 dp). Cells with
     no occupied neighbor contribute to N/S₁/S₂ but not W; the row is
     empty when W = 0 (no adjacent occupied cells — I undefined)."""
-    cells = bin_cells(df, lon, lat, cell_deg)
+    # one materialization of the grid-bounded cell table — the pair sums
+    # (a self-join) and the cell sums would otherwise each re-run the
+    # full point aggregate
+    cells = bin_cells(df, lon, lat, cell_deg).localCheckpoint()
     core = cells.select(
         "ix", "iy", "n_points",
         (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
@@ -162,7 +169,9 @@ def hotspot_cells(
     accumulation order is nondeterministic across engines); z is
     shared-epsilon rounded to 6 decimals before the threshold gate so the
     boundary cannot flip between engines."""
-    cells = bin_cells(df, lon, lat, cell_deg)
+    # stats + the per-cell z both consume the cell table — materialize it
+    # once (grid-bounded) instead of re-running the point aggregate twice
+    cells = bin_cells(df, lon, lat, cell_deg).localCheckpoint()
     stats = cells.agg(
         F.sum("n_points").alias("_s1"),
         F.sum(F.col("n_points") * F.col("n_points")).alias("_s2"),

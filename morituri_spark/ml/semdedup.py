@@ -110,7 +110,12 @@ def semdedup(
     with this row. Feed ``centroids`` from a trained k-means for
     production; default seeds are the k lowest ids (oracle-replayable)."""
     C = seed_centroids(emb, n_clusters, vec_col, id_col) if centroids is None else centroids
-    assigned = assign_clusters(emb, C, vec_col, id_col)
+    # the assignment matmul feeds BOTH the pair search and the output join
+    # — materialize it once (rule 21: an unshared two-branch plan would run
+    # the Arrow kernel over the whole corpus twice). At cluster scale this
+    # is the "write assignments once, read twice" stage of the published
+    # recipe; localCheckpoint is the in-session equivalent.
+    assigned = assign_clusters(emb, C, vec_col, id_col).localCheckpoint()
     pairs = embedding_near_duplicates(
         assigned,
         threshold=threshold,
