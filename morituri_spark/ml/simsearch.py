@@ -483,6 +483,42 @@ def with_lsh_bucket(
     return df.mapInPandas(run, schema)
 
 
+def _self_pair_blocks(
+    ab: DataFrame, id_col: str, salt_target_rows: int
+) -> DataFrame:
+    """Pair-block decomposition of a bucketed self-join (shared by the
+    pair-emitting near-dup kernel and SemDeDup's dropped-id kernel):
+    members of a bucket above ``salt_target_rows`` hash into s sub-groups
+    and the self-join decomposes into the s·(s+1)/2 unordered sub-group
+    blocks (a ≤ b), each its own task. A member with sub-group h joins
+    every block containing h (s blocks), so each unordered pair {i, j}
+    lands in EXACTLY one block (min(h_i,h_j), max(h_i,h_j)) — no
+    symmetric dedup needed, and per-task compute/memory drops s²-fold.
+    Replication is s× for hot buckets only (the _salt_sides discipline
+    applied to a self-join). Group by ("bucket", "_blk.a", "_blk.b")."""
+    stats = (
+        ab.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "bucket",
+            F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(salt_target_rows)))
+            .cast("int")
+            .alias("_ns"),
+        )
+        .where(F.col("_ns") > 1)
+    )
+    return (
+        ab.join(F.broadcast(stats), "bucket", "left")
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"))
+        .withColumn(
+            "_blk",
+            F.explode(F.expr("transform(sequence(0, _ns - 1), j -> "
+                             "struct(least(_h, j) AS a, greatest(_h, j) AS b))")),
+        )
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -551,27 +587,7 @@ def embedding_near_duplicates(
     #   * TILED MATMUL: inside a task, score query rows against the block
     #     in ≤32M-element tiles, so the similarity buffer stays ≤256 MB
     #     regardless of block size.
-    stats = (
-        ab.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select(
-            "bucket",
-            F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(salt_target_rows)))
-            .cast("int")
-            .alias("_ns"),
-        )
-        .where(F.col("_ns") > 1)
-    )
-    m = (
-        ab.join(F.broadcast(stats), "bucket", "left")
-        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
-        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"))
-        .withColumn(
-            "_blk",
-            F.explode(F.expr("transform(sequence(0, _ns - 1), j -> "
-                             "struct(least(_h, j) AS a, greatest(_h, j) AS b))")),
-        )
-    )
+    m = _self_pair_blocks(ab, id_col, salt_target_rows)
 
     def pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         blk_a, blk_b = int(key[1]), int(key[2])
