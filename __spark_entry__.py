@@ -1009,6 +1009,49 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _quadkey_oracle_sql() -> str:
+    """Rebuild every quadkey digit with the exact cell arithmetic
+    (chr(48 + x_bit + 2·y_bit) per level, most-significant first)."""
+    digits = " || ".join(
+        f"chr(CAST(48 + ((x >> {8 - i}) & 1) + 2 * ((y >> {8 - i}) & 1) AS INT))"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH pts AS (
+            SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+        xy AS (
+            SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 256.0)
+                                       AS BIGINT), 0), 255) AS x,
+                   LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 256.0)
+                                       AS BIGINT), 0), 255) AS y
+            FROM pts),
+        q AS (SELECT {digits} AS qk8 FROM xy)
+        SELECT substring(qk8, 1, 4) AS qk4,
+               count(*) AS n_points,
+               count(DISTINCT qk8) AS n_subtiles
+        FROM q GROUP BY 1
+    """
+
+
+def _q_quadkey_pyramid(spark, sf_dir):
+    """Quadkey tile pyramid (geo/cells.quadkey_col): base-4 tile-interop
+    strings whose length-r PREFIX is the res-r parent tile, so the
+    pyramid rollup is a substring groupBy (one exchange, map-side
+    combinable). Pure floor + bit math — no Web-Mercator trig, whose
+    libm last-ulp differences would flip boundary tiles between engines;
+    the oracle rebuilds every digit with the identical arithmetic."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    from morituri_spark.geo.cells import quadkey_col
+
+    qk = ev.select(quadkey_col(F.col("lon"), F.col("lat"), 8).alias("qk8"))
+    return qk.groupBy(F.substring("qk8", 1, 4).alias("qk4")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("qk8").alias("n_subtiles"),
+    )
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -2759,7 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_orderless": _q_anti,
         "min_pivot_restrictions": _q_min_pivot,
         "group_collect_ordered": _q_group_collect,
-        "window_lead_delta": _q_window_lead,
+        # window_lead_delta (r3-green, frozen lead/lag surface; the window
+        # machinery stays in-window via window_topk_per_key) yields its
+        # slot to the never-checked quadkey_pyramid — registered below 50
         "window_topk_per_key": _q_window_topk,
         "dedup_quantized_loc": _q_dedup_quantized,
         "case_decision_tree": _q_case_tree,
@@ -2800,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vit_patch_tokens": _q_extract_patches,
         "idw_surface_cells": _q_idw_surface,
         "resample_tracks_daily": _q_resample_track,
+        "quadkey_pyramid": _q_quadkey_pyramid,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -2822,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast/salted; haversine kNN and the tile rollup share
         # knn_ring/streaming_dedup machinery) ------------------------------
         "cube_rollup": _q_cube_rollup,
+        "window_lead_delta": _q_window_lead,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3410,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
             FROM asg a LEFT JOIN d ON d.vec_id = a.vec_id
         """,
+        "quadkey_pyramid": _quadkey_oracle_sql(),
         "resample_tracks_daily": f"""
             WITH pts AS (
                 SELECT user_id, ts, event_id,

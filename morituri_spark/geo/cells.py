@@ -286,6 +286,55 @@ def cell_col(lon_col, lat_col, res: int):
     )
 
 
+def quadkey_col(lon_col, lat_col, res: int):
+    """Bing-style quadkey STRING of the grid cell (tile-interop key): one
+    base-4 digit per level, most-significant first — digit i is
+    ``x_bit + 2·y_bit`` at bit (res−i), so every prefix of length r IS the
+    quadkey of the resolution-r parent tile. That prefix property makes
+    pyramid rollups a ``substring`` groupBy and tile-subtree reads a
+    ``LIKE 'prefix%'`` pushdown on a sorted column. Pure floor + bit math
+    over the SAME exact x/y as :func:`cell_col` (no Web-Mercator trig —
+    ln/tan last-ulp behavior differs between libm implementations and
+    would flip boundary tiles between engines), whole-stage codegen."""
+    if not 1 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range [1, {MAX_RES}]")
+    n = float(1 << res)
+    nmax = (1 << res) - 1
+    x = F.least(
+        F.greatest(F.floor((lon_col + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(nmax),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat_col + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(nmax),
+    )
+    digits = [
+        F.char(
+            F.lit(48)
+            + F.shiftright(x, res - i).bitwiseAND(F.lit(1))
+            + F.lit(2) * F.shiftright(y, res - i).bitwiseAND(F.lit(1))
+        )
+        for i in range(1, res + 1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_to_cell(qk):
+    """Vectorized decode: quadkey strings → cell ids (res = len(qk))."""
+    out = []
+    for s in np.asarray(qk):
+        s = str(s)
+        x = y = 0
+        for ch in s:
+            d = ord(ch) - 48
+            if not 0 <= d <= 3:
+                raise ValueError(f"invalid quadkey digit {ch!r} in {s!r}")
+            x = (x << 1) | (d & 1)
+            y = (y << 1) | (d >> 1)
+        out.append((np.int64(len(s)) << _RES_SHIFT) | (np.int64(x) << _X_SHIFT) | np.int64(y))
+    return np.asarray(out, dtype=np.int64)
+
+
 def cell_udf(res: int):
     """``F.pandas_udf`` computing cell ids from lon/lat columns at ``res``."""
 
