@@ -60,3 +60,11 @@ def test_idw_sample_on_center_dominates(spark):
     df = spark.createDataFrame(rows, "lon double, lat double, value double")
     got = {(r["ix"], r["iy"]): r["idw_value"] for r in idw_surface(df, cell_deg=1.0).collect()}
     assert abs(got[(0, 0)] - 100.0) < 0.5
+
+
+def test_idw_single_exchange_plan(spark):
+    df = spark.createDataFrame([(0.5, 0.5, 1.0)], "lon double, lat double, value double")
+    plan = idw_surface(df)._jdf.queryExecution().executedPlan().toString()
+    # the contribution explode is narrow; only the target-cell aggregate
+    # exchanges (AQE may wrap it, so count the shuffle origins)
+    assert plan.count("Exchange") == 1, plan
