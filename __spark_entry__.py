@@ -1033,6 +1033,31 @@ def _quadkey_oracle_sql() -> str:
     """
 
 
+def _q_crossmodal_dups(spark, sf_dir):
+    """Cross-modal duplicate confirmation (pipelines/crossmodal.
+    confirm_dups) over the brief's (image_id, caption, phash) shape:
+    candidates from the banded phash Hamming join, confirmed by caption
+    byte-equality via two id-joins of the pair set (never corpus²). The
+    caption groups (event_id div 4) deliberately split the planted phash
+    pairs — some confirm, some don't — and the oracle brute-forces BOTH
+    conditions independently."""
+    from morituri_spark.pipelines.crossmodal import confirm_dups
+
+    ph = _phash_expr(lambda a, b: f"({a}) ^ {b}")
+    imgs = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("image_id"),
+        F.expr(ph).alias("phash"),
+        F.format_string(
+            "photo of scene %d", F.expr("event_id div 4")
+        ).alias("caption"),
+    )
+    return confirm_dups(imgs, max_hamming=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def _q_quadkey_pyramid(spark, sf_dir):
     """Quadkey tile pyramid (geo/cells.quadkey_col): base-4 tile-interop
     strings whose length-r PREFIX is the res-r parent tile, so the
@@ -2810,7 +2835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_decision_tree": _q_case_tree,
         "units_format_6g": _q_units_format,
         "string_merge_lr": _q_string_merge,
-        "hourly_rollup": _q_hourly_rollup,
+        # hourly_rollup (r3-green, frozen date_trunc groupBy; the time-agg
+        # surface stays in-window via sessionize_gap) yields its slot to
+        # the never-checked crossmodal_dup_confirm — registered below 50
         "chunk_fixed_size": _q_chunk_groups,
         "sessionize_gap": _q_sessionize,
         "hll_distinct_gate": _q_hll_gate,
@@ -2846,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface_cells": _q_idw_surface,
         "resample_tracks_daily": _q_resample_track,
         "quadkey_pyramid": _q_quadkey_pyramid,
+        "crossmodal_dup_confirm": _q_crossmodal_dups,
         # --- new in r5 ---
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -2869,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_ring/streaming_dedup machinery) ------------------------------
         "cube_rollup": _q_cube_rollup,
         "window_lead_delta": _q_window_lead,
+        "hourly_rollup": _q_hourly_rollup,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3458,6 +3487,18 @@ def oracle_sql() -> dict[str, str]:
             FROM asg a LEFT JOIN d ON d.vec_id = a.vec_id
         """,
         "quadkey_pyramid": _quadkey_oracle_sql(),
+        "crossmodal_dup_confirm": f"""
+            WITH h AS (
+                SELECT event_id AS image_id,
+                       {_phash_expr(lambda a, b: f"xor({a}, {b})")} AS phash,
+                       printf('photo of scene %d', event_id // 4) AS caption
+                FROM events)
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+              AND a.caption = b.caption
+        """,
         "resample_tracks_daily": f"""
             WITH pts AS (
                 SELECT user_id, ts, event_id,
