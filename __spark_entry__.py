@@ -1077,6 +1077,66 @@ def _q_quadkey_pyramid(spark, sf_dir):
     )
 
 
+def _geohash_oracle_sql() -> str:
+    """Rebuild every base32 geohash character with the exact bisection
+    arithmetic (interleaved lon-first bits, most-significant first) —
+    same digit-replay strategy as :func:`_quadkey_oracle_sql`."""
+    length, nbits = 6, 30
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    chars = []
+    for c in range(length):
+        bits = []
+        for j in range(5):
+            t = 5 * c + j
+            if t % 2 == 0:
+                bits.append(f"((x >> {nlon - 1 - t // 2}) & 1) * {1 << (4 - j)}")
+            else:
+                bits.append(
+                    f"((y >> {nlat - 1 - (t - 1) // 2}) & 1) * {1 << (4 - j)}"
+                )
+        v = " + ".join(bits)
+        chars.append(
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST(({v}) + 1 AS INT), 1)"
+        )
+    digits = " || ".join(chars)
+    return f"""
+        WITH pts AS (
+            SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+        xy AS (
+            SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(1 << nlon)})
+                                       AS BIGINT), 0), {(1 << nlon) - 1}) AS x,
+                   LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {float(1 << nlat)})
+                                       AS BIGINT), 0), {(1 << nlat) - 1}) AS y
+            FROM pts),
+        g AS (SELECT {digits} AS gh6 FROM xy)
+        SELECT substring(gh6, 1, 3) AS gh3,
+               count(*) AS n_points,
+               count(DISTINCT gh6) AS n_subcells
+        FROM g GROUP BY 1
+    """
+
+
+def _q_geohash_pyramid(spark, sf_dir):
+    """Geohash tile-interop strings (geo/cells.geohash_col): the base32
+    sibling of quadkey_pyramid — public geohash.org keys whose length-r
+    PREFIX is the containing res-r cell, so the pyramid rollup is a
+    substring groupBy (one exchange, map-side combinable) and subtree
+    reads are a LIKE-prefix pushdown. Pure floor + bit math (no trig),
+    whole-stage codegen; the oracle rebuilds every base32 character with
+    the identical bisection arithmetic, so digits replay exactly."""
+    from morituri_spark.geo.cells import geohash_col
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    gh = ev.select(geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh6"))
+    return gh.groupBy(F.substring("gh6", 1, 3).alias("gh3")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("gh6").alias("n_subcells"),
+    )
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -2898,6 +2958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _q_cube_rollup,
         "window_lead_delta": _q_window_lead,
         "hourly_rollup": _q_hourly_rollup,
+        # geohash is quadkey's base32 twin (same floor+bit family, same
+        # prefix=parent rollup); quadkey_pyramid holds the window slot for
+        # the shared cell arithmetic while this entry stays replica-checked
+        "geohash_pyramid": _q_geohash_pyramid,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3487,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
             FROM asg a LEFT JOIN d ON d.vec_id = a.vec_id
         """,
         "quadkey_pyramid": _quadkey_oracle_sql(),
+        "geohash_pyramid": _geohash_oracle_sql(),
         "crossmodal_dup_confirm": f"""
             WITH h AS (
                 SELECT event_id AS image_id,

@@ -335,6 +335,85 @@ def quadkey_to_cell(qk):
     return np.asarray(out, dtype=np.int64)
 
 
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon_col, lat_col, length: int):
+    """Standard geohash STRING (tile-interop key, the base32 sibling of
+    :func:`quadkey_col`): ``length`` base32 characters encoding the
+    bit-interleaved (lon, lat) bisection path, longitude bit first — the
+    exact public geohash.org scheme, so keys round-trip through every
+    external geohash library. Like quadkey, every length-r PREFIX is the
+    geohash of the containing res-r cell (floor composes across the
+    power-of-two grids), so pyramid rollups are a ``substring`` groupBy
+    and subtree reads a ``LIKE 'prefix%'`` pushdown. Pure floor + bit
+    math (no trig), whole-stage codegen; the bisection counts are
+    ``ceil(5·length/2)`` lon bits and ``floor(5·length/2)`` lat bits, and
+    every engine computing ``(lon+180)/360·2^n`` in this literal order
+    gets the identical IEEE double, so digits replay exactly in SQL."""
+    if not 1 <= length <= 12:
+        raise ValueError(f"geohash length {length} out of range [1, 12]")
+    nbits = 5 * length
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    x = F.least(
+        F.greatest(
+            F.floor((lon_col + 180.0) / 360.0 * float(1 << nlon)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << nlon) - 1),
+    )
+    y = F.least(
+        F.greatest(
+            F.floor((lat_col + 90.0) / 180.0 * float(1 << nlat)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << nlat) - 1),
+    )
+    chars = []
+    for c in range(length):
+        v = F.lit(0)
+        for j in range(5):
+            t = 5 * c + j  # interleaved bit index, 0 = most significant
+            if t % 2 == 0:
+                bit = F.shiftright(x, nlon - 1 - t // 2).bitwiseAND(F.lit(1))
+            else:
+                bit = F.shiftright(y, nlat - 1 - (t - 1) // 2).bitwiseAND(
+                    F.lit(1)
+                )
+            v = v + bit * F.lit(1 << (4 - j))
+        chars.append(
+            F.substring(F.lit(GEOHASH32), (v + F.lit(1)).cast("int"), F.lit(1))
+        )
+    return F.concat(*chars)
+
+
+def geohash_decode_bbox(gh: str):
+    """Pure-Python inverse (test reference): geohash → (lon_lo, lon_hi,
+    lat_lo, lat_hi) bounding box of the cell."""
+    bits = []
+    for ch in gh:
+        d = GEOHASH32.index(ch)
+        bits.extend((d >> (4 - j)) & 1 for j in range(5))
+    lon_bits = bits[0::2]
+    lat_bits = bits[1::2]
+    ix = 0
+    for b in lon_bits:
+        ix = (ix << 1) | b
+    iy = 0
+    for b in lat_bits:
+        iy = (iy << 1) | b
+    nlon, nlat = len(lon_bits), len(lat_bits)
+    lon_lo = ix / (1 << nlon) * 360.0 - 180.0
+    lat_lo = iy / (1 << nlat) * 180.0 - 90.0
+    return (
+        lon_lo,
+        lon_lo + 360.0 / (1 << nlon),
+        lat_lo,
+        lat_lo + 180.0 / (1 << nlat),
+    )
+
+
 def cell_udf(res: int):
     """``F.pandas_udf`` computing cell ids from lon/lat columns at ``res``."""
 
