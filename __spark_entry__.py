@@ -1137,6 +1137,61 @@ def _q_geohash_pyramid(spark, sf_dir):
     )
 
 
+def _hilbert_oracle_sql() -> str:
+    """Replay the Hilbert per-bit quadrant walk as one CTE per bit (the
+    SQL form of io/hilbert.with_hilbert's staged projections): each CTE
+    reads the PREVIOUS stage's (x, y, d), so evaluation order is pinned
+    exactly like the Spark plan's multiply-referenced alias stages."""
+    res, n1 = 8, 255
+    steps = []
+    for i, bit in enumerate(range(res - 1, -1, -1)):
+        prev = "xy" if i == 0 else f"it{i - 1}"
+        steps.append(f"""
+        it{i} AS (SELECT event_id,
+            CASE WHEN ((y >> {bit}) & 1) = 1 THEN x
+                 ELSE CASE WHEN ((x >> {bit}) & 1) = 1 THEN xor(y, {n1})
+                      ELSE y END END AS x,
+            CASE WHEN ((y >> {bit}) & 1) = 1 THEN y
+                 ELSE CASE WHEN ((x >> {bit}) & 1) = 1 THEN xor(x, {n1})
+                      ELSE x END END AS y,
+            d + (xor(3 * ((x >> {bit}) & 1), (y >> {bit}) & 1) << {2 * bit}) AS d
+        FROM {prev})""")
+    its = ",".join(steps)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events),
+        xy AS (
+            SELECT event_id,
+                   LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 256.0)
+                                       AS BIGINT), 0), 255) AS x,
+                   LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 256.0)
+                                       AS BIGINT), 0), 255) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM pts),
+        {its}
+        SELECT event_id, d AS hkey FROM it{res - 1}
+    """
+
+
+def _q_hilbert_keys(spark, sf_dir):
+    """Hilbert space-filling keys (io/hilbert.with_hilbert): the locality
+    upgrade to the Morton z-order layout — no-jump curve, so bbox reads
+    plan fewer/tighter key intervals (measured in tests/test_hilbert.py)
+    while keeping the quad→one-contiguous-interval property the layout's
+    pruning depends on. One staged projection per bit (rule 9: the step
+    references x and y multiple times; inlining would grow the tree
+    ~3^res), every stage pure shift/and/xor in whole-stage codegen. The
+    oracle replays the identical walk as one CTE per bit — key-exact."""
+    from morituri_spark.io.hilbert import with_hilbert
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return with_hilbert(ev, "lon", "lat", 8, out="hkey").select(
+        "event_id", "hkey"
+    )
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -2962,6 +3017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix=parent rollup); quadkey_pyramid holds the window slot for
         # the shared cell arithmetic while this entry stays replica-checked
         "geohash_pyramid": _q_geohash_pyramid,
+        # hilbert layout keys: the write-path twin of spatial_layout_bbox
+        # (in-window via the shared layout machinery); replica-checked
+        "hilbert_keys": _q_hilbert_keys,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3552,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quadkey_pyramid": _quadkey_oracle_sql(),
         "geohash_pyramid": _geohash_oracle_sql(),
+        "hilbert_keys": _hilbert_oracle_sql(),
         "crossmodal_dup_confirm": f"""
             WITH h AS (
                 SELECT event_id AS image_id,

@@ -462,10 +462,24 @@ def main() -> None:
     )
     steady_state("layout_bbox_clustered", clustered_q, max_runs=3, min_runs=2)
     steady_state("layout_bbox_roworder_control", control_q, max_runs=3, min_runs=2)
+    # Hilbert twin on the identical points: same read machinery, curve
+    # dispatched from the layout meta; the scale delta shows up in the
+    # prune ratios below, not warm local wall-clock
+    from morituri_spark.io import hilbert as HIL
+
+    LAY.write_spatial(
+        lay_pts, "/tmp/bench_layout_hilbert", res_part=3, res_sort=14, curve="hilbert"
+    )
+    steady_state(
+        "layout_bbox_hilbert",
+        LAY.read_bbox(spark, "/tmp/bench_layout_hilbert", *bbox),
+        max_runs=3, min_runs=2,
+    )
     # wall-clock here is page-cache-warm local IO; the scale currency is
     # bytes NOT read — the row-group overlap ratio below (cold object-store
     # scans pay for every non-pruned group)
     prune = LAY.prune_stats("/tmp/bench_layout_clustered", LAY.morton_ranges(*bbox, 14))
+    prune_h = LAY.prune_stats("/tmp/bench_layout_hilbert", HIL.hilbert_ranges(*bbox, 14))
 
     # geocell encode throughput: Catalyst form (codegen) vs Arrow kernel
     timed(
@@ -890,6 +904,12 @@ def main() -> None:
         "layout_row_groups_pruned": f"{prune['row_groups_overlapping']}/{prune['row_groups_total']} overlap",
         "layout_rows_in_overlap_pct": round(
             100.0 * prune["rows_in_overlapping_groups"] / max(prune["rows_total"], 1), 1
+        ),
+        "layout_hilbert_row_groups_pruned": (
+            f"{prune_h['row_groups_overlapping']}/{prune_h['row_groups_total']} overlap"
+        ),
+        "layout_hilbert_rows_in_overlap_pct": round(
+            100.0 * prune_h["rows_in_overlapping_groups"] / max(prune_h["rows_total"], 1), 1
         ),
     }
     # Full per-query record goes to a sidecar file; stdout's FINAL line is a

@@ -183,8 +183,9 @@ def write_spatial(
     n_files: int | None = None,
     mode: str = "overwrite",
     parquet_options: dict | None = None,
+    curve: str = "z",
 ) -> None:
-    """Write ``df`` cell-partitioned + Z-order-clustered.
+    """Write ``df`` cell-partitioned + space-filling-key-clustered.
 
     ``res_part`` controls directory fan-out (4 → ≤256 coarse cells over the
     globe; keep ≤6 so the partition count stays object-store-friendly),
@@ -192,10 +193,26 @@ def write_spatial(
     the shuffle width (defaults to the session shuffle partitions); each
     task writes one sorted file per coarse cell it holds, so row-group
     zorder stats are monotone within every file.
+
+    ``curve`` picks the key: ``"z"`` (Morton, the default) or
+    ``"hilbert"`` (io/hilbert.py — no-jump locality, fewer/tighter read
+    intervals). The physical column is named ``zorder`` for either curve
+    so every downstream read/prune path is curve-agnostic; the sidecar
+    meta records which curve planned the keys and the readers dispatch
+    range planning on it.
     """
-    out = (
-        df.withColumn("zorder", zorder_col(F.col(lon), F.col(lat), res_sort))
-        .withColumn("cell_p", cells.cell_col(F.col(lon), F.col(lat), res_part))
+    if curve == "hilbert":
+        from morituri_spark.io.hilbert import with_hilbert
+
+        keyed = with_hilbert(df, lon, lat, res_sort, out="zorder")
+    elif curve == "z":
+        keyed = df.withColumn(
+            "zorder", zorder_col(F.col(lon), F.col(lat), res_sort)
+        )
+    else:
+        raise ValueError(f"unknown curve {curve!r} (use 'z' or 'hilbert')")
+    out = keyed.withColumn(
+        "cell_p", cells.cell_col(F.col(lon), F.col(lat), res_part)
     )
     n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     writer = (
@@ -208,7 +225,8 @@ def write_spatial(
         writer = writer.option(k, v)
     writer.parquet(path)
     meta = df.sparkSession.createDataFrame(
-        [(res_part, res_sort, lon, lat)], "res_part int, res_sort int, lon string, lat string"
+        [(res_part, res_sort, lon, lat, curve)],
+        "res_part int, res_sort int, lon string, lat string, curve string",
     )
     meta.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "_layout_meta")
 
@@ -230,22 +248,32 @@ def read_bbox(
     lon: str | None = None,
     lat: str | None = None,
     max_ranges: int = 32,
+    curve: str | None = None,
 ) -> DataFrame:
     """Exact bbox read through both pruning layers + refine filter.
 
-    Layout parameters default to the ``_layout_meta`` sidecar written by
-    :func:`write_spatial`. The zorder predicate is an OR of the
-    quadtree-split :func:`morton_ranges` (parquet pushes disjunctions of
-    range filters down to row-group stats).
+    Layout parameters (including the space-filling curve) default to the
+    ``_layout_meta`` sidecar written by :func:`write_spatial`. The zorder
+    predicate is an OR of the quadtree-split :func:`morton_ranges` (or
+    hilbert.hilbert_ranges for a Hilbert layout — parquet pushes
+    disjunctions of range filters down to row-group stats either way).
     """
-    if None in (res_part, res_sort, lon, lat):
+    if None in (res_part, res_sort, lon, lat, curve):
         meta = read_layout_meta(spark, path)
         res_part = res_part if res_part is not None else int(meta["res_part"])
         res_sort = res_sort if res_sort is not None else int(meta["res_sort"])
         lon = lon or meta["lon"]
         lat = lat or meta["lat"]
+        curve = curve or meta.get("curve") or "z"
     cover = [int(c) for c in cells.cover_bbox(lon_min, lat_min, lon_max, lat_max, res_part)]
-    ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res_sort, max_ranges=max_ranges)
+    if curve == "hilbert":
+        from morituri_spark.io.hilbert import hilbert_ranges
+
+        ranges = hilbert_ranges(
+            lon_min, lat_min, lon_max, lat_max, res_sort, max_ranges=max_ranges
+        )
+    else:
+        ranges = morton_ranges(lon_min, lat_min, lon_max, lat_max, res_sort, max_ranges=max_ranges)
     zpred = None
     for zlo, zhi in ranges:
         p = F.col("zorder").between(F.lit(zlo), F.lit(zhi))
@@ -279,20 +307,27 @@ def read_cells(
     cell_ids,
     res_part: int | None = None,
     res_sort: int | None = None,
+    curve: str | None = None,
 ) -> DataFrame:
     """EXACT read of the points inside a set of cells (kNN ring/disk
     neighborhoods, polygon covers from :func:`cells.polygon_cover`).
 
     Unlike :func:`read_bbox` no refine filter is needed: an aligned quad's
-    Z-interval contains precisely its descendant codes, so interval
-    membership IS cell membership at ``res_sort`` granularity. Intervals
-    are merged before planning (adjacent ring cells collapse), and the
-    directory layer prunes on each cell's ``res_part`` ancestor.
+    key interval contains precisely its descendant codes (true for Morton
+    AND Hilbert — both fill subtrees depth-first), so interval membership
+    IS cell membership at ``res_sort`` granularity. Intervals are merged
+    before planning (adjacent ring cells collapse), and the directory
+    layer prunes on each cell's ``res_part`` ancestor.
     """
-    if None in (res_part, res_sort):
+    if None in (res_part, res_sort, curve):
         meta = read_layout_meta(spark, path)
         res_part = res_part if res_part is not None else int(meta["res_part"])
         res_sort = res_sort if res_sort is not None else int(meta["res_sort"])
+        curve = curve or meta.get("curve") or "z"
+    if curve == "hilbert":
+        from morituri_spark.io.hilbert import cell_h_interval as _interval
+    else:
+        _interval = cell_z_interval
     cell_ids = [int(c) for c in cell_ids]
     parents: set[int] = set()
     for c in cell_ids:
@@ -307,7 +342,7 @@ def read_cells(
                 for j in range(1 << d):
                     parents.add(int(cells.pack_cell(res_part, (x << d) + i, (y << d) + j)))
     parents = sorted(parents)
-    intervals = sorted(cell_z_interval(c, res_sort) for c in cell_ids)
+    intervals = sorted(_interval(c, res_sort) for c in cell_ids)
     merged = [intervals[0]]
     for lo, hi in intervals[1:]:
         if lo <= merged[-1][1] + 1:
@@ -371,6 +406,7 @@ def compact_spatial(
         df, dest,
         res_part=int(meta["res_part"]), res_sort=int(meta["res_sort"]),
         lon=meta["lon"], lat=meta["lat"], n_files=n_files,
+        curve=meta.get("curve") or "z",
     )
     if inplace:
         shutil.rmtree(path)
