@@ -1192,6 +1192,27 @@ def _q_hilbert_keys(spark, sf_dir):
     )
 
 
+def _q_radius_pairs(spark, sf_dir):
+    """Fixed-radius pair join (geo/knn.radius_join): every unordered
+    event pair within 100 km — the DBSCAN-eps / co-location primitive.
+    Candidates come from ONE cell equi-join (left side explodes to its
+    latitude-aware disk cover, right side keys by home cell; never
+    corpus²); the refine gate compares the 6-dp-rounded haversine on both
+    engines so libm 1-ulp drift can't flip membership. The oracle brute
+    forces the banded pair space (|Δlat| ≤ 1° is a strict superset of
+    100 km) with the identical closed form."""
+    from morituri_spark.geo.knn import radius_self_join
+
+    pts = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return radius_self_join(pts, 100.0, id_col="event_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist_km",
+    )
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -3020,6 +3041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hilbert layout keys: the write-path twin of spatial_layout_bbox
         # (in-window via the shared layout machinery); replica-checked
         "hilbert_keys": _q_hilbert_keys,
+        # fixed-radius pair join: shares the cell-cover join machinery
+        # in-window via knn_* / snap_points_to_segments; replica-checked
+        "radius_pairs": _q_radius_pairs,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3611,6 +3635,21 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_pyramid": _quadkey_oracle_sql(),
         "geohash_pyramid": _geohash_oracle_sql(),
         "hilbert_keys": _hilbert_oracle_sql(),
+        "radius_pairs": f"""
+            WITH pts AS (
+                SELECT event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events)
+            SELECT id_a, id_b, dist_km FROM (
+                SELECT a.event_id AS id_a, b.event_id AS id_b,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * power(sin(radians(b.lon - a.lon) / 2), 2))),
+                             6) AS dist_km
+                FROM pts a JOIN pts b
+                  ON a.event_id < b.event_id
+                 AND abs(a.lat - b.lat) <= 1.0) t
+            WHERE dist_km <= 100.0
+        """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (
                 SELECT event_id AS image_id,
