@@ -1213,6 +1213,28 @@ def _q_radius_pairs(spark, sf_dir):
     )
 
 
+def _q_dbscan_points(spark, sf_dir):
+    """Point-level DBSCAN (geo/clustering.dbscan_points): radius_join
+    candidate pairs → degree gate (min_pts counts the point itself) →
+    large-star/small-star CC over CORE-CORE edges only → deterministic
+    border assignment (MIN core-neighbor label; sklearn's is scan-order-
+    dependent), noise = -1. The oracle replays the full spec: banded
+    brute-force pairs, degree, recursive-CTE reachability minimum, and
+    the min-label border rule."""
+    from morituri_spark.geo.clustering import dbscan_points
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.expr(_GLON).alias("lon"),
+        F.expr(_GLAT).alias("lat"),
+    )
+    return dbscan_points(pts, eps_km=100.0, min_pts=3).select(
+        F.col("id").cast("long").alias("id"),
+        "is_core",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -3044,6 +3066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-radius pair join: shares the cell-cover join machinery
         # in-window via knn_* / snap_points_to_segments; replica-checked
         "radius_pairs": _q_radius_pairs,
+        # point-level DBSCAN: in-window siblings grid_density_clusters
+        # (same CC machinery) + knn/snap (same cover join); replica-checked
+        "dbscan_clusters": _q_dbscan_points,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3649,6 +3674,50 @@ def oracle_sql() -> dict[str, str]:
                   ON a.event_id < b.event_id
                  AND abs(a.lat - b.lat) <= 1.0) t
             WHERE dist_km <= 100.0
+        """,
+        "dbscan_clusters": f"""
+            WITH RECURSIVE pts AS (
+                SELECT event_id AS id, {_GLON} AS lon, {_GLAT} AS lat
+                FROM events),
+            prs AS MATERIALIZED (
+                -- MATERIALIZED: referenced by deg, e, and border — inlined,
+                -- DuckDB re-runs the banded trig scan per reference (~6x)
+                SELECT a.id AS ia, b.id AS ib
+                FROM pts a JOIN pts b
+                  ON abs(a.lat - b.lat) <= 1.0
+                 AND round(2 * 6371.0088 * asin(sqrt(
+                       power(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * power(sin(radians(b.lon - a.lon) / 2), 2))),
+                       6) <= 100.0),
+            deg AS (SELECT ia, count(*) AS n FROM prs GROUP BY 1),
+            core AS MATERIALIZED (SELECT ia AS id FROM deg WHERE n >= 3),
+            e AS (
+                SELECT p.ia AS a, p.ib AS b FROM prs p
+                JOIN core c1 ON c1.id = p.ia
+                JOIN core c2 ON c2.id = p.ib
+                WHERE p.ia <> p.ib),
+            und AS MATERIALIZED (
+                SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+            core_lbl AS (
+                SELECT src AS id, min(dst) AS cluster_id
+                FROM reach GROUP BY 1),
+            border AS (
+                SELECT p.ia AS id, min(cl.cluster_id) AS cluster_id
+                FROM prs p JOIN core_lbl cl ON cl.id = p.ib
+                WHERE p.ia NOT IN (SELECT id FROM core)
+                GROUP BY 1)
+            SELECT p.id,
+                   (cl.id IS NOT NULL) AS is_core,
+                   CAST(coalesce(cl.cluster_id, bo.cluster_id, -1)
+                        AS BIGINT) AS cluster_id
+            FROM pts p
+            LEFT JOIN core_lbl cl ON cl.id = p.id
+            LEFT JOIN border bo ON bo.id = p.id
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

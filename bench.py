@@ -198,6 +198,20 @@ def main() -> None:
         "knn_ring_1m_candidates",
         lambda: knn_join(knn_queries, knn_cands, k=5, res=12).count(),
     )
+    # fixed-radius pair join (r5): 1M points, 50 m capture radius (the
+    # duplicate-capture shape; the synth's urban disk makes this ~4M true
+    # pairs — a km-scale radius here means BILLIONS of output pairs, a
+    # semantics choice, not an engine limit). One disk-cover explode + one
+    # cell equi-join + rounded-haversine refine; the agg consumes dist_km
+    # so the refine isn't pruned (rule 18)
+    from morituri_spark.geo.knn import radius_self_join
+
+    timed(
+        "radius_join_1m_points_50m",
+        lambda: radius_self_join(
+            knn_cands.withColumnRenamed("cand_id", "id"), 0.05, id_col="id"
+        ).agg(F.count(F.lit(1)), F.sum("dist_km")).collect(),
+    )
     knn_queries.unpersist()
     knn_cands.unpersist()
 

@@ -190,3 +190,87 @@ def hotspot_cells(
     return staged.select("ix", "iy", "n_points", z.alias("z")).where(
         F.col("z") >= F.lit(float(z_threshold))
     )
+
+
+def dbscan_points(
+    df: DataFrame,
+    eps_km: float,
+    min_pts: int,
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Point-level DBSCAN over great-circle distance — the exact-eps
+    companion to :func:`grid_clusters` (which buckets to cells first).
+
+    → (id, is_core, cluster_id): sklearn-equivalent core/noise sets
+    (``min_pts`` counts the point itself), with two determinism pins
+    sklearn does not make: cluster labels are the component-minimum core
+    id, and a border point reachable from SEVERAL clusters takes the
+    MINIMUM label (sklearn's border assignment is scan-order-dependent).
+    Noise labels are -1, never NULL.
+
+    Scale shape: the only corpus-sized stages are the radius_join
+    (one cell equi-join, geo/knn.py) and two keyed aggregates (degree
+    count, border min-label); the iterative CC runs over CORE-CORE edges
+    only. The directed pair set feeds THREE consumers (degree, core
+    edges, border labels) — one localCheckpoint instead of three
+    radius joins (rule 21/10).
+    """
+    from ..text.components import connected_components
+    from .knn import radius_join
+
+    pts = df.select(F.col(id_col).alias("_pid"), lon, lat)
+    a = pts.select(F.col("_pid").alias("id_a"), lon, lat)
+    b = pts.select(F.col("_pid").alias("id_b"), lon, lat)
+    # directed pairs INCLUDING the self-pair (dist 0) — degree then counts
+    # the point itself, matching sklearn's min_samples convention
+    pairs = radius_join(a, b, eps_km).localCheckpoint()
+
+    deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("_n"))
+    core = (
+        deg.where(F.col("_n") >= F.lit(int(min_pts)))
+        .select(F.col("id_a").alias("_cid"))
+        .localCheckpoint()
+    )
+
+    core_edges = (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .join(core.withColumnRenamed("_cid", "id_a"), "id_a")
+        .join(core.withColumnRenamed("_cid", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        core_edges, a_col="id_a", b_col="id_b", max_rounds=max_rounds
+    )
+
+    core_lbl = (
+        core.join(
+            labels.withColumnRenamed("node", "_cid"), "_cid", "left"
+        )
+        # isolated cores (no core neighbor) are their own cluster
+        .select(
+            F.col("_cid").alias("_pid"),
+            F.coalesce("cluster_id", F.col("_cid")).alias("_core_lbl"),
+        )
+        .localCheckpoint()
+    )
+    border_lbl = (
+        pairs.join(
+            core_lbl.withColumnRenamed("_pid", "id_b"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("_core_lbl").alias("_border_lbl"))
+        .withColumnRenamed("id_a", "_pid")
+    )
+    return (
+        pts.select("_pid")
+        .join(core_lbl, "_pid", "left")
+        .join(border_lbl, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.col("_core_lbl").isNotNull().alias("is_core"),
+            F.coalesce("_core_lbl", "_border_lbl", F.lit(-1)).alias("cluster_id"),
+        )
+    )

@@ -456,8 +456,11 @@ def radius_join(
     """
     r_deg_lat = radius_km / _KM_PER_DEG_LAT
     if res is None:
-        # largest grid where one cell is >= one radius tall → dy in {-1,0,1}
-        res = min(int(np.floor(np.log2(180.0 / r_deg_lat))), 16)
+        # largest grid where one cell is >= one radius tall → dy in {-1,0,1}.
+        # Cell height ~ radius keeps candidate overhead a small constant
+        # (~10x true pairs at uniform density); the cap only guards the
+        # probe array width for sub-meter radii.
+        res = min(int(np.floor(np.log2(180.0 / r_deg_lat))), 20)
     cell_h = 180.0 / (1 << res)
     cell_w = 360.0 / (1 << res)
     if cell_h < r_deg_lat:
