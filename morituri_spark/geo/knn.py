@@ -425,6 +425,8 @@ def radius_join(
     id_a: str = "id_a",
     id_b: str = "id_b",
     antisymmetric: bool = False,
+    salt: int | str | None = "auto",
+    hot_cell_threshold: int = 4_000_000,
 ) -> DataFrame:
     """All (a, b) pairs with haversine(a, b) <= ``radius_km``.
 
@@ -444,10 +446,18 @@ def radius_join(
     needed. Longitude wraps (pmod), so antimeridian pairs are found;
     pole-crossing disks are NOT modeled (exact for |lat| <= 89 deg at the
     auto-chosen res — the polar caps would need an all-lon probe this
-    engine's zones never reach). Skew: probe fan-out is O(k_x) rows per
-    left point; hot cells behave like the PIP shuffle join's — route
-    extreme corpora through a measured salt gate before the join
-    (CLAUDE.md rule 20: don't pay the salt below the straggler regime).
+    engine's zones never reach).
+
+    Skew: a mega home cell would put its whole candidate block in one
+    join task, so ``salt="auto"`` (default) probes the max home-cell
+    population with one map-side-combinable aggregate and — only past
+    ``hot_cell_threshold`` — splits the HOT cells into sub-buckets
+    (right side hashed on id, probe side replicated for hot cells only;
+    light cells keep the unsalted single-bucket plan). Below the
+    threshold the plan is identical to ``salt=None`` (CLAUDE.md rule 20:
+    the defense LOSES below the straggler regime — same gate shape as
+    knn_join's auto top-k and the PIP salting floor). Pass an int to
+    force a sub-bucket count, or None to skip the probe entirely.
 
     The refine gate compares the 6-dp-ROUNDED haversine to the radius —
     the same contract as knn_join's haversine oracle (rule 16), so a
@@ -519,13 +529,59 @@ def radius_join(
         F.col("lat").alias("_blat"),
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_home_cell"),
     )
+
+    hot: list[int] = []
+    n_buckets = 0
+    if salt is not None:
+        hot_rows = (
+            rgt.groupBy("_home_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= F.lit(int(hot_cell_threshold)))
+            .collect()
+        )
+        hot = [int(r["_home_cell"]) for r in hot_rows]
+        if hot:
+            if salt == "auto":
+                # split aggressively: the straggler's work is candidates
+                # (probes x rows), not rows alone — 8 buckets per
+                # threshold-multiple keeps the worst bucket well under the
+                # unsalted task even when probes concentrate in the cell
+                worst = max(int(r["_n"]) for r in hot_rows)
+                n_buckets = min(64, 8 * -(-worst // int(hot_cell_threshold)))
+            else:
+                n_buckets = int(salt)
+
     d = _dist_expr(
         F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat"),
         "haversine_km",
     )
+    if n_buckets > 1:
+        # hot cells split into sub-buckets; light cells stay single-bucket
+        rgt_s = rgt.withColumn(
+            "_salt",
+            F.when(
+                F.col("_home_cell").isin(hot),
+                F.pmod(F.xxhash64(id_b), F.lit(n_buckets)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        probe_s = probe.select(
+            id_a, "_alon", "_alat", "_probe_cell",
+            F.explode(
+                F.when(
+                    F.col("_probe_cell").isin(hot),
+                    F.sequence(F.lit(0).cast("long"), F.lit(n_buckets - 1).cast("long")),
+                ).otherwise(F.array(F.lit(0).cast("long")))
+            ).alias("_salt"),
+        )
+        joined = probe_s.join(
+            rgt_s,
+            (probe_s["_probe_cell"] == rgt_s["_home_cell"])
+            & (probe_s["_salt"] == rgt_s["_salt"]),
+        )
+    else:
+        joined = probe.join(rgt, probe["_probe_cell"] == rgt["_home_cell"])
     pairs = (
-        probe.join(rgt, probe["_probe_cell"] == rgt["_home_cell"])
-        .select(id_a, id_b, F.round(d, 6).alias("dist_km"))
+        joined.select(id_a, id_b, F.round(d, 6).alias("dist_km"))
         .where(F.col("dist_km") <= F.lit(float(radius_km)))
     )
     if antisymmetric:
@@ -536,8 +592,13 @@ def radius_join(
 def radius_self_join(
     pts: DataFrame, radius_km: float, res: int | None = None,
     id_col: str = "id",
+    salt: int | str | None = "auto",
+    hot_cell_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Unordered within-radius pairs of one point set (id_a < id_b)."""
     a = pts.select(F.col(id_col).alias("id_a"), "lon", "lat")
     b = pts.select(F.col(id_col).alias("id_b"), "lon", "lat")
-    return radius_join(a, b, radius_km, res=res, antisymmetric=True)
+    return radius_join(
+        a, b, radius_km, res=res, antisymmetric=True,
+        salt=salt, hot_cell_threshold=hot_cell_threshold,
+    )

@@ -83,3 +83,27 @@ def test_radius_join_plans_single_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_salt_path_identical_and_gated(spark):
+    pts = _clustered_points()
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    plain = {
+        (r.id_a, r.id_b, r.dist_km)
+        for r in radius_self_join(df, 30.0, salt=None).collect()
+    }
+    # force the hot-cell split with a tiny threshold: every cell is "hot",
+    # results must be IDENTICAL (salting repartitions work, never pairs)
+    salted = {
+        (r.id_a, r.id_b, r.dist_km)
+        for r in radius_self_join(
+            df, 30.0, salt=8, hot_cell_threshold=10
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
+    # rule-20 gate: below the threshold the auto plan is the unsalted one
+    auto_plan = (
+        radius_self_join(df, 30.0)  # default auto, default huge threshold
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" not in auto_plan
