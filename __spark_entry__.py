@@ -37,6 +37,28 @@ _GLON = "CAST((event_id * 7919) % 360000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAS
 _GLAT = "CAST((event_id * 104729) % 180000 AS DOUBLE) / CAST(1000 AS DOUBLE) - CAST(90 AS DOUBLE)"
 _LAYOUT_BBOX = (-30.0, -45.0, 60.0, 30.0)
 
+# clustered closed-form traces for the Hausdorff similarity join: 40 tracks
+# in 8 base locations (5 tracks each, ~0.1-deg jitter per track, ~0.05-deg
+# per-point spread) — in-group Hausdorff lands 2.9-11.3 km so a 10 km gate
+# discriminates WITHIN groups; cross-group distances are >= 20 deg. All
+# integer-modulo arithmetic with explicit DOUBLE casts (rule 5) so DuckDB
+# replays the coordinates bit-for-bit.
+_HTID = "event_id % 40"
+_HSEL = "event_id % 7 = 0"
+_HLON = (
+    "CAST((event_id % 40) % 8 AS DOUBLE) * CAST(40 AS DOUBLE)"
+    " - CAST(160 AS DOUBLE)"
+    " + CAST(((event_id % 40) * 131) % 97 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+    " + CAST((event_id * 61) % 181 AS DOUBLE) / CAST(2000 AS DOUBLE)"
+    " - CAST(45 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+)
+_HLAT = (
+    "CAST((((event_id % 40) % 8) * 23) % 100 AS DOUBLE) - CAST(50 AS DOUBLE)"
+    " + CAST(((event_id % 40) * 173) % 89 AS DOUBLE) / CAST(1000 AS DOUBLE)"
+    " + CAST((event_id * 37) % 151 AS DOUBLE) / CAST(2000 AS DOUBLE)"
+    " - CAST(75 AS DOUBLE) / CAST(2000 AS DOUBLE)"
+)
+
 # non-uniform value bands for the range-join query (shared literal VALUES)
 _BANDS = [(0, 0.0, 25.0), (1, 25.0, 40.0), (2, 40.0, 55.0), (3, 55.0, 80.0), (4, 80.0, 1000.0)]
 _BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
@@ -1232,6 +1254,36 @@ def _q_dbscan_points(spark, sf_dir):
         F.col("id").cast("long").alias("id"),
         "is_core",
         F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _q_hausdorff_pairs(spark, sf_dir):
+    """Discrete-Hausdorff track-similarity join (geo/similarity.py):
+    tracks compact to sorted coordinate arrays (one exchange), candidate
+    pairs come from the anchor→points radius_join cell equi-join (a
+    strict superset: Hausdorff <= d forces each anchor within d of the
+    other track), and the exact refine is a tiled NumPy haversine-matrix
+    kernel with every pairwise distance rounded half-up to 6 dp BEFORE
+    the min/max reductions — the same values the oracle's
+    min(round(d,6)) → max → max pipeline reduces, so both engines select
+    identical doubles. The 10 km gate discriminates WITHIN the 5-track
+    base groups (78 of 80 in-group pairs pass at sf0.01)."""
+    from morituri_spark.geo.similarity import hausdorff_join
+
+    pts = (
+        _read(spark, sf_dir, "events")
+        .where(F.expr(_HSEL))
+        .select(
+            F.expr(_HTID).alias("track_id"),
+            F.col("event_id").alias("seq"),
+            F.expr(_HLON).alias("lon"),
+            F.expr(_HLAT).alias("lat"),
+        )
+    )
+    return hausdorff_join(pts, 10.0, id_col="track_id", seq_col="seq").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "hausdorff_km",
     )
 
 
@@ -3069,6 +3121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-level DBSCAN: in-window siblings grid_density_clusters
         # (same CC machinery) + knn/snap (same cover join); replica-checked
         "dbscan_clusters": _q_dbscan_points,
+        # discrete-Hausdorff track-similarity join: anchor radius_join
+        # candidates + tiled haversine-matrix refine kernel
+        "hausdorff_track_pairs": _q_hausdorff_pairs,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3718,6 +3773,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             LEFT JOIN core_lbl cl ON cl.id = p.id
             LEFT JOIN border bo ON bo.id = p.id
+        """,
+        "hausdorff_track_pairs": f"""
+            WITH pts AS (
+                SELECT {_HTID} AS tid, event_id AS ea,
+                       {_HLON} AS lon, {_HLAT} AS lat
+                FROM events WHERE {_HSEL}),
+            pd AS (
+                -- every directed point pair between distinct tracks;
+                -- round BEFORE the reductions (shared rule-16 contract)
+                SELECT a.tid AS ta, b.tid AS tb, a.ea,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * power(sin(radians(b.lon - a.lon) / 2), 2))),
+                             6) AS d
+                FROM pts a JOIN pts b ON a.tid <> b.tid),
+            mins AS (SELECT ta, tb, ea, min(d) AS md FROM pd GROUP BY 1, 2, 3),
+            dirs AS (SELECT ta, tb, max(md) AS h FROM mins GROUP BY 1, 2),
+            sym AS (
+                SELECT least(ta, tb) AS id_a, greatest(ta, tb) AS id_b,
+                       max(h) AS hausdorff_km
+                FROM dirs GROUP BY 1, 2)
+            SELECT id_a, id_b, hausdorff_km FROM sym
+            WHERE hausdorff_km <= 10.0
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

@@ -215,6 +215,35 @@ def main() -> None:
     knn_queries.unpersist()
     knn_cands.unpersist()
 
+    # discrete-Hausdorff track-similarity join (r5): 4000 tracks x 50 pts
+    # in 500 base clusters (8 tracks each) → anchors-to-points radius_join
+    # yields ~C(8,2)x500 = 14k candidate pairs, each refined by the tiled
+    # haversine-matrix kernel (50x50). The agg consumes hausdorff_km so
+    # the kernel isn't pruned (rule 18).
+    from morituri_spark.geo.similarity import hausdorff_join
+
+    tracks_b = spark.range(200_000).select(
+        (F.col("id") % 4000).alias("track_id"),
+        F.col("id").alias("seq"),
+        (
+            ((F.col("id") % 4000) % 500 % 25).cast("double") * 14.0 - 170.0
+            + ((F.col("id") % 4000) * 131 % 97).cast("double") / 1000.0
+            + (F.col("id") * 61 % 181).cast("double") / 2000.0
+        ).alias("lon"),
+        (
+            ((F.col("id") % 4000) % 500 / 25).cast("int").cast("double") * 6.0 - 57.0
+            + ((F.col("id") % 4000) * 173 % 89).cast("double") / 1000.0
+            + (F.col("id") * 37 % 151).cast("double") / 2000.0
+        ).alias("lat"),
+    ).repartition(cpus * 2).persist()
+    tracks_b.count()
+    timed(
+        "hausdorff_4k_tracks",
+        lambda: hausdorff_join(tracks_b, 10.0)
+        .agg(F.count(F.lit(1)), F.sum("hausdorff_km")).collect(),
+    )
+    tracks_b.unpersist()
+
     # mega-cell skew (r5, verdict #5): HALF of 1M candidates collapse into
     # one ~0.001° patch (a single res-12 cell), so ring 0 floods each
     # in-cell query with 500k candidates — the distribution the two-stage

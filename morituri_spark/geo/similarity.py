@@ -1,0 +1,180 @@
+"""Trajectory similarity — discrete Hausdorff distance join over tracks.
+
+The standard "which traces run the same route" primitive for GPS / image
+capture-path corpora (map inference, route dedup, drive-collection
+near-dup): two tracks match when EVERY point of each lies within ``d_km``
+of the other track — max over points of the min point-to-point haversine,
+symmetrized (discrete Hausdorff, the classic computable bound on the
+continuous one).
+
+Spark shape (never |tracks|² and never |points|²):
+
+1. one hash exchange compacts each track to sorted coordinate arrays
+   (groupBy + array_sort(collect_list(struct))) — the only shuffle that
+   touches every point;
+2. candidate pairs come from :func:`morituri_spark.geo.knn.radius_join`
+   between per-track ANCHORS (first point) and the full point set.
+   Hausdorff(A, B) <= d forces anchor(A) within d of some point of B, so
+   the directed anchor→points radius join is a strict superset of the
+   answer while staying one cell equi-join (disk-cover explode on the
+   anchor side, home cell on the point side, hot cells salted by the
+   radius join's own measured gate);
+3. the exact refine is an Arrow kernel per candidate pair: the full
+   haversine matrix of the two tracks via one NumPy broadcast (tiled past
+   ``tile`` rows so a monster-track pair cannot blow a worker), reduced
+   min-per-row → max, both directions.
+
+Cross-engine contract (CLAUDE.md rule 16): every pairwise distance is
+rounded HALF-UP to 6 dp *before* the min/max reductions, in the kernel
+and in any SQL oracle alike — min/max then select identical values on
+both engines, so libm 1-ulp drift cannot flip a pair except exactly on a
+rounding boundary (absorbed by the shared +1e-8 epsilon).
+
+Reference scope note: morituri (plugins/navteq) has no trajectory
+operator; this extends the engine's training-data-pipeline family (route
+dedup over capture traces) per SURVEY.md §2.8's extension charter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from .knn import radius_join
+
+_R_KM = 6371.0088
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up 6-dp rounding shared with the SQL oracles (np.round is
+    banker's; DuckDB/Spark round() is half-up — rule 16)."""
+    return np.floor(x * 1e6 + 0.5 + 1e-8) / 1e6
+
+
+def _hav_matrix(alon, alat, blon, blat) -> np.ndarray:
+    """(nA, nB) haversine km matrix; inputs are 1-D degree arrays."""
+    la, lb = np.radians(alat)[:, None], np.radians(blat)[None, :]
+    dlat = lb - la
+    dlon = np.radians(blon)[None, :] - np.radians(alon)[:, None]
+    a = np.sin(dlat / 2) ** 2 + np.cos(la) * np.cos(lb) * np.sin(dlon / 2) ** 2
+    return 2.0 * _R_KM * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def _directed_minmax(alon, alat, blon, blat, tile: int) -> tuple[float, float]:
+    """(h(A→B), h(B→A)) over 6-dp-rounded distances, A tiled by rows."""
+    h_ab = 0.0
+    min_b = np.full(len(blon), np.inf)
+    for i in range(0, len(alon), tile):
+        d = _round6(_hav_matrix(alon[i : i + tile], alat[i : i + tile], blon, blat))
+        h_ab = max(h_ab, float(d.min(axis=1).max()))
+        np.minimum(min_b, d.min(axis=0), out=min_b)
+    return h_ab, float(min_b.max())
+
+
+def track_arrays(
+    tracks: DataFrame,
+    id_col: str = "track_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """(id, lons: array<double>, lats: array<double>) — points in seq order.
+
+    ONE map-side-combinable-free hash exchange on ``id_col`` (collect_list
+    cannot partial-combine, but the shuffle carries exactly the point rows
+    once); array_sort on the (seq, lon, lat) struct restores trace order
+    without a sort exchange.
+    """
+    return (
+        tracks.groupBy(F.col(id_col).alias("_tid"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(seq_col).alias("s"), "lon", "lat"))
+            ).alias("_p")
+        )
+        .select(
+            F.col("_tid").alias(id_col),
+            F.col("_p.lon").alias("lons"),
+            F.col("_p.lat").alias("lats"),
+        )
+    )
+
+
+def hausdorff_join(
+    tracks: DataFrame,
+    d_km: float,
+    id_col: str = "track_id",
+    seq_col: str = "seq",
+    res: int | None = None,
+    tile: int = 4096,
+) -> DataFrame:
+    """Unordered track pairs (id_a < id_b, hausdorff_km) with discrete
+    Hausdorff distance <= ``d_km``.
+
+    ``tracks``: (id_col, seq_col, lon, lat) point rows. ``tile`` bounds
+    the refine kernel's per-step matrix to tile x |B| doubles.
+
+    The compacted array table is referenced three times (anchors + both
+    sides of the pair join); it is a cheap aggregate over one scan, so the
+    plan re-derives it rather than persisting (rule 22: prefer
+    deterministic re-scan over cache for pushdown-friendly inputs).
+    """
+    arrs = track_arrays(tracks, id_col=id_col, seq_col=seq_col)
+
+    anchors = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.element_at("lons", 1).alias("lon"),
+        F.element_at("lats", 1).alias("lat"),
+    )
+    points = tracks.select(F.col(id_col).alias("id_b"), "lon", "lat")
+    cand = (
+        radius_join(anchors, points, d_km, res=res)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    a = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lons").alias("_alons"),
+        F.col("lats").alias("_alats"),
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("lons").alias("_blons"),
+        F.col("lats").alias("_blats"),
+    )
+    paired = cand.join(a, "id_a").join(b, "id_b")
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("hausdorff_km", DoubleType()),
+        ]
+    )
+    thr = float(d_km)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ia, ib, hk = [], [], []
+            for ra, rb, al, aa, bl, ba in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_alons"], pdf["_alats"],
+                pdf["_blons"], pdf["_blats"],
+            ):
+                alon = np.asarray(al, dtype=np.float64)
+                alat = np.asarray(aa, dtype=np.float64)
+                blon = np.asarray(bl, dtype=np.float64)
+                blat = np.asarray(ba, dtype=np.float64)
+                h1, h2 = _directed_minmax(alon, alat, blon, blat, tile)
+                h = max(h1, h2)
+                if h <= thr:
+                    ia.append(int(ra)); ib.append(int(rb)); hk.append(h)
+            yield pd.DataFrame({"id_a": ia, "id_b": ib, "hausdorff_km": hk})
+
+    return paired.mapInPandas(_kernel, schema)
