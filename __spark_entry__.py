@@ -1257,6 +1257,30 @@ def _q_dbscan_points(spark, sf_dir):
     )
 
 
+def _q_spacetime_pairs(spark, sf_dir):
+    """Space-time co-location join (geo/knn.radius_join with
+    time_col/window_s): event pairs within 100 km AND 6 hours. The time
+    key buckets truncated-second epochs into window-wide integer windows
+    (adjacent-bucket probe explode), so the equi-join key is
+    (cell, bucket) — the time dimension splinters hot cells before the
+    salt gate looks. dt_s is the signed truncated-second delta (rule 12:
+    truncate then diff = DuckDB date_diff('second')). 558 of the 6198
+    spatial pairs survive the 3-day gate at sf0.01 (9 at sf0.001) — the
+    window bites at both driver scales."""
+    from morituri_spark.geo.knn import spacetime_self_join
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), "ts",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return spacetime_self_join(pts, 100.0, 259200, id_col="id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist_km",
+        F.col("dt_s").cast("long").alias("dt_s"),
+    )
+
+
 def _q_hausdorff_pairs(spark, sf_dir):
     """Discrete-Hausdorff track-similarity join (geo/similarity.py):
     tracks compact to sorted coordinate arrays (one exchange), candidate
@@ -3124,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discrete-Hausdorff track-similarity join: anchor radius_join
         # candidates + tiled haversine-matrix refine kernel
         "hausdorff_track_pairs": _q_hausdorff_pairs,
+        # space-time co-location: (cell, time-bucket) equi-join pairs
+        "spacetime_pairs": _q_spacetime_pairs,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3797,6 +3823,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM dirs GROUP BY 1, 2)
             SELECT id_a, id_b, hausdorff_km FROM sym
             WHERE hausdorff_km <= 10.0
+        """,
+        "spacetime_pairs": f"""
+            WITH pts AS (
+                SELECT event_id, ts, {_GLON} AS lon, {_GLAT} AS lat
+                FROM events)
+            SELECT id_a, id_b, dist_km, dt_s FROM (
+                SELECT a.event_id AS id_a, b.event_id AS id_b,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * power(sin(radians(b.lon - a.lon) / 2), 2))),
+                             6) AS dist_km,
+                       date_diff('second', date_trunc('second', a.ts),
+                                 date_trunc('second', b.ts)) AS dt_s
+                FROM pts a JOIN pts b
+                  ON a.event_id < b.event_id
+                 AND abs(a.lat - b.lat) <= 1.0) t
+            WHERE dist_km <= 100.0 AND abs(dt_s) <= 259200
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

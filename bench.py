@@ -212,6 +212,26 @@ def main() -> None:
             knn_cands.withColumnRenamed("cand_id", "id"), 0.05, id_col="id"
         ).agg(F.count(F.lit(1)), F.sum("dist_km")).collect(),
     )
+    # space-time co-location (r5): same 1M points + synthetic 30-day
+    # timestamps, 50 m AND 15 min. The (cell, bucket) key splinters the
+    # urban mega-cell across ~2880 time buckets before any salt probe —
+    # compare with radius_join_1m_points_50m to read the time key's
+    # candidate-volume cut directly.
+    from morituri_spark.geo.knn import spacetime_self_join
+
+    st_pts = knn_cands.select(
+        F.col("cand_id").alias("id"), "lon", "lat",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("cand_id") * 2654435761 % 2592000)
+                           .cast("double"))).alias("ts"),
+    ).persist()
+    st_pts.count()
+    timed(
+        "spacetime_join_1m_points",
+        lambda: spacetime_self_join(st_pts, 0.05, 900, id_col="id")
+        .agg(F.count(F.lit(1)), F.sum("dist_km")).collect(),
+    )
+    st_pts.unpersist()
     knn_queries.unpersist()
     knn_cands.unpersist()
 

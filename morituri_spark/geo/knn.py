@@ -427,8 +427,21 @@ def radius_join(
     antisymmetric: bool = False,
     salt: int | str | None = "auto",
     hot_cell_threshold: int = 4_000_000,
+    time_col: str | None = None,
+    window_s: int | None = None,
 ) -> DataFrame:
     """All (a, b) pairs with haversine(a, b) <= ``radius_km``.
+
+    With ``time_col``/``window_s`` set this becomes the SPACE-TIME
+    co-location join (the contact / co-occurrence primitive): pairs must
+    additionally satisfy |t_a - t_b| <= window_s. Timestamps truncate to
+    whole seconds first (rule 12's cross-engine diff contract), then
+    bucket by ``window_s``-wide integer windows: |diff| <= w forces the
+    buckets adjacent, so the probe side explodes 3 buckets and the join
+    key becomes (cell, bucket) — the time key splinters hot cells across
+    time BEFORE the salt gate even looks, and candidate volume drops by
+    the corpus's time spread over the window. The extra output column
+    ``dt_s`` is the signed (b - a) whole-second delta.
 
     The fixed-radius sibling of :func:`knn_join` — the primitive under
     DBSCAN eps-neighborhoods, co-location mining, and duplicate-capture
@@ -481,13 +494,24 @@ def radius_join(
     n = 1 << res
     mask = (1 << 29) - 1
 
+    timed = time_col is not None
+    if timed and (window_s is None or int(window_s) < 1):
+        raise ValueError("time_col requires window_s >= 1")
+
+    def _sec(c):
+        # whole-second epoch (rule 12: truncate, then diff — matches
+        # DuckDB's date_diff('second'); tz offsets cancel in the diff)
+        return F.unix_timestamp(F.date_trunc("SECOND", F.col(c)))
+
     cell = C.cell_col(F.col("lon"), F.col("lat"), res)
+    a_extra = [_sec(time_col).alias("_asec")] if timed else []
     lft = left.select(
         id_a,
         F.col("lon").alias("_alon"),
         F.col("lat").alias("_alat"),
         F.shiftright(cell, 29).bitwiseAND(F.lit(mask)).alias("_ax"),
         cell.bitwiseAND(F.lit(mask)).alias("_ay"),
+        *a_extra,
     )
     # conservative lon span: evaluate cos at the disk's POLEWARD edge
     # (cos shrinks toward the poles, widening the degree span), clamped
@@ -500,13 +524,14 @@ def radius_join(
         F.ceil(span_deg / F.lit(cell_w)) + F.lit(1), F.lit(n // 2)
     ).cast("int")
     res_bits = F.lit(int(np.int64(res) << 58))
+    thread = ["_asec"] if timed else []
     probe = (
         lft.select(
-            id_a, "_alon", "_alat",
+            id_a, "_alon", "_alat", *thread,
             F.explode(F.sequence(-kx, kx)).alias("_dx"), "_ax", "_ay",
         )
         .select(
-            id_a, "_alon", "_alat",
+            id_a, "_alon", "_alat", *thread,
             F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dy"),
             "_dx", "_ax", "_ay",
         )
@@ -515,7 +540,7 @@ def radius_join(
             & (F.col("_ay") + F.col("_dy") < n)
         )
         .select(
-            id_a, "_alon", "_alat",
+            id_a, "_alon", "_alat", *thread,
             (
                 res_bits
                 + F.pmod(F.col("_ax") + F.col("_dx"), F.lit(n)) * F.lit(1 << 29)
@@ -523,23 +548,49 @@ def radius_join(
             ).alias("_probe_cell"),
         )
     )
+    if timed:
+        # |diff| <= w on truncated seconds forces adjacent w-wide buckets.
+        # The probe keeps its OWN bucket; the right side (not already
+        # fanned out by the disk cover) carries the ±1 explode — 3x on
+        # |right| instead of 3x on the cover-exploded probe (measured
+        # 2.5x less shuffle volume at 1M points / 50 m)
+        probe = probe.withColumn(
+            "_probe_bkt", F.floor(F.col("_asec") / F.lit(int(window_s)))
+        )
+    b_extra = [_sec(time_col).alias("_bsec")] if timed else []
     rgt = right.select(
         id_b,
         F.col("lon").alias("_blon"),
         F.col("lat").alias("_blat"),
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_home_cell"),
+        *b_extra,
     )
+    if timed:
+        # explode the delta, then add (generators can't nest in expressions)
+        rgt = rgt.select(
+            id_b, "_blon", "_blat", "_home_cell", "_bsec",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dbkt"),
+        ).select(
+            id_b, "_blon", "_blat", "_home_cell", "_bsec",
+            (
+                F.floor(F.col("_bsec") / F.lit(int(window_s))) + F.col("_dbkt")
+            ).alias("_home_bkt"),
+        )
 
     hot: list[int] = []
     n_buckets = 0
     if salt is not None:
+        # the straggler unit is one join-key population: the cell alone,
+        # or — when timed — the (cell, time-bucket) pair (a hot cell whose
+        # rows spread across many buckets never lands in one task)
+        key = ["_home_cell", "_home_bkt"] if timed else ["_home_cell"]
         hot_rows = (
-            rgt.groupBy("_home_cell")
+            rgt.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") >= F.lit(int(hot_cell_threshold)))
             .collect()
         )
-        hot = [int(r["_home_cell"]) for r in hot_rows]
+        hot = sorted({int(r["_home_cell"]) for r in hot_rows})
         if hot:
             if salt == "auto":
                 # split aggressively: the straggler's work is candidates
@@ -555,6 +606,7 @@ def radius_join(
         F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat"),
         "haversine_km",
     )
+    probe_thread = ["_asec", "_probe_bkt"] if timed else []
     if n_buckets > 1:
         # hot cells split into sub-buckets; light cells stay single-bucket
         rgt_s = rgt.withColumn(
@@ -565,7 +617,7 @@ def radius_join(
             ).otherwise(F.lit(0).cast("long")),
         )
         probe_s = probe.select(
-            id_a, "_alon", "_alat", "_probe_cell",
+            id_a, "_alon", "_alat", "_probe_cell", *probe_thread,
             F.explode(
                 F.when(
                     F.col("_probe_cell").isin(hot),
@@ -573,17 +625,26 @@ def radius_join(
                 ).otherwise(F.array(F.lit(0).cast("long")))
             ).alias("_salt"),
         )
-        joined = probe_s.join(
-            rgt_s,
-            (probe_s["_probe_cell"] == rgt_s["_home_cell"])
-            & (probe_s["_salt"] == rgt_s["_salt"]),
+        cond = (probe_s["_probe_cell"] == rgt_s["_home_cell"]) & (
+            probe_s["_salt"] == rgt_s["_salt"]
         )
+        if timed:
+            cond = cond & (probe_s["_probe_bkt"] == rgt_s["_home_bkt"])
+        joined = probe_s.join(rgt_s, cond)
     else:
-        joined = probe.join(rgt, probe["_probe_cell"] == rgt["_home_cell"])
+        cond = probe["_probe_cell"] == rgt["_home_cell"]
+        if timed:
+            cond = cond & (probe["_probe_bkt"] == rgt["_home_bkt"])
+        joined = probe.join(rgt, cond)
+    out_extra = (
+        [(F.col("_bsec") - F.col("_asec")).alias("dt_s")] if timed else []
+    )
     pairs = (
-        joined.select(id_a, id_b, F.round(d, 6).alias("dist_km"))
+        joined.select(id_a, id_b, F.round(d, 6).alias("dist_km"), *out_extra)
         .where(F.col("dist_km") <= F.lit(float(radius_km)))
     )
+    if timed:
+        pairs = pairs.where(F.abs(F.col("dt_s")) <= F.lit(int(window_s)))
     if antisymmetric:
         pairs = pairs.where(F.col(id_a) < F.col(id_b))
     return pairs
@@ -601,4 +662,29 @@ def radius_self_join(
     return radius_join(
         a, b, radius_km, res=res, antisymmetric=True,
         salt=salt, hot_cell_threshold=hot_cell_threshold,
+    )
+
+
+def spacetime_self_join(
+    pts: DataFrame,
+    radius_km: float,
+    window_s: int,
+    res: int | None = None,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    salt: int | str | None = "auto",
+    hot_cell_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Unordered co-location pairs: within ``radius_km`` AND within
+    ``window_s`` seconds (id_a < id_b, dist_km, dt_s signed b - a).
+
+    The contact-tracing / co-occurrence primitive over (id, lon, lat, ts)
+    rows — one (cell, time-bucket) equi-join, never |pts|²; see
+    :func:`radius_join` for the bucket algebra and the salt gate."""
+    a = pts.select(F.col(id_col).alias("id_a"), "lon", "lat", F.col(ts_col).alias("_ts"))
+    b = pts.select(F.col(id_col).alias("id_b"), "lon", "lat", F.col(ts_col).alias("_ts"))
+    return radius_join(
+        a, b, radius_km, res=res, antisymmetric=True,
+        salt=salt, hot_cell_threshold=hot_cell_threshold,
+        time_col="_ts", window_s=window_s,
     )

@@ -107,3 +107,83 @@ def test_radius_join_salt_path_identical_and_gated(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_salt" not in auto_plan
+
+
+def _timed_points(n_per=40, seed=9):
+    import datetime as dt
+
+    rng = np.random.default_rng(seed)
+    base = [(179.85, 10.0), (12.0, 47.0), (30.0, 80.0)]
+    t0 = dt.datetime(2024, 3, 1)
+    pts = []
+    i = 0
+    for bx, by in base:
+        for _ in range(n_per):
+            pts.append(
+                (
+                    i,
+                    float((bx + rng.uniform(-0.5, 0.5) + 180) % 360 - 180),
+                    float(np.clip(by + rng.uniform(-0.3, 0.3), -89, 89)),
+                    t0 + dt.timedelta(seconds=float(rng.uniform(0, 40000))),
+                )
+            )
+            i += 1
+    return pts
+
+
+def _brute_spacetime(pts, radius_km, window_s):
+    arr = np.array([(p[1], p[2]) for p in pts])
+    secs = np.array([int(p[3].timestamp()) for p in pts])
+    lon, lat = np.radians(arr[:, 0]), np.radians(arr[:, 1])
+    exp = set()
+    for a in range(len(pts)):
+        dlat = lat - lat[a]
+        dlon = lon - lon[a]
+        h = np.sin(dlat / 2) ** 2 + np.cos(lat[a]) * np.cos(lat) * np.sin(dlon / 2) ** 2
+        d = 2 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+        ok = (np.round(d, 6) <= radius_km) & (np.abs(secs - secs[a]) <= window_s)
+        for b in np.where(ok)[0]:
+            if a < b:
+                exp.add((pts[a][0], pts[int(b)][0]))
+    return exp
+
+
+def test_spacetime_self_join_matches_bruteforce(spark):
+    from morituri_spark.geo.knn import spacetime_self_join
+
+    pts = _timed_points()
+    df = spark.createDataFrame(pts, "id long, lon double, lat double, ts timestamp")
+    got = {
+        (r.id_a, r.id_b): (r.dist_km, r.dt_s)
+        for r in spacetime_self_join(df, 30.0, 3600, id_col="id").collect()
+    }
+    exp = _brute_spacetime(pts, 30.0, 3600)
+    assert set(got) == exp
+    assert 0 < len(got)
+    # the time gate must actually bite: spatial-only is a strict superset
+    spatial_only = {
+        (r.id_a, r.id_b) for r in radius_self_join(df, 30.0).collect()
+    }
+    assert set(got) < spatial_only
+    # dt_s is the signed truncated-second delta, bounded by the window
+    assert all(abs(dt) <= 3600 for _, dt in got.values())
+
+
+def test_spacetime_bucket_edge_pairs(spark):
+    # deltas exactly AT the window and 1s past it, straddling a bucket edge
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 59)
+    rows = [
+        (0, 10.0, 10.0, t0),
+        (1, 10.001, 10.0, t0 + dt.timedelta(seconds=60)),   # == window: in
+        (2, 10.002, 10.0, t0 + dt.timedelta(seconds=61)),   # > window vs 0
+        (3, 10.003, 10.0, t0 - dt.timedelta(seconds=60)),   # == window: in
+    ]
+    from morituri_spark.geo.knn import spacetime_self_join
+
+    df = spark.createDataFrame(rows, "id long, lon double, lat double, ts timestamp")
+    got = {(r.id_a, r.id_b) for r in spacetime_self_join(df, 5.0, 60, id_col="id").collect()}
+    assert (0, 1) in got and (0, 3) in got
+    assert (0, 2) not in got
+    assert (1, 2) in got  # 1s apart
