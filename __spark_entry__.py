@@ -1281,6 +1281,52 @@ def _q_spacetime_pairs(spark, sf_dir):
     )
 
 
+def _q_zone_hulls(spark, sf_dir):
+    """Per-group convex hulls (geo/hull.py): two-stage monotone chain —
+    map-side partial hulls over the input's own partitioning, ONE
+    exchange of hull candidates, exact chain per group. The synth is an
+    integer parabola (strictly convex: every (x, x²) point is a hull
+    vertex, in x order, CCW from lex-min) plus strictly-interior chord
+    midpoints (k²+2k+2 vs the parabola's k²+2k+1 — one integer unit
+    above, 22 units below the top chord) and planted duplicates, so the
+    oracle is the closed-form vertex list while the kernel runs the real
+    general algorithm. Coordinates pass through the kernel untouched —
+    both engines compute them from the same CAST arithmetic, so the
+    value compare is bit-strict."""
+    from morituri_spark.geo.hull import convex_hulls
+
+    j = "((event_id div 5) % 50)"
+    g = "(event_id % 5)"
+    xu = (
+        f"(CASE WHEN {j} < 25 THEN {j} WHEN {j} < 48 THEN {j} - 24"
+        f" ELSE {j} - 44 END)"
+    )
+    yu = (
+        f"(CASE WHEN {j} < 25 THEN {j} * {j}"
+        f" WHEN {j} < 48 THEN ({j}-25)*({j}-25) + 2*({j}-25) + 2"
+        f" ELSE ({j}-44)*({j}-44) END)"
+    )
+    lon = (
+        f"CAST({g} * 30 - 60 AS DOUBLE)"
+        f" + CAST({xu} AS DOUBLE) / CAST(100 AS DOUBLE)"
+    )
+    lat = (
+        f"CAST({g} * 10 - 20 AS DOUBLE)"
+        f" + CAST({yu} AS DOUBLE) / CAST(1000 AS DOUBLE)"
+    )
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(g).alias("zone"),
+        F.expr(lon).alias("lon"),
+        F.expr(lat).alias("lat"),
+    )
+    return convex_hulls(pts, "zone").select(
+        F.col("zone").cast("long").alias("zone"),
+        F.col("vertex_idx").cast("int").alias("vertex_idx"),
+        "lon",
+        "lat",
+    )
+
+
 def _q_hausdorff_pairs(spark, sf_dir):
     """Discrete-Hausdorff track-similarity join (geo/similarity.py):
     tracks compact to sorted coordinate arrays (one exchange), candidate
@@ -3150,6 +3196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_track_pairs": _q_hausdorff_pairs,
         # space-time co-location: (cell, time-bucket) equi-join pairs
         "spacetime_pairs": _q_spacetime_pairs,
+        # per-group convex hulls: two-stage monotone chain, closed-form
+        # parabola oracle
+        "zone_convex_hulls": _q_zone_hulls,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3841,6 +3890,23 @@ def oracle_sql() -> dict[str, str]:
                   ON a.event_id < b.event_id
                  AND abs(a.lat - b.lat) <= 1.0) t
             WHERE dist_km <= 100.0 AND abs(dt_s) <= 259200
+        """,
+        "zone_convex_hulls": """
+            -- closed form: the strictly-convex parabola points ARE the
+            -- hull, in x order (lower chain; the upper chain adds no
+            -- interior vertex), CCW from the lexicographic minimum
+            WITH pts AS (
+                SELECT DISTINCT event_id % 5 AS zone,
+                       ((event_id // 5) % 50) AS j
+                FROM events WHERE ((event_id // 5) % 50) < 25)
+            SELECT zone,
+                   CAST(row_number() OVER (PARTITION BY zone ORDER BY j)
+                        - 1 AS INT) AS vertex_idx,
+                   CAST(zone * 30 - 60 AS DOUBLE)
+                     + CAST(j AS DOUBLE) / CAST(100 AS DOUBLE) AS lon,
+                   CAST(zone * 10 - 20 AS DOUBLE)
+                     + CAST(j * j AS DOUBLE) / CAST(1000 AS DOUBLE) AS lat
+            FROM pts
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

@@ -264,6 +264,36 @@ def main() -> None:
     )
     tracks_b.unpersist()
 
+    # per-group convex hulls (r5): 4M points, 1000 groups. Honest local
+    # read: the raw control WINS here (~3.3s vs ~5.4s) — both paths cross
+    # 4M points through Arrow once and the in-memory local "shuffle" is
+    # free, so stage 1's second Arrow pass is pure cost at this scale.
+    # two_stage stays the default because the raw path's collect_list
+    # puts a whole group in ONE task (a 10^9-point group OOMs it), while
+    # stage 1 bounds the final input to tasks x hull-size — a
+    # correctness-at-scale bound the local bench cannot price, same
+    # family as rule 20's regime gates. The agg consumes the vertex
+    # coordinates (rule 18).
+    from morituri_spark.geo.hull import convex_hulls
+
+    hull_pts = synth.images_table(
+        spark, 4_000_000, partitions=cpus * 4, with_payload=False
+    ).select(
+        F.pmod(F.xxhash64("image_id"), F.lit(1000)).alias("key"), "lon", "lat"
+    ).persist()
+    hull_pts.count()
+    timed(
+        "convex_hulls_4m_two_stage",
+        lambda: convex_hulls(hull_pts, "key")
+        .agg(F.count(F.lit(1)), F.sum("lon"), F.sum("lat")).collect(),
+    )
+    timed(
+        "convex_hulls_4m_raw_control",
+        lambda: convex_hulls(hull_pts, "key", two_stage=False)
+        .agg(F.count(F.lit(1)), F.sum("lon"), F.sum("lat")).collect(),
+    )
+    hull_pts.unpersist()
+
     # mega-cell skew (r5, verdict #5): HALF of 1M candidates collapse into
     # one ~0.001° patch (a single res-12 cell), so ring 0 floods each
     # in-cell query with 500k candidates — the distribution the two-stage
