@@ -1281,6 +1281,26 @@ def _q_spacetime_pairs(spark, sf_dir):
     )
 
 
+def _q_od_matrix(spark, sf_dir):
+    """Origin–destination flow matrix (geo/trajectory.od_matrix): per-user
+    first→last endpoints via ONE min_by/max_by aggregate (no window
+    sort), both endpoints through ONE pass of the real PIP engine
+    (planner-routed), flows rolled up on (zone_o, zone_d). The oracle
+    replays endpoints with a row_number window and containment with the
+    same half-open bbox rule the pip_zone_assign oracles pin."""
+    from morituri_spark.geo.trajectory import od_matrix
+
+    traces = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"),
+    )
+    return od_matrix(traces, _rect_zones(spark), "user_id", ["ts", "event_id"]).select(
+        F.col("zone_o").cast("long").alias("zone_o"),
+        F.col("zone_d").cast("long").alias("zone_d"),
+        F.col("n_trips").cast("long").alias("n_trips"),
+    )
+
+
 def _q_zone_hulls(spark, sf_dir):
     """Per-group convex hulls (geo/hull.py): two-stage monotone chain —
     map-side partial hulls over the input's own partitioning, ONE
@@ -3199,6 +3219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group convex hulls: two-stage monotone chain, closed-form
         # parabola oracle
         "zone_convex_hulls": _q_zone_hulls,
+        # OD flow matrix: endpoint aggregate + one PIP pass + rollup
+        "od_matrix_flows": _q_od_matrix,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3907,6 +3929,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(zone * 10 - 20 AS DOUBLE)
                      + CAST(j * j AS DOUBLE) / CAST(1000 AS DOUBLE) AS lat
             FROM pts
+        """,
+        "od_matrix_flows": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       {_LON} AS lon, {_LAT} AS lat
+                FROM events),
+            r AS (
+                SELECT user_id, lon, lat,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS cnt
+                FROM pts),
+            ends AS (
+                SELECT user_id,
+                       max(CASE WHEN rn = 1 THEN lon END) AS o_lon,
+                       max(CASE WHEN rn = 1 THEN lat END) AS o_lat,
+                       max(CASE WHEN rn = cnt THEN lon END) AS d_lon,
+                       max(CASE WHEN rn = cnt THEN lat END) AS d_lat
+                FROM r GROUP BY user_id),
+            z AS (
+                SELECT e.user_id,
+                       coalesce(zo.zone_id, -1) AS zone_o,
+                       coalesce(zd.zone_id, -1) AS zone_d
+                FROM ends e
+                LEFT JOIN (VALUES {_ZONES_SQL}) AS zo(zone_id, x0, y0, x1, y1)
+                  ON e.o_lon >= zo.x0 AND e.o_lon < zo.x1
+                 AND e.o_lat >= zo.y0 AND e.o_lat < zo.y1
+                LEFT JOIN (VALUES {_ZONES_SQL}) AS zd(zone_id, x0, y0, x1, y1)
+                  ON e.d_lon >= zd.x0 AND e.d_lon < zd.x1
+                 AND e.d_lat >= zd.y0 AND e.d_lat < zd.y1)
+            SELECT zone_o, zone_d, count(*) AS n_trips
+            FROM z GROUP BY 1, 2
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

@@ -207,3 +207,82 @@ def resample_track(
             )
         ).alias("y"),
     )
+
+
+def od_matrix(
+    traces: DataFrame,
+    zones: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+    assign=None,
+) -> DataFrame:
+    """Origin–destination flow matrix: (zone_o, zone_d, n_trips) counting
+    each trace once, from its FIRST point's zone to its LAST point's (by
+    ``order_cols``; unassigned endpoints land in zone -1).
+
+    The zone-attribution sibling of :func:`segment_zone_lengths` for the
+    mobility-corpus family (demand matrices, trip tables). Scale shape:
+
+    - endpoints come from ONE map-side-combinable aggregate
+      (min_by/max_by on the order struct) — no per-trace window sort,
+      no second pass over the points;
+    - BOTH endpoints ride one PIP assignment (a 2-row explode per trace,
+      through the engine's planner-routed point-in-polygon join —
+      broadcast / salted-shuffle / codegen per its own gates);
+    - the flow rollup reuses the endpoint aggregate's hash exchange
+      shape (groupBy on two small ints — partial agg before the only
+      wide exchange).
+
+    ``assign``: (points_df(point_id, lon, lat), zones) -> (point_id,
+    zone_id); defaults to :func:`morituri_spark.geo.pip.
+    assign_zones_broadcast`. Multi-assignment (overlapping zones) would
+    double-count a trip per containing pair — feed non-overlapping
+    admin zones (the engine's PIP zones are exclusive by the half-open
+    edge rule).
+    """
+    if assign is None:
+        from morituri_spark.geo import pip
+
+        assign = pip.assign_zones_broadcast
+
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
+    ends = traces.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min_by(F.struct(F.col(lon), F.col(lat)), order_struct).alias("_o"),
+        F.max_by(F.struct(F.col(lon), F.col(lat)), order_struct).alias("_d"),
+    )
+    # one PIP pass over both endpoints: explode to (key, end, lon, lat)
+    pts = ends.select(
+        "_k",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("e"), F.col(f"_o.{lon}").alias("x"), F.col(f"_o.{lat}").alias("y")),
+                F.struct(F.lit(1).alias("e"), F.col(f"_d.{lon}").alias("x"), F.col(f"_d.{lat}").alias("y")),
+            )
+        ).alias("_p"),
+    ).select(
+        F.concat_ws("#", F.col("_k").cast("string"), F.col("_p.e").cast("string")).alias("point_id"),
+        F.col("_p.x").alias("lon"),
+        F.col("_p.y").alias("lat"),
+    )
+    # two consumers (the PIP join and the unassigned-endpoint left join)
+    # would each recompute the endpoint aggregate; truncate lineage once —
+    # 2 rows per trace, far smaller than the corpus (rule 10/14 family)
+    pts = pts.localCheckpoint()
+    assigned = assign(pts, zones)
+    back = pts.select("point_id").join(assigned, "point_id", "left").select(
+        F.substring_index("point_id", "#", 1).alias("_k"),
+        F.substring_index("point_id", "#", -1).cast("int").alias("_e"),
+        F.coalesce(F.col("zone_id"), F.lit(-1)).alias("_z"),
+    )
+    flows = (
+        back.groupBy("_k")
+        .agg(
+            F.max(F.when(F.col("_e") == 0, F.col("_z"))).alias("zone_o"),
+            F.max(F.when(F.col("_e") == 1, F.col("_z"))).alias("zone_d"),
+        )
+        .groupBy("zone_o", "zone_d")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+    return flows

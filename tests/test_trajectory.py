@@ -170,3 +170,34 @@ def test_resample_single_fix_and_plan(spark):
     plan = resample_track(df, "user_id", "ts", ["ts"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_od_matrix_counts_and_unassigned(spark):
+    from morituri_spark.geo.trajectory import od_matrix
+
+    # zones: two unit squares side by side
+    zones = spark.createDataFrame(
+        [
+            (0, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]),
+            (1, [[[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]),
+        ],
+        "zone_id long, rings array<array<array<double>>>",
+    )
+    rows = [
+        # user 0: zone0 -> zone1 (order by seq, shuffled input order)
+        (0, 2, 1.5, 0.5), (0, 0, 0.2, 0.2), (0, 1, 0.9, 0.9),
+        # user 1: stays in zone0
+        (1, 0, 0.1, 0.1), (1, 1, 0.3, 0.3),
+        # user 2: zone0 -> zone1 (another one)
+        (2, 0, 0.5, 0.5), (2, 1, 1.9, 0.1),
+        # user 3: starts outside all zones -> zone1
+        (3, 0, 5.0, 5.0), (3, 1, 1.1, 0.5),
+        # user 4: single point in zone1 (o == d)
+        (4, 0, 1.2, 0.8),
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq long, lon double, lat double")
+    got = {
+        (r.zone_o, r.zone_d): r.n_trips
+        for r in od_matrix(df, zones, "uid", ["seq"]).collect()
+    }
+    assert got == {(0, 1): 2, (0, 0): 1, (-1, 1): 1, (1, 1): 1}
