@@ -1281,6 +1281,36 @@ def _q_spacetime_pairs(spark, sf_dir):
     )
 
 
+def _q_contour_segments(spark, sf_dir):
+    """Marching-squares iso-contour (geo/density.contour_segments) over a
+    derived cell grid: one 4-block literal explode per occupied cell, a
+    map-side-combinable bit sum builds the case index, an 18-row
+    broadcast LUT emits midpoint segments — pure Catalyst, grid-bounded.
+    The cell value is max((event_id*31)%97) per cell so the surface has
+    contrast at BOTH driver scales; the oracle re-derives the full
+    pipeline in SQL with its own copy of the public segment table (an
+    independent spec pin, like the z-split golden vectors)."""
+    from morituri_spark.geo.density import contour_segments
+
+    cells = (
+        _read(spark, sf_dir, "events")
+        .select(
+            (F.col("event_id") % 24).alias("ix"),
+            F.expr("(event_id div 24) % 16").alias("iy"),
+            ((F.col("event_id") * 31) % 97).alias("v"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.max("v").alias("n_points"))
+    )
+    return contour_segments(cells, 60.0).select(
+        F.col("bx").cast("long").alias("bx"),
+        F.col("by").cast("long").alias("by"),
+        F.col("case_idx").cast("int").alias("case_idx"),
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        "x1", "y1", "x2", "y2",
+    )
+
+
 def _q_od_matrix(spark, sf_dir):
     """Origin–destination flow matrix (geo/trajectory.od_matrix): per-user
     first→last endpoints via ONE min_by/max_by aggregate (no window
@@ -3221,6 +3251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_convex_hulls": _q_zone_hulls,
         # OD flow matrix: endpoint aggregate + one PIP pass + rollup
         "od_matrix_flows": _q_od_matrix,
+        # marching-squares iso-contours over the density-grid family
+        "contour_segments": _q_contour_segments,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3961,6 +3993,50 @@ def oracle_sql() -> dict[str, str]:
                  AND e.d_lat >= zd.y0 AND e.d_lat < zd.y1)
             SELECT zone_o, zone_d, count(*) AS n_trips
             FROM z GROUP BY 1, 2
+        """,
+        "contour_segments": """
+            WITH cells AS (
+                SELECT event_id % 24 AS ix, (event_id // 24) % 16 AS iy,
+                       max((event_id * 31) % 97) AS v
+                FROM events GROUP BY 1, 2),
+            corners AS (
+                SELECT ix - d.dx AS bx, iy - d.dy AS by,
+                       CASE WHEN v >= 60 THEN
+                           CASE d.dx + 2 * d.dy
+                               WHEN 0 THEN 1 WHEN 1 THEN 2
+                               WHEN 2 THEN 4 ELSE 8 END
+                       ELSE 0 END AS bit
+                FROM cells, (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+                     AS d(dx, dy)),
+            blocks AS (
+                SELECT bx, by, CAST(sum(bit) AS INT) AS case_idx
+                FROM corners GROUP BY 1, 2
+                HAVING sum(bit) > 0 AND sum(bit) < 15),
+            -- independent copy of the public midpoint segment table
+            -- (saddles 6/9 = disconnected default, the operator contract)
+            lut(case_idx, seg_idx, ox1, oy1, ox2, oy2) AS (VALUES
+                (1,  0, 0.0, 0.5, 0.5, 0.0),
+                (2,  0, 0.5, 0.0, 1.0, 0.5),
+                (3,  0, 0.0, 0.5, 1.0, 0.5),
+                (4,  0, 0.0, 0.5, 0.5, 1.0),
+                (5,  0, 0.5, 0.0, 0.5, 1.0),
+                (6,  0, 0.0, 0.5, 0.5, 1.0),
+                (6,  1, 0.5, 0.0, 1.0, 0.5),
+                (7,  0, 1.0, 0.5, 0.5, 1.0),
+                (8,  0, 1.0, 0.5, 0.5, 1.0),
+                (9,  0, 0.0, 0.5, 0.5, 0.0),
+                (9,  1, 1.0, 0.5, 0.5, 1.0),
+                (10, 0, 0.5, 0.0, 0.5, 1.0),
+                (11, 0, 0.0, 0.5, 0.5, 1.0),
+                (12, 0, 0.0, 0.5, 1.0, 0.5),
+                (13, 0, 0.5, 0.0, 1.0, 0.5),
+                (14, 0, 0.0, 0.5, 0.5, 0.0))
+            SELECT b.bx, b.by, b.case_idx, CAST(l.seg_idx AS INT) AS seg_idx,
+                   CAST(b.bx AS DOUBLE) + CAST(l.ox1 AS DOUBLE) AS x1,
+                   CAST(b.by AS DOUBLE) + CAST(l.oy1 AS DOUBLE) AS y1,
+                   CAST(b.bx AS DOUBLE) + CAST(l.ox2 AS DOUBLE) AS x2,
+                   CAST(b.by AS DOUBLE) + CAST(l.oy2 AS DOUBLE) AS y2
+            FROM blocks b JOIN lut l USING (case_idx)
         """,
         "crossmodal_dup_confirm": f"""
             WITH h AS (

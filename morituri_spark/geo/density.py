@@ -99,3 +99,88 @@ def cell_density(
         )
         .select("ix", "iy", "n_points", "density")
     )
+
+
+#: marching-squares lookup (public algorithm, Lorensen-style 2D variant):
+#: corner k of block (bx, by) is cell (bx + k%2, by + k//2); bit k set when
+#: that cell's value >= threshold. Edge midpoints: B=(.5,0) R=(1,.5)
+#: T=(.5,1) L=(0,.5). Ambiguous saddles (cases 6 and 9) take the
+#: DISCONNECTED default (no center sample exists on a cell grid); the
+#: choice is part of the operator contract and the oracle replays it.
+MS_SEGMENTS = [
+    (1, 0, 0.0, 0.5, 0.5, 0.0),   # L-B
+    (2, 0, 0.5, 0.0, 1.0, 0.5),   # B-R
+    (3, 0, 0.0, 0.5, 1.0, 0.5),   # L-R
+    (4, 0, 0.0, 0.5, 0.5, 1.0),   # L-T
+    (5, 0, 0.5, 0.0, 0.5, 1.0),   # B-T
+    (6, 0, 0.0, 0.5, 0.5, 1.0),   # L-T   (saddle, disconnected default)
+    (6, 1, 0.5, 0.0, 1.0, 0.5),   # B-R
+    (7, 0, 1.0, 0.5, 0.5, 1.0),   # R-T
+    (8, 0, 1.0, 0.5, 0.5, 1.0),   # R-T
+    (9, 0, 0.0, 0.5, 0.5, 0.0),   # L-B   (saddle, disconnected default)
+    (9, 1, 1.0, 0.5, 0.5, 1.0),   # R-T
+    (10, 0, 0.5, 0.0, 0.5, 1.0),  # B-T
+    (11, 0, 0.0, 0.5, 0.5, 1.0),  # L-T
+    (12, 0, 0.0, 0.5, 1.0, 0.5),  # L-R
+    (13, 0, 0.5, 0.0, 1.0, 0.5),  # B-R
+    (14, 0, 0.0, 0.5, 0.5, 0.0),  # L-B
+]
+
+
+def contour_segments(
+    cells: DataFrame,
+    threshold: float,
+    x_col: str = "ix",
+    y_col: str = "iy",
+    val_col: str = "n_points",
+) -> DataFrame:
+    """Marching-squares iso-contour of a cell grid at ``val_col >=
+    threshold``: one segment row per (block, seg_idx) — (bx, by,
+    case_idx, seg_idx, x1, y1, x2, y2) in CELL units (block corner at
+    integer coordinates, crossings at edge midpoints — all values exact
+    dyadic rationals, so the output is bit-stable across engines).
+
+    Scale shape — pure Catalyst end to end: each occupied cell explodes
+    to the 4 blocks it corners (literal-offset explode over the CELL
+    relation, which is grid-bounded, never point-bounded), one
+    map-side-combinable sum builds the 4-bit case index, and the segment
+    lookup is a broadcast join against an 18-row literal table. Absent
+    neighbors contribute bit 0 exactly like present cells below the
+    threshold, so only blocks touching at least one occupied cell ever
+    materialize; full-inside (15) and full-outside (0) blocks emit
+    nothing.
+    """
+    spark = cells.sparkSession
+    corners = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(x_col) - F.lit(dx)).alias("bx"),
+                        (F.col(y_col) - F.lit(dy)).alias("by"),
+                        F.when(
+                            F.col(val_col) >= F.lit(threshold),
+                            F.lit(1 << (dx + 2 * dy)),
+                        ).otherwise(F.lit(0)).alias("bit"),
+                    )
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.bx", "_c.by", "_c.bit")
+    blocks = (
+        corners.groupBy("bx", "by")
+        .agg(F.sum("bit").cast("int").alias("case_idx"))
+        .where((F.col("case_idx") > 0) & (F.col("case_idx") < 15))
+    )
+    lut = spark.createDataFrame(
+        MS_SEGMENTS, "case_idx int, seg_idx int, ox1 double, oy1 double, ox2 double, oy2 double"
+    )
+    return blocks.join(F.broadcast(lut), "case_idx").select(
+        "bx", "by", "case_idx", "seg_idx",
+        (F.col("bx") + F.col("ox1")).alias("x1"),
+        (F.col("by") + F.col("oy1")).alias("y1"),
+        (F.col("bx") + F.col("ox2")).alias("x2"),
+        (F.col("by") + F.col("oy2")).alias("y2"),
+    )
