@@ -1281,6 +1281,23 @@ def _q_spacetime_pairs(spark, sf_dir):
     )
 
 
+def _q_tile_mosaic(spark, sf_dir):
+    """Tile mosaic selection (pipelines/mosaic.best_per_tile): best image
+    per res-7 tile by REAL-decode mean luminance, ties broken by
+    image_id — one map-side-combinable max_by argmax, no window sort.
+    Runs the real PNG decode; the oracle replays the constant-image
+    closed forms (gray is an exact integer by the blue-channel mod-3
+    adjustment) plus the engine's floor cell arithmetic and a
+    row_number argmax."""
+    from morituri_spark.pipelines.mosaic import best_per_tile
+
+    return best_per_tile(_constant_images(spark, sf_dir), res=7).select(
+        F.col("tile").cast("long").alias("tile"),
+        "image_id",
+        "quality",
+    )
+
+
 def _q_contour_segments(spark, sf_dir):
     """Marching-squares iso-contour (geo/density.contour_segments) over a
     derived cell grid: one 4-block literal explode per occupied cell, a
@@ -3253,6 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix_flows": _q_od_matrix,
         # marching-squares iso-contours over the density-grid family
         "contour_segments": _q_contour_segments,
+        # tile mosaic: per-tile argmax image by real-decode luminance
+        "tile_mosaic_best": _q_tile_mosaic,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -3993,6 +4012,33 @@ def oracle_sql() -> dict[str, str]:
                  AND e.d_lat >= zd.y0 AND e.d_lat < zd.y1)
             SELECT zone_o, zone_d, count(*) AS n_trips
             FROM z GROUP BY 1, 2
+        """,
+        "tile_mosaic_best": f"""
+            WITH img AS (
+                SELECT event_id AS i, {_IMG_LON} AS lon, {_LAT} AS lat
+                FROM events WHERE event_id < 500),
+            ch AS (
+                SELECT i, lon, lat, (i % 256) AS r, ((i * 3) % 256) AS g,
+                       ((i * 7) % 256)
+                         - ((i % 256 + (i * 3) % 256 + (i * 7) % 256) % 3)
+                         AS b0
+                FROM img),
+            t AS (
+                SELECT printf('img%08d', i) AS image_id,
+                       7 * 288230376151711744
+                         + CAST(floor((lon + 180) / 360 * 128) AS BIGINT)
+                           * 536870912
+                         + CAST(floor((lat + 90) / 180 * 128) AS BIGINT)
+                           AS tile,
+                       CAST(r + g + CASE WHEN b0 < 0 THEN b0 + 3 ELSE b0 END
+                            AS DOUBLE) / CAST(3 AS DOUBLE) AS quality
+                FROM ch),
+            rk AS (
+                SELECT tile, image_id, quality,
+                       row_number() OVER (PARTITION BY tile
+                           ORDER BY quality DESC, image_id DESC) AS rn
+                FROM t)
+            SELECT tile, image_id, quality FROM rk WHERE rn = 1
         """,
         "contour_segments": """
             WITH cells AS (

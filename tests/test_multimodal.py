@@ -89,3 +89,26 @@ def test_zonal_image_stats(spark):
     for r in out:
         assert 0 <= r["avg_r"] <= 255 and 0 <= r["avg_texture"] <= 128
         assert 0 <= r["avg_phash_bits"] <= 64
+
+
+def test_mosaic_best_per_tile_deterministic(spark):
+    """best_per_tile: argmax by (quality, image_id) over real PNG decode."""
+    import numpy as np
+    from morituri_spark.pipelines.mosaic import best_per_tile
+    from morituri_spark.sources import images as I
+
+    rows = []
+    # two tiles; in tile A plant a quality tie broken by id
+    for i, (lon, lat, val) in enumerate(
+        [(1.0, 41.0, 50), (1.2, 41.2, 200), (1.1, 41.1, 200),
+         (7.0, 47.0, 10), (7.2, 47.2, 90)]
+    ):
+        arr = np.full((4, 4, 3), val, dtype=np.uint8)
+        rows.append((f"im{i}", I.encode(arr, "png"), "png", 4, 4, float(lon), float(lat)))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, lon double, lat double"
+    )
+    got = {r.tile: (r.image_id, r.quality) for r in best_per_tile(df, res=5).collect()}
+    assert len(got) == 2
+    winners = dict(got.values())
+    assert winners == {"im2": 200.0, "im4": 90.0}
