@@ -584,6 +584,22 @@ def _q_ring_areas(spark, sf_dir):
     return ring_areas(pts, "user_id", ["ts", "event_id"])
 
 
+def _q_ring_areas_spherical(spark, sf_dir):
+    """Spherical polygon area (geo/measures.ring_areas_spherical): the
+    Chamberlain–Duquette sum over the same ts-ordered per-user rings as
+    ring_areas_shoelace — one window + one aggregate, pure Catalyst
+    trig. Oracle = identical term algebra in SQL; area rounds at 2 dp
+    (continental magnitudes put cross-engine sum dust near 1e-4 km² —
+    rule 16's margin ratio)."""
+    from morituri_spark.geo.measures import ring_areas_spherical
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return ring_areas_spherical(pts, "user_id", ["ts", "event_id"])
+
+
 def _q_tile_pyramid(spark, sf_dir):
     """Multi-zoom tile pyramid (pipelines/pyramid): one raw scan at
     res_max, every coarser level cascades from the previous level's
@@ -3272,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_segments": _q_contour_segments,
         # tile mosaic: per-tile argmax image by real-decode luminance
         "tile_mosaic_best": _q_tile_mosaic,
+        # spherical (true) polygon areas, the shoelace's geodesic twin
+        "ring_areas_spherical": _q_ring_areas_spherical,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -4012,6 +4030,29 @@ def oracle_sql() -> dict[str, str]:
                  AND e.d_lat >= zd.y0 AND e.d_lat < zd.y1)
             SELECT zone_o, zone_d, count(*) AS n_trips
             FROM z GROUP BY 1, 2
+        """,
+        "ring_areas_spherical": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events
+            ), staged AS (
+                SELECT user_id,
+                       (radians(lead(lon) OVER w) - radians(lon))
+                         * (sin(radians(lat)) + sin(radians(lead(lat) OVER w)))
+                         AS term,
+                       first_value(lon) OVER wf AS flon, first_value(lat) OVER wf AS flat,
+                       last_value(lon) OVER wf AS llon, last_value(lat) OVER wf AS llat
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, count(*) AS n_points,
+                   round(abs(sum(term)
+                             + (radians(any_value(flon)) - radians(any_value(llon)))
+                               * (sin(radians(any_value(llat)))
+                                  + sin(radians(any_value(flat)))))
+                         * (6371.0088 * 6371.0088 / 2.0), 2) AS area_km2
+            FROM staged GROUP BY user_id
         """,
         "tile_mosaic_best": f"""
             WITH img AS (

@@ -128,3 +128,32 @@ def test_segment_zone_lengths_strategies_agree(spark):
         )
     )
     assert a == b and len(a) == 2
+
+
+def test_ring_areas_spherical_rectangle_closed_form(spark):
+    """Exact spherical rectangle area: A = R^2 * dlam * |sin(p2)-sin(p1)|."""
+    import math
+    from morituri_spark.geo.measures import ring_areas_spherical
+
+    R = 6371.0088
+    cases = [(0, 10.0, 20.0, 0.0, 1.0), (1, -5.0, 5.0, 40.0, 55.0)]
+    rows = []
+    for k, l1, l2, p1, p2 in cases:
+        for i, (x, y) in enumerate([(l1, p1), (l2, p1), (l2, p2), (l1, p2)]):
+            rows.append((k, i, float(x), float(y)))
+    df = spark.createDataFrame(rows, "key long, seq long, lon double, lat double")
+    got = {r.key: r.area_km2 for r in ring_areas_spherical(df, "key", ["seq"]).collect()}
+    for k, l1, l2, p1, p2 in cases:
+        exp = R * R * math.radians(l2 - l1) * abs(
+            math.sin(math.radians(p2)) - math.sin(math.radians(p1))
+        )
+        assert abs(got[k] - exp) < 0.02, (k, got[k], exp)
+    # sanity vs planar: a 1-deg-tall band at 55N is much smaller than at 0N
+    small = ring_areas_spherical(
+        spark.createDataFrame(
+            [(0, i, float(x), float(y)) for i, (x, y) in
+             enumerate([(0.0, 55.0), (1.0, 55.0), (1.0, 56.0), (0.0, 56.0)])],
+            "key long, seq long, lon double, lat double",
+        ), "key", ["seq"]).collect()[0].area_km2
+    eq = got[0] / 10.0  # case 0 is 10 deg wide at the equator
+    assert small < 0.62 * eq
