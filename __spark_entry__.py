@@ -1297,6 +1297,38 @@ def _q_spacetime_pairs(spark, sf_dir):
     )
 
 
+_POS_AT_STAMPS = ["2024-01-08 12:00:00", "2024-01-15 12:00:00", "2024-01-22 12:00:00"]
+
+
+def _q_position_at(spark, sf_dir):
+    """Geo as-of interpolation (geo/trajectory.position_at): per-user
+    position at three fixed noon instants — fixes and query stamps union
+    into one relation, forward+backward keyed windows each fill ONE
+    whole-fix struct, closed-form lerp with clamped span edges. ONE
+    exchange, no join. The oracle replays the identical union-window
+    plan in DuckDB (IGNORE NULLS last_value both directions, same frac
+    and rule-16 rounding expressions)."""
+    from morituri_spark.geo.trajectory import position_at
+
+    fixes = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    qs = (
+        _read(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.array(*[F.lit(s).cast("timestamp") for s in _POS_AT_STAMPS])
+            ).alias("ts"),
+        )
+    )
+    return position_at(fixes, qs, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "lon", "lat"
+    )
+
+
 def _q_tile_mosaic(spark, sf_dir):
     """Tile mosaic selection (pipelines/mosaic.best_per_tile): best image
     per res-7 tile by REAL-decode mean luminance, ties broken by
@@ -3290,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mosaic_best": _q_tile_mosaic,
         # spherical (true) polygon areas, the shoelace's geodesic twin
         "ring_areas_spherical": _q_ring_areas_spherical,
+        # geo as-of: interpolated per-user position at fixed instants
+        "position_at_instants": _q_position_at,
         "house_numbers_oracle": _q_house_numbers_oracle,
         "street_ways_oracle": _q_street_ways_oracle,
         "turn_restrictions_oracle": _q_turn_restrictions_oracle,
@@ -4030,6 +4064,56 @@ def oracle_sql() -> dict[str, str]:
                  AND e.d_lat >= zd.y0 AND e.d_lat < zd.y1)
             SELECT zone_o, zone_d, count(*) AS n_trips
             FROM z GROUP BY 1, 2
+        """,
+        "position_at_instants": f"""
+            WITH pts AS (
+                SELECT user_id, ts, {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            qs AS (
+                SELECT DISTINCT user_id,
+                       unnest([{", ".join("TIMESTAMP '" + s + "'" for s in _POS_AT_STAMPS)}]) AS ts
+                FROM events),
+            u AS (
+                SELECT user_id AS k,
+                       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+                       0 AS isq, lon, lat, ts
+                FROM pts
+                UNION ALL
+                SELECT user_id,
+                       CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+                       1, NULL, NULL, ts
+                FROM qs),
+            f AS (
+                SELECT k, s, isq, ts,
+                       last_value(CASE WHEN isq = 0 THEN
+                           struct_pack(s := s, lon := lon, lat := lat) END
+                           IGNORE NULLS)
+                         OVER (PARTITION BY k ORDER BY s, isq
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS prev0,
+                       last_value(CASE WHEN isq = 0 THEN
+                           struct_pack(s := s, lon := lon, lat := lat) END
+                           IGNORE NULLS)
+                         OVER (PARTITION BY k ORDER BY s DESC, isq ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS next0
+                FROM u),
+            g AS (
+                SELECT k, s, ts,
+                       coalesce(prev0, next0) AS p,
+                       coalesce(next0, prev0) AS n
+                FROM f WHERE isq = 1),
+            h AS (
+                SELECT k, ts, p, n,
+                       CASE WHEN n.s - p.s > 0 THEN
+                           CAST(s - p.s AS DOUBLE) / CAST(n.s - p.s AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS frac
+                FROM g WHERE p IS NOT NULL)
+            SELECT k AS user_id, ts,
+                   floor((p.lon + (n.lon - p.lon) * frac) * 1e6 + 0.5 + 1e-8)
+                     / 1e6 AS lon,
+                   floor((p.lat + (n.lat - p.lat) * frac) * 1e6 + 0.5 + 1e-8)
+                     / 1e6 AS lat
+            FROM h
         """,
         "ring_areas_spherical": f"""
             WITH pts AS (

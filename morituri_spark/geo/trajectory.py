@@ -286,3 +286,82 @@ def od_matrix(
         .agg(F.count(F.lit(1)).alias("n_trips"))
     )
     return flows
+
+
+def position_at(
+    traces: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Interpolated position of every key at every query instant — the
+    geo AS-OF join ("where was entity k at time T"): linear interpolation
+    between the bracketing fixes, CLAMPED to the first/last fix outside
+    the trace's span. Keys with no fixes drop out (inner semantics).
+
+    Shape (the as-of union-window pattern, operators/asof.py): fixes and
+    query stamps union-tag into ONE relation, a forward and a backward
+    keyed window each fill ONE whole-fix struct (never per-column fills —
+    a spliced fill would pair lon from one fix with lat from another),
+    and the lerp is closed-form Catalyst arithmetic. ONE exchange on the
+    key; no join, no per-query probe. Seconds are whole-second epochs
+    (rule 12: truncate then diff; session tz is UTC so the diffs equal
+    DuckDB's). Outputs round half-up at 6 dp (rule 16, shared with the
+    SQL oracle); ties (query exactly on a fix) take that fix exactly —
+    fixes sort BEFORE queries at equal seconds in the forward window and
+    AFTER them in the backward window, so both brackets land on the fix
+    and the lerp degenerates to it bit-exactly.
+    """
+    fsec = F.unix_timestamp(F.date_trunc("SECOND", F.col(ts_col)))
+    fixes = traces.select(
+        F.col(key_col).alias("_k"),
+        fsec.alias("_s"),
+        F.lit(0).alias("_isq"),
+        F.col(lon).alias("_flon"),
+        F.col(lat).alias("_flat"),
+        F.col(ts_col).alias("_qts"),
+    )
+    qs = queries.select(
+        F.col(key_col).alias("_k"),
+        fsec.alias("_s"),
+        F.lit(1).alias("_isq"),
+        F.lit(None).cast("double").alias("_flon"),
+        F.lit(None).cast("double").alias("_flat"),
+        F.col(ts_col).alias("_qts"),
+    )
+    u = fixes.unionByName(qs)
+    fix_struct = F.when(
+        F.col("_isq") == 0, F.struct("_s", "_flon", "_flat")
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_s", "_isq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_s").desc(), F.col("_isq").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = u.select(
+        "_k", "_s", "_isq", "_qts",
+        F.last(fix_struct, ignorenulls=True).over(wf).alias("_prev"),
+        F.last(fix_struct, ignorenulls=True).over(wb).alias("_next"),
+    ).where(F.col("_isq") == 1)
+    # clamp: missing bracket borrows the other side (span edges)
+    prev = F.coalesce(F.col("_prev"), F.col("_next"))
+    nxt = F.coalesce(F.col("_next"), F.col("_prev"))
+    dt = nxt["_s"] - prev["_s"]
+    frac = F.when(dt > 0, (F.col("_s") - prev["_s"]).cast("double") / dt.cast("double")).otherwise(F.lit(0.0))
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+
+    return staged.where(prev.isNotNull()).select(
+        F.col("_k").alias(key_col),
+        F.col("_qts").alias(ts_col),
+        _r6(prev["_flon"] + (nxt["_flon"] - prev["_flon"]) * frac).alias("lon"),
+        _r6(prev["_flat"] + (nxt["_flat"] - prev["_flat"]) * frac).alias("lat"),
+    )

@@ -201,3 +201,44 @@ def test_od_matrix_counts_and_unassigned(spark):
         for r in od_matrix(df, zones, "uid", ["seq"]).collect()
     }
     assert got == {(0, 1): 2, (0, 0): 1, (-1, 1): 1, (1, 1): 1}
+
+
+def test_position_at_interpolation_clamp_and_ties(spark):
+    import datetime as dt
+    from morituri_spark.geo.trajectory import position_at
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    fixes = spark.createDataFrame(
+        [
+            (0, at(0), 10.0, 50.0),
+            (0, at(100), 11.0, 51.0),
+            (0, at(200), 13.0, 50.0),
+            (1, at(0), -5.0, -5.0),  # single-fix trace
+        ],
+        "uid long, ts timestamp, lon double, lat double",
+    )
+    qs = spark.createDataFrame(
+        [
+            (0, at(50)),    # mid first segment
+            (0, at(100)),   # exactly on a fix
+            (0, at(150)),   # mid second segment
+            (0, at(-10)),   # before span -> clamp to first
+            (0, at(999)),   # after span -> clamp to last
+            (1, at(42)),    # single fix -> clamp
+            (2, at(1)),     # no fixes -> dropped
+        ],
+        "uid long, ts timestamp",
+    )
+    got = {(r.uid, r.ts): (r.lon, r.lat) for r in position_at(fixes, qs, "uid").collect()}
+    assert got[(0, at(50))] == (10.5, 50.5)
+    assert got[(0, at(100))] == (11.0, 51.0)
+    assert got[(0, at(150))] == (12.0, 50.5)
+    assert got[(0, at(-10))] == (10.0, 50.0)
+    assert got[(0, at(999))] == (13.0, 50.0)
+    assert got[(1, at(42))] == (-5.0, -5.0)
+    assert (2, at(1)) not in got
+    assert len(got) == 6
