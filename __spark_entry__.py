@@ -3195,20 +3195,18 @@ def _pq_oracle_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
-    # 50 entries only. Round-5 rotation (r4 verdict item #1): the 27 queries
-    # last driver-verified in round 3 (ring_areas_shoelace …
-    # ngram_jaccard_pairs) lead, followed by everything NEW or TOUCHED in
-    # r5 — the r5-continuation quartet (decontamination, duplicated spans,
-    # budget mixture, segment→zone lengths) plus ann_pq_topk, the oracled
-    # ex-demos, the mega-cell kNN query, the progressive JPEG pair
-    # (decoder refactored to multi-scan), the ANN/embedding family
-    # (rounding + hot-bucket block split), the shuffle PIP
-    # (auto-compaction routing), the _derived_streets-fed twins (new area
-    # columns), and stateful streaming (TTL parameter). Entries past
-    # position 50 are r4-green with an in-window sibling on every
-    # r5-touched code path, and remain covered by tests/test_entry.py's
-    # oracle replica at sf0.001.
-    return {
+    # 50 entries only; _WINDOW (below) picks them explicitly. Final-session
+    # rotation: every query that has NEVER had a driver row (the 34
+    # r5-session additions incl. geohash/hilbert/radius/dbscan and the
+    # nine sixth-session operators) plus the three re-pointed ex-demos
+    # (whose r4 rows were rows-only) MUST be in-window; the remaining 13
+    # slots go to the most load-bearing of the r3-stale block (reference
+    # golden-vector pins, stream-parity formatters, the TTL-touched
+    # streaming op, the flagship TPC-H query). The 14 r3-green entries
+    # left past the window are simple SQL-family ops, each with pytest
+    # coverage, an r3 EQUAL row, an r4-fresh in-window sibling on its
+    # code path, and the test_entry.py sf0.001 oracle replica.
+    base = {
         # --- r3-stale block: rotate back into the driver window ---
         "ring_areas_shoelace": _q_ring_areas,
         "streaming_first_seen": _q_streaming_first_seen,
@@ -3371,6 +3369,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": _q_asof_join,
         "range_join_bands": _q_range_join,
     }
+    window = [n for n in _WINDOW if n in base]
+    rest = [n for n in base if n not in set(window)]
+    return {n: base[n] for n in [*window, *rest]}
+
+
+#: the 50 names the driver's correctness window must cover this round —
+#: see the ordering-contract note in queries().
+_WINDOW = [
+    # never driver-checked: sixth-session operators
+    "hausdorff_track_pairs", "spacetime_pairs", "zone_convex_hulls",
+    "od_matrix_flows", "contour_segments", "tile_mosaic_best",
+    "ring_areas_spherical", "position_at_instants",
+    # never driver-checked: fifth-session quartet
+    "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
+    # never driver-checked: earlier r5 sessions
+    "decontaminate_benchmark", "duplicate_span_ratio",
+    "mixture_budget_sample", "segment_zone_lengths", "chunk_text_windows",
+    "polygon_overlap_join", "ann_pq_topk", "trajectory_stay_points",
+    "grid_cell_density", "phash_near_dup", "snap_points_to_segments",
+    "grid_density_clusters", "grid_hotspot_cells",
+    "morans_i_autocorrelation", "semdedup_keep_flags", "vit_patch_tokens",
+    "idw_surface_cells", "resample_tracks_daily", "quadkey_pyramid",
+    "crossmodal_dup_confirm", "knn_mega_cell_skew",
+    "jpeg_progressive_roundtrip",
+    # re-pointed ex-demos (r4 rows were rows-only; oracled since)
+    "street_conversion", "turn_restrictions", "admin_boundaries",
+    # r3-stale, most load-bearing: golden pins, parity formatters,
+    # TTL-touched streaming, flagship TPC-H, shared-file siblings
+    "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
+    "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
+    "pricing_summary", "sessionize_gap", "dedup_exact_groups",
+    "value_quantiles", "hll_distinct_gate", "window_topk_per_key",
+    "case_decision_tree",
+]
 
 
 def oracle_sql() -> dict[str, str]:
