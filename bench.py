@@ -222,7 +222,7 @@ def main() -> None:
     st_pts = knn_cands.select(
         F.col("cand_id").alias("id"), "lon", "lat",
         (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(secs=(F.col("cand_id") * 2654435761 % 2592000)
+         + F.make_interval(secs=F.pmod(F.xxhash64("cand_id"), F.lit(2592000))
                            .cast("double"))).alias("ts"),
     ).persist()
     st_pts.count()

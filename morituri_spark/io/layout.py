@@ -258,13 +258,23 @@ def read_bbox(
     hilbert.hilbert_ranges for a Hilbert layout — parquet pushes
     disjunctions of range filters down to row-group stats either way).
     """
-    if None in (res_part, res_sort, lon, lat, curve):
+    if None in (res_part, res_sort, lon, lat):
         meta = read_layout_meta(spark, path)
         res_part = res_part if res_part is not None else int(meta["res_part"])
         res_sort = res_sort if res_sort is not None else int(meta["res_sort"])
         lon = lon or meta["lon"]
         lat = lat or meta["lat"]
         curve = curve or meta.get("curve") or "z"
+    elif curve is None:
+        # all layout params explicit: the caller may be pointing at bare
+        # Morton-keyed parquet with no sidecar (pre-curve writes, external
+        # controls) — consult the meta only if it exists, else Morton.
+        # write_spatial always writes the sidecar, so a Hilbert layout can
+        # never silently take this branch.
+        try:
+            curve = read_layout_meta(spark, path).get("curve") or "z"
+        except Exception:
+            curve = "z"
     cover = [int(c) for c in cells.cover_bbox(lon_min, lat_min, lon_max, lat_max, res_part)]
     if curve == "hilbert":
         from morituri_spark.io.hilbert import hilbert_ranges
