@@ -513,6 +513,14 @@ def radius_join(
         cell.bitwiseAND(F.lit(mask)).alias("_ay"),
         *a_extra,
     )
+    # re-spread a collapsed input (knn_join's limit() lesson): the probe
+    # explode runs BEFORE the join exchange, so a 1-partition left side —
+    # e.g. a persisted limit() — serializes the whole cover fan-out into
+    # one task (measured 142.9s -> 13.3s at 1M points / 50 m). Guarded by
+    # partition count, so real many-split scans never pay the exchange.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if lft.rdd.getNumPartitions() < par:  # rdd-meta-ok
+        lft = lft.repartition(par)
     # conservative lon span: evaluate cos at the disk's POLEWARD edge
     # (cos shrinks toward the poles, widening the degree span), clamped
     # off the pole so the bound stays finite
@@ -565,6 +573,8 @@ def radius_join(
         C.cell_col(F.col("lon"), F.col("lat"), res).alias("_home_cell"),
         *b_extra,
     )
+    if rgt.rdd.getNumPartitions() < par:  # rdd-meta-ok
+        rgt = rgt.repartition(par)
     if timed:
         # explode the delta, then add (generators can't nest in expressions)
         rgt = rgt.select(
