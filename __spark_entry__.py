@@ -2034,6 +2034,25 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
+    inclusion probability proportional to a per-row weight (n_chars as
+    the quality proxy, clamped at 4000) — the per-row-rate
+    generalization of the fixed-rate hash samplers, same affine coin, so
+    samples nest across rates and stay join-consistent. The oracle
+    replays the identical frac→floor threshold expression."""
+    from morituri_spark.text.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "doc_id", F.col("n_chars"), rate_at_max=0.6, max_weight=4000.0
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Greedy token-budget packing per language (text/packing Arrow
     kernel — running fill with reset, inexpressible as a window). The
@@ -2872,6 +2891,21 @@ def _stratified_sample_oracle_sql() -> str:
     """
 
 
+def _weighted_sample_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    a, b = affine_hash_params(1, seed=42)[0]
+    return f"""
+        SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE ({a} * (doc_id % {MERSENNE31}) + {b}) % {MERSENNE31}
+              < CAST(floor(least(CAST(n_chars AS DOUBLE), CAST(4000 AS DOUBLE))
+                           / CAST(4000 AS DOUBLE) * CAST(0.6 AS DOUBLE)
+                           * CAST({MERSENNE31} AS DOUBLE)) AS BIGINT)
+        GROUP BY lang
+    """
+
+
 def _mixture_budget_oracle_sql() -> str:
     """The mixture sampler's semantics as ONE window cumsum: a doc is
     selected iff the running token total strictly before it (hash order,
@@ -3353,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_representatives": _q_dedup_representatives,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample_quality": _q_weighted_sample,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -4500,6 +4535,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "weighted_sample_quality": _weighted_sample_oracle_sql(),
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
         "ring_areas_shoelace": f"""
             WITH pts AS (

@@ -77,6 +77,36 @@ def stratified_sample(
     return df.where(_hash_col(_key_to_long(df, key_col), seed) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    rate_at_max: float = 1.0,
+    max_weight: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: each row keeps with
+    probability ``rate_at_max * min(weight, max_weight) / max_weight`` —
+    the per-row-rate generalization of :func:`hash_sample` (corpus
+    downsampling where high-quality documents survive proportionally).
+
+    Deterministic and rerun/cluster-size-stable: the coin is the same
+    keyed affine hash as every other sampler here, compared against a
+    per-row integer threshold floor(clamped_rate * MERSENNE31) — integer
+    arithmetic end to end after one double multiply, so the SQL oracle
+    replays inclusion exactly (the double multiply is the identical
+    expression text on both engines). Join-consistent with hash_sample
+    and stratified_sample at the same seed: a row kept at rate r is kept
+    at every rate >= r (nested samples), per-row weights included.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    frac = F.least(w.cast("double"), F.lit(float(max_weight))) / F.lit(
+        float(max_weight)
+    ) * F.lit(float(rate_at_max))
+    thr = F.floor(frac * F.lit(float(MERSENNE31))).cast("long")
+    return df.where(_hash_col(_key_to_long(df, key_col), seed) < thr)
+
+
 def mixture_by_budget(
     df: DataFrame,
     domain_col: str,

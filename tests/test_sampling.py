@@ -125,3 +125,33 @@ def test_mixture_by_budget_partition_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 400 + 70
+
+
+def test_weighted_sample_rates_and_nesting(spark):
+    from morituri_spark.text.sampling import weighted_sample
+    import pyspark.sql.functions as F
+
+    df = spark.range(200_000).select(
+        F.col("id"),
+        # three weight bands: 0.1, 0.5, 1.0 (and an over-max 2.0 that clamps)
+        F.element_at(
+            F.array(F.lit(0.1), F.lit(0.5), F.lit(1.0), F.lit(2.0)),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("w"),
+    )
+    kept = weighted_sample(df, "id", "w", rate_at_max=0.8, max_weight=1.0)
+    rates = {
+        r.w: r.n / 50_000
+        for r in kept.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(rates[0.1] - 0.08) < 0.01
+    assert abs(rates[0.5] - 0.4) < 0.02
+    assert abs(rates[1.0] - 0.8) < 0.02
+    assert abs(rates[2.0] - 0.8) < 0.02  # clamped at max_weight
+    # nesting: the 0.4-rate sample is a subset of the 0.8-rate sample
+    lo = {r.id for r in weighted_sample(df, "id", "w", rate_at_max=0.4).collect()}
+    hi = {r.id for r in weighted_sample(df, "id", "w", rate_at_max=0.8).collect()}
+    assert lo < hi
+    # determinism
+    again = {r.id for r in weighted_sample(df, "id", "w", rate_at_max=0.8).collect()}
+    assert again == hi
