@@ -2034,6 +2034,43 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (graph/pagerank.pagerank_exact): ranks are
+    BIGINTs in units of scale/n, per-edge contributions are exact
+    integer divisions, every reduction an exact integer sum — the SAME
+    bits at any parallelism (tested), which is what makes a hash-exact
+    recursive-CTE oracle possible where float PageRank cannot have one.
+    Graph: 400 nodes from event_id % 400 with three closed-form edge
+    families (affine, quadratic, +1 cycle — the cycle guarantees every
+    node has in- AND out-degree, so the oracle's recursive term needs no
+    dangling branch; the operator itself handles dangling mass, tested
+    separately). 8 rounds, damping 85/100."""
+    from morituri_spark.graph.pagerank import pagerank_exact
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("i"))
+        .distinct()
+    )
+    edges = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 400).alias("dst"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * F.col("i") + 3) % 400).alias("dst"),
+            )
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 400).alias("dst"))
+        )
+        .distinct()
+    )
+    return pagerank_exact(edges, iters=8).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
     inclusion probability proportional to a per-row weight (n_chars as
@@ -3388,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _q_dedup_representatives,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_quality": _q_weighted_sample,
+        "pagerank_doc_quality": _q_pagerank,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -4536,6 +4574,31 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "weighted_sample_quality": _weighted_sample_oracle_sql(),
+        "pagerank_doc_quality": """
+            WITH RECURSIVE ids AS (
+                SELECT DISTINCT event_id % 400 AS i FROM events),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT i AS src, (i * 7 + 1) % 400 AS dst FROM ids
+                    UNION ALL SELECT i, (i * i + 3) % 400 FROM ids
+                    UNION ALL SELECT i, (i + 1) % 400 FROM ids)),
+            od AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+            pr(iter, node, rank) AS (
+                SELECT 0, i, 2500000000 FROM ids
+                UNION ALL
+                SELECT s.iter, s.node,
+                       (15 * 2500000000 + 85 * s.c) // 100
+                FROM (
+                    SELECT e.dst AS node, min(p.iter) + 1 AS iter,
+                           sum(p.rank // od.deg) AS c
+                    FROM pr p
+                    JOIN od ON od.node = p.node
+                    JOIN edges e ON e.src = p.node
+                    WHERE p.iter < 8
+                    GROUP BY e.dst) s)
+            SELECT node, CAST(rank AS BIGINT) AS rank
+            FROM pr WHERE iter = 8
+        """,
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
         "ring_areas_shoelace": f"""
             WITH pts AS (

@@ -837,6 +837,28 @@ def main() -> None:
     timed("connected_components_1m_edges", lambda: connected_components(cc_edges_xl).count())
     cc_edges_xl.unpersist()
 
+    # integer-exact PageRank (r5): 500k nodes / ~1.5M edges x 6 rounds —
+    # each round is one src-join + one dst-sum + one node left join, rank
+    # state localCheckpointed (rule 14). The agg consumes rank (rule 18).
+    from morituri_spark.graph.pagerank import pagerank_exact
+
+    pr_ids = spark.range(500_000).select(F.col("id").alias("i"))
+    pr_edges = (
+        pr_ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 500_000).alias("dst"))
+        .unionAll(pr_ids.select(F.col("i").alias("src"), ((F.col("i") * F.col("i") + 3) % 500_000).alias("dst")))
+        .unionAll(pr_ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 500_000).alias("dst")))
+        .distinct()
+        .repartition(cpus * 2)
+        .persist()
+    )
+    pr_edges.count()
+    timed(
+        "pagerank_500k_nodes_6_rounds",
+        lambda: pagerank_exact(pr_edges, iters=6)
+        .agg(F.count(F.lit(1)), F.sum("rank")).collect(),
+    )
+    pr_edges.unpersist()
+
     # ANN top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from morituri_spark.ml.simsearch import ann_topk_lsh
