@@ -3454,6 +3454,7 @@ _WINDOW = [
     "hausdorff_track_pairs", "spacetime_pairs", "zone_convex_hulls",
     "od_matrix_flows", "contour_segments", "tile_mosaic_best",
     "ring_areas_spherical", "position_at_instants",
+    "weighted_sample_quality", "pagerank_doc_quality",
     # never driver-checked: fifth-session quartet
     "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
     # never driver-checked: earlier r5 sessions
@@ -3473,8 +3474,7 @@ _WINDOW = [
     "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
     "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
     "pricing_summary", "sessionize_gap", "dedup_exact_groups",
-    "value_quantiles", "hll_distinct_gate", "window_topk_per_key",
-    "case_decision_tree",
+    "value_quantiles", "hll_distinct_gate",
 ]
 
 
