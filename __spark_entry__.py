@@ -600,6 +600,20 @@ def _q_ring_areas_spherical(spark, sf_dir):
     return ring_areas_spherical(pts, "user_id", ["ts", "event_id"])
 
 
+def _q_ring_centroids(spark, sf_dir):
+    """Area-weighted polygon centroids (geo/measures.ring_centroids) over
+    the same per-user rings as the area queries — one window + one
+    aggregate; the division happens once on the exact sums, degenerate
+    rings drop, outputs shared-epsilon rounded at 6 dp."""
+    from morituri_spark.geo.measures import ring_centroids
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return ring_centroids(pts, "user_id", ["ts", "event_id"])
+
+
 def _q_tile_pyramid(spark, sf_dir):
     """Multi-zoom tile pyramid (pipelines/pyramid): one raw scan at
     res_max, every coarser level cascades from the previous level's
@@ -3391,6 +3405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_mosaic_best": _q_tile_mosaic,
         # spherical (true) polygon areas, the shoelace's geodesic twin
         "ring_areas_spherical": _q_ring_areas_spherical,
+        # area-weighted polygon centroids, the label-point twin
+        "ring_centroids": _q_ring_centroids,
         # geo as-of: interpolated per-user position at fixed instants
         "position_at_instants": _q_position_at,
         "house_numbers_oracle": _q_house_numbers_oracle,
@@ -3454,7 +3470,7 @@ _WINDOW = [
     "hausdorff_track_pairs", "spacetime_pairs", "zone_convex_hulls",
     "od_matrix_flows", "contour_segments", "tile_mosaic_best",
     "ring_areas_spherical", "position_at_instants",
-    "weighted_sample_quality", "pagerank_doc_quality",
+    "weighted_sample_quality", "pagerank_doc_quality", "ring_centroids",
     # never driver-checked: fifth-session quartet
     "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
     # never driver-checked: earlier r5 sessions
@@ -3474,7 +3490,7 @@ _WINDOW = [
     "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
     "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
     "pricing_summary", "sessionize_gap", "dedup_exact_groups",
-    "value_quantiles", "hll_distinct_gate",
+    "value_quantiles",
 ]
 
 
@@ -4219,6 +4235,38 @@ def oracle_sql() -> dict[str, str]:
                    floor((p.lat + (n.lat - p.lat) * frac) * 1e6 + 0.5 + 1e-8)
                      / 1e6 AS lat
             FROM h
+        """,
+        "ring_centroids": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events
+            ), staged AS (
+                SELECT user_id,
+                       lon * lead(lat) OVER w - lead(lon) OVER w * lat AS cr,
+                       (lon + lead(lon) OVER w)
+                         * (lon * lead(lat) OVER w - lead(lon) OVER w * lat) AS cx,
+                       (lat + lead(lat) OVER w)
+                         * (lon * lead(lat) OVER w - lead(lon) OVER w * lat) AS cy,
+                       first_value(lon) OVER wf AS fx, first_value(lat) OVER wf AS fy,
+                       last_value(lon) OVER wf AS lx, last_value(lat) OVER wf AS ly
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ), agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       sum(cr) + (any_value(lx) * any_value(fy)
+                                  - any_value(fx) * any_value(ly)) AS a2,
+                       sum(cx) + (any_value(lx) + any_value(fx))
+                           * (any_value(lx) * any_value(fy)
+                              - any_value(fx) * any_value(ly)) AS sx,
+                       sum(cy) + (any_value(ly) + any_value(fy))
+                           * (any_value(lx) * any_value(fy)
+                              - any_value(fx) * any_value(ly)) AS sy
+                FROM staged GROUP BY user_id)
+            SELECT user_id, n_points,
+                   floor(sx / (3.0 * a2) * 1e6 + 0.5 + 1e-8) / 1e6 AS c_x,
+                   floor(sy / (3.0 * a2) * 1e6 + 0.5 + 1e-8) / 1e6 AS c_y
+            FROM agg WHERE a2 <> 0.0
         """,
         "ring_areas_spherical": f"""
             WITH pts AS (

@@ -192,3 +192,56 @@ def ring_areas_spherical(
             F.abs(F.sum("_term") + close_term) * F.lit(r2_half), 2
         ).alias("area_km2"),
     )
+
+
+def ring_centroids(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Per-key area-weighted polygon centroid (the zone label-point /
+    tile-anchor primitive): C = Σ (p_i + p_{i+1})·cross_i / (6·A_signed)
+    over the closed ring — same one-window-one-aggregate shape as
+    :func:`ring_areas`, pure Catalyst. Degenerate rings (signed area 0)
+    are dropped (no centroid exists). Output rounds half-up at 6 dp with
+    the shared rule-16 epsilon; the division happens once on the exact
+    sums, never on rounded parts."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cross = F.col(x) * F.lead(y).over(w) - F.lead(x).over(w) * F.col(y)
+    staged = df.select(
+        key_col,
+        cross.alias("_cr"),
+        ((F.col(x) + F.lead(x).over(w)) * cross).alias("_cx"),
+        ((F.col(y) + F.lead(y).over(w)) * cross).alias("_cy"),
+        F.first(x).over(wf).alias("_fx"),
+        F.first(y).over(wf).alias("_fy"),
+        F.last(x).over(wf).alias("_lx"),
+        F.last(y).over(wf).alias("_ly"),
+    )
+    close_cr = F.first("_lx") * F.first("_fy") - F.first("_fx") * F.first("_ly")
+    a2 = F.sum("_cr") + close_cr  # 2 * signed area
+    sx = F.sum("_cx") + (F.first("_lx") + F.first("_fx")) * close_cr
+    sy = F.sum("_cy") + (F.first("_ly") + F.first("_fy")) * close_cr
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+
+    return (
+        staged.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            a2.alias("_a2"),
+            sx.alias("_sx"),
+            sy.alias("_sy"),
+        )
+        .where(F.col("_a2") != 0.0)
+        .select(
+            key_col,
+            "n_points",
+            _r6(F.col("_sx") / (F.lit(3.0) * F.col("_a2"))).alias("c_x"),
+            _r6(F.col("_sy") / (F.lit(3.0) * F.col("_a2"))).alias("c_y"),
+        )
+    )

@@ -157,3 +157,31 @@ def test_ring_areas_spherical_rectangle_closed_form(spark):
         ), "key", ["seq"]).collect()[0].area_km2
     eq = got[0] / 10.0  # case 0 is 10 deg wide at the equator
     assert small < 0.62 * eq
+
+
+def test_ring_centroids_known_shapes(spark):
+    from morituri_spark.geo.measures import ring_centroids
+
+    rows = []
+    # key 0: unit square (centroid 0.5, 0.5), CCW
+    for i, (x, y) in enumerate([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]):
+        rows.append((0, i, x, y))
+    # key 1: same square CW (signed area negative; centroid identical)
+    for i, (x, y) in enumerate([(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]):
+        rows.append((1, i, x, y))
+    # key 2: L-shape — centroid NOT the vertex mean
+    for i, (x, y) in enumerate(
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0)]
+    ):
+        rows.append((2, i, x, y))
+    # key 3: degenerate (all collinear) -> dropped
+    for i, (x, y) in enumerate([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]):
+        rows.append((3, i, x, y))
+    df = spark.createDataFrame(rows, "key long, seq long, lon double, lat double")
+    got = {r.key: (r.c_x, r.c_y) for r in ring_centroids(df, "key", ["seq"]).collect()}
+    assert got[0] == (0.5, 0.5)
+    assert got[1] == (0.5, 0.5)
+    # L-shape (area 3): big square (c=1, w=4) minus unit square
+    # (c=1.5, w=1) -> (4*1 - 1*1.5)/3 = 5/6 -> rounded 0.833333
+    assert got[2] == (0.833333, 0.833333)
+    assert 3 not in got
