@@ -600,6 +600,21 @@ def _q_ring_areas_spherical(spark, sf_dir):
     return ring_areas_spherical(pts, "user_id", ["ts", "event_id"])
 
 
+def _q_track_motion(spark, sf_dir):
+    """Per-track motion features (geo/trajectory.track_motion): traveled
+    vs direct geodesic length, tortuosity, max per-segment speed over
+    rule-12 second diffs — ONE keyed exchange, closed-form Catalyst. The
+    oracle replays every rounded expression; per-segment speeds round
+    BEFORE the max so both engines pick the same element."""
+    from morituri_spark.geo.trajectory import track_motion
+
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+    )
+    return track_motion(pts, "user_id", "ts", ["ts", "event_id"])
+
+
 def _q_ring_centroids(spark, sf_dir):
     """Area-weighted polygon centroids (geo/measures.ring_centroids) over
     the same per-user rings as the area queries — one window + one
@@ -3407,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_areas_spherical": _q_ring_areas_spherical,
         # area-weighted polygon centroids, the label-point twin
         "ring_centroids": _q_ring_centroids,
+        # per-track motion features: tortuosity + max segment speed
+        "track_motion_features": _q_track_motion,
         # geo as-of: interpolated per-user position at fixed instants
         "position_at_instants": _q_position_at,
         "house_numbers_oracle": _q_house_numbers_oracle,
@@ -3471,6 +3488,7 @@ _WINDOW = [
     "od_matrix_flows", "contour_segments", "tile_mosaic_best",
     "ring_areas_spherical", "position_at_instants",
     "weighted_sample_quality", "pagerank_doc_quality", "ring_centroids",
+    "track_motion_features",
     # never driver-checked: fifth-session quartet
     "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
     # never driver-checked: earlier r5 sessions
@@ -3490,7 +3508,6 @@ _WINDOW = [
     "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
     "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
     "pricing_summary", "sessionize_gap", "dedup_exact_groups",
-    "value_quantiles",
 ]
 
 
@@ -4235,6 +4252,41 @@ def oracle_sql() -> dict[str, str]:
                    floor((p.lat + (n.lat - p.lat) * frac) * 1e6 + 0.5 + 1e-8)
                      / 1e6 AS lat
             FROM h
+        """,
+        "track_motion_features": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events
+            ), staged AS (
+                SELECT user_id,
+                       2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+                           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+                             * power(sin(radians(lon - lag(lon) OVER w) / 2), 2)))
+                         AS step,
+                       date_diff('second', date_trunc('second', lag(ts) OVER w),
+                                 date_trunc('second', ts)) AS dt,
+                       first_value(lon) OVER wf AS fx, first_value(lat) OVER wf AS fy,
+                       last_value(lon) OVER wf AS lx, last_value(lat) OVER wf AS ly
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ), agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       round(sum(step), 4) AS path_km,
+                       round(2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(any_value(ly) - any_value(fy)) / 2), 2)
+                           + cos(radians(any_value(fy))) * cos(radians(any_value(ly)))
+                             * power(sin(radians(any_value(lx) - any_value(fx)) / 2), 2))),
+                           6) AS direct_km,
+                       max(CASE WHEN dt > 0
+                           THEN round(step / dt * 3600.0, 4) END) AS max_speed_kmh
+                FROM staged GROUP BY user_id)
+            SELECT user_id, n_points, path_km, direct_km,
+                   CASE WHEN direct_km > 0
+                        THEN round(path_km / direct_km, 4) END AS tortuosity,
+                   max_speed_kmh
+            FROM agg
         """,
         "ring_centroids": f"""
             WITH pts AS (

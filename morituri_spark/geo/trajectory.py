@@ -365,3 +365,70 @@ def position_at(
         _r6(prev["_flon"] + (nxt["_flon"] - prev["_flon"]) * frac).alias("lon"),
         _r6(prev["_flat"] + (nxt["_flat"] - prev["_flat"]) * frac).alias("lat"),
     )
+
+
+def track_motion(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-track motion features — the standard trace-quality /
+    anomaly-filter columns for mobility and capture-path corpora:
+
+    - ``path_km``: traveled geodesic length (4-dp, path_lengths' rule);
+    - ``direct_km``: first→last haversine (6-dp);
+    - ``tortuosity``: path/direct, 4-dp — 1.0 is a straight run; spoofed
+      or noise-dominated traces read high; direct == 0 rounds to NULL
+      (closed loops have no defined tortuosity);
+    - ``max_speed_kmh``: max per-segment speed (segment haversine over
+      rule-12 whole-second diffs, 4-dp per segment BEFORE the max, so
+      both engines pick the same element); zero-duration segments
+      (duplicate truncated seconds) are excluded — NULL when no segment
+      has positive duration.
+
+    ONE hash exchange on the key: the lag window and the final aggregate
+    share partitioning, closed-form Catalyst end to end.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    step = haversine_km(
+        F.lag(lon).over(w), F.lag(lat).over(w), F.col(lon), F.col(lat)
+    )
+    dt = F.expr(
+        f"timestampdiff(SECOND, date_trunc('SECOND', lag({ts_col}) OVER "
+        f"(PARTITION BY {key_col} ORDER BY {', '.join(order_cols)})),"
+        f" date_trunc('SECOND', {ts_col}))"
+    )
+    staged = df.select(
+        key_col,
+        step.alias("_step"),
+        dt.alias("_dt"),
+        F.first(lon).over(wf).alias("_fx"),
+        F.first(lat).over(wf).alias("_fy"),
+        F.last(lon).over(wf).alias("_lx"),
+        F.last(lat).over(wf).alias("_ly"),
+    ).select(
+        key_col, "_step", "_fx", "_fy", "_lx", "_ly",
+        F.when(
+            F.col("_dt") > 0,
+            F.round(F.col("_step") / F.col("_dt") * F.lit(3600.0), 4),
+        ).alias("_speed"),
+    )
+    direct = F.round(
+        haversine_km(
+            F.first("_fx"), F.first("_fy"), F.first("_lx"), F.first("_ly")
+        ),
+        6,
+    )
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("_step"), 4).alias("path_km"),
+        direct.alias("direct_km"),
+        F.when(
+            direct > 0, F.round(F.round(F.sum("_step"), 4) / direct, 4)
+        ).alias("tortuosity"),
+        F.max("_speed").alias("max_speed_kmh"),
+    )

@@ -242,3 +242,38 @@ def test_position_at_interpolation_clamp_and_ties(spark):
     assert got[(1, at(42))] == (-5.0, -5.0)
     assert (2, at(1)) not in got
     assert len(got) == 6
+
+
+def test_track_motion_features(spark):
+    import datetime as dt
+    from morituri_spark.geo.trajectory import track_motion
+
+    t0 = dt.datetime(2024, 6, 1, 8, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # track 0: out-and-back east 1km-ish then return -> direct small
+        (0, at(0), 10.0, 50.0), (0, at(600), 10.014, 50.0), (0, at(1200), 10.0001, 50.0),
+        # track 1: straight line, constant speed
+        (1, at(0), 20.0, 10.0), (1, at(3600), 20.1, 10.0),
+        # track 2: closed loop (direct = 0 -> tortuosity NULL)
+        (2, at(0), 0.0, 0.0), (2, at(100), 0.01, 0.0), (2, at(200), 0.0, 0.0),
+        # track 3: duplicate-second fix (zero-dt segment excluded from speed)
+        (3, at(0), 5.0, 5.0), (3, at(0), 5.001, 5.0), (3, at(100), 5.002, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, lon double, lat double")
+    got = {r.uid: r for r in track_motion(df, "uid", "ts", ["ts", "lon"]).collect()}
+    import math
+    # track 1: 0.1 deg lon at lat 10 ~ 10.95 km in 1h
+    assert abs(got[1].max_speed_kmh - got[1].path_km) < 0.01  # 1 hour => speed == path
+    assert got[1].tortuosity == 1.0
+    # track 0: tortuosity >> 1 (out and back)
+    assert got[0].tortuosity > 50
+    # track 2: closed loop -> NULL tortuosity, positive path
+    assert got[2].tortuosity is None and got[2].path_km > 0
+    # track 3: zero-dt segment doesn't blow up; speed from the 100s segment only
+    assert got[3].max_speed_kmh is not None
+    seg_km = got[3].path_km  # two short segments
+    assert got[3].max_speed_kmh < seg_km * 3600 / 100 + 1
