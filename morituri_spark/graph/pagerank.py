@@ -53,7 +53,11 @@ def pagerank_exact(
     of 1/``scale`` of the total mass; divide by ``scale`` for the usual
     [0, 1] scores.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # edge list is re-joined EVERY round: truncate its lineage once so an
+    # upstream distinct/union plan isn't re-executed per iteration
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
