@@ -600,6 +600,55 @@ def _q_ring_areas_spherical(spark, sf_dir):
     return ring_areas_spherical(pts, "user_id", ["ts", "event_id"])
 
 
+def _seg_forms(div: str) -> dict:
+    """Closed-form segment-family coordinates; ``div`` is the engine's
+    integer-division token (Spark: ``div``, DuckDB: ``//``)."""
+    return {
+        "a_ax": "CAST((event_id % 90) % 10 AS DOUBLE)",
+        "a_ay": f"CAST((event_id % 90) {div} 10 AS DOUBLE)",
+        "b_ax": "CAST((event_id % 70) % 10 AS DOUBLE) * CAST(11 AS DOUBLE)"
+                " / CAST(10 AS DOUBLE) + CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE)",
+        "b_ay": f"CAST((event_id % 70) {div} 10 AS DOUBLE) * CAST(23 AS DOUBLE)"
+                " / CAST(20 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE)",
+    }
+
+
+_SEGA_S = {"ax": _seg_forms("div")["a_ax"], "ay": _seg_forms("div")["a_ay"]}
+_SEGB_S = {"ax": _seg_forms("div")["b_ax"], "ay": _seg_forms("div")["b_ay"]}
+_SEGA_D = {"ax": _seg_forms("//")["a_ax"], "ay": _seg_forms("//")["a_ay"]}
+_SEGB_D = {"ax": _seg_forms("//")["b_ax"], "ay": _seg_forms("//")["b_ay"]}
+
+
+def _q_segment_intersections(spark, sf_dir):
+    """Line-segment intersection join (geo/overlay.segment_intersections):
+    two closed-form segment families (diagonal grid vs sloped grid) —
+    bbox cell covers equi-joined, distinct pairs, four staged
+    orientation tests + the closed-form crossing point, pure Catalyst.
+    Strict proper-crossing rule (endpoint touches / collinear overlaps
+    excluded by contract). Oracle = brute-force all-pairs with the
+    identical sign tests and t expression."""
+    from morituri_spark.geo.overlay import segment_intersections
+
+    ev = _read(spark, sf_dir, "events")
+    a = ev.select(
+        (F.col("event_id") % 90).alias("id_a"),
+        F.expr(_SEGA_S["ax"]).alias("ax"), F.expr(_SEGA_S["ay"]).alias("ay"),
+        (F.expr(_SEGA_S["ax"]) + F.expr("CAST(12 AS DOUBLE) / CAST(10 AS DOUBLE)")).alias("bx"),
+        (F.expr(_SEGA_S["ay"]) + F.expr("CAST(8 AS DOUBLE) / CAST(10 AS DOUBLE)")).alias("by"),
+    ).distinct()
+    b = ev.select(
+        (F.col("event_id") % 70).alias("id_b"),
+        F.expr(_SEGB_S["ax"]).alias("ax"), F.expr(_SEGB_S["ay"]).alias("ay"),
+        (F.expr(_SEGB_S["ax"]) + F.lit(1.0)).alias("bx"),
+        (F.expr(_SEGB_S["ay"]) - F.expr("CAST(9 AS DOUBLE) / CAST(10 AS DOUBLE)")).alias("by"),
+    ).distinct()
+    return segment_intersections(a, b, 2.0).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "x", "y",
+    )
+
+
 def _q_track_motion(spark, sf_dir):
     """Per-track motion features (geo/trajectory.track_motion): traveled
     vs direct geodesic length, tortuosity, max per-segment speed over
@@ -3424,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_centroids": _q_ring_centroids,
         # per-track motion features: tortuosity + max segment speed
         "track_motion_features": _q_track_motion,
+        # line-segment intersection join (street-graph overlay)
+        "segment_intersections": _q_segment_intersections,
         # geo as-of: interpolated per-user position at fixed instants
         "position_at_instants": _q_position_at,
         "house_numbers_oracle": _q_house_numbers_oracle,
@@ -3488,7 +3539,7 @@ _WINDOW = [
     "od_matrix_flows", "contour_segments", "tile_mosaic_best",
     "ring_areas_spherical", "position_at_instants",
     "weighted_sample_quality", "pagerank_doc_quality", "ring_centroids",
-    "track_motion_features",
+    "track_motion_features", "segment_intersections",
     # never driver-checked: fifth-session quartet
     "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
     # never driver-checked: earlier r5 sessions
@@ -3507,7 +3558,7 @@ _WINDOW = [
     # TTL-touched streaming, flagship TPC-H, shared-file siblings
     "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
     "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
-    "pricing_summary", "sessionize_gap", "dedup_exact_groups",
+    "pricing_summary", "sessionize_gap",
 ]
 
 
@@ -4252,6 +4303,36 @@ def oracle_sql() -> dict[str, str]:
                    floor((p.lat + (n.lat - p.lat) * frac) * 1e6 + 0.5 + 1e-8)
                      / 1e6 AS lat
             FROM h
+        """,
+        "segment_intersections": f"""
+            WITH a AS (
+                SELECT DISTINCT event_id % 90 AS id_a,
+                       {_SEGA_D["ax"]} AS ax, {_SEGA_D["ay"]} AS ay,
+                       {_SEGA_D["ax"]} + CAST(12 AS DOUBLE) / CAST(10 AS DOUBLE) AS bx,
+                       {_SEGA_D["ay"]} + CAST(8 AS DOUBLE) / CAST(10 AS DOUBLE) AS by
+                FROM events),
+            b AS (
+                SELECT DISTINCT event_id % 70 AS id_b,
+                       {_SEGB_D["ax"]} AS cx, {_SEGB_D["ay"]} AS cy,
+                       {_SEGB_D["ax"]} + CAST(1 AS DOUBLE) AS dx,
+                       {_SEGB_D["ay"]} - CAST(9 AS DOUBLE) / CAST(10 AS DOUBLE) AS dy
+                FROM events),
+            c AS (
+                SELECT id_a, id_b, ax, ay, bx, by, cx, cy, dx, dy,
+                       (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS d1,
+                       (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) AS d2,
+                       (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx) AS d3,
+                       (dx - cx) * (by - cy) - (dy - cy) * (bx - cx) AS d4
+                FROM a, b),
+            x AS (
+                SELECT id_a, id_b, ax, ay, bx - ax AS dax, by - ay AS day,
+                       ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                       / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx)) AS t
+                FROM c WHERE d1 * d2 < 0 AND d3 * d4 < 0)
+            SELECT id_a, id_b,
+                   floor((ax + t * dax) * 1e6 + 0.5 + 1e-8) / 1e6 AS x,
+                   floor((ay + t * day) * 1e6 + 0.5 + 1e-8) / 1e6 AS y
+            FROM x
         """,
         "track_motion_features": f"""
             WITH pts AS (

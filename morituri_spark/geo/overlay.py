@@ -255,3 +255,122 @@ def polygon_overlap_join(
     return cand.mapInPandas(
         refine, schema="a_id long, b_id long, overlap_area double"
     )
+
+
+def segment_intersections(
+    seg_a: DataFrame,
+    seg_b: DataFrame,
+    cell_deg: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_cells_per_segment: int = 4096,
+) -> DataFrame:
+    """Line-segment intersection join (the street-graph overlay /
+    conflation primitive): every (a, b) pair whose segments PROPERLY
+    cross, with the crossing point — (id_a, id_b, x, y) rounded at 6 dp
+    with the shared rule-16 epsilon.
+
+    Inputs: (id, ax, ay, bx, by) planar segment endpoints per side.
+    "Properly cross" is the strict rule — interiors intersect
+    (cross-product sign tests strictly opposite on BOTH segments);
+    endpoint touches and collinear overlaps are excluded by contract
+    (both engines evaluate the identical doubles, so the strict
+    inequality is engine-stable, not a float gamble).
+
+    Scale shape — pure Catalyst end to end, the snap_to_segments
+    skeleton applied symmetrically:
+
+    1. candidates: both sides cover their segment BBOXES with integer
+       grid cells (sequence×sequence explode, fan-out capped by
+       ``max_cells_per_segment`` with a loud assert) and equi-join on
+       the cell — intersecting segments' bboxes overlap, and two
+       overlapping bboxes always share at least one grid cell, so
+       recall is exact; never |A|·|B|;
+    2. a pair sharing k cells appears k times — collapsed by distinct
+       BEFORE the refine (the join output carries only ids + endpoints,
+       so the distinct's exchange is narrow);
+    3. refine: four cross-product orientation tests + the closed-form
+       crossing point t = ((b1−a1)×d_b)/(d_a×d_b), all staged
+       projections (rule 9), whole-stage codegen.
+    """
+    cs = F.lit(float(cell_deg))
+
+    def _cover(df, sid, xa, ya, xb, yb, tag):
+        s = df.select(
+            F.col(sid).alias(f"_{tag}id"),
+            F.col(xa).alias(f"_{tag}ax"), F.col(ya).alias(f"_{tag}ay"),
+            F.col(xb).alias(f"_{tag}bx"), F.col(yb).alias(f"_{tag}by"),
+        )
+        s = s.select(
+            "*",
+            F.floor(F.least(f"_{tag}ax", f"_{tag}bx") / cs).alias("_ix0"),
+            F.floor(F.greatest(f"_{tag}ax", f"_{tag}bx") / cs).alias("_ix1"),
+            F.floor(F.least(f"_{tag}ay", f"_{tag}by") / cs).alias("_iy0"),
+            F.floor(F.greatest(f"_{tag}ay", f"_{tag}by") / cs).alias("_iy1"),
+        )
+        ncells = (F.col("_ix1") - F.col("_ix0") + 1) * (
+            F.col("_iy1") - F.col("_iy0") + 1
+        )
+        guard = F.coalesce(
+            F.assert_true(
+                ncells <= max_cells_per_segment,
+                F.concat(
+                    F.lit("segment_intersections: segment fans out to "),
+                    ncells.cast("string"),
+                    F.lit(f" cells > {max_cells_per_segment}; raise cell_deg"),
+                ),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        return (
+            s.withColumn(
+                "_ix", F.explode(F.sequence(F.col("_ix0") + guard, F.col("_ix1")))
+            )
+            .withColumn("_iy", F.explode(F.sequence("_iy0", "_iy1")))
+            .drop("_ix0", "_ix1", "_iy0", "_iy1")
+        )
+
+    ca = _cover(seg_a, id_a, "ax", "ay", "bx", "by", "a")
+    cb = _cover(seg_b, id_b, "ax", "ay", "bx", "by", "b")
+    cand = ca.join(cb, ["_ix", "_iy"]).drop("_ix", "_iy").distinct()
+
+    # orientation tests, staged (rule 9)
+    c = cand.select(
+        "*",
+        (F.col("_abx") - F.col("_aax")).alias("_dax"),
+        (F.col("_aby") - F.col("_aay")).alias("_day"),
+        (F.col("_bbx") - F.col("_bax")).alias("_dbx"),
+        (F.col("_bby") - F.col("_bay")).alias("_dby"),
+    )
+    c = c.select(
+        "*",
+        # d1/d2: B's endpoints vs line A; d3/d4: A's endpoints vs line B
+        (F.col("_dax") * (F.col("_bay") - F.col("_aay"))
+         - F.col("_day") * (F.col("_bax") - F.col("_aax"))).alias("_d1"),
+        (F.col("_dax") * (F.col("_bby") - F.col("_aay"))
+         - F.col("_day") * (F.col("_bbx") - F.col("_aax"))).alias("_d2"),
+        (F.col("_dbx") * (F.col("_aay") - F.col("_bay"))
+         - F.col("_dby") * (F.col("_aax") - F.col("_bax"))).alias("_d3"),
+        (F.col("_dbx") * (F.col("_aby") - F.col("_bay"))
+         - F.col("_dby") * (F.col("_abx") - F.col("_bax"))).alias("_d4"),
+    )
+    crossing = c.where(
+        (F.col("_d1") * F.col("_d2") < 0) & (F.col("_d3") * F.col("_d4") < 0)
+    )
+    # crossing point: t along A = ((b1-a1) x d_b) / (d_a x d_b)
+    crossing = crossing.select(
+        "*",
+        (F.col("_dax") * F.col("_dby") - F.col("_day") * F.col("_dbx")).alias("_den"),
+        ((F.col("_bax") - F.col("_aax")) * F.col("_dby")
+         - (F.col("_bay") - F.col("_aay")) * F.col("_dbx")).alias("_num"),
+    ).withColumn("_t", F.col("_num") / F.col("_den"))
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+
+    return crossing.select(
+        F.col("_aid").alias(id_a),
+        F.col("_bid").alias(id_b),
+        _r6(F.col("_aax") + F.col("_t") * F.col("_dax")).alias("x"),
+        _r6(F.col("_aay") + F.col("_t") * F.col("_day")).alias("y"),
+    )

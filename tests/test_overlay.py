@@ -103,3 +103,62 @@ def test_rect_fast_path_matches_general(spark):
     got = {(a, b): ar for a, b, ar in fast}
     assert got[(0, 0)] == pytest.approx(1.0)   # rect x rect via fast path
     assert got[(1, 1)] == pytest.approx(4.0)   # triangle via general path
+
+
+def test_segment_intersections_bruteforce(spark):
+    import numpy as np
+    from morituri_spark.geo.overlay import segment_intersections
+
+    rng = np.random.default_rng(31)
+    a_rows, b_rows = [], []
+    for i in range(80):
+        x, y = rng.uniform(0, 10, 2)
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        a_rows.append((i, float(x), float(y), float(x + dx), float(y + dy)))
+    for j in range(60):
+        x, y = rng.uniform(0, 10, 2)
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        b_rows.append((j, float(x), float(y), float(x + dx), float(y + dy)))
+    a = spark.createDataFrame(a_rows, "id_a long, ax double, ay double, bx double, by double")
+    b = spark.createDataFrame(b_rows, "id_b long, ax double, ay double, bx double, by double")
+    got = {(r.id_a, r.id_b): (r.x, r.y) for r in segment_intersections(a, b, 2.0).collect()}
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    exp = {}
+    for i, ax, ay, bx, by in a_rows:
+        for j, cx, cy, dx_, dy_ in b_rows:
+            d1 = cross(ax, ay, bx, by, cx, cy)
+            d2 = cross(ax, ay, bx, by, dx_, dy_)
+            d3 = cross(cx, cy, dx_, dy_, ax, ay)
+            d4 = cross(cx, cy, dx_, dy_, bx, by)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                den = (bx - ax) * (dy_ - cy) - (by - ay) * (dx_ - cx)
+                num = (cx - ax) * (dy_ - cy) - (cy - ay) * (dx_ - cx)
+                t = num / den
+                exp[(i, j)] = (ax + t * (bx - ax), ay + t * (by - ay))
+    assert set(got) == set(exp)
+    assert len(got) > 10
+    for k, (x, y) in got.items():
+        ex, ey = exp[k]
+        assert abs(x - ex) < 2e-6 and abs(y - ey) < 2e-6
+
+
+def test_segment_intersections_excludes_touch_and_collinear(spark):
+    from morituri_spark.geo.overlay import segment_intersections
+
+    a = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0, 0.0), (1, 0.0, 2.0, 2.0, 2.0)],
+        "id_a long, ax double, ay double, bx double, by double",
+    )
+    b = spark.createDataFrame(
+        [
+            (0, 1.0, 0.0, 1.0, 1.0),   # endpoint touches A0 at (1,0) -> excluded
+            (1, 0.5, 0.0, 1.5, 0.0),   # collinear overlap with A0 -> excluded
+            (2, 1.0, -1.0, 1.0, 3.0),  # proper crossing of both
+        ],
+        "id_b long, ax double, ay double, bx double, by double",
+    )
+    got = {(r.id_a, r.id_b): (r.x, r.y) for r in segment_intersections(a, b, 2.0).collect()}
+    assert got == {(0, 2): (1.0, 0.0), (1, 2): (1.0, 2.0)}
