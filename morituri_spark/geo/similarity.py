@@ -117,11 +117,13 @@ def hausdorff_join(
     the refine kernel's per-step matrix to tile x |B| doubles.
 
     The compacted array table is referenced three times (anchors + both
-    sides of the pair join); it is a cheap aggregate over one scan, so the
-    plan re-derives it rather than persisting (rule 22: prefer
-    deterministic re-scan over cache for pushdown-friendly inputs).
+    sides of the pair join) and its derivation contains a SHUFFLE (the
+    groupBy), not just a scan — so it is materialized once via
+    localCheckpoint (rule 10/22: re-scan beats caching only when the
+    re-derived subtree is a pushdown-friendly scan; a 3x-repeated
+    exchange at 10^12 points is not that).
     """
-    arrs = track_arrays(tracks, id_col=id_col, seq_col=seq_col)
+    arrs = track_arrays(tracks, id_col=id_col, seq_col=seq_col).localCheckpoint()
 
     anchors = arrs.select(
         F.col(id_col).alias("id_a"),
