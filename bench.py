@@ -459,6 +459,26 @@ def main() -> None:
     )
     timed("morans_i_4m_points", lambda: morans_i(ga_pts, cell_deg=2.0).count())
 
+    # Gi* + Mann-Kendall (r5 seventh session): same mixture, same
+    # grid-bounded story — the point aggregate dominates; the 9-key
+    # neighbor join (Gi*) and the T(T−1)/2 pair fold (MK, T=8 bins keyed
+    # off a deterministic row hash) run over ~16k cells
+    from morituri_spark.geo.clustering import gi_star_cells, mann_kendall_cells
+
+    timed(
+        "gi_star_4m_points",
+        lambda: gi_star_cells(ga_pts, cell_deg=2.0, z_threshold=1.0).count(),
+    )
+    ga_st = ga_pts.withColumn(
+        "t_bin", (F.xxhash64("lon", "lat") % 8 + 8) % 8
+    )
+    timed(
+        "mann_kendall_4m_points_8bins",
+        lambda: mann_kendall_cells(
+            ga_st, n_bins=8, cell_deg=2.0, z_threshold=1.0
+        ).count(),
+    )
+
     # IDW surface over the same mixture: 9-way contribution explode + one
     # map-side-combinable decimal aggregate — no join, no float-sum
     # nondeterminism (quantized integer weights)

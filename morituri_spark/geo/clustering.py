@@ -274,3 +274,218 @@ def dbscan_points(
             F.coalesce("_core_lbl", "_border_lbl", F.lit(-1)).alias("cluster_id"),
         )
     )
+
+
+def gi_star_cells(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+    z_threshold: float = 1.0,
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic over occupied grid cells.
+
+    → (ix, iy, n_points, w_i, s_i, gi_z) for every occupied cell whose
+    |Gi*| ≥ ``z_threshold`` — positive z = hot spot (the cell AND its
+    neighborhood carry more mass than chance), negative z = cold spot.
+    Binary weights over the 3×3 block INCLUDING self (the * variant),
+    restricted to OCCUPIED cells (empty cells carry no observation —
+    the same convention as :func:`morans_i`).
+
+        Gi* = (S_i − μ·W_i) / (σ·sqrt((N·W_i − W_i²)/(N−1)))
+
+    with S_i = Σ_{j∈3×3(i)} x_j, W_i = |occupied ∩ 3×3(i)|, μ = Σx/N,
+    σ the POPULATION sd (the standard Gi* formulation). Every
+    data-dependent reduction is an exact integer sum (per-cell S_i/W_i
+    from the 9-way key explode + equi-join; global Σx, Σx², N), so both
+    engines evaluate ONE identical double expression; gi_z is rule-16
+    rounded to 6 dp before the threshold gate.
+
+    Scale shape: points collapse to cells at bin_cells' ONE map-side-
+    combinable aggregate; the neighbor explode + equi-join and both
+    aggregates run over CELLS (≤ 9·occupied rows) — the same
+    grid-bounded story as :func:`morans_i`. Cells where the denominator
+    degenerates (W_i = N, or σ = 0) are dropped — Gi* is undefined there.
+    """
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    # referenced three times (explode side, join-back side, global stats)
+    # — grid-bounded, one localCheckpoint instead of three point scans
+    cells = bin_cells(df, lon, lat, cell_deg).localCheckpoint()
+    core = cells.select(
+        "ix", "iy", "n_points",
+        (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr = core.select(
+        F.col("key").alias("u"),
+        F.explode(
+            F.array(*[
+                ((F.col("ix") + F.lit(dx)) * F.lit(_KEY_SPAN) + F.col("iy") + F.lit(dy))
+                for dx, dy in offsets
+            ])
+        ).alias("v"),
+    ).join(
+        core.select(F.col("key").alias("v"), F.col("n_points").alias("n_v")),
+        "v",
+        "inner",
+    )
+    local = nbr.groupBy("u").agg(
+        F.sum("n_v").alias("_si"),
+        F.count(F.lit(1)).alias("_wi"),
+    )
+    stats = cells.agg(
+        F.sum("n_points").alias("_s1"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = (
+        core.join(local, core["key"] == local["u"], "inner")
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("_n").cast("double")
+    w_d = F.col("_wi").cast("double")
+    mu = F.col("_s1").cast("double") / n_d
+    sigma = F.sqrt(F.col("_s2").cast("double") / n_d - mu * mu)
+    denom = sigma * F.sqrt((n_d * w_d - w_d * w_d) / (n_d - F.lit(1.0)))
+    # degenerate-denominator guard as EXACT integer predicates (a float
+    # `denom > 0` lets NaN through — Spark orders NaN above every double —
+    # and float dust could flip the gate between engines): variance > 0
+    # iff N·Σx² − (Σx)² > 0, and N·W − W² > 0 iff W < N (W ≥ 1 via self)
+    staged = j.where(
+        (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1") > 0)
+        & (F.col("_wi") < F.col("_n"))
+    ).select(
+        "ix", "iy", "n_points", F.col("_wi").alias("w_i"),
+        F.col("_si").alias("s_i"),
+        ((F.col("_si").cast("double") - mu * w_d) / denom).alias("_z_raw"),
+    )
+    z = F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6)
+    return (
+        staged.select("ix", "iy", "n_points", "w_i", "s_i", z.alias("gi_z"))
+        .where(F.abs(F.col("gi_z")) >= F.lit(float(z_threshold)))
+    )
+
+
+def mann_kendall_cells(
+    df: DataFrame,
+    n_bins: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    t_bin: str = "t_bin",
+    cell_deg: float = 1.0,
+    z_threshold: float = 1.0,
+) -> DataFrame:
+    """Emerging-hotspot trend detection: per-cell Mann-Kendall test over
+    a dense space-time cube (the grid analogue of ArcGIS's Emerging Hot
+    Spot Analysis).
+
+    Input rows carry (lon, lat, ``t_bin``) with t_bin ∈ [0, n_bins);
+    the caller bins time however it likes (rule 12 NTZ forms for
+    timestamps). → (ix, iy, total_points, s_stat, mk_z, trend) for every
+    occupied cell: s_stat = Σ_{i<j} sign(x_j − x_i) over the cell's
+    T = ``n_bins`` counts (missing bins count as ZERO — the cube is
+    densified per occupied cell), tie-corrected normal approximation
+
+        Var(S) = [T(T−1)(2T+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+        z = (S∓1)/sqrt(Var)  (continuity-corrected; 0 when S = 0 or Var = 0)
+
+    and trend ∈ {'up','down','none'} by ``z_threshold``. S and the tie
+    term are exact integers; z is the single shared double expression,
+    rule-16 rounded to 6 dp before classification.
+
+    Scale shape: points collapse to (cell, bin) counts at ONE map-side-
+    combinable aggregate; densification explodes a closed-form
+    sequence(0, T−1) per occupied cell; the pair self-join keys on the
+    packed cell key so pairs (T(T−1)/2 per cell) are generated join-side
+    and immediately partially aggregated — shuffle volume stays
+    O(cells·T), never point-bounded. At 10¹² points on a 10⁷-cell grid
+    with T = 64 the pair stage is ~2·10¹⁰ generated-then-folded rows
+    across the cluster, with nothing materialized.
+    """
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    if n_bins < 2:
+        raise ValueError(f"n_bins={n_bins} < 2: Mann-Kendall needs ≥ 2 bins")
+    cell = F.lit(float(cell_deg))
+    cube = (
+        df.select(
+            F.floor(F.col(lon) / cell).cast("long").alias("ix"),
+            F.floor(F.col(lat) / cell).cast("long").alias("iy"),
+            F.col(t_bin).cast("long").alias("_t"),
+        )
+        .groupBy("ix", "iy", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # densify: every occupied cell × every bin, zeros filled — referenced
+    # by BOTH the pair join (twice) and the tie/total aggregates; the
+    # cube is grid-bounded so one localCheckpoint beats four point scans
+    occupied = cube.groupBy("ix", "iy").agg(F.sum("_n").alias("_total"))
+    dense = (
+        occupied.select(
+            "ix", "iy", "_total",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_t"),
+        )
+        .join(cube, ["ix", "iy", "_t"], "left")
+        .select(
+            "ix", "iy", "_total", "_t",
+            F.coalesce("_n", F.lit(0)).alias("_x"),
+            (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("_key"),
+        )
+        .localCheckpoint()
+    )
+    a = dense.select("_key", F.col("_t").alias("_ta"), F.col("_x").alias("_xa"))
+    b = dense.select("_key", F.col("_t").alias("_tb"), F.col("_x").alias("_xb"))
+    s = (
+        a.join(b, "_key")
+        .where(F.col("_tb") > F.col("_ta"))
+        .groupBy("_key")
+        .agg(F.sum(F.signum(F.col("_xb") - F.col("_xa")).cast("long")).alias("_s"))
+    )
+    t_i = F.col("_tg").cast("double")
+    ties = (
+        dense.groupBy("_key", "_x")
+        .agg(F.count(F.lit(1)).alias("_tg"))
+        .groupBy("_key")
+        .agg(F.sum(t_i * (t_i - 1.0) * (2.0 * t_i + 5.0)).alias("_tie"))
+    )
+    t_d = float(n_bins)
+    var_s = (
+        F.lit(t_d * (t_d - 1.0) * (2.0 * t_d + 5.0)) - F.col("_tie")
+    ) / F.lit(18.0)
+    s_d = F.col("_s").cast("double")
+    z_raw = F.when(
+        (F.col("_s") == 0) | (var_s <= F.lit(0.0)), F.lit(0.0)
+    ).otherwise(
+        (s_d - F.signum(s_d)) / F.sqrt(var_s)
+    )
+    keyed = dense.groupBy("_key").agg(
+        F.first("ix").alias("ix"), F.first("iy").alias("iy"),
+        F.first("_total").alias("total_points"),
+    )
+    staged = (
+        keyed.join(s, "_key").join(ties, "_key")
+        .select("ix", "iy", "total_points", F.col("_s").alias("s_stat"),
+                z_raw.alias("_z_raw"))
+    )
+    # classify on the ROUNDED z (rule 16: the gate must see the same value
+    # in both engines, or boundary dust flips the label)
+    z6 = staged.select(
+        "ix", "iy", "total_points", "s_stat",
+        (F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+         / F.lit(1e6)).alias("mk_z"),
+    )
+    thr = F.lit(float(z_threshold))
+    return z6.select(
+        "ix", "iy", "total_points", "s_stat", "mk_z",
+        F.when(F.col("mk_z") >= thr, F.lit("up"))
+        .when(F.col("mk_z") <= -thr, F.lit("down"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

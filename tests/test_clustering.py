@@ -156,3 +156,114 @@ def test_hotspot_zscores(spark):
     zref = math.floor((20.0 - mu) / math.sqrt(var) * 1e6 + 0.5 + 1e-8) / 1e6
     assert got[0]["z"] == pytest.approx(zref, abs=0)
     assert got[0]["n_points"] == 20
+
+
+def _gi_ref(counts: dict, z_threshold: float):
+    """Pure-Python Gi* over a dict {(ix,iy): n} — the test oracle."""
+    n_cells = len(counts)
+    s1 = sum(counts.values())
+    s2 = sum(v * v for v in counts.values())
+    mu = s1 / n_cells
+    sigma = math.sqrt(s2 / n_cells - mu * mu)
+    out = {}
+    for (ix, iy), n in counts.items():
+        nbh = [
+            counts[(ix + dx, iy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (ix + dx, iy + dy) in counts
+        ]
+        si, wi = sum(nbh), len(nbh)
+        if n_cells * s2 - s1 * s1 <= 0 or wi >= n_cells:
+            continue
+        denom = sigma * math.sqrt((n_cells * wi - wi * wi) / (n_cells - 1))
+        z = math.floor((si - mu * wi) / denom * 1e6 + 0.5 + 1e-8) / 1e6
+        if abs(z) >= z_threshold:
+            out[(ix, iy)] = (n, wi, si, z)
+    return out
+
+
+def test_gi_star_matches_reference(spark):
+    from morituri_spark.geo.clustering import gi_star_cells
+
+    # hot block around (0,0); lone mid cells; cold pair far away
+    counts = {(0, 0): 10, (0, 1): 8, (1, 0): 9, (1, 1): 7,
+              (5, 5): 3, (7, 2): 2, (9, 9): 1, (9, 8): 1, (3, 8): 2}
+    rows = [(ix + 0.5, iy + 0.5)
+            for (ix, iy), n in counts.items() for _ in range(n)]
+    got = {
+        (r["ix"], r["iy"]): (r["n_points"], r["w_i"], r["s_i"], r["gi_z"])
+        for r in gi_star_cells(_pts(spark, rows), cell_deg=1.0,
+                               z_threshold=0.5).collect()
+    }
+    ref = _gi_ref(counts, 0.5)
+    assert got == ref
+    # the hot block must flag positive, the isolated cold cells negative
+    assert ref[(0, 0)][3] > 0 and any(z < 0 for (_, _, _, z) in ref.values())
+
+
+def test_gi_star_uniform_counts_empty(spark):
+    from morituri_spark.geo.clustering import gi_star_cells
+
+    rows = [(float(i) + 0.5, 0.5) for i in range(6)]  # all cells count 1
+    assert gi_star_cells(_pts(spark, rows), cell_deg=1.0,
+                         z_threshold=0.0).count() == 0
+
+
+def _mk_ref(series: list, z_threshold: float):
+    """Pure-Python tie-corrected Mann-Kendall — the test oracle."""
+    t = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(t) for j in range(i + 1, t)
+    )
+    groups = {}
+    for v in series:
+        groups[v] = groups.get(v, 0) + 1
+    tie = sum(g * (g - 1) * (2 * g + 5) for g in groups.values())
+    var = (t * (t - 1) * (2 * t + 5) - tie) / 18.0
+    if s == 0 or var <= 0:
+        z_raw = 0.0
+    else:
+        z_raw = (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    z = math.floor(z_raw * 1e6 + 0.5 + 1e-8) / 1e6
+    trend = "up" if z >= z_threshold else ("down" if z <= -z_threshold else "none")
+    return s, z, trend
+
+
+def test_mann_kendall_trends(spark):
+    from morituri_spark.geo.clustering import mann_kendall_cells
+
+    t_bins = 5
+    series = {
+        (0, 0): [1, 2, 3, 4, 5],   # strict up
+        (1, 5): [5, 4, 3, 2, 1],   # strict down
+        (3, 3): [2, 2, 2, 2, 2],   # flat → all tied → z = 0
+        (8, 8): [0, 0, 0, 0, 3],   # sparse: missing bins are ZERO
+    }
+    rows = [
+        (ix + 0.5, iy + 0.5, t)
+        for (ix, iy), xs in series.items()
+        for t, n in enumerate(xs) for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double, t_bin int")
+    got = {
+        (r["ix"], r["iy"]): (r["total_points"], r["s_stat"], r["mk_z"], r["trend"])
+        for r in mann_kendall_cells(df, n_bins=t_bins, cell_deg=1.0,
+                                    z_threshold=1.0).collect()
+    }
+    assert set(got) == set(series)
+    for cell, xs in series.items():
+        s, z, trend = _mk_ref(xs, 1.0)
+        assert got[cell] == (sum(xs), s, z, trend), cell
+    assert got[(0, 0)][3] == "up" and got[(1, 5)][3] == "down"
+    assert got[(3, 3)] == (10, 0, 0.0, "none")
+
+
+def test_mann_kendall_guards(spark):
+    from morituri_spark.geo.clustering import mann_kendall_cells
+
+    df = spark.createDataFrame([(0.5, 0.5, 0)], "lon double, lat double, t_bin int")
+    with pytest.raises(ValueError, match="n_bins"):
+        mann_kendall_cells(df, n_bins=1)
+    with pytest.raises(ValueError, match="cell_deg"):
+        mann_kendall_cells(df, n_bins=4, cell_deg=1e-5)
