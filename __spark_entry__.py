@@ -1125,6 +1125,42 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hotspots (geo/clustering.gi_star_cells): the
+    neighborhood-weighted sibling of grid_hotspot_cells — per-cell 3×3
+    sums (incl. self) vs the global mean, binary weights over OCCUPIED
+    cells. Per-cell S_i/W_i and global Σx/Σx²/N are exact integer
+    aggregates; the degenerate-denominator guard is an exact integer
+    predicate; gi_z is rule-16 rounded before the |z| ≥ 1 gate."""
+    from morituri_spark.geo.clustering import gi_star_cells
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return gi_star_cells(pts, cell_deg=15.0, z_threshold=1.0)
+
+
+def _q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hotspot trends (geo/clustering.mann_kendall_cells):
+    per-cell tie-corrected Mann-Kendall over an 8-bin space-time cube.
+    The synth trend is closed-form: a row enters when
+    (event_id DIV 8) % 8 <= event_id % 8, so expected per-cell counts
+    grow linearly in t_bin = event_id % 8 — upward trends the test must
+    detect. S and the tie term are exact integers (tie products < 2^53,
+    so the double sum is order-exact); z is rule-16 rounded BEFORE the
+    trend classification."""
+    from morituri_spark.geo.clustering import mann_kendall_cells
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.expr("(event_id DIV 8) % 8 <= event_id % 8")
+    )
+    pts = ev.select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+        F.expr("event_id % 8").alias("t_bin"),
+    )
+    return mann_kendall_cells(pts, n_bins=8, cell_deg=15.0, z_threshold=1.0)
+
+
 def _quadkey_oracle_sql() -> str:
     """Rebuild every quadkey digit with the exact cell arithmetic
     (chr(48 + x_bit + 2·y_bit) per level, most-significant first)."""
@@ -2168,6 +2204,26 @@ def _q_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_weighted_topk(spark, sf_dir):
+    """Fixed-size per-stratum weighted sampling (text/sampling.
+    weighted_topk_sample, Efraimidis-Spirakis A-Res): exactly k=20 docs
+    per language, inclusion odds proportional to the clamped-n_chars
+    quality weight. The deterministic uniform is the shared affine coin
+    ((h+1)/2³¹ — exact binary scaling); the rank u^(1/w) is rule-16
+    rounded BEFORE ranking with doc_id as the total tie-break, so the
+    cross-engine pow() ulp cannot reorder the cut. The oracle replays
+    rank and row_number exactly."""
+    from morituri_spark.text.sampling import weighted_topk_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_topk_sample(
+        docs, "lang", "doc_id",
+        F.least(F.col("n_chars").cast("double"), F.lit(4000.0)) / F.lit(4000.0),
+        k=20,
+    )
+    return out.select("lang", "doc_id", "n_chars", "rank_key", "rk")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Greedy token-budget packing per language (text/packing Arrow
     kernel — running fill with reset, inexpressible as a window). The
@@ -3021,6 +3077,33 @@ def _weighted_sample_oracle_sql() -> str:
     """
 
 
+def _weighted_topk_oracle_sql() -> str:
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    a, b = affine_hash_params(1, seed=42)[0]
+    return f"""
+        WITH staged AS (
+            SELECT lang, doc_id, n_chars,
+                   floor(pow((CAST(({a} * (doc_id % {MERSENNE31}) + {b})
+                                   % {MERSENNE31} AS DOUBLE) + 1.0)
+                             / 2147483648.0,
+                             1.0 / (least(CAST(n_chars AS DOUBLE),
+                                          CAST(4000 AS DOUBLE))
+                                    / CAST(4000 AS DOUBLE)))
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS rank_key
+            FROM documents
+            WHERE least(CAST(n_chars AS DOUBLE), CAST(4000 AS DOUBLE))
+                  / CAST(4000 AS DOUBLE) > 0.0),
+        ranked AS (
+            SELECT lang, doc_id, n_chars, rank_key,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY rank_key DESC, doc_id) AS rk
+            FROM staged)
+        SELECT lang, doc_id, n_chars, rank_key, rk
+        FROM ranked WHERE rk <= 20
+    """
+
+
 def _mixture_budget_oracle_sql() -> str:
     """The mixture sampler's semantics as ONE window cumsum: a doc is
     selected iff the running token total strictly before it (hash order,
@@ -3410,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density_clusters": _q_grid_clusters,
         "grid_hotspot_cells": _q_hotspot_cells,
         "morans_i_autocorrelation": _q_morans_i,
+        "gi_star_hotspots": _q_gi_star,
+        "emerging_hotspots": _q_emerging_hotspots,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
         "idw_surface_cells": _q_idw_surface,
@@ -3509,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _q_dedup_representatives,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_quality": _q_weighted_sample,
+        "weighted_topk_sample": _q_weighted_topk,
         "pagerank_doc_quality": _q_pagerank,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
@@ -3552,13 +3638,17 @@ _WINDOW = [
     "idw_surface_cells", "resample_tracks_daily", "quadkey_pyramid",
     "crossmodal_dup_confirm", "knn_mega_cell_skew",
     "jpeg_progressive_roundtrip",
+    # never driver-checked: seventh-session trio (displacing
+    # sessionize_gap, r4-fresh; pricing_summary, code-frozen since r2; and
+    # ring_areas_shoelace, whose shoelace machinery the in-window
+    # ring_areas_spherical + ring_centroids exercise more deeply)
+    "gi_star_hotspots", "emerging_hotspots", "weighted_topk_sample",
     # re-pointed ex-demos (r4 rows were rows-only; oracled since)
     "street_conversion", "turn_restrictions", "admin_boundaries",
     # r3-stale, most load-bearing: golden pins, parity formatters,
-    # TTL-touched streaming, flagship TPC-H, shared-file siblings
+    # TTL-touched streaming, shared-file siblings
     "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
-    "string_merge_lr", "streaming_first_seen", "ring_areas_shoelace",
-    "pricing_summary", "sessionize_gap",
+    "string_merge_lr", "streaming_first_seen",
 ]
 
 
@@ -4044,6 +4134,109 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        # Gi*: same integer-sum discipline as grid_hotspot_cells, plus the
+        # per-cell 3×3 sums via a band self-join and the EXACT-INTEGER
+        # degenerate guards (cnt·s2 − s1² > 0, wi < cnt)
+        "gi_star_hotspots": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            s AS (
+                SELECT CAST(sum(n) AS BIGINT) AS s1,
+                       CAST(sum(n * n) AS BIGINT) AS s2,
+                       count(*) AS cnt
+                FROM b),
+            loc AS (
+                SELECT a.ix, a.iy, CAST(a.n AS BIGINT) AS n,
+                       count(*) AS wi, CAST(sum(bb.n) AS BIGINT) AS si
+                FROM b a JOIN b bb
+                  ON bb.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND bb.iy BETWEEN a.iy - 1 AND a.iy + 1
+                GROUP BY 1, 2, 3),
+            z AS (
+                SELECT ix, iy, n, wi, si,
+                       floor((CAST(si AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                * CAST(wi AS DOUBLE))
+                             / (sqrt(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                                     - (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                       * (CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                                * sqrt((CAST(cnt AS DOUBLE) * CAST(wi AS DOUBLE)
+                                        - CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE))
+                                       / (CAST(cnt AS DOUBLE) - 1.0)))
+                             * 1e6 + 0.5 + 1e-8) / 1e6 AS gi_z
+                FROM loc, s
+                WHERE cnt * s2 - s1 * s1 > 0 AND wi < cnt)
+            SELECT ix, iy, n AS n_points, CAST(wi AS BIGINT) AS w_i,
+                   si AS s_i, gi_z
+            FROM z WHERE abs(gi_z) >= 1.0
+        """,
+        # Mann-Kendall: the cube densifies missing bins to ZERO per
+        # occupied cell; S and the tie products are exact integers, the
+        # trend classifies on the ROUNDED z (1176 = T(T−1)(2T+5), T=8)
+        "emerging_hotspots": f"""
+            WITH ev AS (
+                SELECT event_id FROM events
+                WHERE (event_id // 8) % 8 <= event_id % 8),
+            pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat,
+                       event_id % 8 AS t
+                FROM ev),
+            cube AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       t, count(*) AS n
+                FROM pts GROUP BY 1, 2, 3),
+            occ AS (
+                SELECT ix, iy, CAST(sum(n) AS BIGINT) AS total
+                FROM cube GROUP BY 1, 2),
+            dense AS (
+                SELECT o.ix, o.iy, o.total, g.t,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS x
+                FROM occ o
+                CROSS JOIN generate_series(0, 7) AS g(t)
+                LEFT JOIN cube c
+                  ON c.ix = o.ix AND c.iy = o.iy AND c.t = g.t),
+            sgn AS (
+                SELECT a.ix, a.iy,
+                       CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                     WHEN b.x < a.x THEN -1 ELSE 0 END)
+                            AS BIGINT) AS s
+                FROM dense a JOIN dense b
+                  ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t
+                GROUP BY 1, 2),
+            ties AS (
+                SELECT ix, iy,
+                       sum(CAST(tg AS DOUBLE) * (CAST(tg AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(tg AS DOUBLE) + 5.0)) AS tie
+                FROM (SELECT ix, iy, x, count(*) AS tg
+                      FROM dense GROUP BY 1, 2, 3)
+                GROUP BY 1, 2),
+            z AS (
+                SELECT o.ix, o.iy, o.total, sgn.s,
+                       CASE WHEN sgn.s = 0
+                                 OR (1176.0 - ties.tie) / 18.0 <= 0.0 THEN 0.0
+                            ELSE (CAST(sgn.s AS DOUBLE)
+                                  - sign(CAST(sgn.s AS DOUBLE)))
+                                 / sqrt((1176.0 - ties.tie) / 18.0)
+                       END AS zr
+                FROM occ o
+                JOIN sgn ON sgn.ix = o.ix AND sgn.iy = o.iy
+                JOIN ties ON ties.ix = o.ix AND ties.iy = o.iy),
+            z6 AS (
+                SELECT ix, iy, total AS total_points, s AS s_stat,
+                       floor(zr * 1e6 + 0.5 + 1e-8) / 1e6 AS mk_z
+                FROM z)
+            SELECT ix, iy, total_points, s_stat, mk_z,
+                   CASE WHEN mk_z >= 1.0 THEN 'up'
+                        WHEN mk_z <= -1.0 THEN 'down'
+                        ELSE 'none' END AS trend
+            FROM z6
         """,
         "vit_patch_tokens": """
             WITH ids AS (
@@ -4755,6 +4948,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "weighted_sample_quality": _weighted_sample_oracle_sql(),
+        "weighted_topk_sample": _weighted_topk_oracle_sql(),
         "pagerank_doc_quality": """
             WITH RECURSIVE ids AS (
                 SELECT DISTINCT event_id % 400 AS i FROM events),

@@ -781,6 +781,23 @@ def main() -> None:
         )
 
     timed("mixture_budget_8m_naive_window_control", mixture_naive)
+
+    # fixed-size weighted sampling (E-S top-k) on the same 8M corpus:
+    # 4 strata → the plain window is 4 sort tasks; the salted pre-reduce
+    # A/B prices the knn-style two-stage trade at this shape
+    from morituri_spark.text.sampling import weighted_topk_sample
+
+    mix_w = mix.withColumn("w", (F.col("tok").cast("double")) / F.lit(1000.0))
+    timed(
+        "weighted_topk_8m_4strata",
+        lambda: weighted_topk_sample(mix_w, "dom", "k", "w", k=1000)
+        .agg(F.sum("k")).collect(),
+    )
+    timed(
+        "weighted_topk_8m_4strata_salt32",
+        lambda: weighted_topk_sample(mix_w, "dom", "k", "w", k=1000, salt=32)
+        .agg(F.sum("k")).collect(),
+    )
     mix.unpersist()
 
     # polygon-polygon overlay at 5k x 5k zones: cover equi-join candidates

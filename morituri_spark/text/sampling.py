@@ -198,3 +198,68 @@ def mixture_by_budget(
         F.col(domain_col),
         F.col("_tok").alias("n_tokens"),
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    seed: int = 42,
+    salt: int | None = None,
+) -> DataFrame:
+    """Fixed-SIZE per-stratum weighted sample (Efraimidis-Spirakis A-Res):
+    exactly min(k, |stratum|) rows per stratum, selection probability
+    proportional to weight — the "k best-quality docs per domain" op the
+    Bernoulli samplers here can't express (their output size is random).
+
+    Each row draws the deterministic uniform u = (h+1)/2³¹ from the same
+    keyed affine hash as every sampler in this module (rerun- and
+    cluster-size-stable, nested-consistent at one seed), ranks by
+    r = u^(1/w), and the top k ranks per stratum win. r is rule-16
+    rounded to 6 dp BEFORE ranking with ``key`` as the total tie-break,
+    so the cross-engine pow() ulp cannot reorder the cut; rows with
+    weight ≤ 0 are excluded (E-S is undefined there), matching the SQL
+    replay's WHERE.
+
+    Adds ``rk`` (1-based rank within the stratum) and ``rank_key`` (the
+    rounded r) to the output.
+
+    Scale shape: one hash + pow projection (whole-stage codegen), then a
+    per-stratum top-k. With FEW strata each window group is a single
+    sorted task at 10¹² rows — pass ``salt`` to pre-reduce within
+    (stratum, h mod salt) sub-groups first (top-k of per-group top-ks ≡
+    global top-k, the knn_join stage-1 identity); the merge then sorts
+    ≤ salt·k rows per stratum. Gate it on measured stratum populations —
+    below the straggler regime the extra shuffle is pure cost (rule 20,
+    measured on the knn two-stage top-k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    h = _hash_col(_key_to_long(df, key_col), seed)
+    # u ∈ (0, 1]: M+1 = 2³¹ exactly, so the division is exact binary scaling
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
+    r_raw = F.pow(u, F.lit(1.0) / w)
+    staged = df.where(w > F.lit(0.0)).withColumn(
+        "rank_key",
+        F.floor(r_raw * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8)) / F.lit(1e6),
+    )
+    order = [F.col("rank_key").desc(), F.col(key_col).asc()]
+    if salt:
+        pre = Window.partitionBy(
+            strata_col, F.pmod(_hash_col(_key_to_long(staged, key_col), seed), F.lit(int(salt)))
+        ).orderBy(*order)
+        staged = (
+            staged.withColumn("_prk", F.row_number().over(pre))
+            .where(F.col("_prk") <= F.lit(int(k)))
+            .drop("_prk")
+        )
+    win = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        staged.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= F.lit(int(k)))
+    )

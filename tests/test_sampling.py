@@ -155,3 +155,61 @@ def test_weighted_sample_rates_and_nesting(spark):
     # determinism
     again = {r.id for r in weighted_sample(df, "id", "w", rate_at_max=0.8).collect()}
     assert again == hi
+
+
+def _es_ref(rows, k, seed=42):
+    """Pure-Python Efraimidis-Spirakis reference: rows = [(stratum, key, w)]."""
+    import math
+    from morituri_spark.text.dedup import MERSENNE31, affine_hash_params
+
+    a, b = affine_hash_params(1, seed=seed)[0]
+    ranked = {}
+    for s, key, w in rows:
+        if w <= 0:
+            continue
+        h = (a * (key % MERSENNE31) + b) % MERSENNE31
+        u = (h + 1) / 2147483648.0
+        r = math.floor(u ** (1.0 / w) * 1e6 + 0.5 + 1e-8) / 1e6
+        ranked.setdefault(s, []).append((-r, key, w))
+    out = {}
+    for s, items in ranked.items():
+        for rk, (negr, key, w) in enumerate(sorted(items)[:k], start=1):
+            out[(s, key)] = (-negr, rk)
+    return out
+
+
+def test_weighted_topk_exact_vs_reference(spark):
+    from morituri_spark.text.sampling import weighted_topk_sample
+
+    rows = [
+        ("a", i, [0.25, 0.5, 1.0, 2.0][i % 4]) for i in range(40)
+    ] + [("b", 100 + i, float(i % 7)) for i in range(30)]  # includes w=0 rows
+    df = spark.createDataFrame(rows, "dom string, doc_id long, w double")
+    got = {
+        (r["dom"], r["doc_id"]): (r["rank_key"], r["rk"])
+        for r in weighted_topk_sample(df, "dom", "doc_id", "w", k=5).collect()
+    }
+    assert got == _es_ref(rows, 5)
+    # exactly k per stratum (both strata have ≥ 5 positive-weight rows)
+    assert sum(1 for (s, _) in got if s == "a") == 5
+    assert sum(1 for (s, _) in got if s == "b") == 5
+
+
+def test_weighted_topk_salt_identity_and_small_stratum(spark):
+    from morituri_spark.text.sampling import weighted_topk_sample
+
+    rows = [("a", i, 1.0 + (i % 3)) for i in range(200)] + [("tiny", 999, 5.0)]
+    df = spark.createDataFrame(rows, "dom string, doc_id long, w double")
+    plain = {
+        (r["dom"], r["doc_id"], r["rk"])
+        for r in weighted_topk_sample(df, "dom", "doc_id", "w", k=8).collect()
+    }
+    salted = {
+        (r["dom"], r["doc_id"], r["rk"])
+        for r in weighted_topk_sample(df, "dom", "doc_id", "w", k=8, salt=16).collect()
+    }
+    assert plain == salted            # stage-1 pre-reduce is exact
+    assert ("tiny", 999, 1) in plain  # min(k, |stratum|) rows survive
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_topk_sample(df, "dom", "doc_id", "w", k=0)
