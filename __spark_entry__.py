@@ -1125,6 +1125,28 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_adaptive_cells(spark, sf_dir):
+    """Adaptive quadtree leaves (geo/adaptive.adaptive_cells): split any
+    cell holding > 500 events into its 4 children, res 2 → 8, computed
+    iteration-free from ONE point aggregate + two grid-bounded stages
+    (monotone counts ⇒ leaf = coarsest qualifying ancestor, a
+    NULL-skipping struct-min). All integer math on the packed cell id —
+    the oracle replays every DIV/shift digit-for-digit."""
+    from morituri_spark.geo.adaptive import adaptive_cells
+
+    ev = _read(spark, sf_dir, "events")
+    # uniform background + a 100×-compressed knot (every 4th event) near
+    # the origin — the tree must stay coarse over the ocean and split
+    # deep in the knot, or the test proves nothing about adaptivity
+    bg = ev.select(F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"))
+    knot = ev.where(F.expr("event_id % 4 = 0")).select(
+        (F.expr(_GLON) / F.lit(100.0)).alias("lon"),
+        (F.expr(_GLAT) / F.lit(100.0)).alias("lat"),
+    )
+    return adaptive_cells(bg.unionByName(knot), max_points=500,
+                          res_min=2, res_max=8)
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hotspots (geo/clustering.gi_star_cells): the
     neighborhood-weighted sibling of grid_hotspot_cells — per-cell 3×3
@@ -3495,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_autocorrelation": _q_morans_i,
         "gi_star_hotspots": _q_gi_star,
         "emerging_hotspots": _q_emerging_hotspots,
+        "adaptive_quadtree_cells": _q_adaptive_cells,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
         "idw_surface_cells": _q_idw_surface,
@@ -3643,11 +3666,15 @@ _WINDOW = [
     # ring_areas_shoelace, whose shoelace machinery the in-window
     # ring_areas_spherical + ring_centroids exercise more deeply)
     "gi_star_hotspots", "emerging_hotspots", "weighted_topk_sample",
+    # (units_format_6g released for this one: the formatter family stays
+    # represented by string_merge_lr and both carry pytest goldens on
+    # frozen code)
+    "adaptive_quadtree_cells",
     # re-pointed ex-demos (r4 rows were rows-only; oracled since)
     "street_conversion", "turn_restrictions", "admin_boundaries",
     # r3-stale, most load-bearing: golden pins, parity formatters,
     # TTL-touched streaming, shared-file siblings
-    "zsplit_golden_vectors", "ring_chunking_golden", "units_format_6g",
+    "zsplit_golden_vectors", "ring_chunking_golden",
     "string_merge_lr", "streaming_first_seen",
 ]
 
@@ -4134,6 +4161,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        # adaptive quadtree: every DIV/shift on the packed cell id replayed
+        # digit-for-digit; monotone counts make "coarsest qualifying
+        # ancestor" (min CASE) ≡ the recursive split loop
+        "adaptive_quadtree_cells": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events
+                UNION ALL
+                SELECT ({_GLON}) / 100.0, ({_GLAT}) / 100.0 FROM events
+                WHERE event_id % 4 = 0),
+            fin AS (
+                SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0
+                                                 * 256.0) AS BIGINT),
+                                      0), 255) AS x,
+                       least(greatest(CAST(floor((lat + 90.0) / 180.0
+                                                 * 256.0) AS BIGINT),
+                                      0), 255) AS y,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            lv AS (
+                SELECT f.x, f.y, f.n, g.r,
+                       f.x // CAST(pow(2.0, 8 - g.r) AS BIGINT) AS px,
+                       f.y // CAST(pow(2.0, 8 - g.r) AS BIGINT) AS py
+                FROM fin f CROSS JOIN generate_series(2, 8) AS g(r)),
+            cnt AS (
+                SELECT r, px, py, CAST(sum(n) AS BIGINT) AS c
+                FROM lv GROUP BY 1, 2, 3),
+            dec AS (
+                SELECT l.x, l.y, min(l.n) AS n,
+                       min(CASE WHEN c.c <= 500 THEN l.r END) AS minr
+                FROM lv l JOIN cnt c
+                  ON c.r = l.r AND c.px = l.px AND c.py = l.py
+                GROUP BY 1, 2),
+            leaf AS (
+                SELECT coalesce(minr, 8) AS lr,
+                       x // CAST(pow(2.0, 8 - coalesce(minr, 8)) AS BIGINT)
+                           AS px,
+                       y // CAST(pow(2.0, 8 - coalesce(minr, 8)) AS BIGINT)
+                           AS py,
+                       n
+                FROM dec)
+            SELECT CAST(lr AS BIGINT) * 288230376151711744
+                   + px * 536870912 + py AS cell_id,
+                   CAST(lr AS INT) AS res,
+                   CAST(sum(n) AS BIGINT) AS n_points
+            FROM leaf GROUP BY 1, 2
         """,
         # Gi*: same integer-sum discipline as grid_hotspot_cells, plus the
         # per-cell 3×3 sums via a band self-join and the EXACT-INTEGER

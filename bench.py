@@ -479,6 +479,17 @@ def main() -> None:
         ).count(),
     )
 
+    # adaptive quadtree over the same skewed mixture: ONE point aggregate
+    # then two grid-bounded stages — the iteration-free split-until-≤N
+    from morituri_spark.geo.adaptive import adaptive_cells
+
+    timed(
+        "adaptive_quadtree_4m_points",
+        lambda: adaptive_cells(
+            ga_pts, max_points=2000, res_min=3, res_max=12
+        ).count(),
+    )
+
     # IDW surface over the same mixture: 9-way contribution explode + one
     # map-side-combinable decimal aggregate — no join, no float-sum
     # nondeterminism (quantized integer weights)
