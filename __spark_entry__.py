@@ -1125,6 +1125,28 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_colocation(spark, sf_dir):
+    """Colocation quotient (geo/colocation.colocation_quotient): which
+    event categories cluster AROUND which — purchases are compressed
+    100× toward the origin so purchase→purchase reads strongly
+    co-located and cross pairs segregated. Every reduction is an exact
+    integer sum (per-cell n_a·n_b products, totals, self-pair
+    corrections); the single double ratio is rule-16 rounded. True-zero
+    pairs survive via the full category grid."""
+    from morituri_spark.geo.colocation import colocation_quotient
+
+    ev = _read(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    pts = ev.select(
+        F.col("event_type").alias("cat"),
+        F.when(is_p, F.expr(_GLON) / F.lit(100.0))
+        .otherwise(F.expr(_GLON)).alias("lon"),
+        F.when(is_p, F.expr(_GLAT) / F.lit(100.0))
+        .otherwise(F.expr(_GLAT)).alias("lat"),
+    )
+    return colocation_quotient(pts, "cat", cell_deg=15.0)
+
+
 def _q_adaptive_cells(spark, sf_dir):
     """Adaptive quadtree leaves (geo/adaptive.adaptive_cells): split any
     cell holding > 500 events into its 4 children, res 2 → 8, computed
@@ -3518,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_hotspots": _q_gi_star,
         "emerging_hotspots": _q_emerging_hotspots,
         "adaptive_quadtree_cells": _q_adaptive_cells,
+        "colocation_quotients": _q_colocation,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
         "idw_surface_cells": _q_idw_surface,
@@ -3670,11 +3693,15 @@ _WINDOW = [
     # represented by string_merge_lr and both carry pytest goldens on
     # frozen code)
     "adaptive_quadtree_cells",
+    # (ring_chunking_golden released for this one: the golden-pin family
+    # stays represented by zsplit_golden_vectors and both carry pytest
+    # goldens on frozen code)
+    "colocation_quotients",
     # re-pointed ex-demos (r4 rows were rows-only; oracled since)
     "street_conversion", "turn_restrictions", "admin_boundaries",
     # r3-stale, most load-bearing: golden pins, parity formatters,
     # TTL-touched streaming, shared-file siblings
-    "zsplit_golden_vectors", "ring_chunking_golden",
+    "zsplit_golden_vectors",
     "string_merge_lr", "streaming_first_seen",
 ]
 
@@ -4161,6 +4188,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM b, s)
             SELECT ix, iy, CAST(n AS BIGINT) AS n_points, z
             FROM z WHERE z >= 1.0
+        """,
+        # colocation quotient: band self-join over (cell, category)
+        # counts, full category grid keeps true zeros, exact-integer
+        # self-pair corrections, one rounded double ratio
+        "colocation_quotients": f"""
+            WITH pts AS (
+                SELECT event_type AS cat,
+                       CASE WHEN event_type = 'purchase'
+                            THEN ({_GLON}) / 100.0 ELSE {_GLON} END AS lon,
+                       CASE WHEN event_type = 'purchase'
+                            THEN ({_GLAT}) / 100.0 ELSE {_GLAT} END AS lat
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       cat, count(*) AS n
+                FROM pts GROUP BY 1, 2, 3),
+            raw AS (
+                SELECT a.cat AS cat_a, b.cat AS cat_b,
+                       CAST(sum(a.n * b.n) AS BIGINT) AS raw
+                FROM cells a JOIN cells b
+                  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+                GROUP BY 1, 2),
+            tot AS (
+                SELECT cat, CAST(sum(n) AS BIGINT) AS ncat
+                FROM cells GROUP BY 1),
+            g AS (SELECT CAST(sum(ncat) AS BIGINT) AS n_all FROM tot),
+            grid AS (
+                SELECT ta.cat AS cat_a, ta.ncat AS na_tot,
+                       tb.cat AS cat_b, tb.ncat AS nb_tot
+                FROM tot ta CROSS JOIN tot tb),
+            j AS (
+                SELECT grid.cat_a, grid.cat_b,
+                       coalesce(raw.raw, 0)
+                       - CASE WHEN grid.cat_a = grid.cat_b
+                              THEN grid.na_tot ELSE 0 END AS c_ab,
+                       grid.nb_tot, g.n_all
+                FROM grid
+                LEFT JOIN raw ON raw.cat_a = grid.cat_a
+                             AND raw.cat_b = grid.cat_b, g),
+            t AS (SELECT cat_a, CAST(sum(c_ab) AS BIGINT) AS t_a
+                  FROM j GROUP BY 1),
+            s AS (
+                SELECT j.cat_a, j.cat_b, j.c_ab, t.t_a,
+                       j.nb_tot - CASE WHEN j.cat_a = j.cat_b
+                                       THEN 1 ELSE 0 END AS nb_eff,
+                       j.n_all
+                FROM j JOIN t ON t.cat_a = j.cat_a
+                WHERE t.t_a > 0
+                  AND j.nb_tot - CASE WHEN j.cat_a = j.cat_b
+                                      THEN 1 ELSE 0 END > 0
+                  AND j.n_all > 1)
+            SELECT cat_a, cat_b, c_ab, t_a,
+                   floor((CAST(c_ab AS DOUBLE) / CAST(t_a AS DOUBLE))
+                         / (CAST(nb_eff AS DOUBLE)
+                            / (CAST(n_all AS DOUBLE) - 1.0))
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS clq
+            FROM s
         """,
         # adaptive quadtree: every DIV/shift on the packed cell id replayed
         # digit-for-digit; monotone counts make "coarsest qualifying

@@ -490,6 +490,19 @@ def main() -> None:
         ).count(),
     )
 
+    # colocation quotient over the same mixture with 5 hash-derived
+    # categories: the point aggregate dominates; the band self-join and
+    # ratio algebra run over (cell, cat) rows
+    from morituri_spark.geo.colocation import colocation_quotient
+
+    ga_cat = ga_pts.withColumn(
+        "cat", ((F.xxhash64("lon", "lat") % 5 + 5) % 5).cast("string")
+    )
+    timed(
+        "colocation_4m_points_5cats",
+        lambda: colocation_quotient(ga_cat, "cat", cell_deg=2.0).count(),
+    )
+
     # IDW surface over the same mixture: 9-way contribution explode + one
     # map-side-combinable decimal aggregate — no join, no float-sum
     # nondeterminism (quantized integer weights)
