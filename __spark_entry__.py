@@ -1125,6 +1125,34 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_emerging_gi(spark, sf_dir):
+    """Full emerging-hot-spot analysis (geo/clustering.emerging_gi_star):
+    per-bin Getis-Ord Gi* over the densified space-time cube, then
+    Mann-Kendall over each cell's Gi* z series — detects cells whose
+    RELATIVE concentration intensifies, which the raw-count MK can't
+    separate from uniform growth. Synth: constant uniform background +
+    a knot (every 4th event, coords/100) whose inclusion grows with
+    t_bin. Per-bin reductions are exact integers; each z_it and the
+    final mk_z are rule-16 rounded before any comparison."""
+    from morituri_spark.geo.clustering import emerging_gi_star
+
+    ev = _read(spark, sf_dir, "events")
+    bg = ev.select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+        F.expr("event_id % 8").alias("t_bin"),
+    )
+    knot = ev.where(
+        F.expr("event_id % 4 = 0 AND (event_id DIV 16) % 8 <= event_id % 8")
+    ).select(
+        (F.expr(_GLON) / F.lit(100.0)).alias("lon"),
+        (F.expr(_GLAT) / F.lit(100.0)).alias("lat"),
+        F.expr("event_id % 8").alias("t_bin"),
+    )
+    return emerging_gi_star(
+        bg.unionByName(knot), n_bins=8, cell_deg=15.0, z_threshold=1.0
+    )
+
+
 def _q_colocation(spark, sf_dir):
     """Colocation quotient (geo/colocation.colocation_quotient): which
     event categories cluster AROUND which — purchases are compressed
@@ -3541,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": _q_emerging_hotspots,
         "adaptive_quadtree_cells": _q_adaptive_cells,
         "colocation_quotients": _q_colocation,
+        "emerging_gi_hotspots": _q_emerging_gi,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
         "idw_surface_cells": _q_idw_surface,
@@ -3697,12 +3726,15 @@ _WINDOW = [
     # stays represented by zsplit_golden_vectors and both carry pytest
     # goldens on frozen code)
     "colocation_quotients",
+    # (string_merge_lr released for this one: the formatter family is
+    # pytest-golden-pinned on frozen code; units_format_6g left the same
+    # way earlier this session)
+    "emerging_gi_hotspots",
     # re-pointed ex-demos (r4 rows were rows-only; oracled since)
     "street_conversion", "turn_restrictions", "admin_boundaries",
-    # r3-stale, most load-bearing: golden pins, parity formatters,
-    # TTL-touched streaming, shared-file siblings
-    "zsplit_golden_vectors",
-    "string_merge_lr", "streaming_first_seen",
+    # r3-stale, most load-bearing: the golden reference-parity pin and
+    # the TTL-touched streaming op
+    "zsplit_golden_vectors", "streaming_first_seen",
 ]
 
 
@@ -4334,6 +4366,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT ix, iy, n AS n_points, CAST(wi AS BIGINT) AS w_i,
                    si AS s_i, gi_z
             FROM z WHERE abs(gi_z) >= 1.0
+        """,
+        # emerging Gi*: per-bin Gi* (exact integer sums, shared double
+        # tree, rounded z) feeding the MK stage over the z series;
+        # 1176 = T(T−1)(2T+5) at T = 8
+        "emerging_gi_hotspots": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat,
+                       event_id % 8 AS t
+                FROM events
+                UNION ALL
+                SELECT ({_GLON}) / 100.0, ({_GLAT}) / 100.0, event_id % 8
+                FROM events
+                WHERE event_id % 4 = 0
+                  AND (event_id // 16) % 8 <= event_id % 8),
+            cube AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       t, count(*) AS n
+                FROM pts GROUP BY 1, 2, 3),
+            occ AS (SELECT DISTINCT ix, iy FROM cube),
+            dense AS (
+                SELECT o.ix, o.iy, g.t,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS x
+                FROM occ o
+                CROSS JOIN generate_series(0, 7) AS g(t)
+                LEFT JOIN cube c
+                  ON c.ix = o.ix AND c.iy = o.iy AND c.t = g.t),
+            pairs AS (
+                SELECT a.ix AS aix, a.iy AS aiy, b.ix AS bix, b.iy AS biy
+                FROM occ a JOIN occ b
+                  ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND b.iy BETWEEN a.iy - 1 AND a.iy + 1),
+            w AS (SELECT aix AS ix, aiy AS iy, count(*) AS w
+                  FROM pairs GROUP BY 1, 2),
+            loc AS (
+                SELECT p.aix AS ix, p.aiy AS iy, d.t,
+                       CAST(sum(d.x) AS BIGINT) AS si
+                FROM pairs p JOIN dense d
+                  ON d.ix = p.bix AND d.iy = p.biy
+                GROUP BY 1, 2, 3),
+            st AS (
+                SELECT t, CAST(sum(x) AS BIGINT) AS s1,
+                       CAST(sum(x * x) AS BIGINT) AS s2,
+                       count(*) AS nc
+                FROM dense GROUP BY 1),
+            zd AS (
+                SELECT l.ix, l.iy, l.t, CAST(w.w AS BIGINT) AS w,
+                       CASE WHEN st.nc * st.s2 - st.s1 * st.s1 <= 0
+                                 OR w.w >= st.nc OR st.nc <= 1 THEN 0.0
+                            ELSE (CAST(l.si AS DOUBLE)
+                                  - (CAST(st.s1 AS DOUBLE)
+                                     / CAST(st.nc AS DOUBLE))
+                                    * CAST(w.w AS DOUBLE))
+                                 / (sqrt(CAST(st.s2 AS DOUBLE)
+                                         / CAST(st.nc AS DOUBLE)
+                                         - (CAST(st.s1 AS DOUBLE)
+                                            / CAST(st.nc AS DOUBLE))
+                                           * (CAST(st.s1 AS DOUBLE)
+                                              / CAST(st.nc AS DOUBLE)))
+                                    * sqrt((CAST(st.nc AS DOUBLE)
+                                            * CAST(w.w AS DOUBLE)
+                                            - CAST(w.w AS DOUBLE)
+                                              * CAST(w.w AS DOUBLE))
+                                           / (CAST(st.nc AS DOUBLE) - 1.0)))
+                       END AS zr
+                FROM loc l
+                JOIN w ON w.ix = l.ix AND w.iy = l.iy
+                JOIN st ON st.t = l.t),
+            z6 AS (SELECT ix, iy, t, w,
+                          floor(zr * 1e6 + 0.5 + 1e-8) / 1e6 AS z
+                   FROM zd),
+            sgn AS (
+                SELECT a.ix, a.iy,
+                       CAST(sum(CASE WHEN b.z > a.z THEN 1
+                                     WHEN b.z < a.z THEN -1 ELSE 0 END)
+                            AS BIGINT) AS s
+                FROM z6 a JOIN z6 b
+                  ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t
+                GROUP BY 1, 2),
+            ties AS (
+                SELECT ix, iy,
+                       sum(CAST(tg AS DOUBLE) * (CAST(tg AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(tg AS DOUBLE) + 5.0)) AS tie
+                FROM (SELECT ix, iy, z, count(*) AS tg
+                      FROM z6 GROUP BY 1, 2, 3)
+                GROUP BY 1, 2),
+            mk AS (
+                SELECT s.ix, s.iy, s.s,
+                       CASE WHEN s.s = 0
+                                 OR (1176.0 - t.tie) / 18.0 <= 0.0 THEN 0.0
+                            ELSE (CAST(s.s AS DOUBLE)
+                                  - sign(CAST(s.s AS DOUBLE)))
+                                 / sqrt((1176.0 - t.tie) / 18.0)
+                       END AS zr
+                FROM sgn s JOIN ties t ON t.ix = s.ix AND t.iy = s.iy),
+            fin AS (
+                SELECT m.ix, m.iy, CAST(w.w AS BIGINT) AS w_i,
+                       m.s AS s_stat,
+                       floor(m.zr * 1e6 + 0.5 + 1e-8) / 1e6 AS mk_z
+                FROM mk m JOIN w ON w.ix = m.ix AND w.iy = m.iy)
+            SELECT ix, iy, w_i, s_stat, mk_z,
+                   CASE WHEN mk_z >= 1.0 THEN 'up'
+                        WHEN mk_z <= -1.0 THEN 'down'
+                        ELSE 'none' END AS trend
+            FROM fin
         """,
         # Mann-Kendall: the cube densifies missing bins to ZERO per
         # occupied cell; S and the tie products are exact integers, the

@@ -503,6 +503,18 @@ def main() -> None:
         lambda: colocation_quotient(ga_cat, "cat", cell_deg=2.0).count(),
     )
 
+    # full emerging-hotspot analysis (per-bin Gi* → MK over z series):
+    # the composition's cost is still the one point aggregate; the
+    # per-bin neighbor join and MK pair fold run over cells×8 rows
+    from morituri_spark.geo.clustering import emerging_gi_star
+
+    timed(
+        "emerging_gi_4m_points_8bins",
+        lambda: emerging_gi_star(
+            ga_st, n_bins=8, cell_deg=2.0, z_threshold=1.0
+        ).count(),
+    )
+
     # IDW surface over the same mixture: 9-way contribution explode + one
     # map-side-combinable decimal aggregate — no join, no float-sum
     # nondeterminism (quantized integer weights)

@@ -440,8 +440,39 @@ def mann_kendall_cells(
         )
         .localCheckpoint()
     )
-    a = dense.select("_key", F.col("_t").alias("_ta"), F.col("_x").alias("_xa"))
-    b = dense.select("_key", F.col("_t").alias("_tb"), F.col("_x").alias("_xb"))
+    keyed = dense.groupBy("_key").agg(
+        F.first("ix").alias("ix"), F.first("iy").alias("iy"),
+        F.first("_total").alias("total_points"),
+    )
+    staged = keyed.join(_mk_trend(dense, n_bins, "_x"), "_key").select(
+        "ix", "iy", "total_points", F.col("_s").alias("s_stat"),
+        "_z_raw",
+    )
+    # classify on the ROUNDED z (rule 16: the gate must see the same value
+    # in both engines, or boundary dust flips the label)
+    z6 = staged.select(
+        "ix", "iy", "total_points", "s_stat",
+        (F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+         / F.lit(1e6)).alias("mk_z"),
+    )
+    thr = F.lit(float(z_threshold))
+    return z6.select(
+        "ix", "iy", "total_points", "s_stat", "mk_z",
+        F.when(F.col("mk_z") >= thr, F.lit("up"))
+        .when(F.col("mk_z") <= -thr, F.lit("down"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+def _mk_trend(dense: DataFrame, n_bins: int, x_col: str) -> DataFrame:
+    """(_key, _s, _z_raw): tie-corrected Mann-Kendall over the per-key
+    series in ``dense`` (one row per (_key, _t); ``x_col`` the value —
+    exact longs in :func:`mann_kendall_cells`, rule-16-rounded doubles in
+    :func:`emerging_gi_star`; rounded doubles compare exactly, so the
+    sign/tie algebra stays engine-identical either way)."""
+    a = dense.select("_key", F.col("_t").alias("_ta"), F.col(x_col).alias("_xa"))
+    b = dense.select("_key", F.col("_t").alias("_tb"), F.col(x_col).alias("_xb"))
     s = (
         a.join(b, "_key")
         .where(F.col("_tb") > F.col("_ta"))
@@ -450,7 +481,7 @@ def mann_kendall_cells(
     )
     t_i = F.col("_tg").cast("double")
     ties = (
-        dense.groupBy("_key", "_x")
+        dense.groupBy("_key", x_col)
         .agg(F.count(F.lit(1)).alias("_tg"))
         .groupBy("_key")
         .agg(F.sum(t_i * (t_i - 1.0) * (2.0 * t_i + 5.0)).alias("_tie"))
@@ -465,25 +496,135 @@ def mann_kendall_cells(
     ).otherwise(
         (s_d - F.signum(s_d)) / F.sqrt(var_s)
     )
-    keyed = dense.groupBy("_key").agg(
-        F.first("ix").alias("ix"), F.first("iy").alias("iy"),
-        F.first("_total").alias("total_points"),
+    return s.join(ties, "_key").select("_key", "_s", z_raw.alias("_z_raw"))
+
+
+def emerging_gi_star(
+    df: DataFrame,
+    n_bins: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    t_bin: str = "t_bin",
+    cell_deg: float = 1.0,
+    z_threshold: float = 1.0,
+) -> DataFrame:
+    """Full emerging-hot-spot analysis (the ESRI space-time-cube method):
+    per-BIN Getis-Ord Gi* over the densified cube, then tie-corrected
+    Mann-Kendall over each cell's Gi* z SERIES — a cell trends 'up' when
+    its RELATIVE spatial concentration intensifies over time, which raw
+    count trends (:func:`mann_kendall_cells`) cannot distinguish from
+    uniform global growth.
+
+    → (ix, iy, w_i, s_stat, mk_z, trend) per occupied cell. The per-bin
+    population is the occupied-at-any-bin cell set (densified zeros are
+    observations), so N and the 3×3-incl-self weights W_i are
+    time-invariant; bins with degenerate variance (all-equal counts) or
+    W_i = N contribute z = 0 — EXACT integer guards, same rationale as
+    :func:`gi_star_cells`. Every per-bin reduction is an exact integer
+    sum; each z_it is one shared double expression rounded to 6 dp
+    BEFORE entering the MK stage, so sign comparisons and tie groups
+    over the z series are engine-identical.
+
+    Scale shape: one point-bounded aggregate, then everything runs over
+    cells·T rows (the per-bin neighbor join is the thin 9-key explode;
+    the MK pair stage generates T(T−1)/2 rows per cell join-side and
+    folds immediately) — the same grid-bounded story as the parts it
+    composes.
+    """
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    if n_bins < 2:
+        raise ValueError(f"n_bins={n_bins} < 2: Mann-Kendall needs ≥ 2 bins")
+    cell = F.lit(float(cell_deg))
+    cube = (
+        df.select(
+            F.floor(F.col(lon) / cell).cast("long").alias("ix"),
+            F.floor(F.col(lat) / cell).cast("long").alias("iy"),
+            F.col(t_bin).cast("long").alias("_t"),
+        )
+        .groupBy("ix", "iy", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    staged = (
-        keyed.join(s, "_key").join(ties, "_key")
-        .select("ix", "iy", "total_points", F.col("_s").alias("s_stat"),
-                z_raw.alias("_z_raw"))
+    occupied = cube.groupBy("ix", "iy").agg(F.sum("_n").alias("_total"))
+    dense = (
+        occupied.select(
+            "ix", "iy",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_t"),
+        )
+        .join(cube, ["ix", "iy", "_t"], "left")
+        .select(
+            "ix", "iy", "_t",
+            F.coalesce("_n", F.lit(0)).alias("_x"),
+            (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("_key"),
+        )
+        .localCheckpoint()
     )
-    # classify on the ROUNDED z (rule 16: the gate must see the same value
-    # in both engines, or boundary dust flips the label)
-    z6 = staged.select(
-        "ix", "iy", "total_points", "s_stat",
-        (F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
-         / F.lit(1e6)).alias("mk_z"),
+    # time-invariant neighborhood: W_i over occupied cells incl self
+    core = dense.select("_key", "ix", "iy").distinct()
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr_keys = core.select(
+        F.col("_key").alias("_u"),
+        F.explode(
+            F.array(*[
+                ((F.col("ix") + F.lit(dx)) * F.lit(_KEY_SPAN) + F.col("iy") + F.lit(dy))
+                for dx, dy in offsets
+            ])
+        ).alias("_v"),
+    ).join(core.select(F.col("_key").alias("_v")), "_v", "inner")
+    w_tab = nbr_keys.groupBy("_u").agg(F.count(F.lit(1)).alias("_w"))
+    # per-bin neighborhood sums: the same key pairs, joined to each bin's
+    # values — (pairs × T) thin rows, folded immediately
+    local = (
+        nbr_keys.join(
+            dense.select(F.col("_key").alias("_v"), "_t", F.col("_x").alias("_xv")),
+            "_v",
+        )
+        .groupBy("_u", "_t")
+        .agg(F.sum("_xv").alias("_si"))
+    )
+    # per-bin exact global sums + the constant N
+    stats_t = dense.groupBy("_t").agg(
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+        F.count(F.lit(1)).alias("_ncells"),
+    )
+    n_d = F.col("_ncells").cast("double")
+    w_d = F.col("_w").cast("double")
+    mu = F.col("_s1").cast("double") / n_d
+    sigma = F.sqrt(F.col("_s2").cast("double") / n_d - mu * mu)
+    denom = sigma * F.sqrt((n_d * w_d - w_d * w_d) / (n_d - F.lit(1.0)))
+    z_it_raw = F.when(
+        (F.col("_ncells") * F.col("_s2") - F.col("_s1") * F.col("_s1") <= 0)
+        | (F.col("_w") >= F.col("_ncells"))
+        | (F.col("_ncells") <= 1),
+        F.lit(0.0),
+    ).otherwise((F.col("_si").cast("double") - mu * w_d) / denom)
+    zdense = (
+        local.join(w_tab, "_u")
+        .join(F.broadcast(stats_t), "_t")
+        .select(
+            F.col("_u").alias("_key"), "_t", F.col("_w"),
+            (F.floor(z_it_raw * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+             / F.lit(1e6)).alias("_z6"),
+        )
+        .localCheckpoint()
+    )
+    keyed = zdense.groupBy("_key").agg(F.first("_w").alias("w_i"))
+    out = (
+        keyed.join(_mk_trend(zdense, n_bins, "_z6"), "_key")
+        .join(core.select("_key", "ix", "iy"), "_key")
+        .select(
+            "ix", "iy", "w_i", F.col("_s").alias("s_stat"),
+            (F.floor(F.col("_z_raw") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+             / F.lit(1e6)).alias("mk_z"),
+        )
     )
     thr = F.lit(float(z_threshold))
-    return z6.select(
-        "ix", "iy", "total_points", "s_stat", "mk_z",
+    return out.select(
+        "ix", "iy", "w_i", "s_stat", "mk_z",
         F.when(F.col("mk_z") >= thr, F.lit("up"))
         .when(F.col("mk_z") <= -thr, F.lit("down"))
         .otherwise(F.lit("none"))

@@ -267,3 +267,72 @@ def test_mann_kendall_guards(spark):
         mann_kendall_cells(df, n_bins=1)
     with pytest.raises(ValueError, match="cell_deg"):
         mann_kendall_cells(df, n_bins=4, cell_deg=1e-5)
+
+
+def _egs_ref(series: dict, t_bins: int, z_threshold: float):
+    """Pure-Python emerging-Gi*: series = {(ix,iy): [count per bin]}."""
+    cells = list(series)
+    n = len(cells)
+    w = {
+        c: sum(
+            1 for d in cells
+            if abs(d[0] - c[0]) <= 1 and abs(d[1] - c[1]) <= 1
+        )
+        for c in cells
+    }
+    out = {}
+    zs = {c: [] for c in cells}
+    for t in range(t_bins):
+        xs = {c: series[c][t] for c in cells}
+        s1 = sum(xs.values())
+        s2 = sum(v * v for v in xs.values())
+        for c in cells:
+            si = sum(
+                xs[d] for d in cells
+                if abs(d[0] - c[0]) <= 1 and abs(d[1] - c[1]) <= 1
+            )
+            if n * s2 - s1 * s1 <= 0 or w[c] >= n or n <= 1:
+                z = 0.0
+            else:
+                mu = s1 / n
+                sigma = math.sqrt(s2 / n - mu * mu)
+                z = (si - mu * w[c]) / (
+                    sigma * math.sqrt((n * w[c] - w[c] * w[c]) / (n - 1))
+                )
+            zs[c].append(math.floor(z * 1e6 + 0.5 + 1e-8) / 1e6)
+    for c in cells:
+        s, z, trend = _mk_ref(zs[c], z_threshold)
+        out[c] = (w[c], s, z, trend)
+    return out
+
+
+def test_emerging_gi_star_matches_reference(spark):
+    from morituri_spark.geo.clustering import emerging_gi_star
+
+    t_bins = 5
+    # knot (0,0)+(0,1) intensifies over time against a constant background
+    # → its RELATIVE concentration (Gi* z) must trend up, the background's
+    # down — even though every background count is constant
+    series = {
+        (0, 0): [2, 4, 8, 16, 32],
+        (0, 1): [1, 2, 4, 8, 16],
+        (5, 5): [6, 6, 6, 6, 6],
+        (5, 6): [5, 5, 5, 5, 5],
+        (9, 2): [4, 4, 4, 4, 4],
+        (3, 8): [3, 0, 3, 0, 3],
+    }
+    rows = [
+        (ix + 0.5, iy + 0.5, t)
+        for (ix, iy), xs in series.items()
+        for t, c in enumerate(xs) for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double, t_bin int")
+    got = {
+        (r["ix"], r["iy"]): (r["w_i"], r["s_stat"], r["mk_z"], r["trend"])
+        for r in emerging_gi_star(df, n_bins=t_bins, cell_deg=1.0,
+                                  z_threshold=1.0).collect()
+    }
+    ref = _egs_ref(series, t_bins, 1.0)
+    assert got == ref
+    assert got[(0, 0)][3] == "up" and got[(0, 1)][3] == "up"
+    assert any(v[3] == "down" for v in got.values())
