@@ -1197,6 +1197,29 @@ def _q_adaptive_cells(spark, sf_dir):
                           res_min=2, res_max=8)
 
 
+def _q_adaptive_assign(spark, sf_dir):
+    """Point→leaf assignment (geo/adaptive.assign_adaptive): the
+    ancestor-probe join (compact-cover pattern) rolled back up per leaf
+    — the oracle is the SAME leaf-table SQL as adaptive_quadtree_cells,
+    so a green row proves the join path and the aggregate path agree
+    leaf-for-leaf, count-for-count."""
+    from morituri_spark.geo.adaptive import adaptive_cells, assign_adaptive
+
+    ev = _read(spark, sf_dir, "events")
+    bg = ev.select(F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"))
+    knot = ev.where(F.expr("event_id % 4 = 0")).select(
+        (F.expr(_GLON) / F.lit(100.0)).alias("lon"),
+        (F.expr(_GLAT) / F.lit(100.0)).alias("lat"),
+    )
+    pts = bg.unionByName(knot)
+    leaves = adaptive_cells(pts, max_points=500, res_min=2, res_max=8)
+    assigned = assign_adaptive(pts, leaves, res_min=2, res_max=8)
+    return assigned.groupBy(
+        F.col("leaf_cell").alias("cell_id"),
+        F.col("leaf_res").alias("res"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def _q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hotspots (geo/clustering.gi_star_cells): the
     neighborhood-weighted sibling of grid_hotspot_cells — per-cell 3×3
@@ -3568,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_hotspots": _q_gi_star,
         "emerging_hotspots": _q_emerging_hotspots,
         "adaptive_quadtree_cells": _q_adaptive_cells,
+        "adaptive_assign_rollup": _q_adaptive_assign,
         "colocation_quotients": _q_colocation,
         "emerging_gi_hotspots": _q_emerging_gi,
         "semdedup_keep_flags": _q_semdedup,
@@ -3739,7 +3763,7 @@ _WINDOW = [
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -5701,3 +5725,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
     }
+    # the assignment rollup must equal the leaf table LEAF-FOR-LEAF —
+    # same oracle text proves join path ≡ aggregate path
+    d["adaptive_assign_rollup"] = d["adaptive_quadtree_cells"]
+    return d

@@ -135,3 +135,65 @@ def adaptive_cells(
             "n_points",
         )
     )
+
+
+def assign_adaptive(
+    df: DataFrame,
+    leaves: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_min: int = 2,
+    res_max: int = 10,
+) -> DataFrame:
+    """Attach each point's quadtree leaf: ``leaf_cell`` + ``leaf_res``
+    columns appended to ``df``. ``leaves`` is :func:`adaptive_cells`
+    output built with the SAME (res_min, res_max) — leaves are pairwise
+    disjoint, so each point matches exactly one.
+
+    Join shape: the point explodes one ancestor id per level
+    (L = res_max−res_min+1 thin rows, pure-codegen integer math — the
+    compact-cover probe pattern, geo/pip.py) and inner-joins the leaf
+    table on cell_id. The leaf table is grid-bounded — broadcast it when
+    it fits (the planner's AQE does this automatically at leaf counts
+    that matter); the explode side never shuffles more than L small ints
+    per point. This is the balanced-tile-sink path: repartition by
+    ``leaf_cell`` and every output file holds ≤ max_points rows (plus
+    the res_max stragglers), regardless of how skewed the corpus is.
+    """
+    if not 0 <= res_min <= res_max <= MAX_RES:
+        raise ValueError(
+            f"need 0 <= res_min <= res_max <= {MAX_RES}, got [{res_min}, {res_max}]"
+        )
+    levels = list(range(res_min, res_max + 1))
+    offs = F.array(*[
+        F.struct(
+            F.lit(r).alias("_r"),
+            F.lit(1 << (res_max - r)).alias("_d"),
+        )
+        for r in levels
+    ])
+    staged = df.withColumn("_c", cell_col(F.col(lon), F.col(lat), res_max)).select(
+        "*",
+        F.shiftright(
+            F.col("_c").bitwiseAND(F.lit(_MASK29 << _X_SHIFT)), _X_SHIFT
+        ).alias("_x"),
+        F.col("_c").bitwiseAND(F.lit(_MASK29)).alias("_y"),
+    )
+    probes = staged.select(
+        "*",
+        F.explode(offs).alias("_o"),
+    ).select(
+        "*",
+        (
+            F.col("_o._r").cast("long") * F.lit(1 << _RES_SHIFT)
+            + F.expr("_x DIV _o._d") * F.lit(1 << _X_SHIFT)
+            + F.expr("_y DIV _o._d")
+        ).alias("_probe"),
+    )
+    lf = leaves.select(
+        F.col("cell_id").alias("_probe"),
+        F.col("cell_id").alias("leaf_cell"),
+        F.col("res").alias("leaf_res"),
+    )
+    out_cols = [c for c in df.columns] + ["leaf_cell", "leaf_res"]
+    return probes.join(lf, "_probe", "inner").select(*out_cols)

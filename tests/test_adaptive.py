@@ -91,3 +91,24 @@ def test_adaptive_hot_cell_stays_leaf_at_res_max(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["res"] == 6 and got[0]["n_points"] == 100
+
+
+def test_assign_adaptive_unique_and_consistent(spark):
+    from morituri_spark.geo.adaptive import assign_adaptive
+    from pyspark.sql import functions as F
+
+    rows = [(10.1 + (i % 13) * 1e-3, 10.1 + (i % 7) * 1e-3) for i in range(400)]
+    rows += [(float((i * 37) % 340) - 170.0, float((i * 23) % 160) - 80.0)
+             for i in range(40)]
+    df = _pts(spark, rows)
+    leaves = adaptive_cells(df, max_points=50, res_min=2, res_max=9)
+    got = assign_adaptive(df, leaves, res_min=2, res_max=9)
+    # every point assigned exactly once (disjoint leaves, full cover)
+    assert got.count() == len(rows)
+    # per-leaf totals equal the leaf table exactly
+    roll = {
+        r["leaf_cell"]: r["n"]
+        for r in got.groupBy("leaf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ref = {r["cell_id"]: r["n_points"] for r in leaves.collect()}
+    assert roll == ref
