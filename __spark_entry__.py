@@ -1125,6 +1125,21 @@ def _q_morans_i(spark, sf_dir):
     return morans_i(pts, cell_deg=5.0)
 
 
+def _q_local_morans(spark, sf_dir):
+    """Local Moran's I / Anselin LISA (geo/clustering.local_morans_cells):
+    per-cell co-deviation with its 8-neighborhood, quadrant-classified
+    HH/LL/HL/LH. The quadrant gates are EXACT integer comparisons
+    (N·x_i vs S₁, N·S_i vs W_i·S₁), so the label is engine-identical by
+    construction; lisa_i is the one shared double expression, rule-16
+    rounded to 6 dp."""
+    from morituri_spark.geo.clustering import local_morans_cells
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return local_morans_cells(pts, cell_deg=5.0)
+
+
 def _q_emerging_gi(spark, sf_dir):
     """Full emerging-hot-spot analysis (geo/clustering.emerging_gi_star):
     per-bin Getis-Ord Gi* over the densified space-time cube, then
@@ -1458,6 +1473,23 @@ def _q_radius_pairs(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         "dist_km",
     )
+
+
+def _q_ripley_k(spark, sf_dir):
+    """Ripley's K/L curve (geo/ripley.ripley_k): multi-scale clustering
+    statistic — ONE cell-cover pair join at max(radii), per-radius
+    membership via a broadcast join of the tiny radii list, zero-pair
+    radii preserved. pair_count is an exact ordered-pair integer; K and L
+    are one shared double expression each, rule-16 rounded to 6 dp; the
+    membership gate compares the half-up-6dp haversine on both engines.
+    The oracle brute-forces the |Δlat| ≤ 1° band (a strict superset of
+    100 km) with the identical closed form."""
+    from morituri_spark.geo.ripley import ripley_k
+
+    pts = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return ripley_k(pts, [25.0, 50.0, 100.0], 510_072_000.0, id_col="event_id")
 
 
 def _q_dbscan_points(spark, sf_dir):
@@ -3588,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density_clusters": _q_grid_clusters,
         "grid_hotspot_cells": _q_hotspot_cells,
         "morans_i_autocorrelation": _q_morans_i,
+        "local_morans_lisa": _q_local_morans,
         "gi_star_hotspots": _q_gi_star,
         "emerging_hotspots": _q_emerging_hotspots,
         "adaptive_quadtree_cells": _q_adaptive_cells,
@@ -3637,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-level DBSCAN: in-window siblings grid_density_clusters
         # (same CC machinery) + knn/snap (same cover join); replica-checked
         "dbscan_clusters": _q_dbscan_points,
+        # Ripley's K/L curve: multi-scale point-pattern statistic over the
+        # same radius_join machinery (one pair join at max radius)
+        "ripley_k_curve": _q_ripley_k,
         # discrete-Hausdorff track-similarity join: anchor radius_join
         # candidates + tiled haversine-matrix refine kernel
         "hausdorff_track_pairs": _q_hausdorff_pairs,
@@ -4632,6 +4668,36 @@ def oracle_sql() -> dict[str, str]:
                  AND abs(a.lat - b.lat) <= 1.0) t
             WHERE dist_km <= 100.0
         """,
+        "ripley_k_curve": f"""
+            WITH pts AS (
+                SELECT event_id, {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            nn AS (SELECT count(*) AS n FROM pts),
+            d AS (
+                SELECT round(2 * 6371.0088 * asin(sqrt(
+                           power(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * power(sin(radians(b.lon - a.lon) / 2), 2))),
+                             6) AS dist
+                FROM pts a JOIN pts b
+                  ON a.event_id < b.event_id
+                 AND abs(a.lat - b.lat) <= 1.0),
+            r AS (SELECT CAST(v AS DOUBLE) AS r_km
+                  FROM (VALUES (25.0), (50.0), (100.0)) t(v)),
+            c AS (
+                SELECT r.r_km, CAST(2 * count(d.dist) AS BIGINT) AS pair_count
+                FROM r LEFT JOIN d ON d.dist <= r.r_km
+                GROUP BY 1),
+            k AS (
+                SELECT r_km, pair_count,
+                       CAST(510072000 AS DOUBLE) * CAST(pair_count AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))
+                           AS k_raw
+                FROM c, nn WHERE n >= 2)
+            SELECT r_km, pair_count,
+                   floor(k_raw * 1e6 + 0.5 + 1e-8) / 1e6 AS k_est,
+                   floor(sqrt(k_raw / pi()) * 1e6 + 0.5 + 1e-8) / 1e6 AS l_est
+            FROM k
+        """,
         "dbscan_clusters": f"""
             WITH RECURSIVE pts AS (
                 SELECT event_id AS id, {_GLON} AS lon, {_GLAT} AS lat
@@ -5132,6 +5198,43 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5 + 1e-8) / 1e6 AS morans_i
             FROM cells, pairs
             WHERE w > 0
+        """,
+        "local_morans_lisa": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            b AS (
+                SELECT CAST(floor(lon / 5.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 5.0) AS BIGINT) AS iy,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2),
+            loc AS (
+                SELECT a.ix, a.iy, a.n,
+                       CAST(sum(c.n) AS BIGINT) AS si,
+                       count(*) AS wi
+                FROM b a JOIN b c
+                  ON abs(a.ix - c.ix) <= 1 AND abs(a.iy - c.iy) <= 1
+                 AND NOT (a.ix = c.ix AND a.iy = c.iy)
+                GROUP BY 1, 2, 3),
+            g AS (
+                SELECT CAST(sum(n) AS BIGINT) AS s1,
+                       CAST(sum(n * n) AS BIGINT) AS s2,
+                       count(*) AS ncells
+                FROM b)
+            SELECT ix, iy, n AS n_points, wi AS w_i, si AS s_i,
+                   floor((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(ncells AS DOUBLE))
+                         * (CAST(si AS DOUBLE)
+                            - CAST(wi AS DOUBLE)
+                              * (CAST(s1 AS DOUBLE) / CAST(ncells AS DOUBLE)))
+                         / (CAST(s2 AS DOUBLE) / CAST(ncells AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(ncells AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(ncells AS DOUBLE)))
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS lisa_i,
+                   CASE WHEN ncells * n > s1 AND ncells * si > wi * s1 THEN 'HH'
+                        WHEN NOT (ncells * n > s1) AND NOT (ncells * si > wi * s1) THEN 'LL'
+                        WHEN ncells * n > s1 THEN 'HL'
+                        ELSE 'LH' END AS quadrant
+            FROM loc, g
+            WHERE ncells * s2 - s1 * s1 > 0
         """,
         "snap_points_to_segments": f"""
             WITH p AS (

@@ -370,6 +370,88 @@ def gi_star_cells(
     )
 
 
+def local_morans_cells(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Local Moran's I (Anselin LISA) per occupied grid cell — the local
+    companion to :func:`morans_i` (which returns one global statistic)
+    and :func:`gi_star_cells` (which measures neighborhood TOTALS; LISA
+    measures neighborhood CO-DEVIATION, so it separates high-surrounded-
+    by-high from high-surrounded-by-low).
+
+    → (ix, iy, n_points, w_i, s_i, lisa_i, quadrant) for every occupied
+    cell with ≥1 occupied 8-neighbor and non-degenerate variance:
+
+        I_i = (x_i − μ)·(S_i − W_i·μ) / m2,   m2 = S₂/N − μ²
+
+    with S_i = Σ_{j∈nbr(i)} x_j (EXCLUDING self — the standard LISA
+    weights), W_i the occupied-neighbor count, μ/m2 from the occupied-cell
+    population. quadrant ∈ {'HH','LL','HL','LH'} classifies the cell's
+    own deviation × its neighborhood-mean deviation — and both gates are
+    EXACT integer comparisons (x_i > μ ⟺ N·x_i > S₁; S_i/W_i > μ ⟺
+    N·S_i > W_i·S₁), so the label can never flip on float dust between
+    engines. lisa_i is the single shared double expression, rule-16
+    rounded to 6 dp.
+
+    Scale shape: identical to :func:`gi_star_cells` — one point-bounded
+    map-side-combinable aggregate, then the 8-key explode + equi-join and
+    two aggregates over CELLS only.
+    """
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    # referenced three times (explode side, join-back side, global stats)
+    cells = bin_cells(df, lon, lat, cell_deg).localCheckpoint()
+    core = cells.select(
+        "ix", "iy", "n_points",
+        (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("key"),
+    )
+    local = _neighbor_pairs(core).groupBy("u").agg(
+        F.sum("n_v").alias("_si"),
+        F.count(F.lit(1)).alias("_wi"),
+    )
+    stats = cells.agg(
+        F.sum("n_points").alias("_s1"),
+        F.sum(F.col("n_points") * F.col("n_points")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = (
+        core.join(local, core["key"] == local["u"], "inner")
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("_n").cast("double")
+    mu = F.col("_s1").cast("double") / n_d
+    m2 = F.col("_s2").cast("double") / n_d - mu * mu
+    x_d = F.col("n_points").cast("double")
+    i_raw = (x_d - mu) * (F.col("_si").cast("double") - F.col("_wi").cast("double") * mu) / m2
+    # variance > 0 iff N·Σx² − (Σx)² > 0 — exact integer guard (a float
+    # m2 > 0 lets NaN/dust through, same rationale as gi_star_cells)
+    staged = j.where(
+        F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1") > 0
+    ).select(
+        "ix", "iy", "n_points",
+        F.col("_wi").alias("w_i"), F.col("_si").alias("s_i"),
+        (F.floor(i_raw * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+         / F.lit(1e6)).alias("lisa_i"),
+        # EXACT integer quadrant gates: scale both sides by N (and W_i)
+        (F.col("_n") * F.col("n_points") > F.col("_s1")).alias("_own_hi"),
+        (F.col("_n") * F.col("_si") > F.col("_wi") * F.col("_s1")).alias("_nbr_hi"),
+    )
+    return staged.select(
+        "ix", "iy", "n_points", "w_i", "s_i", "lisa_i",
+        F.when(F.col("_own_hi") & F.col("_nbr_hi"), F.lit("HH"))
+        .when(~F.col("_own_hi") & ~F.col("_nbr_hi"), F.lit("LL"))
+        .when(F.col("_own_hi"), F.lit("HL"))
+        .otherwise(F.lit("LH"))
+        .alias("quadrant"),
+    )
+
+
 def mann_kendall_cells(
     df: DataFrame,
     n_bins: int,

@@ -336,3 +336,67 @@ def test_emerging_gi_star_matches_reference(spark):
     assert got == ref
     assert got[(0, 0)][3] == "up" and got[(0, 1)][3] == "up"
     assert any(v[3] == "down" for v in got.values())
+
+
+def _lisa_ref(counts):
+    vals = list(counts.values())
+    N, S1, S2 = len(vals), sum(vals), sum(v * v for v in vals)
+    if N * S2 - S1 * S1 <= 0:
+        return {}
+    mu = S1 / N
+    m2 = S2 / N - mu * mu
+    out = {}
+    for (ix, iy), x in counts.items():
+        si = wi = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nv = counts.get((ix + dx, iy + dy))
+                if nv is not None:
+                    si += nv
+                    wi += 1
+        if wi == 0:
+            continue
+        i_raw = (x - mu) * (si - wi * mu) / m2
+        own_hi = N * x > S1
+        nbr_hi = N * si > wi * S1
+        quad = ("HH" if nbr_hi else "HL") if own_hi else ("LL" if not nbr_hi else "LH")
+        out[(ix, iy)] = (
+            x, wi, si, math.floor(i_raw * 1e6 + 0.5 + 1e-8) / 1e6, quad,
+        )
+    return out
+
+
+def test_local_morans_matches_reference(spark):
+    from morituri_spark.geo.clustering import local_morans_cells
+
+    # heavy block, light ring, an isolated far cell (dropped: no neighbor)
+    counts = {(0, 0): 10, (1, 0): 9, (0, 1): 8, (1, 1): 12,
+              (2, 0): 1, (2, 1): 1, (0, 2): 1, (1, 2): 2, (2, 2): 1,
+              (9, 9): 3}
+    rows = []
+    for (ix, iy), n in counts.items():
+        rows += [(ix + 0.5, iy + 0.5)] * n
+    got = {
+        (r["ix"], r["iy"]): (r["n_points"], r["w_i"], r["s_i"],
+                             r["lisa_i"], r["quadrant"])
+        for r in local_morans_cells(_pts(spark, rows), cell_deg=1.0).collect()
+    }
+    assert got == _lisa_ref(counts)
+    # corner (0,0) sees only heavy neighbors → HH; (1,1) sees the light
+    # ring too (nbr mean 33/8 < μ=4.8) → HL; light (2,2) beside heavy → LH
+    assert got[(0, 0)][4] == "HH"
+    assert got[(1, 1)][4] == "HL"
+    assert got[(2, 2)][4] == "LH"
+
+
+def test_local_morans_guards(spark):
+    from morituri_spark.geo.clustering import local_morans_cells
+
+    # uniform counts → zero variance → empty (exact integer guard)
+    rows = [(x + 0.5, 0.5) for x in range(4)]
+    assert local_morans_cells(_pts(spark, rows), cell_deg=1.0).count() == 0
+    # injectivity guard
+    with pytest.raises(ValueError):
+        local_morans_cells(_pts(spark, [(0.0, 0.0)]), cell_deg=1e-5)
