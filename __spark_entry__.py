@@ -867,6 +867,32 @@ def _q_decontaminate(spark, sf_dir):
     return out.withColumn("contaminated", F.col("contaminated").cast("int"))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (text/retrieval.bm25_topk): doc-as-query
+    decontamination shape — every doc_id % 100 == 7 document retrieves
+    its 5 best lexical matches from the corpus. Per-term contributions
+    are floor-quantized to integer micro-units BEFORE the cross-term sum,
+    so the score is an exact integer in both engines (a double sum would
+    inherit each engine's accumulation order). Query-term stats broadcast
+    into the postings scan; the ≥50%-df stopword gate is exact-integer
+    and bounds every posting list entering the join."""
+    from morituri_spark.text.retrieval import bm25_topk
+
+    # the synth corpus is low-entropy (31 terms, df ≈ 80%); append a
+    # deterministic rare marker token (m0..m39) per doc so retrieval has
+    # a below-cap discriminative channel alongside the common terms
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" m"), (F.col("doc_id") % 40).cast("string")
+        ).alias("text"),
+    )
+    qs = docs.where("doc_id % 100 = 7").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, qs, k=5, max_df_pct=70)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated-substring spans (text/decontam
     .duplicate_span_stats — the distributed re-expression of suffix-array
@@ -3604,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # --- new in the r5 continuation: never driver-checked before ---
         "decontaminate_benchmark": _q_decontaminate,
+        "bm25_doc_retrieval": _q_bm25_topk,
         "duplicate_span_ratio": _q_duplicate_spans,
         "mixture_budget_sample": _q_mixture_budget,
         "segment_zone_lengths": _q_segment_zone_lengths,
@@ -4152,6 +4179,51 @@ def oracle_sql() -> dict[str, str]:
                    round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
             FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
             WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.3
+        """,
+        "bm25_doc_retrieval": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       text || ' m' || CAST(doc_id % 40 AS VARCHAR) AS text
+                FROM documents),
+            toks AS (
+                SELECT doc_id, t.term
+                FROM docs2, LATERAL unnest(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+                WHERE t.term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS stok FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q AS (
+                SELECT DISTINCT d.doc_id AS query_id, t.term
+                FROM docs2 d, LATERAL unnest(
+                    regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(term)
+                WHERE d.doc_id % 100 = 7 AND t.term <> ''),
+            m AS (
+                SELECT q.query_id, tf.doc_id,
+                       CAST(floor(
+                           ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+                               + CAST(0.5 AS DOUBLE))
+                              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                              + CAST(1 AS DOUBLE))
+                           * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                              / (CAST(tf AS DOUBLE)
+                                 + CAST(1.2 AS DOUBLE)
+                                   * (CAST(0.25 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                                        / (CAST(stok AS DOUBLE) / CAST(n AS DOUBLE)))))
+                           * 1e6 + 0.5 + 1e-8) AS BIGINT) AS micros
+                FROM q JOIN tf USING (term) JOIN dl USING (doc_id)
+                     JOIN dft USING (term), st
+                WHERE df * 100 <= n * 70),
+            s AS (SELECT query_id, doc_id, CAST(sum(micros) AS BIGINT) AS sm
+                  FROM m GROUP BY 1, 2)
+            SELECT query_id, doc_id, CAST(rk AS INT) AS rank,
+                   CAST(sm AS DOUBLE) / 1e6 AS score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY sm DESC, doc_id) AS rk
+                  FROM s) t
+            WHERE rk <= 5
         """,
         "decontaminate_benchmark": """
             WITH sh AS (
