@@ -2338,6 +2338,39 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (graph/bfs.multi_source_bfs): hop distance to the
+    nearest of 4 seed nodes over the SAME closed-form 400-node graph
+    pagerank_doc_quality uses, with the minimum-source-id witness (the
+    greedy per-round min equals min-over-all-shortest-origins — proved in
+    the module docstring). Each round is one frontier⋈edges equi-join +
+    anti-join + min-agg; states localCheckpoint per round (rule 14) with
+    superseded rounds released (rule 10). The oracle replays it as a
+    recursive CTE over (node, dist, src) states."""
+    from morituri_spark.graph.bfs import multi_source_bfs
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("i"))
+        .distinct()
+    )
+    edges = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 400).alias("dst"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * F.col("i") + 3) % 400).alias("dst"),
+            )
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 400).alias("dst"))
+        )
+        .distinct()
+    )
+    sources = ids.where("i % 100 = 0").select(F.col("i").alias("node"))
+    return multi_source_bfs(edges, sources, max_hops=15)
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
     inclusion probability proportional to a per-row weight (n_chars as
@@ -3758,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_quality": _q_weighted_sample,
         "weighted_topk_sample": _q_weighted_topk,
         "pagerank_doc_quality": _q_pagerank,
+        "bfs_hop_distances": _q_bfs_distances,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5468,6 +5502,26 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY e.dst) s)
             SELECT node, CAST(rank AS BIGINT) AS rank
             FROM pr WHERE iter = 8
+        """,
+        "bfs_hop_distances": """
+            WITH RECURSIVE ids AS (
+                SELECT DISTINCT event_id % 400 AS i FROM events),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT i AS src, (i * 7 + 1) % 400 AS dst FROM ids
+                    UNION ALL SELECT i, (i * i + 3) % 400 FROM ids
+                    UNION ALL SELECT i, (i + 1) % 400 FROM ids)),
+            bfs(node, dist, src) AS (
+                SELECT i, 0, i FROM ids WHERE i % 100 = 0
+                UNION
+                SELECT e.dst, b.dist + 1, b.src
+                FROM bfs b JOIN edges e ON e.src = b.node
+                WHERE b.dist < 15),
+            m AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY 1)
+            SELECT b.node, CAST(m.dist AS INT) AS dist,
+                   CAST(min(b.src) AS BIGINT) AS src
+            FROM bfs b JOIN m ON b.node = m.node AND b.dist = m.dist
+            GROUP BY 1, 2
         """,
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
         "ring_areas_shoelace": f"""
