@@ -2949,6 +2949,22 @@ def _q_extract_patches(spark, sf_dir):
     )
 
 
+def _q_image_quality(spark, sf_dir):
+    """Image capture-quality gates (multimodal/ops.image_quality): blur
+    (gradient energy) + exposure clipping over REAL PNG payloads — the
+    image-side siblings of the Gopher text gates. All reductions are
+    exact integers in 3× fixed-point gray (so r≠g≠b thirds stay exact);
+    both booleans are exact integer comparisons; sharpness/clip_frac are
+    shared double expressions rule-16 rounded. The oracle re-derives
+    every pixel from the gradient closed form (the vit_patch_tokens
+    fixture) and replays the identical sums."""
+    from morituri_spark.multimodal.ops import image_quality
+
+    return image_quality(
+        _gradient_images(spark, sf_dir), blur_thr_milli=5000, max_clip_pct=0
+    )
+
+
 def _q_jpeg_progressive_roundtrip(spark, sf_dir):
     """PROGRESSIVE JPEG (r5, verdict #4) end-to-end: the same constant-color
     images as jpeg_constant_roundtrip, but encoded with
@@ -3689,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_gi_hotspots": _q_emerging_gi,
         "semdedup_keep_flags": _q_semdedup,
         "vit_patch_tokens": _q_extract_patches,
+        "image_quality_gates": _q_image_quality,
         "idw_surface_cells": _q_idw_surface,
         "resample_tracks_daily": _q_resample_track,
         "quadkey_pyramid": _q_quadkey_pyramid,
@@ -4699,6 +4716,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "image_quality_gates": """
+            WITH ids AS (
+                SELECT event_id AS i FROM events WHERE event_id < 500),
+            pix AS (
+                SELECT i, y, x,
+                       (i + 2 * y + 3 * x) % 256
+                       + (2 * i + y + 5 * x) % 256
+                       + (3 * i + 4 * y + x) % 256 AS g3
+                FROM ids,
+                     generate_series(0, 15) AS ys(y),
+                     generate_series(0, 15) AS xs(x)),
+            dx AS (
+                SELECT p.i, CAST(sum(abs(q.g3 - p.g3)) AS BIGINT) AS sum3
+                FROM pix p JOIN pix q
+                  ON q.i = p.i AND q.y = p.y AND q.x = p.x + 1
+                GROUP BY 1),
+            t AS (
+                SELECT i,
+                       CAST(sum(CASE WHEN g3 <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                       CAST(sum(CASE WHEN g3 >= 759 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+                FROM pix GROUP BY 1)
+            SELECT printf('img%08d', d.i) AS image_id,
+                   CAST(sum3 // 3 AS BIGINT) AS sum_absdx,
+                   n_lo AS n_clip_lo, n_hi AS n_clip_hi,
+                   floor(CAST(sum3 AS DOUBLE) / CAST(3 AS DOUBLE)
+                         / CAST(240 AS DOUBLE) * 1e6 + 0.5 + 1e-8) / 1e6
+                       AS sharpness,
+                   floor(CAST(n_lo + n_hi AS DOUBLE) / CAST(256 AS DOUBLE)
+                         * 1e6 + 0.5 + 1e-8) / 1e6 AS clip_frac,
+                   CASE WHEN 1000 * sum3 < 3 * 5000 * 240 THEN 1 ELSE 0 END
+                       AS is_blurry,
+                   CASE WHEN 100 * (n_lo + n_hi) > 0 THEN 1 ELSE 0 END
+                       AS is_clipped
+            FROM dx d JOIN t ON t.i = d.i
         """,
         "vit_patch_tokens": """
             WITH ids AS (

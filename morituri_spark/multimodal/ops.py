@@ -90,6 +90,103 @@ def image_features(images: DataFrame, deterministic_fake: bool = False) -> DataF
     return src.mapInPandas(run, FEATURES_SCHEMA)
 
 
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("sum_absdx", LongType(), False),
+        StructField("n_clip_lo", LongType(), False),
+        StructField("n_clip_hi", LongType(), False),
+        StructField("sharpness", DoubleType(), False),
+        StructField("clip_frac", DoubleType(), False),
+        StructField("is_blurry", IntegerType(), False),
+        StructField("is_clipped", IntegerType(), False),
+    ]
+)
+
+
+def image_quality(
+    images: DataFrame,
+    blur_thr_milli: int = 1500,
+    max_clip_pct: int = 20,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Per-image capture-quality gates: blur and exposure clipping — the
+    image-side siblings of text/quality.py's Gopher gates, for filtering
+    a multimodal training corpus.
+
+    * ``sharpness`` — mean |horizontal first difference| of the gray
+      image (gradient energy, the classic no-reference blur proxy; we use
+      |Δ| rather than Laplacian variance so the reduction is an EXACT
+      integer when gray values are integers, e.g. r=g=b payloads).
+    * ``clip_frac`` — fraction of gray pixels in the exposure tails
+      (≤ 2 or ≥ 253): saturated/black captures.
+
+    Gates are EXACT integer comparisons so both engines agree bit-for-bit
+    (CLAUDE.md rule 16 family):
+
+        is_blurry  ⇔ 1000·Σ|Δ| <  blur_thr_milli · h·(w−1)
+        is_clipped ⇔ 100·(n_lo + n_hi) > max_clip_pct · w·h
+
+    The doubles (sharpness, clip_frac) are each one shared expression
+    over those exact integers, rule-16 rounded to 6 dp. Gray is the
+    channel mean; exactness of the integer path assumes gray lands on
+    integers (true for grayscale-in-RGB payloads — the oracle fixture) —
+    for arbitrary RGB the kernel still runs, with thirds-of-integer gray
+    handled exactly in 3× fixed-point.
+
+    Scale shape: one mapInPandas over the pruned (payload, meta) columns;
+    output is 8 scalars per image — no shuffle at all.
+    """
+    if not 0 < blur_thr_milli:
+        raise ValueError(f"blur_thr_milli must be > 0, got {blur_thr_milli}")
+    if not 0 <= max_clip_pct <= 100:
+        raise ValueError(f"max_clip_pct must be in [0, 100], got {max_clip_pct}")
+    src = images.select("image_id", "bytes", "fmt", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in QUALITY_SCHEMA.fields}
+            for iid, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                hh, ww = arr.shape[0], arr.shape[1]
+                # 3× fixed-point gray: r+g+b is exact int; all sums below
+                # stay exact integers, ÷3 deferred to the double stage
+                g3 = arr.astype(np.int64).sum(axis=2)
+                sum_absdx3 = int(np.abs(np.diff(g3, axis=1)).sum()) if ww > 1 else 0
+                # tails in 3× units: v ≤ 2 ⇔ 3v ≤ 6; v ≥ 253 ⇔ 3v ≥ 759
+                n_lo = int((g3 <= 6).sum())
+                n_hi = int((g3 >= 759).sum())
+                # Σ|Δgray| = Σ|Δg3|/3 — exact when gray is integral; the
+                # public sum_absdx is the true gray-unit integer (floor
+                # division is exact for r=g=b payloads where Δg3 ≡ 0 mod 3)
+                sum_absdx = sum_absdx3 // 3
+                n_dx = hh * (ww - 1)
+                px = ww * hh
+                sharp_raw = (sum_absdx3 / 3.0) / n_dx if n_dx else 0.0
+                clip_raw = (n_lo + n_hi) / px
+                out["image_id"].append(iid)
+                out["sum_absdx"].append(sum_absdx)
+                out["n_clip_lo"].append(n_lo)
+                out["n_clip_hi"].append(n_hi)
+                out["sharpness"].append(
+                    float(np.floor(sharp_raw * 1e6 + 0.5 + 1e-8) / 1e6)
+                )
+                out["clip_frac"].append(
+                    float(np.floor(clip_raw * 1e6 + 0.5 + 1e-8) / 1e6)
+                )
+                out["is_blurry"].append(
+                    int(1000 * sum_absdx3 < 3 * blur_thr_milli * n_dx)
+                )
+                out["is_clipped"].append(
+                    int(100 * (n_lo + n_hi) > max_clip_pct * px)
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, QUALITY_SCHEMA)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int, deterministic_fake: bool = False) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode PNG. Output schema
     mirrors the input contract (image_id, bytes, w, h, fmt)."""

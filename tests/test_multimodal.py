@@ -112,3 +112,77 @@ def test_mosaic_best_per_tile_deterministic(spark):
     assert len(got) == 2
     winners = dict(got.values())
     assert winners == {"im2": 200.0, "im4": 90.0}
+
+
+def _quality_ref(arr, blur_thr_milli=1500, max_clip_pct=20):
+    import math
+
+    h, w = arr.shape[0], arr.shape[1]
+    g3 = arr.astype(np.int64).sum(axis=2)
+    sum3 = int(np.abs(np.diff(g3, axis=1)).sum()) if w > 1 else 0
+    n_lo = int((g3 <= 6).sum())
+    n_hi = int((g3 >= 759).sum())
+    n_dx, px = h * (w - 1), w * h
+    sharp = (sum3 / 3.0) / n_dx if n_dx else 0.0
+    return (
+        sum3 // 3, n_lo, n_hi,
+        math.floor(sharp * 1e6 + 0.5 + 1e-8) / 1e6,
+        math.floor((n_lo + n_hi) / px * 1e6 + 0.5 + 1e-8) / 1e6,
+        int(1000 * sum3 < 3 * blur_thr_milli * n_dx),
+        int(100 * (n_lo + n_hi) > max_clip_pct * px),
+    )
+
+
+def test_image_quality_gates(spark):
+    # three hand-built 8x6 images: a flat gray (blurry), a steep ramp
+    # (sharp), and a saturated one (clipped)
+    flat = np.full((6, 8, 3), 100, dtype=np.uint8)
+    ramp = np.zeros((6, 8, 3), dtype=np.uint8)
+    for x in range(8):
+        ramp[:, x, :] = 30 * x  # 0..210 step 30
+    sat = np.full((6, 8, 3), 255, dtype=np.uint8)
+    sat[:, :2, :] = 0  # 2 of 8 columns black, rest blown out
+    rows = [
+        ("flat", I.encode(flat, "png"), "png", 8, 6),
+        ("ramp", I.encode(ramp, "png"), "png", 8, 6),
+        ("sat", I.encode(sat, "png"), "png", 8, 6),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string, w int, h int")
+    got = {
+        r["image_id"]: (
+            r["sum_absdx"], r["n_clip_lo"], r["n_clip_hi"], r["sharpness"],
+            r["clip_frac"], r["is_blurry"], r["is_clipped"],
+        )
+        for r in M.image_quality(df).collect()
+    }
+    assert got["flat"] == _quality_ref(flat)
+    assert got["ramp"] == _quality_ref(ramp)
+    assert got["sat"] == _quality_ref(sat)
+    assert got["flat"][5] == 1 and got["ramp"][5] == 0   # blur gate
+    assert got["sat"][6] == 1 and got["flat"][6] == 0    # clip gate
+    assert got["ramp"][3] == 30.0                        # exact ramp slope
+
+
+def test_image_quality_nonintegral_gray_exact(spark):
+    # r≠g≠b: gray is thirds — the 3x fixed-point path must still match
+    # the reference exactly (no float drift in the integer sums)
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("x", I.encode(arr, "png"), "png", 7, 5)],
+        "image_id string, bytes binary, fmt string, w int, h int",
+    )
+    r = M.image_quality(df).collect()[0]
+    ref = _quality_ref(arr)
+    assert (r["sum_absdx"], r["n_clip_lo"], r["n_clip_hi"], r["sharpness"],
+            r["clip_frac"], r["is_blurry"], r["is_clipped"]) == ref
+
+
+def test_image_quality_guards(spark):
+    df = spark.createDataFrame(
+        [("x", b"", "png", 1, 1)], "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    with pytest.raises(ValueError):
+        M.image_quality(df, blur_thr_milli=0)
+    with pytest.raises(ValueError):
+        M.image_quality(df, max_clip_pct=101)
