@@ -2371,6 +2371,49 @@ def _q_bfs_distances(spark, sf_dir):
     return multi_source_bfs(edges, sources, max_hops=15)
 
 
+def _q_sssp_costs(spark, sf_dir):
+    """Weighted multi-source shortest paths (graph/sssp.shortest_paths):
+    minimum integer edge-cost to the nearest of 4 seed nodes over the
+    SAME closed-form 400-node graph bfs_hop_distances uses, weighted
+    w = (src*3 + dst*5) % 13 + 1, with the min-source witness over the
+    lexicographic (cost, src) semiring (struct-min relaxation — the
+    weighted analogue of BFS's greedy-min proof). Each round is one
+    state⋈edges equi-join + struct-min agg, both map-side combinable;
+    integer costs keep the result engine-exact. The oracle replays it
+    as a recursive CTE over (node, cost, src, hops) states with the
+    measured bounds (optimal paths here: ≤13 hops, cost ≤56)."""
+    from morituri_spark.graph.sssp import shortest_paths
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("i"))
+        .distinct()
+    )
+    edges = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 400).alias("dst"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * F.col("i") + 3) % 400).alias("dst"),
+            )
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 400).alias("dst"))
+        )
+        .distinct()
+        .select(
+            "src", "dst",
+            ((F.col("src") * 3 + F.col("dst") * 5) % 13 + 1).alias("w"),
+        )
+    )
+    sources = ids.where("i % 100 = 0").select(F.col("i").alias("node"))
+    return shortest_paths(edges, sources, max_rounds=20).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cost").cast("long").alias("cost"),
+        F.col("src").cast("long").alias("src"),
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
     inclusion probability proportional to a per-row weight (n_chars as
@@ -3809,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk_sample": _q_weighted_topk,
         "pagerank_doc_quality": _q_pagerank,
         "bfs_hop_distances": _q_bfs_distances,
+        "sssp_weighted_costs": _q_sssp_costs,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -3839,13 +3883,20 @@ _WINDOW = [
     "ring_areas_spherical", "position_at_instants",
     "weighted_sample_quality", "pagerank_doc_quality", "ring_centroids",
     "track_motion_features", "segment_intersections",
-    # never driver-checked: fifth-session quartet
-    "geohash_pyramid", "hilbert_keys", "radius_pairs", "dbscan_clusters",
+    # never driver-checked: fifth-session pair (geohash_pyramid and
+    # hilbert_keys released in the ninth-session rotation: geohash is
+    # quadkey_pyramid's base32 twin on the same floor+bit cell family,
+    # hilbert is spatial_layout_bbox's write-path twin — both frozen,
+    # pytest-golden-pinned, and replica-checked)
+    "radius_pairs", "dbscan_clusters",
     # never driver-checked: earlier r5 sessions
     "decontaminate_benchmark", "duplicate_span_ratio",
     "mixture_budget_sample", "segment_zone_lengths", "chunk_text_windows",
     "polygon_overlap_join", "ann_pq_topk", "trajectory_stay_points",
-    "grid_cell_density", "phash_near_dup", "snap_points_to_segments",
+    # (grid_cell_density released in the ninth-session rotation: the
+    # plain density rollup's cell-grid machinery runs in-window through
+    # grid_hotspot_cells, grid_density_clusters and idw_surface_cells)
+    "phash_near_dup", "snap_points_to_segments",
     "grid_density_clusters", "grid_hotspot_cells",
     "morans_i_autocorrelation", "semdedup_keep_flags", "vit_patch_tokens",
     "idw_surface_cells", "resample_tracks_daily", "quadkey_pyramid",
@@ -3866,13 +3917,17 @@ _WINDOW = [
     "colocation_quotients",
     # (string_merge_lr released for this one: the formatter family is
     # pytest-golden-pinned on frozen code; units_format_6g left the same
-    # way earlier this session)
-    "emerging_gi_hotspots",
+    # way earlier this session. emerging_gi_hotspots itself released in
+    # the ninth-session rotation: it composes gi_star_hotspots +
+    # emerging_hotspots, both of which hold in-window slots.)
     # re-pointed ex-demos (r4 rows were rows-only; oracled since)
     "street_conversion", "turn_restrictions", "admin_boundaries",
-    # r3-stale, most load-bearing: the golden reference-parity pin and
-    # the TTL-touched streaming op
-    "zsplit_golden_vectors", "streaming_first_seen",
+    # never driver-checked: eighth-session additions (displacing the two
+    # r3-stale-but-green rotations zsplit_golden_vectors +
+    # streaming_first_seen — both frozen code with pytest goldens and r3
+    # EQUAL rows — plus the four sibling-covered releases noted above)
+    "bm25_doc_retrieval", "local_morans_lisa", "adaptive_assign_rollup",
+    "image_quality_gates", "ripley_k_curve", "bfs_hop_distances",
 ]
 
 
@@ -5573,6 +5628,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.node, CAST(m.dist AS INT) AS dist,
                    CAST(min(b.src) AS BIGINT) AS src
             FROM bfs b JOIN m ON b.node = m.node AND b.dist = m.dist
+            GROUP BY 1, 2
+        """,
+        "sssp_weighted_costs": """
+            WITH RECURSIVE ids AS (
+                SELECT DISTINCT event_id % 400 AS i FROM events),
+            edges AS (
+                SELECT src, dst, (src * 3 + dst * 5) % 13 + 1 AS w FROM (
+                    SELECT DISTINCT src, dst FROM (
+                        SELECT i AS src, (i * 7 + 1) % 400 AS dst FROM ids
+                        UNION ALL SELECT i, (i * i + 3) % 400 FROM ids
+                        UNION ALL SELECT i, (i + 1) % 400 FROM ids))),
+            -- measured bounds on this closed-form instance: optimal paths
+            -- have <= 13 edges and cost <= 56; every prefix of an optimal
+            -- path costs <= 56, so the pruned enumeration keeps them all
+            paths(node, cost, src, hops) AS (
+                SELECT i, 0, i, 0 FROM ids WHERE i % 100 = 0
+                UNION
+                SELECT e.dst, p.cost + e.w, p.src, p.hops + 1
+                FROM paths p JOIN edges e ON e.src = p.node
+                WHERE p.hops < 16 AND p.cost + e.w <= 56),
+            m AS (SELECT node, min(cost) AS cost FROM paths GROUP BY 1)
+            SELECT p.node, CAST(m.cost AS BIGINT) AS cost,
+                   CAST(min(p.src) AS BIGINT) AS src
+            FROM paths p JOIN m ON p.node = m.node AND p.cost = m.cost
             GROUP BY 1, 2
         """,
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
