@@ -2414,6 +2414,43 @@ def _q_sssp_costs(spark, sf_dir):
     )
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (graph/triangles.triangle_counts,
+    Latapy's compact-forward): degree-ordered edge orientation bounds
+    the wedge fan-out by O(sqrt(m)) on any degree distribution, then
+    two equi-joins (wedge + closure) count each triangle exactly once.
+    Runs over the closed-form 400-node graph with a second ring edge
+    (i, i+2) so every consecutive id triple closes a triangle (433
+    triangles total). The oracle counts the same triangles with the
+    canonical a<b<c three-way self-join."""
+    from morituri_spark.graph.triangles import triangle_counts
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("i"))
+        .distinct()
+    )
+    edges = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 400).alias("dst"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * F.col("i") + 3) % 400).alias("dst"),
+            )
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 400).alias("dst"))
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % 400).alias("dst"))
+        )
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
     inclusion probability proportional to a per-row weight (n_chars as
@@ -3853,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_doc_quality": _q_pagerank,
         "bfs_hop_distances": _q_bfs_distances,
         "sssp_weighted_costs": _q_sssp_costs,
+        "triangle_counts": _q_triangle_counts,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5653,6 +5691,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p.src) AS BIGINT) AS src
             FROM paths p JOIN m ON p.node = m.node AND p.cost = m.cost
             GROUP BY 1, 2
+        """,
+        "triangle_counts": """
+            WITH ids AS (
+                SELECT DISTINCT event_id % 400 AS i FROM events),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM (
+                    SELECT i AS src, (i * 7 + 1) % 400 AS dst FROM ids
+                    UNION ALL SELECT i, (i * i + 3) % 400 FROM ids
+                    UNION ALL SELECT i, (i + 1) % 400 FROM ids
+                    UNION ALL SELECT i, (i + 2) % 400 FROM ids)
+                WHERE src <> dst),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT node, count(*) AS n_triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+            GROUP BY node
         """,
         "tile_pyramid_levels": _tile_pyramid_oracle_sql(),
         "ring_areas_shoelace": f"""
