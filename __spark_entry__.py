@@ -2539,6 +2539,18 @@ def _q_repetition_ratios(spark, sf_dir):
     return repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """Bigram LM perplexity scoring (text/lm.lm_nll_scores): add-one-
+    smoothed bigram NLL per document, self-trained on the corpus —
+    the KenLM-style quality filter. Per-bigram ln-probabilities are
+    quantized to exact integer micro-nats before summing (the BM25
+    micro-unit scheme), so the per-doc sums and the high-perplexity
+    integer gate are bit-identical in Spark and the DuckDB replay."""
+    from morituri_spark.text.lm import lm_nll_scores
+
+    return lm_nll_scores(_read(spark, sf_dir, "documents"))
+
+
 def _q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup (Arrow bit-vote kernel → 4×16-bit block join →
     Hamming verify), ORACLE-CHECKED via the 62-bit SQL-replayable token
@@ -3891,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hop_distances": _q_bfs_distances,
         "sssp_weighted_costs": _q_sssp_costs,
         "triangle_counts": _q_triangle_counts,
+        "lm_perplexity_scores": _q_lm_perplexity,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5691,6 +5704,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p.src) AS BIGINT) AS src
             FROM paths p JOIN m ON p.node = m.node AND p.cost = m.cost
             GROUP BY 1, 2
+        """,
+        "lm_perplexity_scores": """
+            WITH toks AS (
+                SELECT doc_id, t.term, t.pos
+                FROM documents,
+                LATERAL (
+                    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+                ) t
+                WHERE t.term <> ''),
+            bg AS (
+                SELECT doc_id, w1, w2 FROM (
+                    SELECT doc_id, term AS w1,
+                           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks)
+                WHERE w2 IS NOT NULL),
+            cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+            cctx AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT w1 AS t FROM bg UNION ALL SELECT w2 FROM bg)),
+            stats AS (
+                SELECT w1, w2,
+                       CAST(floor(-ln((cbg + 1.0) / (cctx + CAST(v AS DOUBLE)))
+                                  * 1e6 + 0.5 + 1e-8) AS BIGINT) AS nm
+                FROM cbg JOIN cctx USING (w1) CROSS JOIN v),
+            scored AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       CAST(sum(nm) AS BIGINT) AS nll_micro
+                FROM bg JOIN stats USING (w1, w2) GROUP BY 1)
+            SELECT doc_id, n_bigrams, nll_micro,
+                   round(CAST(nll_micro AS DOUBLE)
+                         / (CAST(n_bigrams AS DOUBLE) * 1e6), 6) AS avg_nll,
+                   nll_micro > 7000000 * n_bigrams AS high_perplexity
+            FROM scored
         """,
         "triangle_counts": """
             WITH ids AS (
