@@ -1297,6 +1297,28 @@ def _q_emerging_hotspots(spark, sf_dir):
     return mann_kendall_cells(pts, n_bins=8, cell_deg=15.0, z_threshold=1.0)
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Theil–Sen trend slopes (geo/clustering.theil_sen_cells): the
+    magnitude companion to emerging_hotspots' Mann-Kendall significance
+    test, over the SAME closed-form linear-growth space-time cube.
+    Each pairwise slope is floor(dx*1e6/dt) — integers in, one shared
+    IEEE double division — and the per-cell slope is the LOWER median
+    (an element, no interpolation), so values and the ±0.5-counts/bin
+    trend gate are engine-exact."""
+    from morituri_spark.geo.clustering import theil_sen_cells
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.expr("(event_id DIV 8) % 8 <= event_id % 8")
+    )
+    pts = ev.select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"),
+        F.expr("event_id % 8").alias("t_bin"),
+    )
+    return theil_sen_cells(
+        pts, n_bins=8, cell_deg=15.0, slope_threshold_micro=500_000
+    )
+
+
 def _quadkey_oracle_sql() -> str:
     """Rebuild every quadkey digit with the exact cell arithmetic
     (chr(48 + x_bit + 2·y_bit) per level, most-significant first)."""
@@ -3904,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted_costs": _q_sssp_costs,
         "triangle_counts": _q_triangle_counts,
         "lm_perplexity_scores": _q_lm_perplexity,
+        "theil_sen_trends": _q_theil_sen,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -4822,6 +4845,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "theil_sen_trends": f"""
+            WITH ev AS (
+                SELECT event_id FROM events
+                WHERE (event_id // 8) % 8 <= event_id % 8),
+            pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat,
+                       event_id % 8 AS t
+                FROM ev),
+            cube AS (
+                SELECT CAST(floor(lon / 15.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 15.0) AS BIGINT) AS iy,
+                       t, count(*) AS n
+                FROM pts GROUP BY 1, 2, 3),
+            occ AS (
+                SELECT ix, iy, CAST(sum(n) AS BIGINT) AS total
+                FROM cube GROUP BY 1, 2),
+            dense AS (
+                SELECT o.ix, o.iy, o.total, g.t,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS x
+                FROM occ o
+                CROSS JOIN generate_series(0, 7) AS g(t)
+                LEFT JOIN cube c
+                  ON c.ix = o.ix AND c.iy = o.iy AND c.t = g.t),
+            slopes AS (
+                SELECT a.ix, a.iy, a.total,
+                       CAST(floor(CAST(b.x - a.x AS DOUBLE) * 1e6
+                                  / CAST(b.t - a.t AS DOUBLE)) AS BIGINT) AS sm,
+                       row_number() OVER (
+                           PARTITION BY a.ix, a.iy
+                           ORDER BY floor(CAST(b.x - a.x AS DOUBLE) * 1e6
+                                          / CAST(b.t - a.t AS DOUBLE)),
+                                    a.t, b.t) AS rk
+                FROM dense a JOIN dense b
+                  ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t)
+            SELECT ix, iy, total AS total_points, sm AS slope_micro,
+                   CAST(sm AS DOUBLE) / 1e6 AS slope,
+                   CASE WHEN sm >= 500000 THEN 'up'
+                        WHEN sm <= -500000 THEN 'down'
+                        ELSE 'none' END AS trend
+            FROM slopes WHERE rk = 14
         """,
         "image_quality_gates": """
             WITH ids AS (

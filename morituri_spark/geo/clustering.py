@@ -32,7 +32,7 @@ rollups); extends the density family for the training-data use cases
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .density import bin_cells
 
@@ -709,6 +709,103 @@ def emerging_gi_star(
         "ix", "iy", "w_i", "s_stat", "mk_z",
         F.when(F.col("mk_z") >= thr, F.lit("up"))
         .when(F.col("mk_z") <= -thr, F.lit("down"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+def theil_sen_cells(
+    df: DataFrame,
+    n_bins: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    t_bin: str = "t_bin",
+    cell_deg: float = 1.0,
+    slope_threshold_micro: int = 500_000,
+) -> DataFrame:
+    """Theil–Sen trend slopes over the space-time cube: the MAGNITUDE
+    companion to :func:`mann_kendall_cells`' significance test (ArcGIS's
+    emerging-hot-spot pairing). Per occupied cell, the slope of the
+    per-bin count series is the LOWER MEDIAN over all T(T−1)/2 pairwise
+    slopes (x_j − x_i)/(j − i), missing bins densified to zero.
+
+    Cross-engine exactness: each pairwise slope is quantized to integer
+    MICRO-counts/bin — ``floor(dx·1e6 / dt)`` where dx, dt are exact
+    integers, so the only float op is one IEEE double division shared
+    verbatim with the SQL oracle — and the median is the (n+1)//2-th
+    smallest (lower median: an ELEMENT, no interpolation). The trend
+    label compares the integer slope against ``slope_threshold_micro``
+    (exact; default ±0.5 counts/bin).
+
+    Scale shape: points collapse to (cell, bin) counts map-side; the
+    pair stage keys on the packed cell key and generates exactly
+    T(T−1)/2 rows per occupied cell; the median is one row_number
+    window over those ≤ T²/2-row groups (rule 20: no salting — per-cell
+    sorts this size never straggle). Shuffle volume O(cells·T²),
+    never point-bounded.
+    """
+    if cell_deg < 2e-4:
+        raise ValueError(
+            f"cell_deg={cell_deg} < 2e-4°: |iy| can exceed {_KEY_SPAN // 2} "
+            "and the packed key stops being injective"
+        )
+    if n_bins < 2:
+        raise ValueError(f"n_bins={n_bins} < 2: Theil-Sen needs >= 2 bins")
+    cell = F.lit(float(cell_deg))
+    cube = (
+        df.select(
+            F.floor(F.col(lon) / cell).cast("long").alias("ix"),
+            F.floor(F.col(lat) / cell).cast("long").alias("iy"),
+            F.col(t_bin).cast("long").alias("_t"),
+        )
+        .groupBy("ix", "iy", "_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    occupied = cube.groupBy("ix", "iy").agg(F.sum("_n").alias("_total"))
+    dense = (
+        occupied.select(
+            "ix", "iy", "_total",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_t"),
+        )
+        .join(cube, ["ix", "iy", "_t"], "left")
+        .select(
+            "ix", "iy", "_total", "_t",
+            F.coalesce("_n", F.lit(0)).alias("_x"),
+            (F.col("ix") * F.lit(_KEY_SPAN) + F.col("iy")).alias("_key"),
+        )
+    )
+    a = dense.select(
+        "_key", "ix", "iy", "_total",
+        F.col("_t").alias("_ta"), F.col("_x").alias("_xa"),
+    )
+    b = dense.select("_key", F.col("_t").alias("_tb"), F.col("_x").alias("_xb"))
+    # one IEEE double division, shared verbatim with the SQL oracle:
+    # dx·1e6 is an exact double (|dx| « 2^33), dt ∈ [1, T)
+    slope_micro = F.floor(
+        (F.col("_xb") - F.col("_xa")).cast("double") * F.lit(1e6)
+        / (F.col("_tb") - F.col("_ta")).cast("double")
+    ).cast("long")
+    pairs = (
+        a.join(b, "_key")
+        .where(F.col("_tb") > F.col("_ta"))
+        .select("_key", "ix", "iy", "_total", "_ta", "_tb",
+                slope_micro.alias("_sm"))
+    )
+    n_pairs = int(n_bins) * (int(n_bins) - 1) // 2
+    med_rank = (n_pairs + 1) // 2
+    w = Window.partitionBy("_key").orderBy("_sm", "_ta", "_tb")
+    med = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == F.lit(med_rank))
+    )
+    thr = F.lit(int(slope_threshold_micro))
+    return med.select(
+        "ix", "iy",
+        F.col("_total").alias("total_points"),
+        F.col("_sm").alias("slope_micro"),
+        (F.col("_sm").cast("double") / F.lit(1e6)).alias("slope"),
+        F.when(F.col("_sm") >= thr, F.lit("up"))
+        .when(F.col("_sm") <= -thr, F.lit("down"))
         .otherwise(F.lit("none"))
         .alias("trend"),
     )

@@ -400,3 +400,63 @@ def test_local_morans_guards(spark):
     # injectivity guard
     with pytest.raises(ValueError):
         local_morans_cells(_pts(spark, [(0.0, 0.0)]), cell_deg=1e-5)
+
+
+def test_theil_sen_matches_reference(spark):
+    import math
+    import random
+
+    from morituri_spark.geo.clustering import theil_sen_cells
+
+    rng = random.Random(19)
+    t_bins = 6
+    rows = []
+    # cell (0,0): count grows ~2/bin; cell (5,5): shrinks; cell (9,0): flat
+    for t in range(t_bins):
+        rows += [(0.5, 0.5, t)] * (3 + 2 * t)
+        rows += [(5.5, 5.5, t)] * (14 - 2 * t)
+        rows += [(9.5, 0.5, t)] * 4
+        # noise cell with random counts
+        rows += [(2.5, 7.5, t)] * rng.randrange(0, 6)
+    df = spark.createDataFrame(rows, "lon double, lat double, t_bin long")
+
+    # in-process reference: lower median of floor(dx*1e6/dt)
+    from collections import Counter
+
+    counts = Counter((int(lon), int(lat), t) for lon, lat, t in rows)
+    cells = {(x, y) for x, y, _ in counts}
+    ref = {}
+    for x, y in cells:
+        xs = [counts.get((x, y, t), 0) for t in range(t_bins)]
+        slopes = sorted(
+            (
+                math.floor((xs[j] - xs[i]) * 1e6 / (j - i)),
+                )
+            for i in range(t_bins)
+            for j in range(i + 1, t_bins)
+        )
+        n = len(slopes)
+        sm = slopes[(n + 1) // 2 - 1][0]
+        trend = "up" if sm >= 500_000 else ("down" if sm <= -500_000 else "none")
+        ref[(x, y)] = (sum(xs), sm, trend)
+
+    got = {
+        (r["ix"], r["iy"]): (r["total_points"], r["slope_micro"], r["trend"])
+        for r in theil_sen_cells(df, n_bins=t_bins, cell_deg=1.0).collect()
+    }
+    assert got == ref
+    assert got[(0, 0)][2] == "up"
+    assert got[(5, 5)][2] == "down"
+    assert got[(9, 0)][2] == "none"
+
+
+def test_theil_sen_guards(spark):
+    import pytest
+
+    from morituri_spark.geo.clustering import theil_sen_cells
+
+    df = spark.createDataFrame([(0.5, 0.5, 0)], "lon double, lat double, t_bin long")
+    with pytest.raises(ValueError):
+        theil_sen_cells(df, n_bins=1)
+    with pytest.raises(ValueError):
+        theil_sen_cells(df, n_bins=4, cell_deg=1e-5)
