@@ -400,6 +400,32 @@ def _q_spatial_layout(spark, sf_dir):
     )
 
 
+def _q_interval_coverage(spark, sf_dir):
+    """Interval union (operators/intervals.interval_coverage): per-key
+    covered span over closed-form half-open intervals
+    [37·id mod 10000, +1 + id mod 97) keyed by id mod 50 — overlapping
+    and touching spans merge into islands via one running-max window +
+    island-sum, one shuffle, all-integer arithmetic. The oracle replays
+    the same gaps-and-islands windows verbatim."""
+    from morituri_spark.operators.intervals import interval_coverage
+
+    iv = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 50).alias("user_id"),
+        ((F.col("event_id") * 37) % 10000).alias("start"),
+        (
+            (F.col("event_id") * 37) % 10000
+            + F.col("event_id") % 97
+            + 1
+        ).alias("end"),
+    )
+    return interval_coverage(iv).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("covered").cast("long").alias("covered"),
+        F.col("n_islands").cast("long").alias("n_islands"),
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization via F.session_window (operators/sessions);
     the oracle replays the gap rule with lag + running sum. Spark merges an
@@ -3927,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "lm_perplexity_scores": _q_lm_perplexity,
         "theil_sen_trends": _q_theil_sen,
+        "interval_union_coverage": _q_interval_coverage,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -4845,6 +4872,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "interval_union_coverage": """
+            WITH iv AS (
+                SELECT event_id % 50 AS key,
+                       (event_id * 37) % 10000 AS s,
+                       (event_id * 37) % 10000 + event_id % 97 + 1 AS e
+                FROM events),
+            staged AS (
+                SELECT key, s, e,
+                       max(e) OVER (PARTITION BY key ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pme
+                FROM iv),
+            flagged AS (
+                SELECT key, s, e,
+                       CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+                FROM staged),
+            islands AS (
+                SELECT key, s, e,
+                       sum(brk) OVER (PARTITION BY key ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+                FROM flagged),
+            merged AS (
+                SELECT key, island, min(s) AS island_start,
+                       max(e) AS island_end, count(*) AS n_intervals
+                FROM islands GROUP BY 1, 2)
+            SELECT key,
+                   CAST(sum(island_end - island_start) AS BIGINT) AS covered,
+                   count(*) AS n_islands,
+                   CAST(sum(n_intervals) AS BIGINT) AS n_intervals
+            FROM merged GROUP BY key
         """,
         "theil_sen_trends": f"""
             WITH ev AS (
