@@ -919,6 +919,23 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, qs, k=5, max_df_pct=70)
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (text/retrieval.tfidf_top_terms): each
+    document's 3 highest tf·ln(N/df) terms over the marker-augmented
+    corpus (same rare-token channel as bm25_doc_retrieval). The product
+    is one shared double expression quantized to integer micro-units, so
+    ranks, tie-breaks and the selected rows are engine-exact."""
+    from morituri_spark.text.retrieval import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" m"), (F.col("doc_id") % 40).cast("string")
+        ).alias("text"),
+    )
+    return tfidf_top_terms(docs, k=3)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated-substring spans (text/decontam
     .duplicate_span_stats — the distributed re-expression of suffix-array
@@ -3954,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_scores": _q_lm_perplexity,
         "theil_sen_trends": _q_theil_sen,
         "interval_union_coverage": _q_interval_coverage,
+        "tfidf_keywords": _q_tfidf_keywords,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -4431,6 +4449,33 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY query_id ORDER BY sm DESC, doc_id) AS rk
                   FROM s) t
             WHERE rk <= 5
+        """,
+        "tfidf_keywords": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       text || ' m' || CAST(doc_id % 40 AS VARCHAR) AS text
+                FROM documents),
+            toks AS (
+                SELECT doc_id, t.term
+                FROM docs2, LATERAL unnest(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+                WHERE t.term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM docs2),
+            scored AS (
+                SELECT doc_id, term,
+                       CAST(floor(
+                           CAST(tf AS DOUBLE)
+                           * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                           * 1e6 + 0.5 + 1e-8) AS BIGINT) AS micros
+                FROM tf JOIN dft USING (term), n)
+            SELECT doc_id, term, CAST(rk AS INT) AS rank,
+                   CAST(micros AS DOUBLE) / 1e6 AS tfidf
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY micros DESC, term) AS rk
+                  FROM scored) t
+            WHERE rk <= 3
         """,
         "decontaminate_benchmark": """
             WITH sh AS (

@@ -128,3 +128,56 @@ def bm25_topk(
             (F.col("_sum_micros").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, term, rank, tfidf): each document's ``k`` highest
+    tf·idf terms (keyword extraction — the per-document complement of
+    :func:`bm25_topk`'s per-query retrieval), rank 1-based, ties broken
+    by term ascending. Uses the classic weighting tf · ln(N / df); the
+    product is ONE shared double expression floor-rounded to integer
+    micro-units (rule 16), so scores, tie-breaks and therefore the
+    selected rows are engine-exact.
+
+    Scale shape: tf and df are map-side-combinable aggregates; the
+    doc-frequency side joins back by term (an aggregate, so AQE splits
+    skewed stopword terms); corpus size N broadcasts as a 1-row cross
+    join; top-k is one window over per-doc term groups (bounded by doc
+    vocabulary — rule 20: no salting at that shape).
+    """
+    toks = tokenize(docs, doc_id, text_col)
+    tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            doc_id, "term",
+            (
+                F.col("_tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("_df").cast("double"))
+            ).alias("_x"),
+        )
+        .select(
+            doc_id, "term",
+            F.floor(F.col("_x") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+            .cast("long").alias("_micros"),
+        )
+    )
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("_micros").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(
+            doc_id, "term", "rank",
+            (F.col("_micros").cast("double") / F.lit(1e6)).alias("tfidf"),
+        )
+    )

@@ -102,3 +102,45 @@ def test_bm25_guards(spark):
     docs, qs = _dfs(spark)
     with pytest.raises(ValueError):
         bm25_topk(docs, qs, max_df_pct=0)
+
+
+def test_tfidf_top_terms_matches_reference(spark):
+    import math
+    import re
+
+    from morituri_spark.text.retrieval import tfidf_top_terms
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple apple apple unique"),
+        (3, "date"),
+    ]
+    # in-process reference with the shared micro quantization
+    toks = {i: [t for t in re.split("[^a-z0-9]+", s.lower()) if t] for i, s in docs}
+    n = len(docs)
+    df_t = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df_t[t] = df_t.get(t, 0) + 1
+    ref = {}
+    for i, ts in toks.items():
+        scores = []
+        for t in set(ts):
+            x = ts.count(t) * math.log(n / df_t[t])
+            scores.append((-math.floor(x * 1e6 + 0.5 + 1e-8), t))
+        scores.sort()
+        ref[i] = [
+            (t, r + 1, -m / 1e6) for r, (m, t) in enumerate(scores[:2])
+        ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in tfidf_top_terms(sdf, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["rank"], r["tfidf"]))
+    for i in got:
+        got[i].sort(key=lambda x: x[1])
+    assert got == ref
+    # doc 2: 'unique' (df=1) has idf ln(4); apple tf=3 df=2 -> 3*ln(2)
+    assert got[2][0][0] == "apple"  # 3*ln2 = 2.079 > ln4 = 1.386
+    # doc 3: 'date' appears in 2 docs -> ln(2) > 0, single term
+    assert [t for t, _, _ in got[3]] == ["date"]
