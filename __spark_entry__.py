@@ -2516,6 +2516,88 @@ def _q_triangle_counts(spark, sf_dir):
     )
 
 
+def _q_k_core(spark, sf_dir):
+    """k-core decomposition (graph/kcore.k_core): iterative degree
+    peeling to the fixed point — one map-side-combinable degree agg +
+    two semi-joins per round, edge set localCheckpointed per round.
+    The instance plants a dense community (ids < 40 with four extra
+    chord rings) inside the closed-form 400-node graph: at k=7 peeling
+    cascades for 8 rounds and exactly the 40 planted nodes survive.
+    The oracle unrolls 10 peel stages (measured fixed point: 8)."""
+    from morituri_spark.graph.kcore import k_core
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("i"))
+        .distinct()
+    )
+    base = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 400).alias("dst"))
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * F.col("i") + 3) % 400).alias("dst"),
+            )
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 400).alias("dst"))
+        )
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % 400).alias("dst"))
+        )
+    )
+    small = ids.where("i < 40")
+    planted = None
+    for j in (3, 5, 7, 11):
+        ring = small.select(
+            F.col("i").alias("src"), ((F.col("i") + j) % 40).alias("dst")
+        )
+        planted = ring if planted is None else planted.unionAll(ring)
+    return k_core(base.unionAll(planted), k=7).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+def _kcore_oracle_sql(k: int = 7, stages: int = 10) -> str:
+    """Unrolled peel: degree → keep → filter edge set, ``stages`` times
+    (the measured fixed point on this instance is 8 rounds)."""
+    parts = [
+        """
+        WITH ids AS (
+            SELECT DISTINCT event_id % 400 AS i FROM events),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM (
+                SELECT i AS src, (i * 7 + 1) % 400 AS dst FROM ids
+                UNION ALL SELECT i, (i * i + 3) % 400 FROM ids
+                UNION ALL SELECT i, (i + 1) % 400 FROM ids
+                UNION ALL SELECT i, (i + 2) % 400 FROM ids
+                UNION ALL SELECT i, (i + 3) % 40 FROM ids WHERE i < 40
+                UNION ALL SELECT i, (i + 5) % 40 FROM ids WHERE i < 40
+                UNION ALL SELECT i, (i + 7) % 40 FROM ids WHERE i < 40
+                UNION ALL SELECT i, (i + 11) % 40 FROM ids WHERE i < 40)
+            WHERE src <> dst)"""
+    ]
+    for s in range(1, stages + 1):
+        parts.append(f"""
+        d{s} AS MATERIALIZED (
+            SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM e{s - 1}
+                UNION ALL SELECT b FROM e{s - 1})
+            GROUP BY 1),
+        e{s} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{s - 1} e
+            JOIN d{s} da ON da.node = e.a AND da.deg >= {k}
+            JOIN d{s} db ON db.node = e.b AND db.deg >= {k})""")
+    parts.append(f"""
+        SELECT node, count(*) AS core_degree FROM (
+            SELECT a AS node FROM e{stages}
+            UNION ALL SELECT b FROM e{stages})
+        GROUP BY 1 HAVING count(*) >= {k}""")
+    return ",".join(parts[:1]) + "," + ",".join(parts[1:-1]) + parts[-1]
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling (text/sampling.weighted_sample):
     inclusion probability proportional to a per-row weight (n_chars as
@@ -3972,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trends": _q_theil_sen,
         "interval_union_coverage": _q_interval_coverage,
         "tfidf_keywords": _q_tfidf_keywords,
+        "k_core_membership": _q_k_core,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5907,6 +5990,7 @@ def oracle_sql() -> dict[str, str]:
                    nll_micro > 7000000 * n_bigrams AS high_perplexity
             FROM scored
         """,
+        "k_core_membership": _kcore_oracle_sql(),
         "triangle_counts": """
             WITH ids AS (
                 SELECT DISTINCT event_id % 400 AS i FROM events),
