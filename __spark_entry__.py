@@ -3325,6 +3325,79 @@ def _audio_clips_df(spark):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
 
 
+def _audio_gated_clips_df(spark):
+    """Closed-form WAV clips with muted 50ms windows: window w of clip i
+    is digital silence when (w + i) % 5 < 2 — adjacent mutes produce
+    multi-frame islands for silence_segments."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal import audio as A
+
+    rate, win, n_win = 16_000, 800, 10
+    t = np.arange(win * n_win, dtype=np.float64)
+    rows = []
+    for i in range(50):
+        freq = 200.0 + 10.0 * i
+        s = np.floor(np.sin(((2 * np.pi) * freq) * t / rate) * 13106.8)
+        gate = ((t // win).astype(np.int64) + i) % 5 >= 2
+        rows.append((f"clip{i:04d}", bytes(A.encode_wav((s * gate).astype(np.int16), rate))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+
+
+def _q_silence_segments(spark, sf_dir):
+    """Audio silence-segment detection (multimodal/audio.silence_segments):
+    REAL WAV decode → 50ms frame RMS (Arrow kernel) → gaps-and-islands
+    interval union (operators/intervals.py). The gated synth mutes
+    windows (w + i) % 5 < 2, so every clip has adjacent silent frames
+    that must merge; the oracle replays the decode symbolically (the
+    audio_frames sample replay) and the same island windows."""
+    from morituri_spark.multimodal import audio as A
+
+    return A.silence_segments(_audio_gated_clips_df(spark), frame_ms=50)
+
+
+def _silence_oracle_sql() -> str:
+    return """
+        WITH clips AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS i),
+        s AS (
+          SELECT i, CAST(t AS BIGINT) AS t,
+                 CAST(floor(sin(((2 * pi()) * (200.0 + 10.0 * CAST(i AS DOUBLE)))
+                      * CAST(t AS DOUBLE) / 16000.0) * 13106.8) AS BIGINT)
+                 * CASE WHEN (t // 800 + i) % 5 >= 2 THEN 1 ELSE 0 END AS v
+          FROM clips, LATERAL (SELECT unnest(range(0, 8000)) AS t) ts),
+        f AS (
+          SELECT i, t // 800 AS w,
+                 sqrt(avg((v / 32768.0) * (v / 32768.0))) AS rms
+          FROM s GROUP BY 1, 2),
+        silent AS (
+          SELECT printf('clip%04d', i) AS audio_id,
+                 w * 50 AS s, w * 50 + 50 AS e
+          FROM f WHERE rms <= 0.0),
+        staged AS (
+          SELECT audio_id, s, e,
+                 max(e) OVER (PARTITION BY audio_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM silent),
+        flagged AS (
+          SELECT audio_id, s, e,
+                 CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+          FROM staged),
+        islands AS (
+          SELECT audio_id, s, e,
+                 sum(brk) OVER (PARTITION BY audio_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+          FROM flagged)
+        SELECT audio_id, CAST(island AS BIGINT) AS island,
+               CAST(min(s) AS BIGINT) AS silence_start_ms,
+               CAST(max(e) AS BIGINT) AS silence_end_ms,
+               count(*) AS n_frames
+        FROM islands GROUP BY 1, 2
+    """
+
+
 def _q_audio_frames(spark, sf_dir):
     """Fixed-window audio frame sampling (the video-frame-sampling analog):
     50ms windows over the closed-form clips → per-frame RMS, oracle-checked
@@ -4055,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union_coverage": _q_interval_coverage,
         "tfidf_keywords": _q_tfidf_keywords,
         "k_core_membership": _q_k_core,
+        "audio_silence_segments": _q_silence_segments,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -6090,6 +6164,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_oracle_sql(),
         "audio_features": _audio_oracle_sql(),
         "audio_frames": _audio_frames_oracle_sql(),
+        "audio_silence_segments": _silence_oracle_sql(),
         "jpeg_constant_roundtrip": _jpeg_roundtrip_oracle_sql(),
         # the progressive stream decodes to the identical closed form —
         # shared oracle (like ann_ivf_indexed_topk shares ann_ivf_topk's)

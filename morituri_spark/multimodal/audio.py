@@ -137,3 +137,39 @@ def sample_audio_frames(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+def silence_segments(
+    audio: DataFrame,
+    frame_ms: int = 50,
+    rms_threshold: float = 0.0,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """→ (audio_id, island, silence_start_ms, silence_end_ms, n_frames):
+    maximal runs of silent ``frame_ms`` windows per clip (rms ≤
+    ``rms_threshold``; the default keeps only exact digital silence).
+    Composes the real WAV decode (:func:`sample_audio_frames`, an
+    Arrow-batched kernel) with the gaps-and-islands interval union
+    (operators/intervals.py) — frames become half-open [start_ms,
+    start_ms + frame_ms) intervals, and touching silent frames merge.
+    Scale shape: one decode pass + one window shuffle keyed by clip id.
+    """
+    from ..operators.intervals import interval_islands
+
+    frames = sample_audio_frames(
+        audio, frame_ms=frame_ms, id_col=id_col, bytes_col=bytes_col
+    )
+    silent = frames.where(frames["rms"] <= float(rms_threshold)).select(
+        frames[id_col].alias("audio_id"),
+        frames["start_ms"].alias("start"),
+        (frames["start_ms"] + int(frame_ms)).alias("end"),
+    )
+    isl = interval_islands(silent, key_col="audio_id", start_col="start", end_col="end")
+    return isl.select(
+        isl["key"].alias("audio_id"),
+        "island",
+        isl["island_start"].alias("silence_start_ms"),
+        isl["island_end"].alias("silence_end_ms"),
+        "n_intervals",
+    ).withColumnRenamed("n_intervals", "n_frames")

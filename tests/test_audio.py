@@ -81,3 +81,33 @@ def test_audio_frame_sampling(spark):
     assert [f["start_ms"] for f in frames] == [0, 250, 500, 750]
     assert frames[0]["rms"] > 0.4 and frames[1]["rms"] > 0.4
     assert frames[2]["rms"] == 0.0 and frames[3]["rms"] == 0.0
+
+
+def test_silence_segments(spark):
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal import audio as A
+
+    rate = 16_000
+    win = 800  # 50ms
+    t = np.arange(win, dtype=np.float64)
+    tone = np.floor(np.sin(2 * np.pi * 440.0 * t / rate) * 13106.8)
+    rows = []
+    # clip A: windows [loud, silent, silent, loud, silent] ->
+    #   islands [50,150) and [200,250)
+    pat_a = [1, 0, 0, 1, 0]
+    sa = np.concatenate([tone * p for p in pat_a]).astype(np.int16)
+    rows.append(("a", bytes(A.encode_wav(sa, rate))))
+    # clip B: all loud -> no islands
+    sb = np.concatenate([tone] * 3).astype(np.int16)
+    rows.append(("b", bytes(A.encode_wav(sb, rate))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    got = {}
+    for r in A.silence_segments(df, frame_ms=50).collect():
+        got.setdefault(r["audio_id"], []).append(
+            (r["island"], r["silence_start_ms"], r["silence_end_ms"], r["n_frames"])
+        )
+    for k in got:
+        got[k].sort()
+    assert got == {"a": [(1, 50, 150, 2), (2, 200, 250, 1)]}
