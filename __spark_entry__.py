@@ -426,6 +426,33 @@ def _q_interval_coverage(spark, sf_dir):
     )
 
 
+def _q_rolling_counts(spark, sf_dir):
+    """Trailing range-frame aggregates (operators/rolling.rolling_counts):
+    per event, the user's event count and value sum over the previous 6
+    hours — ONE rangeBetween window, no self-join. The integer axis is
+    the rule-12 tz-free second diff from a fixed epoch, so the RANGE
+    frame (peers-at-equal-order included) is engine-exact."""
+    from morituri_spark.operators.rolling import rolling_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND',"
+            " TIMESTAMP'2024-01-01 00:00:00'), date_trunc('SECOND', ts))"
+        ).alias("t_s"),
+        (F.col("event_id") % 100).alias("val"),
+    )
+    return rolling_counts(
+        ev, "user_id", "t_s", range_width=21600, value_col="val"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("t_s").cast("long").alias("t_s"),
+        F.col("rolling_n").cast("long").alias("rolling_n"),
+        F.col("rolling_sum").cast("long").alias("rolling_sum"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization via F.session_window (operators/sessions);
     the oracle replays the gap rule with lag + running sum. Spark merges an
@@ -4129,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "k_core_membership": _q_k_core,
         "audio_silence_segments": _q_silence_segments,
+        "rolling_window_rates": _q_rolling_counts,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5074,6 +5102,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "rolling_window_rates": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                                 date_trunc('second', ts)) AS t_s,
+                       event_id % 100 AS val
+                FROM events)
+            SELECT user_id, event_id, t_s,
+                   count(*) OVER w AS rolling_n,
+                   CAST(sum(val) OVER w AS BIGINT) AS rolling_sum
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_s
+                         RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
         """,
         "interval_union_coverage": """
             WITH iv AS (
