@@ -946,6 +946,30 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, qs, k=5, max_df_pct=70)
 
 
+def _q_edit1_pairs(spark, sf_dir):
+    """Edit-distance-1 fuzzy self-join (text/fuzzy.edit1_pairs,
+    SymSpell deletion-neighborhood blocking): recall-1.0 candidate
+    blocking on the variant key — each string plus every 1-char
+    deletion — then the exact JVM levenshtein verify. Instance: 300
+    short keys 'w0'..'w299' (digit substitutions, insertions and
+    deletions all occur). The oracle brute-forces all pairs with
+    DuckDB's levenshtein."""
+    from morituri_spark.text.fuzzy import edit1_pairs
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 300).alias("id"))
+        .distinct()
+        .select("id", F.format_string("w%d", F.col("id")).alias("s"))
+    )
+    return edit1_pairs(ids).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "s_a", "s_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def _q_tfidf_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (text/retrieval.tfidf_top_terms): each
     document's 3 highest tf·ln(N/df) terms over the marker-augmented
@@ -4157,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_membership": _q_k_core,
         "audio_silence_segments": _q_silence_segments,
         "rolling_window_rates": _q_rolling_counts,
+        "edit1_fuzzy_pairs": _q_edit1_pairs,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5102,6 +5127,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "edit1_fuzzy_pairs": """
+            WITH ids AS (
+                SELECT DISTINCT event_id % 300 AS id FROM events),
+            strs AS (
+                SELECT id, 'w' || CAST(id AS VARCHAR) AS s FROM ids)
+            SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM strs a JOIN strs b ON a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= 1
         """,
         "rolling_window_rates": """
             WITH e AS (
