@@ -426,6 +426,30 @@ def _q_interval_coverage(spark, sf_dir):
     )
 
 
+def _q_funnel_stages(spark, sf_dir):
+    """Funnel conversion (operators/funnel.funnel_stages): earliest
+    in-order view→cart→buy completion per user, strictly-sequential
+    (each stage must EXCEED the prior stage's completion instant — the
+    tie rule the oracle replays). One conditional-min aggregate per
+    stage joined back on the user key; no windows, no row explosion.
+    Steps synth from event_id % 3."""
+    from morituri_spark.operators.funnel import funnel_stages
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.when(F.col("event_id") % 3 == 0, F.lit("view"))
+        .when(F.col("event_id") % 3 == 1, F.lit("cart"))
+        .otherwise(F.lit("buy"))
+        .alias("step"),
+    )
+    out = funnel_stages(ev, ["view", "cart", "buy"])
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        "t_1", "t_2", "t_3",
+        F.col("stage").cast("int").alias("stage"),
+    )
+
+
 def _q_rolling_counts(spark, sf_dir):
     """Trailing range-frame aggregates (operators/rolling.rolling_counts):
     per event, the user's event count and value sum over the previous 6
@@ -4182,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_silence_segments": _q_silence_segments,
         "rolling_window_rates": _q_rolling_counts,
         "edit1_fuzzy_pairs": _q_edit1_pairs,
+        "funnel_conversion": _q_funnel_stages,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5127,6 +5152,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "funnel_conversion": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE event_id % 3 WHEN 0 THEN 'view'
+                            WHEN 1 THEN 'cart' ELSE 'buy' END AS step
+                FROM events),
+            s1 AS (SELECT user_id AS key, min(ts) AS t_1
+                   FROM e WHERE step = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id AS key, min(e.ts) AS t_2
+                   FROM e JOIN s1 ON s1.key = e.user_id
+                   WHERE e.step = 'cart' AND e.ts > s1.t_1 GROUP BY 1),
+            s3 AS (SELECT e.user_id AS key, min(e.ts) AS t_3
+                   FROM e JOIN s2 ON s2.key = e.user_id
+                   WHERE e.step = 'buy' AND e.ts > s2.t_2 GROUP BY 1)
+            SELECT s1.key, t_1, t_2, t_3,
+                   CAST(CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS stage
+            FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)
         """,
         "edit1_fuzzy_pairs": """
             WITH ids AS (
