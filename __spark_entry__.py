@@ -1415,6 +1415,26 @@ def _q_emerging_hotspots(spark, sf_dir):
     return mann_kendall_cells(pts, n_bins=8, cell_deg=15.0, z_threshold=1.0)
 
 
+def _q_slope_aspect(spark, sf_dir):
+    """Horn slope/aspect raster stencil (geo/terrain.slope_aspect) over
+    the event-density DEM (10° bins, z = point count): each cell
+    SCATTERS its z to its nine neighbors with the Horn weights and ONE
+    map-side-combinable aggregate folds the gradient numerators — a 3×3
+    stencil with one shuffle instead of eight self-joins. Numerators
+    are exact integers; slope/aspect are shared micro-degree-quantized
+    expressions. Interior = exactly nine contributions received."""
+    from morituri_spark.geo.terrain import slope_aspect
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    dem = pts.select(
+        F.floor(F.col("lon") / F.lit(10.0)).cast("long").alias("ix"),
+        F.floor(F.col("lat") / F.lit(10.0)).cast("long").alias("iy"),
+    ).groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("z"))
+    return slope_aspect(dem, cell_size=10.0)
+
+
 def _q_theil_sen(spark, sf_dir):
     """Theil–Sen trend slopes (geo/clustering.theil_sen_cells): the
     magnitude companion to emerging_hotspots' Mann-Kendall significance
@@ -4207,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_rates": _q_rolling_counts,
         "edit1_fuzzy_pairs": _q_edit1_pairs,
         "funnel_conversion": _q_funnel_stages,
+        "dem_slope_aspect": _q_slope_aspect,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5152,6 +5173,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mk_z <= -1.0 THEN 'down'
                         ELSE 'none' END AS trend
             FROM z6
+        """,
+        "dem_slope_aspect": f"""
+            WITH pts AS (
+                SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+            cube AS (
+                SELECT CAST(floor(lon / 10.0) AS BIGINT) AS ix,
+                       CAST(floor(lat / 10.0) AS BIGINT) AS iy,
+                       count(*) AS z
+                FROM pts GROUP BY 1, 2),
+            kernel(dx, dy, wx, wy) AS (VALUES
+                (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+                (0, -1, 0, -2), (0, 0, 0, 0), (0, 1, 0, 2),
+                (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1)),
+            sums AS (
+                SELECT c.ix - k.dx AS ix, c.iy - k.dy AS iy,
+                       CAST(sum(c.z * k.wx) AS BIGINT) AS gx_num,
+                       CAST(sum(c.z * k.wy) AS BIGINT) AS gy_num,
+                       count(*) AS n
+                FROM cube c CROSS JOIN kernel k
+                GROUP BY 1, 2),
+            interior AS (SELECT * FROM sums WHERE n = 9),
+            staged AS (
+                SELECT ix, iy, gx_num, gy_num,
+                       atan(sqrt((CAST(gx_num AS DOUBLE) / 80.0)
+                                 * (CAST(gx_num AS DOUBLE) / 80.0)
+                                 + (CAST(gy_num AS DOUBLE) / 80.0)
+                                   * (CAST(gy_num AS DOUBLE) / 80.0)))
+                       * (180.0 / pi()) AS sl,
+                       CASE WHEN gx_num = 0 AND gy_num = 0 THEN NULL
+                            ELSE atan2(CAST(gy_num AS DOUBLE) / 80.0,
+                                       -(CAST(gx_num AS DOUBLE) / 80.0))
+                                 * (180.0 / pi())
+                       END AS asp
+                FROM interior)
+            SELECT ix, iy, gx_num, gy_num,
+                   floor(sl * 1e6 + 0.5 + 1e-8) / 1e6 AS slope_deg,
+                   floor(asp * 1e6 + 0.5 + 1e-8) / 1e6 AS aspect_deg
+            FROM staged
         """,
         "funnel_conversion": """
             WITH e AS (
