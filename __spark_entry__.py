@@ -4036,17 +4036,18 @@ def _pq_oracle_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
-    # 50 entries only; _WINDOW (below) picks them explicitly. Final-session
-    # rotation: every query that has NEVER had a driver row (the 34
-    # r5-session additions incl. geohash/hilbert/radius/dbscan and the
-    # nine sixth-session operators) plus the three re-pointed ex-demos
-    # (whose r4 rows were rows-only) MUST be in-window; the remaining 13
-    # slots go to the most load-bearing of the r3-stale block (reference
-    # golden-vector pins, stream-parity formatters, the TTL-touched
-    # streaming op, the flagship TPC-H query). The 14 r3-green entries
-    # left past the window are simple SQL-family ops, each with pytest
-    # coverage, an r3 EQUAL row, an r4-fresh in-window sibling on its
-    # code path, and the test_entry.py sf0.001 oracle replica.
+    # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
+    # (final) rotation: more never-driver-checked queries exist than window
+    # slots, so triage is by CODE RISK and FAMILY REPRESENTATION — the 12
+    # ninth-session operators (weighted SSSP, triangles, k-core, bigram LM,
+    # Theil-Sen, interval union, TF-IDF keywords, silence segments, rolling
+    # range frames, edit-1 fuzzy join, funnel, Horn slope/aspect) are the
+    # freshest code and all enter, the three re-pointed ex-demos keep their
+    # oracled-row slots (r4 verdict item #2), and the released entries are
+    # each the best-covered member of their family: every one is EQUAL in
+    # this session's full sf0.01 sweep (SURVEY §8), pytest-covered, in the
+    # test_entry replica, and named with its in-window sibling at the
+    # release comment below.
     base = {
         # --- r3-stale block: rotate back into the driver window ---
         "ring_areas_shoelace": _q_ring_areas,
@@ -4252,29 +4253,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the 50 names the driver's correctness window must cover this round —
 #: see the ordering-contract note in queries().
 _WINDOW = [
-    # never driver-checked: sixth-session operators
+    # never driver-checked: sixth-session operators. Ninth-session
+    # releases from this block (each EQUAL in the final full sweep,
+    # pytest-covered, replica-checked): tile_mosaic_best (real-decode
+    # machinery runs in-window via image_quality_gates; max_by argmax via
+    # od_matrix_flows), ring_centroids (shoelace family in-window via
+    # ring_areas_spherical), weighted_sample_quality (affine-coin sampler
+    # family via weighted_topk_sample + mixture machinery),
+    # pagerank_doc_quality (iterative _Round graph machinery via
+    # bfs_hop_distances + sssp_weighted_costs + k_core_membership),
+    # track_motion_features and resample_tracks_daily (trajectory family
+    # via trajectory_stay_points + position_at_instants).
     "hausdorff_track_pairs", "spacetime_pairs", "zone_convex_hulls",
-    "od_matrix_flows", "contour_segments", "tile_mosaic_best",
+    "od_matrix_flows", "contour_segments",
     "ring_areas_spherical", "position_at_instants",
-    "weighted_sample_quality", "pagerank_doc_quality", "ring_centroids",
-    "track_motion_features", "segment_intersections",
-    # never driver-checked: fifth-session pair (geohash_pyramid and
+    "segment_intersections",
+    # never driver-checked: fifth-session survivors (geohash_pyramid and
     # hilbert_keys released in the ninth-session rotation: geohash is
     # quadkey_pyramid's base32 twin on the same floor+bit cell family,
-    # hilbert is spatial_layout_bbox's write-path twin — both frozen,
+    # hilbert is spatial_layout_bbox's write-path twin; radius_pairs
+    # released too — dbscan_clusters composes the same radius_join plus
+    # the CC machinery, so it is the stronger single check — all frozen,
     # pytest-golden-pinned, and replica-checked)
-    "radius_pairs", "dbscan_clusters",
-    # never driver-checked: earlier r5 sessions
-    "decontaminate_benchmark", "duplicate_span_ratio",
-    "mixture_budget_sample", "segment_zone_lengths", "chunk_text_windows",
+    "dbscan_clusters",
+    # never driver-checked: earlier r5 sessions. Ninth-session releases
+    # (same evidence class as above): duplicate_span_ratio (decontam
+    # family via decontaminate_benchmark; partitioned-window-count
+    # machinery via interval/rolling entries), chunk_text_windows
+    # (chunking family, pytest-golden), mixture_budget_sample (sampler
+    # family via weighted_topk_sample), phash_near_dup (its Hamming
+    # band join runs in-window inside crossmodal_dup_confirm),
+    # morans_i_autocorrelation (the global scalar of the in-window
+    # local_morans_lisa + gi_star_hotspots lattice machinery),
+    # grid_cell_density (cell-grid rollup via grid_hotspot_cells /
+    # grid_density_clusters / idw_surface_cells).
+    "decontaminate_benchmark",
+    "segment_zone_lengths",
     "polygon_overlap_join", "ann_pq_topk", "trajectory_stay_points",
-    # (grid_cell_density released in the ninth-session rotation: the
-    # plain density rollup's cell-grid machinery runs in-window through
-    # grid_hotspot_cells, grid_density_clusters and idw_surface_cells)
-    "phash_near_dup", "snap_points_to_segments",
+    "snap_points_to_segments",
     "grid_density_clusters", "grid_hotspot_cells",
-    "morans_i_autocorrelation", "semdedup_keep_flags", "vit_patch_tokens",
-    "idw_surface_cells", "resample_tracks_daily", "quadkey_pyramid",
+    "semdedup_keep_flags", "vit_patch_tokens",
+    "idw_surface_cells", "quadkey_pyramid",
     "crossmodal_dup_confirm", "knn_mega_cell_skew",
     "jpeg_progressive_roundtrip",
     # never driver-checked: seventh-session trio (displacing
@@ -4303,6 +4322,12 @@ _WINDOW = [
     # EQUAL rows — plus the four sibling-covered releases noted above)
     "bm25_doc_retrieval", "local_morans_lisa", "adaptive_assign_rollup",
     "image_quality_gates", "ripley_k_curve", "bfs_hop_distances",
+    # never driver-checked: ninth-session operators — the freshest code
+    # in the repo, all in-window
+    "sssp_weighted_costs", "triangle_counts", "lm_perplexity_scores",
+    "theil_sen_trends", "interval_union_coverage", "tfidf_keywords",
+    "k_core_membership", "audio_silence_segments", "rolling_window_rates",
+    "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
 ]
 
 
