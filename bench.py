@@ -781,6 +781,18 @@ def main() -> None:
             docs_xlp, docs_xlp.where("doc_id % 7 = 3"), n=13
         ).agg(F.sum("n_hits")).collect(),
     )
+    # r5 ninth session: bigram-LM perplexity over the same 50k corpus —
+    # tokenize + per-doc lead window + three map-side aggs + one
+    # (w1, w2)-keyed stats join; the agg consumes BOTH computed columns
+    # (rule 18)
+    from morituri_spark.text.lm import lm_nll_scores
+
+    timed(
+        "lm_perplexity_50k_docs",
+        lambda: lm_nll_scores(docs_xlp).agg(
+            F.sum("nll_micro"), F.sum("n_bigrams")
+        ).collect(),
+    )
     docs_xlp.unpersist()
     docs_xl.unpersist()
 
@@ -931,6 +943,54 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.sum("rank")).collect(),
     )
     pr_edges.unpersist()
+
+    # r5 ninth session: weighted multi-source shortest paths — 200k nodes /
+    # ~600k edges, 4 sources. Fixed-DEPTH relaxation (8 rounds, the
+    # PageRank-bench convention): full convergence on this instance is 27
+    # rounds (offline Dijkstra cross-check) and is round-overhead-bound
+    # like CC, so the bench prices per-round cost — one state⋈edges join
+    # + struct-min agg + bit_xor signature — not instance diameter. The
+    # agg consumes cost AND src (rule 18).
+    from morituri_spark.graph.sssp import shortest_paths
+
+    sp_ids = spark.range(200_000).select(F.col("id").alias("i"))
+    sp_edges = (
+        sp_ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 200_000).alias("dst"))
+        .unionAll(sp_ids.select(F.col("i").alias("src"), ((F.col("i") * F.col("i") + 3) % 200_000).alias("dst")))
+        .unionAll(sp_ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 200_000).alias("dst")))
+        .where("src != dst")
+        .select("src", "dst", ((F.col("src") * 3 + F.col("dst") * 5) % 13 + 1).alias("w"))
+        .repartition(cpus * 2)
+        .persist()
+    )
+    sp_edges.count()
+    sp_sources = sp_ids.where("i % 50000 = 0").select(F.col("i").alias("node"))
+    timed(
+        "sssp_200k_nodes_8_round_cap",
+        lambda: shortest_paths(sp_edges, sp_sources, max_rounds=8)
+        .agg(F.sum("cost"), F.sum("src")).collect(),
+    )
+    sp_edges.unpersist()
+
+    # r5 ninth session: Horn slope/aspect stencil over a 4M-cell DEM —
+    # the 3x3 stencil as ONE scatter-aggregate (9x fan-out explode +
+    # map-side-combined sums) instead of eight self-joins. spark.range
+    # parallelizes the synth (rule 22 does not bite); the agg consumes
+    # the integer numerators AND the quantized slope (rule 18).
+    from morituri_spark.geo.terrain import slope_aspect
+
+    dem = spark.range(4_000_000).select(
+        (F.col("id") % 2000).alias("ix"),
+        (F.col("id") / 2000).cast("long").alias("iy"),
+        ((F.col("id") * 7 + (F.col("id") % 2000) * 13) % 997).alias("z"),
+    ).persist()
+    dem.count()
+    timed(
+        "dem_slope_aspect_4m_cells",
+        lambda: slope_aspect(dem, cell_size=30.0)
+        .agg(F.sum("gx_num"), F.sum("gy_num"), F.sum("slope_deg")).collect(),
+    )
+    dem.unpersist()
 
     # ANN top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
