@@ -1435,6 +1435,73 @@ def _q_slope_aspect(spark, sf_dir):
     return slope_aspect(dem, cell_size=10.0)
 
 
+def _hydro_dem(spark, sf_dir):
+    """Closed-form 30×30 DEM shared by the D8 hydrology queries: a bowl
+    plus modular noise, z = (ix−15)² + (iy−15)² + (7ix+13iy) mod 11 —
+    one central basin and a ring of noise-made local pits, all exact
+    integers both engines can replay. event_id % 900 covers 0..899 at
+    every SF, so the grid is identical at sf0.001 and sf0.01."""
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 900).alias("i"))
+        .distinct()
+    )
+    return ids.select(
+        (F.col("i") % 30).alias("ix"),
+        (F.col("i") - F.col("i") % 30).alias("_r"),
+    ).select(
+        "ix", (F.col("_r") / 30).cast("long").alias("iy")
+    ).select(
+        "ix", "iy",
+        (
+            (F.col("ix") - 15) * (F.col("ix") - 15)
+            + (F.col("iy") - 15) * (F.col("iy") - 15)
+            + (F.col("ix") * 7 + F.col("iy") * 13) % 11
+        ).alias("z"),
+    )
+
+
+def _q_d8_flow(spark, sf_dir):
+    """D8 flow directions (geo/terrain.d8_flow_directions): steepest-
+    descent drainage pointers over the closed-form bowl DEM. The
+    argmax-over-8-neighbors collapses into ONE scatter + ONE aggregate
+    (three conditional struct-mins) because within a distance-weight
+    class the target's z is constant — no self-join, no HOF, one
+    shuffle, exact integer weighted drops. The oracle replays the same
+    rule with a neighbor join + per-class row_number pick."""
+    from morituri_spark.geo.terrain import d8_flow_directions
+
+    return d8_flow_directions(_hydro_dem(spark, sf_dir)).select(
+        "ix", "iy", "z", "dn_ix", "dn_iy", "drop_w", "is_sink"
+    )
+
+
+def _q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (geo/terrain.flow_accumulation): cells
+    draining through each cell, itself included — per round ONE
+    state⋈flow-edges equi-join + ONE map-side-combinable sum keyed by
+    the downstream cell, bit_xor-signature convergence, rounds = the
+    longest flow path (terrain-bound, not data-bound). The oracle
+    counts downstream-path hits with a recursive CTE over the same
+    flow edges (forest ⇒ terminates)."""
+    from morituri_spark.geo.terrain import d8_flow_directions, flow_accumulation
+
+    flows = d8_flow_directions(_hydro_dem(spark, sf_dir))
+    return flow_accumulation(flows).select("ix", "iy", "acc")
+
+
+def _q_watershed(spark, sf_dir):
+    """Watershed (drainage-basin) labels (geo/terrain.watershed_labels):
+    pointer doubling over the D8 forest — ptr ← ptr(ptr) is one
+    self-equi-join per round, sinks are fixed points, convergence in
+    ⌈log₂ depth⌉ rounds. The oracle follows each cell's flow path to
+    its sink with a recursive CTE."""
+    from morituri_spark.geo.terrain import d8_flow_directions, watershed_labels
+
+    flows = d8_flow_directions(_hydro_dem(spark, sf_dir))
+    return watershed_labels(flows).select("ix", "iy", "sink_ix", "sink_iy")
+
+
 def _q_theil_sen(spark, sf_dir):
     """Theil–Sen trend slopes (geo/clustering.theil_sen_cells): the
     magnitude companion to emerging_hotspots' Mann-Kendall significance
@@ -2652,6 +2719,70 @@ def _q_k_core(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+#: Shared D8 oracle prefix (rule 27: reused stages AS MATERIALIZED). The
+#: steepest-descent pick replays d8_flow_directions' exact rule: per
+#: weight class the min (nz, k) neighbor via row_number, then the
+#: cross-class compare on integer weighted drops with cardinal-wins-ties.
+_HYDRO_PREFIX = """
+    WITH RECURSIVE dem AS MATERIALIZED (
+        SELECT i % 30 AS ix, i // 30 AS iy,
+               (i % 30 - 15) * (i % 30 - 15)
+               + (i // 30 - 15) * (i // 30 - 15)
+               + ((i % 30) * 7 + (i // 30) * 13) % 11 AS z
+        FROM (SELECT DISTINCT event_id % 900 AS i FROM events)),
+    nb AS (
+        SELECT c.ix, c.iy, c.z, n.z AS nz,
+               n.ix - c.ix AS dx, n.iy - c.iy AS dy,
+               CASE WHEN n.ix = c.ix OR n.iy = c.iy THEN 10 ELSE 7 END AS w,
+               CASE WHEN n.ix - c.ix = 1 AND n.iy - c.iy = 0 THEN 0
+                    WHEN n.ix - c.ix = 1 AND n.iy - c.iy = 1 THEN 1
+                    WHEN n.ix - c.ix = 0 AND n.iy - c.iy = 1 THEN 2
+                    WHEN n.ix - c.ix = -1 AND n.iy - c.iy = 1 THEN 3
+                    WHEN n.ix - c.ix = -1 AND n.iy - c.iy = 0 THEN 4
+                    WHEN n.ix - c.ix = -1 AND n.iy - c.iy = -1 THEN 5
+                    WHEN n.ix - c.ix = 0 AND n.iy - c.iy = -1 THEN 6
+                    ELSE 7 END AS k
+        FROM dem c JOIN dem n
+          ON n.ix BETWEEN c.ix - 1 AND c.ix + 1
+         AND n.iy BETWEEN c.iy - 1 AND c.iy + 1
+         AND NOT (n.ix = c.ix AND n.iy = c.iy)),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY ix, iy, w
+                                     ORDER BY nz, k) AS rn
+        FROM nb),
+    pick AS (
+        SELECT ix, iy, any_value(z) AS z,
+               max(CASE WHEN w = 10 THEN nz END) AS cz,
+               max(CASE WHEN w = 10 THEN dx END) AS cdx,
+               max(CASE WHEN w = 10 THEN dy END) AS cdy,
+               max(CASE WHEN w = 7 THEN nz END) AS dz,
+               max(CASE WHEN w = 7 THEN dx END) AS ddx,
+               max(CASE WHEN w = 7 THEN dy END) AS ddy
+        FROM ranked WHERE rn = 1 GROUP BY 1, 2),
+    d8 AS MATERIALIZED (
+        SELECT ix, iy, z,
+               CASE WHEN sink THEN NULL
+                    ELSE ix + CASE WHEN pc THEN cdx ELSE ddx END END AS dn_ix,
+               CASE WHEN sink THEN NULL
+                    ELSE iy + CASE WHEN pc THEN cdy ELSE ddy END END AS dn_iy,
+               CASE WHEN sink THEN NULL ELSE g END AS drop_w,
+               sink AS is_sink
+        FROM (SELECT *, (g IS NULL OR g <= 0) AS sink FROM (
+              SELECT *, CASE WHEN pc THEN (z - cz) * 10
+                             ELSE (z - dz) * 7 END AS g FROM (
+                  SELECT *, (dz IS NULL OR (cz IS NOT NULL
+                             AND (z - cz) * 10 >= (z - dz) * 7)) AS pc
+                  FROM pick)))),
+    flows AS MATERIALIZED (
+        SELECT ix, iy, dn_ix, dn_iy FROM d8 WHERE NOT is_sink),
+    paths(ix, iy, cx, cy) AS (
+        SELECT ix, iy, dn_ix, dn_iy FROM flows
+        UNION ALL
+        SELECT p.ix, p.iy, f.dn_ix, f.dn_iy
+        FROM paths p JOIN flows f ON f.ix = p.cx AND f.iy = p.cy)
+"""
 
 
 def _kcore_oracle_sql(k: int = 7, stages: int = 10) -> str:
@@ -4229,6 +4360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit1_fuzzy_pairs": _q_edit1_pairs,
         "funnel_conversion": _q_funnel_stages,
         "dem_slope_aspect": _q_slope_aspect,
+        "d8_flow_directions": _q_d8_flow,
+        "flow_accumulation": _q_flow_accumulation,
+        "watershed_labels": _q_watershed,
         "pack_sequences": _q_pack_sequences,
         "pii_redaction": _q_pii_redaction,
         "simhash_near_dup": _q_simhash_neardup,
@@ -5236,6 +5370,29 @@ def oracle_sql() -> dict[str, str]:
                    floor(sl * 1e6 + 0.5 + 1e-8) / 1e6 AS slope_deg,
                    floor(asp * 1e6 + 0.5 + 1e-8) / 1e6 AS aspect_deg
             FROM staged
+        """,
+        "d8_flow_directions": _HYDRO_PREFIX + """
+            SELECT ix, iy, CAST(z AS BIGINT) AS z,
+                   CAST(dn_ix AS BIGINT) AS dn_ix,
+                   CAST(dn_iy AS BIGINT) AS dn_iy,
+                   CAST(drop_w AS BIGINT) AS drop_w, is_sink
+            FROM d8
+        """,
+        "flow_accumulation": _HYDRO_PREFIX + """
+            SELECT d.ix, d.iy, CAST(1 + count(p.ix) AS BIGINT) AS acc
+            FROM dem d LEFT JOIN paths p ON p.cx = d.ix AND p.cy = d.iy
+            GROUP BY 1, 2
+        """,
+        "watershed_labels": _HYDRO_PREFIX + """,
+            sinkpaths AS (
+                SELECT p.ix, p.iy, p.cx, p.cy
+                FROM paths p
+                JOIN d8 s ON s.ix = p.cx AND s.iy = p.cy AND s.is_sink)
+            SELECT d.ix, d.iy,
+                   CAST(coalesce(sp.cx, d.ix) AS BIGINT) AS sink_ix,
+                   CAST(coalesce(sp.cy, d.iy) AS BIGINT) AS sink_iy
+            FROM dem d LEFT JOIN sinkpaths sp
+              ON sp.ix = d.ix AND sp.iy = d.iy
         """,
         "funnel_conversion": """
             WITH e AS (

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .knn import _Round
+
 #: Horn kernel: (dx, dy, weight in gx numerator, weight in gy numerator)
 #: — the contribution of the cell at offset (dx, dy) FROM the target,
 #: i.e. the scatter direction is (−dx, −dy).
@@ -102,4 +104,233 @@ def slope_aspect(
         "ix", "iy", "gx_num", "gy_num",
         q(F.col("_slope")).alias("slope_deg"),
         q(F.col("_aspect")).alias("aspect_deg"),
+    )
+
+
+# --- D8 hydrology (r5 tenth session) ----------------------------------------
+#
+# D8 (O'Callaghan & Mark 1984): every cell drains to the steepest-descent
+# neighbor among the eight present in the grid; cells with no strictly lower
+# weighted drop are sinks. The steepness proxy is the exact-integer weighted
+# drop (z − z_nb)·w with w = 10 for cardinal and 7 for diagonal neighbors
+# (7/10 ≈ 1/√2 — a documented integer convention, deterministic and
+# replayable in ANSI SQL, rather than a float distance division).
+#
+# Spark-first shape: the naive argmax-over-neighbors needs each target's own
+# z next to each neighbor's z — a self-join. Instead note that within one
+# weight class the target's z and w are CONSTANT across candidates, so
+# argmax((z − z_nb)·w) ⇔ argmin(z_nb): the whole direction choice collapses
+# into ONE scatter (9 offsets, self included) + ONE aggregate with three
+# conditional struct-mins (min cardinal (z, k), min diagonal (z, k), self z)
+# and a closed-form cross-class projection. No join, no HOF, one shuffle,
+# all map-side combinable — the slope_aspect envelope.
+
+#: D8 direction table: (dx, dy, direction index k, integer distance weight).
+#: k orders E, NE, N, NW, W, SW, S, SE; ties inside a weight class break to
+#: the smaller k, cross-class ties break to the cardinal.
+_D8 = [
+    (1, 0, 0, 10), (1, 1, 1, 7), (0, 1, 2, 10), (-1, 1, 3, 7),
+    (-1, 0, 4, 10), (-1, -1, 5, 7), (0, -1, 6, 10), (1, -1, 7, 7),
+]
+
+
+def d8_flow_directions(
+    dem: DataFrame,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """→ (ix, iy, z, dn_ix, dn_iy, drop_w, is_sink) for EVERY grid cell.
+
+    ``dn_*`` is the D8 downstream neighbor (NULL on sinks), ``drop_w`` the
+    exact integer weighted drop (z − z_dn)·w to it (NULL on sinks), and
+    ``is_sink`` is true when no present neighbor is strictly lower under
+    the weighted rule. Edge cells drain among their present neighbors
+    (water never leaves the grid sideways — a border pit is a sink).
+    Deterministic total tie rule: within a weight class the lower
+    neighbor z wins, then the smaller direction index k; across classes
+    an equal weighted drop goes to the cardinal. Flow edges strictly
+    descend in z, so the flow graph is a forest — the acyclicity that
+    :func:`flow_accumulation` and :func:`watershed_labels` rely on.
+    """
+    kernel = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(k).alias("k"), F.lit(w).alias("w"),
+            )
+            for dx, dy, k, w in _D8
+        ]
+        + [F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"),
+                    F.lit(-1).alias("k"), F.lit(0).alias("w"))]
+    )
+    scattered = dem.select(
+        F.col(ix_col).cast("long").alias("_x"),
+        F.col(iy_col).cast("long").alias("_y"),
+        F.col(z_col).cast("long").alias("_z"),
+        F.explode(kernel).alias("_k"),
+    ).select(
+        # scatter TO the neighbor: the source becomes the target's candidate
+        (F.col("_x") + F.col("_k.dx")).alias("ix"),
+        (F.col("_y") + F.col("_k.dy")).alias("iy"),
+        F.col("_z").alias("_nz"),
+        # the direction FROM the target back to this source is the
+        # opposite offset — precompute its index and offsets
+        F.col("_k.k").alias("_k_src"),
+        F.col("_k.w").alias("_w"),
+        (-F.col("_k.dx")).alias("_bdx"),
+        (-F.col("_k.dy")).alias("_bdy"),
+    )
+    # direction index as seen FROM the target (opposite of the scatter
+    # direction): k and its opposite differ by 4 mod 8
+    back_k = F.when(F.col("_k_src") < 0, F.lit(-1)).otherwise(
+        (F.col("_k_src") + 4) % 8
+    )
+    cand = F.struct(
+        F.col("_nz").alias("z"), back_k.alias("k"),
+        F.col("_bdx").alias("dx"), F.col("_bdy").alias("dy"),
+    )
+    gathered = scattered.groupBy("ix", "iy").agg(
+        F.max(F.when(F.col("_k_src") < 0, F.col("_nz"))).alias("z"),
+        F.min(F.when((F.col("_k_src") >= 0) & (F.col("_w") == 10), cand)).alias("_c"),
+        F.min(F.when((F.col("_k_src") >= 0) & (F.col("_w") == 7), cand)).alias("_d"),
+    ).where(F.col("z").isNotNull())  # off-grid targets receive no self row
+    gc = F.when(F.col("_c").isNotNull(), (F.col("z") - F.col("_c.z")) * 10)
+    gd = F.when(F.col("_d").isNotNull(), (F.col("z") - F.col("_d.z")) * 7)
+    staged = gathered.select(
+        "ix", "iy", "z", "_c", "_d", gc.alias("_gc"), gd.alias("_gd"),
+        # cardinal wins cross-class ties and the degenerate no-diagonal case
+        F.when(
+            F.col("_d").isNull()
+            | (F.col("_c").isNotNull() & (gc >= gd)), F.lit("c")
+        ).otherwise(F.lit("d")).alias("_pick"),
+    )
+    best_g = F.when(F.col("_pick") == "c", F.col("_gc")).otherwise(F.col("_gd"))
+    best = F.when(F.col("_pick") == "c", F.col("_c")).otherwise(F.col("_d"))
+    sink = best_g.isNull() | (best_g <= 0)
+    return staged.select(
+        "ix", "iy", "z",
+        F.when(~sink, F.col("ix") + best.getField("dx")).alias("dn_ix"),
+        F.when(~sink, F.col("iy") + best.getField("dy")).alias("dn_iy"),
+        F.when(~sink, best_g).alias("drop_w"),
+        sink.alias("is_sink"),
+    )
+
+
+def flow_accumulation(flows: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """→ (ix, iy, acc): the number of cells draining through each cell,
+    itself included (acc = 1 + Σ acc over immediate upstream cells).
+    ``flows`` is :func:`d8_flow_directions` output (sinks keep acc rows;
+    their NULL ``dn_*`` simply contributes nothing downstream).
+
+    Scale shape: per round ONE equi-join of the current state against the
+    flow edges (keyed by cell) + ONE map-side-combinable sum keyed by the
+    downstream cell; the fixed point is exact because the flow forest is
+    acyclic (strict z descent), and iteration t is correct for every cell
+    of flow-path depth ≤ t, so rounds = longest flow path (a terrain
+    property — river main-stem length in cells — not a data-size
+    property). States localCheckpoint per round (rule 14) and release
+    their parent once materialized (rule 10); convergence is an exact
+    bit_xor signature. A log-depth alternative (Euler-tour segmented
+    scan) exists but needs list ranking — out of scope, documented.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    cells = flows.select("ix", "iy")
+    edges = (
+        flows.where(~F.col("is_sink"))
+        .select("ix", "iy", "dn_ix", "dn_iy")
+        .localCheckpoint()
+    )
+    state = _Round.materialize(
+        cells.select("ix", "iy", F.lit(1).cast("long").alias("acc")),
+        truncate=True,
+    )
+
+    def _sig(df: DataFrame) -> int:
+        row = df.agg(
+            F.bit_xor(F.xxhash64("ix", "iy", "acc")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return hash((row["s"], row["n"]))
+
+    sig = _sig(state.df)
+    for _ in range(int(max_rounds)):
+        inflow = (
+            state.df.join(edges, ["ix", "iy"])
+            .groupBy(
+                F.col("dn_ix").alias("ix"), F.col("dn_iy").alias("iy")
+            )
+            .agg(F.sum("acc").alias("_in"))
+        )
+        nxt = (
+            state.df.select("ix", "iy")
+            .join(inflow, ["ix", "iy"], "left")
+            .select(
+                "ix", "iy",
+                (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0))).alias("acc"),
+            )
+        )
+        new_state = _Round.materialize(nxt, truncate=True)
+        new_sig = _sig(new_state.df)
+        state.release()
+        state = new_state
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return state.df
+
+
+def watershed_labels(flows: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """→ (ix, iy, sink_ix, sink_iy): every cell labeled with the sink its
+    water reaches — the watershed (drainage-basin) partition of the grid.
+    ``flows`` is :func:`d8_flow_directions` output.
+
+    Scale shape: pointer doubling — state (cell → ptr) starts as the flow
+    edge (sinks point to themselves), and each round substitutes
+    ptr ← ptr(ptr) with ONE self-equi-join keyed by the pointee. Sinks
+    are fixed points, so the state converges to the root sink in
+    ⌈log₂ depth⌉ rounds — 20 rounds cover flow paths of 10⁶ cells. Same
+    checkpoint/signature discipline as the other iterative ops.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    state = _Round.materialize(
+        flows.select(
+            "ix", "iy",
+            F.coalesce(F.col("dn_ix"), F.col("ix")).alias("px"),
+            F.coalesce(F.col("dn_iy"), F.col("iy")).alias("py"),
+        ),
+        truncate=True,
+    )
+
+    def _sig(df: DataFrame) -> int:
+        row = df.agg(
+            F.bit_xor(F.xxhash64("ix", "iy", "px", "py")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return hash((row["s"], row["n"]))
+
+    sig = _sig(state.df)
+    for _ in range(int(max_rounds)):
+        p = state.df.select(
+            F.col("ix").alias("_jx"), F.col("iy").alias("_jy"),
+            F.col("px").alias("_px2"), F.col("py").alias("_py2"),
+        )
+        nxt = state.df.join(
+            p, (state.df["px"] == p["_jx"]) & (state.df["py"] == p["_jy"])
+        ).select(
+            "ix", "iy",
+            F.col("_px2").alias("px"), F.col("_py2").alias("py"),
+        )
+        new_state = _Round.materialize(nxt, truncate=True)
+        new_sig = _sig(new_state.df)
+        state.release()
+        state = new_state
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return state.df.select(
+        "ix", "iy",
+        F.col("px").alias("sink_ix"), F.col("py").alias("sink_iy"),
     )

@@ -66,3 +66,137 @@ def test_terrain_guard(spark):
     df = spark.createDataFrame([(0, 0, 1)], "ix long, iy long, z long")
     with pytest.raises(ValueError):
         slope_aspect(df, 0.0)
+
+
+# --- D8 hydrology ------------------------------------------------------------
+
+from morituri_spark.geo.terrain import (  # noqa: E402
+    _D8,
+    d8_flow_directions,
+    flow_accumulation,
+    watershed_labels,
+)
+
+
+def _d8_ref(cells):
+    """Per-cell (z, downstream-or-None, weighted drop-or-None, is_sink)."""
+    z = dict(cells)
+    out = {}
+    for (x, y), zv in z.items():
+        cmin = min(
+            ((z[(x + dx, y + dy)], k, dx, dy) for dx, dy, k, w in _D8
+             if w == 10 and (x + dx, y + dy) in z),
+            default=None,
+        )
+        dmin = min(
+            ((z[(x + dx, y + dy)], k, dx, dy) for dx, dy, k, w in _D8
+             if w == 7 and (x + dx, y + dy) in z),
+            default=None,
+        )
+        gc = (zv - cmin[0]) * 10 if cmin else None
+        gd = (zv - dmin[0]) * 7 if dmin else None
+        pick_c = dmin is None or (cmin is not None and gc >= gd)
+        g, b = (gc, cmin) if pick_c else (gd, dmin)
+        sink = g is None or g <= 0
+        out[(x, y)] = (
+            zv,
+            None if sink else (x + b[2], y + b[3]),
+            None if sink else g,
+            sink,
+        )
+    return out
+
+
+def _flow_maps(ref):
+    """downstream pointer map + per-cell reference acc + sink label."""
+    down = {c: v[1] for c, v in ref.items() if v[1] is not None}
+    acc = {c: 1 for c in ref}
+    for c in ref:
+        cur = down.get(c)
+        while cur is not None:
+            acc[cur] += 1
+            cur = down.get(cur)
+    sink = {}
+    for c in ref:
+        cur = c
+        while cur in down:
+            cur = down[cur]
+        sink[c] = cur
+    return acc, sink
+
+
+def _dem_df(spark, cells):
+    return spark.createDataFrame(
+        [(x, y, z) for (x, y), z in cells], "ix long, iy long, z long"
+    )
+
+
+BOWL = [
+    ((x, y), (x - 3) * (x - 3) + (y - 3) * (y - 3) + (x * 7 + y * 13) % 5)
+    for x in range(7) for y in range(7)
+]
+RANDOMISH = [((x, y), (x * 11 + y * 17) % 29) for x in range(9) for y in range(9)]
+
+
+@pytest.mark.parametrize("cells", [BOWL, RANDOMISH], ids=["bowl", "randomish"])
+def test_d8_directions_match_reference(spark, cells):
+    got = {
+        (r["ix"], r["iy"]): (
+            r["z"],
+            None if r["dn_ix"] is None else (r["dn_ix"], r["dn_iy"]),
+            r["drop_w"],
+            r["is_sink"],
+        )
+        for r in d8_flow_directions(_dem_df(spark, cells)).collect()
+    }
+    assert got == _d8_ref(cells)
+
+
+def test_d8_flow_strictly_descends(spark):
+    z = dict(BOWL)
+    for r in d8_flow_directions(_dem_df(spark, BOWL)).collect():
+        if not r["is_sink"]:
+            assert z[(r["dn_ix"], r["dn_iy"])] < r["z"]
+
+
+@pytest.mark.parametrize("cells", [BOWL, RANDOMISH], ids=["bowl", "randomish"])
+def test_flow_accumulation_matches_reference(spark, cells):
+    flows = d8_flow_directions(_dem_df(spark, cells))
+    ref_acc, _ = _flow_maps(_d8_ref(cells))
+    got = {
+        (r["ix"], r["iy"]): r["acc"]
+        for r in flow_accumulation(flows).collect()
+    }
+    assert got == ref_acc
+    # mass balance: every cell drains somewhere, each sink's acc counts
+    # exactly its basin, and basins partition the grid
+    sinks = {c for c, v in _d8_ref(cells).items() if v[3]}
+    assert sum(got[s] for s in sinks) == len(cells)
+
+
+@pytest.mark.parametrize("cells", [BOWL, RANDOMISH], ids=["bowl", "randomish"])
+def test_watershed_labels_match_reference(spark, cells):
+    flows = d8_flow_directions(_dem_df(spark, cells))
+    _, ref_sink = _flow_maps(_d8_ref(cells))
+    got = {
+        (r["ix"], r["iy"]): (r["sink_ix"], r["sink_iy"])
+        for r in watershed_labels(flows).collect()
+    }
+    assert got == ref_sink
+
+
+def test_single_cell_grid_is_sink(spark):
+    flows = d8_flow_directions(_dem_df(spark, [((0, 0), 5)]))
+    [r] = flows.collect()
+    assert (r["is_sink"], r["dn_ix"], r["drop_w"]) == (True, None, None)
+    assert flow_accumulation(flows).collect()[0]["acc"] == 1
+    [w] = watershed_labels(flows).collect()
+    assert (w["sink_ix"], w["sink_iy"]) == (0, 0)
+
+
+def test_hydrology_round_guards(spark):
+    flows = d8_flow_directions(_dem_df(spark, [((0, 0), 5)]))
+    with pytest.raises(ValueError):
+        flow_accumulation(flows, max_rounds=-1)
+    with pytest.raises(ValueError):
+        watershed_labels(flows, max_rounds=-1)
