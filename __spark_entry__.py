@@ -1502,6 +1502,28 @@ def _q_watershed(spark, sf_dir):
     return watershed_labels(flows).select("ix", "iy", "sink_ix", "sink_iy")
 
 
+def _q_skyline(spark, sf_dir):
+    """2D skyline / Pareto front (operators/skyline.skyline_2d): rows no
+    other row dominates under (minimize x, maximize y), computed WITHOUT
+    a global single-partition sort — one (bucket, x) aggregate, a
+    per-bucket running-max window, and a tiny bucket-prefix broadcast.
+    Closed-form points (event_id % 997, event_id·31 % 1009) carry exact
+    integer ties and duplicate frontier rows; the oracle is the literal
+    NOT EXISTS dominance anti-join."""
+    from morituri_spark.operators.skyline import skyline_2d
+
+    pts = (
+        _read(spark, sf_dir, "events")
+        .where("event_id % 5 = 0")
+        .select(
+            "event_id",
+            (F.col("event_id") % 997).alias("x"),
+            ((F.col("event_id") * 31) % 1009).alias("y"),
+        )
+    )
+    return skyline_2d(pts, "x", "y", bucket_width=64).select("event_id", "x", "y")
+
+
 def _q_theil_sen(spark, sf_dir):
     """Theil–Sen trend slopes (geo/clustering.theil_sen_cells): the
     magnitude companion to emerging_hotspots' Mann-Kendall significance
@@ -4361,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_stages,
         "dem_slope_aspect": _q_slope_aspect,
         "d8_flow_directions": _q_d8_flow,
+        "skyline_pareto_front": _q_skyline,
         "flow_accumulation": _q_flow_accumulation,
         "watershed_labels": _q_watershed,
         "pack_sequences": _q_pack_sequences,
@@ -5370,6 +5393,17 @@ def oracle_sql() -> dict[str, str]:
                    floor(sl * 1e6 + 0.5 + 1e-8) / 1e6 AS slope_deg,
                    floor(asp * 1e6 + 0.5 + 1e-8) / 1e6 AS aspect_deg
             FROM staged
+        """,
+        "skyline_pareto_front": """
+            WITH pts AS MATERIALIZED (
+                SELECT event_id, event_id % 997 AS x,
+                       (event_id * 31) % 1009 AS y
+                FROM events WHERE event_id % 5 = 0)
+            SELECT event_id, x, y FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.x <= p.x AND q.y >= p.y
+                  AND (q.x < p.x OR q.y > p.y))
         """,
         "d8_flow_directions": _HYDRO_PREFIX + """
             SELECT ix, iy, CAST(z AS BIGINT) AS z,
