@@ -1502,6 +1502,54 @@ def _q_watershed(spark, sf_dir):
     return watershed_labels(flows).select("ix", "iy", "sink_ix", "sink_iy")
 
 
+def _q_viterbi(spark, sf_dir):
+    """Viterbi trellis decoding (operators/viterbi.viterbi_costs): the
+    min-cost DP table plus backtracked optimal-path flags over 50
+    closed-form 8-step tracks with 4 candidate states per step — the
+    coherence layer over geo/matching's per-point snapping (and the HMM
+    tagging shape for token sequences). ONE shuffle keyed by track;
+    the whole DP runs as exact int64 NumPy inside one Arrow group; the
+    dense 4×4 transition model ships in the kernel closure. The oracle
+    unrolls the 8 forward DP stages and 8 backtrack stages as
+    materialized CTEs (rule 27) with the same min-(cost, state) ties."""
+    from morituri_spark.operators.viterbi import viterbi_costs
+
+    ids = (
+        _read(spark, sf_dir, "events")
+        .select((F.col("event_id") % 400).alias("v"))
+        .distinct()
+    )
+    cand = ids.select(
+        (F.col("v") % 50).alias("key"),
+        F.expr("v DIV 50").alias("step"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("state"),
+    ).select(
+        "key", "step", F.col("state").cast("long").alias("state"),
+        (
+            (F.col("key") * 7 + F.col("step") * 11 + F.col("state") * 13) % 101
+        ).alias("e_cost"),
+    )
+    a = F.col("state_from")
+    b = F.col("state_to")
+    trans = (
+        ids.sparkSession.range(4)
+        .select(F.col("id").alias("state_from"))
+        .crossJoin(
+            ids.sparkSession.range(4).select(F.col("id").alias("state_to"))
+        )
+        .select(
+            "state_from", "state_to",
+            (
+                (a * 31 + b * 17) % 59
+                + F.when(a == b, F.lit(0)).otherwise(F.lit(23))
+            ).alias("t_cost"),
+        )
+    )
+    return viterbi_costs(cand, trans).select(
+        "key", "step", "state", "cost", "on_path"
+    )
+
+
 def _q_skyline(spark, sf_dir):
     """2D skyline / Pareto front (operators/skyline.skyline_2d): rows no
     other row dominates under (minimize x, maximize y), computed WITHOUT
@@ -2741,6 +2789,75 @@ def _q_k_core(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+def _viterbi_oracle_sql(n_steps: int = 8) -> str:
+    """Unrolled Viterbi oracle (rule 27: every stage AS MATERIALIZED —
+    each references its predecessor multiple times through the joins):
+    forward stages v0..v{T-1} carry min cumulative cost per (track,
+    state); backtrack stages b{T-1}..b0 re-derive the optimal path with
+    the kernel's exact tie rule (final: min (cost, state); predecessor:
+    min achieving state)."""
+    parts = [
+        """
+        WITH ids AS MATERIALIZED (
+            SELECT DISTINCT event_id % 400 AS v FROM events),
+        cand AS MATERIALIZED (
+            SELECT v % 50 AS k, v // 50 AS s, st.st AS st,
+                   ((v % 50) * 7 + (v // 50) * 11 + st.st * 13) % 101 AS e
+            FROM ids CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS st) st),
+        tr AS MATERIALIZED (
+            SELECT a.a AS sf, b.b AS st2,
+                   (a.a * 31 + b.b * 17) % 59
+                   + CASE WHEN a.a = b.b THEN 0 ELSE 23 END AS t
+            FROM (SELECT unnest([0, 1, 2, 3]) AS a) a
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        v0 AS MATERIALIZED (
+            SELECT k, st, e AS cost FROM cand WHERE s = 0)"""
+    ]
+    for t in range(1, n_steps):
+        parts.append(f""",
+        v{t} AS MATERIALIZED (
+            SELECT c.k, c.st, min(p.cost + tr.t + c.e) AS cost
+            FROM v{t - 1} p
+            JOIN tr ON tr.sf = p.st
+            JOIN cand c ON c.k = p.k AND c.s = {t} AND c.st = tr.st2
+            GROUP BY c.k, c.st)""")
+    last = n_steps - 1
+    parts.append(f""",
+        b{last} AS MATERIALIZED (
+            SELECT k, st, cost FROM (
+                SELECT k, st, cost, row_number() OVER (
+                    PARTITION BY k ORDER BY cost, st) AS rn
+                FROM v{last}) WHERE rn = 1)""")
+    for t in range(last - 1, -1, -1):
+        parts.append(f""",
+        b{t} AS MATERIALIZED (
+            SELECT k, st, cost FROM (
+                SELECT p.k, p.st, p.cost, row_number() OVER (
+                    PARTITION BY p.k ORDER BY p.st) AS rn
+                FROM v{t} p
+                JOIN b{t + 1} nb ON nb.k = p.k
+                JOIN tr ON tr.sf = p.st AND tr.st2 = nb.st
+                JOIN cand c ON c.k = p.k AND c.s = {t + 1} AND c.st = nb.st
+                WHERE p.cost + tr.t = nb.cost - c.e) WHERE rn = 1)""")
+    fwd = "\n            UNION ALL ".join(
+        f"SELECT k, CAST({t} AS BIGINT) AS s, st, cost FROM v{t}"
+        for t in range(n_steps)
+    )
+    bck = "\n            UNION ALL ".join(
+        f"SELECT k, CAST({t} AS BIGINT) AS s, st FROM b{t}"
+        for t in range(n_steps)
+    )
+    parts.append(f""",
+        fwd AS ({fwd}),
+        bck AS ({bck})
+        SELECT fwd.k AS key, fwd.s AS step, CAST(fwd.st AS BIGINT) AS state,
+               CAST(fwd.cost AS BIGINT) AS cost,
+               (bck.st IS NOT NULL) AS on_path
+        FROM fwd LEFT JOIN bck
+          ON bck.k = fwd.k AND bck.s = fwd.s AND bck.st = fwd.st""")
+    return "".join(parts)
 
 
 #: Shared D8 oracle prefix (rule 27: reused stages AS MATERIALIZED). The
@@ -4384,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_slope_aspect": _q_slope_aspect,
         "d8_flow_directions": _q_d8_flow,
         "skyline_pareto_front": _q_skyline,
+        "viterbi_path_decode": _q_viterbi,
         "flow_accumulation": _q_flow_accumulation,
         "watershed_labels": _q_watershed,
         "pack_sequences": _q_pack_sequences,
@@ -5394,6 +5512,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(asp * 1e6 + 0.5 + 1e-8) / 1e6 AS aspect_deg
             FROM staged
         """,
+        "viterbi_path_decode": _viterbi_oracle_sql(),
         "skyline_pareto_front": """
             WITH pts AS MATERIALIZED (
                 SELECT event_id, event_id % 997 AS x,
