@@ -1502,6 +1502,36 @@ def _q_watershed(spark, sf_dir):
     return watershed_labels(flows).select("ix", "iy", "sink_ix", "sink_iy")
 
 
+def _q_embedding_moments(spark, sf_dir):
+    """Distributed embedding second moments (ml/pca.embedding_moments):
+    each task folds its WHOLE Arrow batch iterator into one
+    (n, Σx, ΣxᵀX) partial (rule 26) emitted as (i, j, v) triples, so the
+    final combine is ONE map-side-combinable sum keyed by (i, j) —
+    shuffle volume tasks×d², independent of row count. Values are
+    quantized to 2²⁰ micro-units with the shared rule-16 formula, so
+    int64 sums are order/partition-independent and byte-identical to
+    the DuckDB unnest-pair replay."""
+    from morituri_spark.ml.pca import embedding_moments
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_moments(emb).select("i", "j", "v")
+
+
+def _q_pca_gates(spark, sf_dir):
+    """PCA whitening invariant gates (ml/pca.whitening_gates): fit the
+    ZCA whitener from the exact-int moments, project every embedding
+    through one Arrow matmul per batch, re-measure the covariance of
+    the projected vectors, and emit (i, j, dev_micro) wherever it
+    deviates from identity beyond 1e-4 — EMPTY is the assertion (the
+    ann_recall_gates pattern). The d×d eigendecomposition is
+    driver-side on collected aggregates, the same budget class as the
+    IVF centroid collect."""
+    from morituri_spark.ml.pca import whitening_gates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return whitening_gates(emb).select("i", "j", "dev_micro")
+
+
 def _q_viterbi(spark, sf_dir):
     """Viterbi trellis decoding (operators/viterbi.viterbi_costs): the
     min-cost DP table plus backtracked optimal-path flags over 50
@@ -4502,6 +4532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow_directions": _q_d8_flow,
         "skyline_pareto_front": _q_skyline,
         "viterbi_path_decode": _q_viterbi,
+        "embedding_second_moments": _q_embedding_moments,
+        "pca_whitening_gates": _q_pca_gates,
         "flow_accumulation": _q_flow_accumulation,
         "watershed_labels": _q_watershed,
         "pack_sequences": _q_pack_sequences,
@@ -5513,6 +5545,31 @@ def oracle_sql() -> dict[str, str]:
             FROM staged
         """,
         "viterbi_path_decode": _viterbi_oracle_sql(),
+        "embedding_second_moments": """
+            WITH e AS MATERIALIZED (
+                SELECT vec_id,
+                       CAST(floor(CAST(x AS DOUBLE) * 1048576.0
+                                  + 0.5 + 1e-8) AS BIGINT) AS xi,
+                       CAST(i AS BIGINT) - 1 AS i
+                FROM (SELECT vec_id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings))
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS v
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT i, CAST(-1 AS BIGINT) AS j, CAST(sum(xi) AS BIGINT) AS v
+            FROM e GROUP BY 1
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM embeddings
+        """,
+        "pca_whitening_gates": """
+            SELECT CAST(NULL AS BIGINT) AS i, CAST(NULL AS BIGINT) AS j,
+                   CAST(NULL AS BIGINT) AS dev_micro
+            WHERE FALSE
+        """,
         "skyline_pareto_front": """
             WITH pts AS MATERIALIZED (
                 SELECT event_id, event_id % 997 AS x,
