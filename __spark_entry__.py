@@ -3599,6 +3599,30 @@ def _q_image_quality(spark, sf_dir):
     )
 
 
+def _q_color_hist_dups(spark, sf_dir):
+    """Exact RGB color-histogram near-duplicate pairs (multimodal/ops.
+    color_histograms + histogram_near_duplicates) over REAL PNG payloads:
+    the color-space sibling of phash_near_dup (structure) and
+    image_quality_gates (exposure). 400 gradient images → the (i, i+256)
+    pairs are pixel-identical (channels are mod-256 in i), planting 144
+    exact duplicates at l1 = 0 among the near pairs. Blocking is the
+    dominant-bin bucket join (min(struct(-cnt, bin)) — one map-side-
+    combinable aggregate, rule 25); the L1 needs no full-outer bin join
+    because counts are non-negative and blocked pairs always share the
+    dominant bin: L1 = Σ_shared|ca−cb| + (total−Σca) + (total−Σcb). The
+    oracle re-derives every pixel from the gradient closed form and
+    replays histogram → dominant bin → bucket pairs → L1 literally."""
+    from morituri_spark.multimodal.ops import (
+        color_histograms,
+        histogram_near_duplicates,
+    )
+
+    hists = color_histograms(
+        _gradient_images(spark, sf_dir, n=400), bins_per_channel=4
+    )
+    return histogram_near_duplicates(hists, max_l1=64, total=256)
+
+
 def _q_jpeg_progressive_roundtrip(spark, sf_dir):
     """PROGRESSIVE JPEG (r5, verdict #4) end-to-end: the same constant-color
     images as jpeg_constant_roundtrip, but encoded with
@@ -4419,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_pyramid": _q_quadkey_pyramid,
         "crossmodal_dup_confirm": _q_crossmodal_dups,
         # --- new in r5 ---
+        "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
         "jpeg_constant_roundtrip": _q_jpeg_roundtrip,  # decoder refactored
@@ -4598,7 +4623,14 @@ _WINDOW = [
     "segment_zone_lengths",
     "polygon_overlap_join", "ann_pq_topk", "trajectory_stay_points",
     "snap_points_to_segments",
-    "grid_density_clusters", "grid_hotspot_cells",
+    # (grid_hotspot_cells released in the tenth-session rotation for
+    # color_histogram_dups — the freshest code in the repo, per the
+    # code-risk triage rule; the cell-grid hotspot machinery keeps THREE
+    # in-window lattice siblings: gi_star_hotspots + emerging_hotspots
+    # compose the same neighbor-window Gi* grid, grid_density_clusters
+    # the same cell-count rollup. grid_hotspot_cells stays sweep-EQUAL,
+    # pytest-covered, and replica-checked.)
+    "grid_density_clusters", "color_histogram_dups",
     "semdedup_keep_flags", "vit_patch_tokens",
     "idw_surface_cells", "quadkey_pyramid",
     "crossmodal_dup_confirm", "knn_mega_cell_skew",
@@ -5721,6 +5753,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sm <= -500000 THEN 'down'
                         ELSE 'none' END AS trend
             FROM slopes WHERE rk = 14
+        """,
+        # color_histogram_dups: replay pixels from the gradient closed
+        # form, histogram into 4x4x4 bins, dominant bin via a single-key
+        # arg_min ((-cnt)*64 + bin is lexicographic (-cnt, bin) since
+        # bin < 64), bucket pairs, then the shared-bin L1 identity. String
+        # ids are zero-padded so string order == numeric order.
+        "color_histogram_dups": """
+            WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 400),
+            px AS (
+              SELECT i, ((r // 64) * 4 + (g // 64)) * 4 + (b // 64) AS bin
+              FROM (
+                SELECT i,
+                       (i + 2 * y + 3 * x) % 256 AS r,
+                       (2 * i + y + 5 * x) % 256 AS g,
+                       (3 * i + 4 * y + x) % 256 AS b
+                FROM ids,
+                     generate_series(0, 15) ty(y),
+                     generate_series(0, 15) tx(x))),
+            hist AS (SELECT i, bin, count(*) AS cnt FROM px GROUP BY i, bin),
+            dom AS (
+              SELECT i, arg_min(bin, (-cnt) * 64 + bin) AS d
+              FROM hist GROUP BY i),
+            pairs AS (
+              SELECT a.i AS ia, b.i AS ib
+              FROM dom a JOIN dom b ON a.d = b.d AND a.i < b.i),
+            shared AS (
+              SELECT p.ia, p.ib,
+                     sum(abs(ha.cnt - hb.cnt)) AS sd,
+                     sum(ha.cnt) AS sa, sum(hb.cnt) AS sb
+              FROM pairs p
+              JOIN hist ha ON ha.i = p.ia
+              JOIN hist hb ON hb.i = p.ib AND hb.bin = ha.bin
+              GROUP BY p.ia, p.ib)
+            SELECT printf('img%08d', ia) AS id_a,
+                   printf('img%08d', ib) AS id_b,
+                   CAST(sd + (256 - sa) + (256 - sb) AS BIGINT) AS l1
+            FROM shared
+            WHERE sd + (256 - sa) + (256 - sb) <= 64
         """,
         "image_quality_gates": """
             WITH ids AS (

@@ -360,3 +360,101 @@ def phash_near_duplicates(
     return hamming_near_duplicates(
         images, phash_col, id_col=id_col, max_hamming=max_hamming, **kwargs
     )
+
+
+def color_histograms(
+    images: DataFrame,
+    bins_per_channel: int = 4,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """→ (image_id, bin, cnt): exact integer RGB color histogram per
+    image from the REAL decode — bin = (r//s)·B² + (g//s)·B + (b//s)
+    with B = ``bins_per_channel`` and s = 256/B (B must divide 256).
+    Only non-empty bins are emitted (join-friendly sparse form). One
+    scan-shaped Arrow kernel; counts are exact so the histogram is a
+    deterministic pure function of the pixels — the color-space
+    companion to phash (structure) and image_quality (exposure)."""
+    if 256 % bins_per_channel != 0:
+        raise ValueError(
+            f"bins_per_channel must divide 256, got {bins_per_channel}"
+        )
+    b = int(bins_per_channel)
+    s = 256 // b
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, cnts = [], [], []
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                q = (arr // s).astype(np.int64)
+                code = (q[:, :, 0] * b + q[:, :, 1]) * b + q[:, :, 2]
+                vals, counts = np.unique(code.ravel(), return_counts=True)
+                ids.extend([image_id] * len(vals))
+                bins.extend(vals.tolist())
+                cnts.extend(counts.tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.array(ids, dtype="string"),
+                    "bin": np.asarray(bins, dtype=np.int64),
+                    "cnt": np.asarray(cnts, dtype=np.int64),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, "image_id string, bin long, cnt long"
+    )
+
+
+def histogram_near_duplicates(
+    hists: DataFrame,
+    max_l1: int,
+    total: int,
+) -> DataFrame:
+    """→ (id_a, id_b, l1): image pairs whose exact integer histogram L1
+    distance is ≤ ``max_l1``, candidates blocked on the DOMINANT bin
+    (max count, ties to the smaller bin — deterministic). ``total`` is
+    the per-image pixel count (all images same size upstream; resize
+    first otherwise).
+
+    Blocking contract (the minhash/banded discipline): a pair is
+    compared iff the two images share their dominant bin — guaranteed
+    recall when max_l1 < the dominant margin, heuristic past it; never
+    all-pairs. Scale shape: dominant = ONE min(struct(-cnt, bin))
+    aggregate; candidates = bucket equi-join keyed by dominant bin;
+    the L1 needs NO full-outer bin join — with non-negative counts,
+    L1 = Σ_shared |ca−cb| + (total−Σ_shared ca) + (total−Σ_shared cb),
+    so one inner join on (pair, bin) + ONE pair-keyed aggregate does it
+    (rule 21: dedup/compare through the hash aggregate after the
+    exchange)."""
+    dom = (
+        hists.groupBy("image_id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("bin").alias("bin"))).alias("_d"))
+        .select("image_id", F.col("_d.bin").alias("_dom"))
+    )
+    a = dom.select(F.col("image_id").alias("id_a"), "_dom")
+    bb = dom.select(F.col("image_id").alias("id_b"), "_dom")
+    pairs = a.join(bb, "_dom").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    ha = hists.select(
+        F.col("image_id").alias("id_a"), "bin", F.col("cnt").alias("_ca")
+    )
+    hb = hists.select(
+        F.col("image_id").alias("id_b"), "bin", F.col("cnt").alias("_cb")
+    )
+    shared = (
+        pairs.join(ha, "id_a")
+        .join(hb, ["id_b", "bin"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.abs(F.col("_ca") - F.col("_cb"))).alias("_sd"),
+            F.sum("_ca").alias("_sa"),
+            F.sum("_cb").alias("_sb"),
+        )
+    )
+    t = F.lit(int(total))
+    out = shared.select(
+        "id_a", "id_b",
+        (F.col("_sd") + (t - F.col("_sa")) + (t - F.col("_sb"))).alias("l1"),
+    )
+    return out.where(F.col("l1") <= F.lit(int(max_l1)))
