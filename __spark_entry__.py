@@ -1112,6 +1112,28 @@ def _q_stay_points(spark, sf_dir):
     )
 
 
+def _q_render_tiles(spark, sf_dir):
+    """Density-tile PNG rendering (geo/render.render_density_tiles): the
+    raster SERVING end of the tiling engine. Points collapse to occupied
+    pixels at the first map-side-combinable aggregate; the second
+    aggregate carries ≤ W² structs per tile; the Arrow kernel rasterizes
+    per TILE (grid-bounded) through the REAL PNG codec and proves the
+    round trip in-engine (decode_ok byte-exact, raster_sum vs decoded_sum
+    measured before/after the codec). value_cap=3 exercises saturation at
+    this density. The oracle replays pixel binning → tile/local-index bit
+    math → capped counts → the bit_xor checksum literally; decoded_sum
+    equaling the SQL raster_sum pins the codec numerically from OUTSIDE
+    the engine."""
+    from morituri_spark.geo.render import render_density_tiles
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    return render_density_tiles(pts, tile_res=3, px_bits=4, value_cap=3).drop(
+        "png"
+    )
+
+
 def _q_cell_density(spark, sf_dir):
     """Grid density surface (geo/density.cell_density): 15-degree bins +
     3x3 binomial smoothing. Points collapse to occupied cells at the
@@ -4443,6 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_pyramid": _q_quadkey_pyramid,
         "crossmodal_dup_confirm": _q_crossmodal_dups,
         # --- new in r5 ---
+        "render_density_tiles": _q_render_tiles,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -5753,6 +5776,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sm <= -500000 THEN 'down'
                         ELSE 'none' END AS trend
             FROM slopes WHERE rk = 14
+        """,
+        # render_density_tiles: replay pixel binning (identical divide-
+        # then-multiply floor order as cell_col, rule 5 casts via _GLON/
+        # _GLAT), tile id = 3·2^58 + (x//16)·2^29 + (y//16), row-major
+        # local index with south-origin y, cap 3, bit_xor checksum.
+        # decode_ok is the engine-side byte-exact codec gate (oracle pins
+        # TRUE); decoded_sum comes from the DECODED PNG in-engine but must
+        # equal the oracle's pre-codec raster_sum expression.
+        "render_density_tiles": f"""
+            WITH xy AS (
+              SELECT least(greatest(CAST(floor(((lon) + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS x,
+                     least(greatest(CAST(floor(((lat) + 90.0) / 180.0 * 128.0) AS BIGINT), 0), 127) AS y
+              FROM (SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events)),
+            px AS (SELECT x, y, count(*) AS cnt FROM xy GROUP BY x, y),
+            staged AS (
+              SELECT 3 * 288230376151711744 + (x // 16) * 536870912 + (y // 16) AS tile,
+                     (y % 16) * 16 + (x % 16) AS li,
+                     cnt, least(cnt, 3) AS v
+              FROM px)
+            SELECT tile,
+                   CAST(sum(cnt) AS BIGINT) AS n_points,
+                   CAST(count(*) AS INT) AS n_pixels,
+                   CAST(bit_xor((li + 1) * 4294967296 + v) AS BIGINT) AS px_checksum,
+                   CAST(sum(v) AS BIGINT) AS raster_sum,
+                   CAST(sum(v) AS BIGINT) AS decoded_sum,
+                   TRUE AS decode_ok
+            FROM staged GROUP BY tile
         """,
         # color_histogram_dups: replay pixels from the gradient closed
         # form, histogram into 4x4x4 bins, dominant bin via a single-key
