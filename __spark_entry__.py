@@ -1457,6 +1457,67 @@ def _q_slope_aspect(spark, sf_dir):
     return slope_aspect(dem, cell_size=10.0)
 
 
+def _q_hillshade(spark, sf_dir):
+    """Analytic hillshade (geo/terrain.hillshade) over the same 10°
+    event-density DEM as dem_slope_aspect: Lambert dot product of the
+    Horn normal with the 315°/45° light vector. NO runtime trig — the
+    light vector is three driver-side literals shared verbatim with the
+    oracle, and sqrt is IEEE-correctly-rounded in both engines, so the
+    uint8 shade is exact-integer reproducible (a STRONGER contract than
+    slope/aspect's micro-degree quantization)."""
+    from morituri_spark.geo.terrain import hillshade
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat")
+    )
+    dem = pts.select(
+        F.floor(F.col("lon") / F.lit(10.0)).cast("long").alias("ix"),
+        F.floor(F.col("lat") / F.lit(10.0)).cast("long").alias("iy"),
+    ).groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("z"))
+    return hillshade(dem, cell_size=10.0)
+
+
+def _hillshade_oracle_sql() -> str:
+    # the IDENTICAL light-vector doubles hillshade() computes for
+    # (az=315°, alt=45°), embedded via repr so both engines parse the
+    # same bits; same scatter CTE as dem_slope_aspect, then the shared
+    # no-trig Lambert expression with rule-16 half-up rounding.
+    import math
+
+    az, alt = math.radians(315.0), math.radians(45.0)
+    lx = math.cos(alt) * math.sin(az)
+    ly = math.cos(alt) * math.cos(az)
+    lz = math.sin(alt)
+    gx = "(CAST(gx_num AS DOUBLE) / 80.0)"
+    gy = "(CAST(gy_num AS DOUBLE) / 80.0)"
+    return f"""
+        WITH pts AS (
+            SELECT {_GLON} AS lon, {_GLAT} AS lat FROM events),
+        cube AS (
+            SELECT CAST(floor(lon / 10.0) AS BIGINT) AS ix,
+                   CAST(floor(lat / 10.0) AS BIGINT) AS iy,
+                   count(*) AS z
+            FROM pts GROUP BY 1, 2),
+        kernel(dx, dy, wx, wy) AS (VALUES
+            (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+            (0, -1, 0, -2), (0, 0, 0, 0), (0, 1, 0, 2),
+            (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1)),
+        sums AS (
+            SELECT c.ix - k.dx AS ix, c.iy - k.dy AS iy,
+                   CAST(sum(c.z * k.wx) AS BIGINT) AS gx_num,
+                   CAST(sum(c.z * k.wy) AS BIGINT) AS gy_num,
+                   count(*) AS n
+            FROM cube c CROSS JOIN kernel k
+            GROUP BY 1, 2)
+        SELECT ix, iy, gx_num, gy_num,
+               CAST(floor(255.0 * greatest(
+                     ({lz!r} - {lx!r} * {gx} - {ly!r} * {gy})
+                     / sqrt(1.0 + {gx} * {gx} + {gy} * {gy}),
+                     0.0) + 0.5 + 1e-8) AS INT) AS shade
+        FROM sums WHERE n = 9
+    """
+
+
 def _hydro_dem(spark, sf_dir):
     """Closed-form 30×30 DEM shared by the D8 hydrology queries: a bowl
     plus modular noise, z = (ix−15)² + (iy−15)² + (7ix+13iy) mod 11 —
@@ -4466,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_dup_confirm": _q_crossmodal_dups,
         # --- new in r5 ---
         "render_density_tiles": _q_render_tiles,
+        "dem_hillshade": _q_hillshade,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -5599,6 +5661,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(asp * 1e6 + 0.5 + 1e-8) / 1e6 AS aspect_deg
             FROM staged
         """,
+        "dem_hillshade": _hillshade_oracle_sql(),
         "viterbi_path_decode": _viterbi_oracle_sql(),
         "embedding_second_moments": """
             WITH e AS MATERIALIZED (

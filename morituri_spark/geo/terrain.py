@@ -44,22 +44,14 @@ _HORN = [
 ]
 
 
-def slope_aspect(
-    dem: DataFrame,
-    cell_size: float,
-    ix_col: str = "ix",
-    iy_col: str = "iy",
-    z_col: str = "z",
+def _horn_numerators(
+    dem: DataFrame, ix_col: str, iy_col: str, z_col: str
 ) -> DataFrame:
-    """→ (ix, iy, gx_num, gy_num, slope_deg, aspect_deg) for every
-    INTERIOR cell (all eight neighbors present). ``gx_num``/``gy_num``
-    are the exact integer Horn numerators (east- and north-positive);
-    slope/aspect are micro-degree-quantized doubles, aspect in
-    [−180°, 180°] measured counter-clockwise from east (atan2(gy, −gx)
-    convention), NULL (and gx=gy=0) on flats.
-    """
-    if cell_size <= 0:
-        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    """(ix, iy, gx_num, gy_num) for interior cells — the shared Horn
+    scatter stage of :func:`slope_aspect` and :func:`hillshade`: each
+    cell scatters its z to its nine neighbors with the kernel weights,
+    ONE map-side-combinable aggregate folds the exact integer gradient
+    numerators, and interior = exactly nine contributions received."""
     kernel = F.array(
         *[
             F.struct(
@@ -85,7 +77,26 @@ def slope_aspect(
         F.sum("_gy").alias("gy_num"),
         F.count(F.lit(1)).alias("_n"),
     )
-    interior = sums.where(F.col("_n") == 9)
+    return sums.where(F.col("_n") == 9).drop("_n")
+
+
+def slope_aspect(
+    dem: DataFrame,
+    cell_size: float,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """→ (ix, iy, gx_num, gy_num, slope_deg, aspect_deg) for every
+    INTERIOR cell (all eight neighbors present). ``gx_num``/``gy_num``
+    are the exact integer Horn numerators (east- and north-positive);
+    slope/aspect are micro-degree-quantized doubles, aspect in
+    [−180°, 180°] measured counter-clockwise from east (atan2(gy, −gx)
+    convention), NULL (and gx=gy=0) on flats.
+    """
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    interior = _horn_numerators(dem, ix_col, iy_col, z_col)
     denom = F.lit(8.0 * float(cell_size))
     gx = F.col("gx_num").cast("double") / denom
     gy = F.col("gy_num").cast("double") / denom
@@ -104,6 +115,54 @@ def slope_aspect(
         "ix", "iy", "gx_num", "gy_num",
         q(F.col("_slope")).alias("slope_deg"),
         q(F.col("_aspect")).alias("aspect_deg"),
+    )
+
+
+def hillshade(
+    dem: DataFrame,
+    cell_size: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """→ (ix, iy, gx_num, gy_num, shade) for every interior cell: the
+    standard analytic hillshade (GDAL/ArcGIS default light: azimuth 315°
+    clockwise from north, altitude 45°) as the Lambert dot product of the
+    Horn surface normal with the light vector,
+
+        shade = round(255 · max(0, (lz − lx·gx − ly·gy) / √(1+gx²+gy²)))
+
+    with L = (cos alt·sin az, cos alt·cos az, sin alt) in (east, north,
+    up). Unlike slope/aspect there is NO runtime trig — L is three driver-
+    side literals and the only transcendental is sqrt, which IEEE 754
+    requires correctly rounded in every engine, so ``shade`` is an exact
+    uint8 integer both engines reproduce bit-for-bit (the rounding is the
+    shared rule-16 half-up). Same scatter/aggregate envelope as
+    :func:`slope_aspect`: one shuffle, map-side combinable, exact integer
+    numerators."""
+    import math
+
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    lx = math.cos(alt) * math.sin(az)
+    ly = math.cos(alt) * math.cos(az)
+    lz = math.sin(alt)
+    interior = _horn_numerators(dem, ix_col, iy_col, z_col)
+    denom = F.lit(8.0 * float(cell_size))
+    gx = F.col("gx_num").cast("double") / denom
+    gy = F.col("gy_num").cast("double") / denom
+    raw = (F.lit(lz) - F.lit(lx) * gx - F.lit(ly) * gy) / F.sqrt(
+        F.lit(1.0) + gx * gx + gy * gy
+    )
+    return interior.select(
+        "ix", "iy", "gx_num", "gy_num",
+        F.floor(
+            F.lit(255.0) * F.greatest(raw, F.lit(0.0)) + F.lit(0.5) + F.lit(1e-8)
+        ).cast("int").alias("shade"),
     )
 
 

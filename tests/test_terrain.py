@@ -200,3 +200,60 @@ def test_hydrology_round_guards(spark):
         flow_accumulation(flows, max_rounds=-1)
     with pytest.raises(ValueError):
         watershed_labels(flows, max_rounds=-1)
+
+
+# --- hillshade ---------------------------------------------------------------
+
+from morituri_spark.geo.terrain import hillshade  # noqa: E402
+
+
+def _hs_ref(cells, cell_size, az=315.0, alt=45.0):
+    z = dict(cells)
+    lx = math.cos(math.radians(alt)) * math.sin(math.radians(az))
+    ly = math.cos(math.radians(alt)) * math.cos(math.radians(az))
+    lz = math.sin(math.radians(alt))
+    out = {}
+    for (x, y) in z:
+        nb = {(dx, dy): z.get((x + dx, y + dy)) for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+        if any(v is None for v in nb.values()):
+            continue
+        gxn = (nb[(1, -1)] + 2 * nb[(1, 0)] + nb[(1, 1)]
+               - nb[(-1, -1)] - 2 * nb[(-1, 0)] - nb[(-1, 1)])
+        gyn = (nb[(-1, 1)] + 2 * nb[(0, 1)] + nb[(1, 1)]
+               - nb[(-1, -1)] - 2 * nb[(0, -1)] - nb[(1, -1)])
+        gx, gy = gxn / (8 * cell_size), gyn / (8 * cell_size)
+        raw = (lz - lx * gx - ly * gy) / math.sqrt(1.0 + gx * gx + gy * gy)
+        out[(x, y)] = (gxn, gyn, int(math.floor(255.0 * max(raw, 0.0) + 0.5 + 1e-8)))
+    return out
+
+
+def _hs_run(spark, cells, cell_size):
+    df = spark.createDataFrame(
+        [(x, y, z) for (x, y), z in cells], "ix long, iy long, z long"
+    )
+    return {
+        (r["ix"], r["iy"]): (r["gx_num"], r["gy_num"], r["shade"])
+        for r in hillshade(df, cell_size).collect()
+    }
+
+
+def test_hillshade_matches_reference(spark):
+    cells = [((x, y), (x * 7 + y * 13) % 23) for x in range(8) for y in range(8)]
+    assert _hs_run(spark, cells, 30.0) == _hs_ref(cells, 30.0)
+
+
+def test_hillshade_flat_and_orientation(spark):
+    # flat ground: shade = round(255*sin(45 deg)) = 180
+    flat = [((x, y), 7) for x in range(3) for y in range(3)]
+    assert _hs_run(spark, flat, 1.0) == {(1, 1): (0, 0, 180)}
+    # NW-facing slope (downhill toward -x, +y) is brighter than flat;
+    # SE-facing darker. z = x - y rises east, falls north -> faces NW.
+    nw = [((x, y), x - y) for x in range(3) for y in range(3)]
+    se = [((x, y), y - x) for x in range(3) for y in range(3)]
+    assert _hs_run(spark, nw, 1.0)[(1, 1)][2] > 180 > _hs_run(spark, se, 1.0)[(1, 1)][2]
+
+
+def test_hillshade_guard(spark):
+    df = spark.createDataFrame([(0, 0, 1)], "ix long, iy long, z long")
+    with pytest.raises(ValueError):
+        hillshade(df, -1.0)
