@@ -3706,6 +3706,21 @@ def _q_color_hist_dups(spark, sf_dir):
     return histogram_near_duplicates(hists, max_l1=64, total=256)
 
 
+def _q_augment(spark, sf_dir):
+    """Deterministic augmentation sweep (multimodal/ops.augment_images):
+    every gradient image crossed with the six exact pixel permutations
+    (flips + quarter rotations), re-encoded through the REAL PNG codec,
+    with the position-weighted checksum computed from the RE-DECODED
+    payload — one integer per (image, op) pins decode → transform →
+    encode → decode AND the orientation of the transform. The oracle
+    replays the checksum by substituting source coordinates into the
+    gradient closed form per op (rot90 is CCW: target[y,x] =
+    source[x, W−1−y])."""
+    from morituri_spark.multimodal.ops import augment_images
+
+    return augment_images(_gradient_images(spark, sf_dir, n=300)).drop("png")
+
+
 def _q_jpeg_progressive_roundtrip(spark, sf_dir):
     """PROGRESSIVE JPEG (r5, verdict #4) end-to-end: the same constant-color
     images as jpeg_constant_roundtrip, but encoded with
@@ -4528,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "render_density_tiles": _q_render_tiles,
         "dem_hillshade": _q_hillshade,
+        "augment_checksums": _q_augment,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -5866,6 +5882,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS decoded_sum,
                    TRUE AS decode_ok
             FROM staged GROUP BY tile
+        """,
+        # augment_checksums: substitute source coordinates into the
+        # gradient closed form per op; square 16x16 images so rotations
+        # keep dims. Engine computes the checksum from the RE-DECODED
+        # PNG, so equality also pins the codec round trip per variant.
+        "augment_checksums": """
+            WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 300),
+            ops(op) AS (VALUES ('identity'), ('hflip'), ('vflip'),
+                               ('rot180'), ('rot90'), ('rot270')),
+            tgt AS (
+              SELECT i, op, y, x,
+                CASE op WHEN 'vflip' THEN 15 - y WHEN 'rot180' THEN 15 - y
+                        WHEN 'rot90' THEN x WHEN 'rot270' THEN 15 - x
+                        ELSE y END AS sy,
+                CASE op WHEN 'hflip' THEN 15 - x WHEN 'rot180' THEN 15 - x
+                        WHEN 'rot90' THEN 15 - y WHEN 'rot270' THEN y
+                        ELSE x END AS sx
+              FROM ids, ops,
+                   generate_series(0, 15) ty(y),
+                   generate_series(0, 15) tx(x)),
+            vals AS (
+              SELECT i, op,
+                     (y * 16 + x + 1) *
+                     ((i + 2 * sy + 3 * sx) % 256
+                      + 2 * ((2 * i + sy + 5 * sx) % 256)
+                      + 3 * ((3 * i + 4 * sy + sx) % 256)) AS term
+              FROM tgt)
+            SELECT printf('img%08d', i) AS image_id, op,
+                   CAST(16 AS INT) AS out_w, CAST(16 AS INT) AS out_h,
+                   CAST(sum(term) AS BIGINT) AS checksum
+            FROM vals GROUP BY 1, 2
         """,
         # color_histogram_dups: replay pixels from the gradient closed
         # form, histogram into 4x4x4 bins, dominant bin via a single-key

@@ -458,3 +458,83 @@ def histogram_near_duplicates(
         (F.col("_sd") + (t - F.col("_sa")) + (t - F.col("_sb"))).alias("l1"),
     )
     return out.where(F.col("l1") <= F.lit(int(max_l1)))
+
+
+#: augmentation op → (target[y, x] = source[sy, sx], output dims swap).
+#: rot90 is counter-clockwise (np.rot90); every op is an exact pixel
+#: permutation, so augmented payloads stay byte-deterministic.
+_AUG_OPS = {
+    "identity": (lambda y, x, h, w: (y, x), False),
+    "hflip": (lambda y, x, h, w: (y, w - 1 - x), False),
+    "vflip": (lambda y, x, h, w: (h - 1 - y, x), False),
+    "rot180": (lambda y, x, h, w: (h - 1 - y, w - 1 - x), False),
+    "rot90": (lambda y, x, h, w: (x, w - 1 - y), True),
+    "rot270": (lambda y, x, h, w: (h - 1 - x, y), True),
+}
+
+
+def augment_images(
+    images: DataFrame,
+    ops: list[str] = ("identity", "hflip", "vflip", "rot90", "rot180", "rot270"),
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """→ (image_id, op, out_w, out_h, checksum, png): the training-set
+    augmentation sweep — each input image crossed with each exact pixel
+    permutation (flips / quarter rotations), re-encoded through the REAL
+    PNG codec. ``checksum`` is the position-weighted exact integer
+    Σ (y·out_w + x + 1)·(r + 2g + 3b) over the RE-DECODED payload, so one
+    value pins decode → transform → encode → decode end-to-end AND the
+    transform's orientation (a transposed or mis-flipped output flips
+    it); an oracle replays it by coordinate substitution in the source.
+
+    Scale shape: one scan-shaped Arrow kernel, fan-out = len(ops) rows
+    per image produced INSIDE the kernel (no explode/shuffle); Python
+    cost is the decode each variant shares plus O(pixels) per variant."""
+    unknown = [o for o in ops if o not in _AUG_OPS]
+    if unknown:
+        raise ValueError(f"unknown augment ops {unknown}; known: {sorted(_AUG_OPS)}")
+    from ..sources import images as I
+
+    op_list = list(ops)
+
+    def _apply(arr: np.ndarray, op: str) -> np.ndarray:
+        if op == "identity":
+            return arr
+        if op == "hflip":
+            return arr[:, ::-1]
+        if op == "vflip":
+            return arr[::-1, :]
+        if op == "rot180":
+            return arr[::-1, ::-1]
+        if op == "rot90":
+            return np.rot90(arr)
+        return np.rot90(arr, 3)  # rot270
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "op": [], "out_w": [], "out_h": [],
+                "checksum": [], "png": [],
+            }
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(payload), fmt, int(w), int(h), deterministic_fake)
+                for op in op_list:
+                    t = np.ascontiguousarray(_apply(arr, op))
+                    png = I.encode(t, "png")
+                    dec = I.decode(png, "png").astype(np.int64)
+                    th, tw = dec.shape[:2]
+                    pos = np.arange(1, th * tw + 1, dtype=np.int64).reshape(th, tw)
+                    val = dec[:, :, 0] + 2 * dec[:, :, 1] + 3 * dec[:, :, 2]
+                    out["image_id"].append(image_id)
+                    out["op"].append(op)
+                    out["out_w"].append(tw)
+                    out["out_h"].append(th)
+                    out["checksum"].append(int((pos * val).sum()))
+                    out["png"].append(png)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, "image_id string, op string, out_w int, out_h int, checksum long, png binary"
+    )
