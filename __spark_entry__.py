@@ -878,6 +878,26 @@ def _q_shingle_count(spark, sf_dir):
     )
 
 
+def _q_frequent_tokens(spark, sf_dir):
+    """Provably-exact distributed heavy hitters (text/heavyhitters.
+    frequent_items): Misra-Gries candidate pass per task (bounded
+    memory, mergeable-summaries purge) + exact broadcast-semi-join
+    second pass — output is exactly the tokens with cnt*30 >= n_total,
+    an integer comparison with several tokens sitting just either side
+    of the boundary at this corpus. Capacity 30 < the corpus's 31
+    distinct tokens, so the purge path actually runs here. The oracle
+    is the straight SQL HAVING count the two-round plan must equal."""
+    from morituri_spark.text.heavyhitters import frequent_items
+    from morituri_spark.text.quality import _tokens
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(_tokens("text")).alias("token")
+    )
+    return frequent_items(toks, "token", 1, 30).select(
+        F.col("item").alias("token"), "cnt"
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     from morituri_spark.text.quality import token_count_ws
 
@@ -4544,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_density_tiles": _q_render_tiles,
         "dem_hillshade": _q_hillshade,
         "augment_checksums": _q_augment,
+        "frequent_tokens": _q_frequent_tokens,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -5086,6 +5107,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, LATERAL (
                 SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t
             GROUP BY doc_id
+        """,
+        "frequent_tokens": """
+            WITH t AS (
+              SELECT list_filter(regexp_split_to_array(lower(text),
+                  '[^a-zA-Zà-ÿÀ-ß'']+'), x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT unnest(toks) AS token FROM t),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok, tot GROUP BY token, n
+            HAVING count(*) * 30 >= n
         """,
         "token_counts": r"""
             SELECT doc_id,
