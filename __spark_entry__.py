@@ -2169,6 +2169,125 @@ def _q_hausdorff_pairs(spark, sf_dir):
     )
 
 
+def _q_dtw_pairs(spark, sf_dir):
+    """DTW track-similarity join (geo/similarity.dtw_join) — the order-
+    sensitive sibling of hausdorff_track_pairs over the SAME 40-track
+    fixture, truncated to 8 points per track (row_number both engines).
+    Candidates: every warping path pays the (first, first) cell, so
+    DTW <= 55 km forces first-point distance <= 55 km — one head-to-head
+    radius_join is a provable superset (all in-group head gaps are under
+    16 km; cross-group gaps are thousands). Refine: the O(min(n,m))-
+    memory anti-diagonal DP, per-cell arithmetic d + min(up, left,
+    upleft) with 6-dp pre-rounding — bit-identical to the oracle's 15
+    unrolled MATERIALIZED diagonal stages (rule 27). 55 km splits the 80
+    in-group pairs ~42/38, so the gate is value-discriminative."""
+    from morituri_spark.geo.similarity import dtw_join
+    from pyspark.sql import Window
+
+    pts = (
+        _read(spark, sf_dir, "events")
+        .where(F.expr(_HSEL))
+        .select(
+            F.expr(_HTID).alias("track_id"),
+            F.col("event_id").alias("seq"),
+            F.expr(_HLON).alias("lon"),
+            F.expr(_HLAT).alias("lat"),
+        )
+    )
+    w = Window.partitionBy("track_id").orderBy("seq")
+    pts8 = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+    return dtw_join(pts8, 55.0, id_col="track_id", seq_col="seq").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dtw_km",
+    )
+
+
+def _dtw_oracle_sql() -> str:
+    """15 unrolled anti-diagonal DP stages, each AS MATERIALIZED (rule
+    27: every stage references the previous two; inlining would re-read
+    the base scan exponentially). Cell arithmetic is the kernel's
+    d + least(predecessors); the 1e18 sentinel is never selected because
+    every non-origin cell has at least one real predecessor."""
+    hav = (
+        "floor((2 * 6371.0088 * asin(sqrt(least("
+        "power(sin(radians(b.lat - a.lat) / 2), 2)"
+        " + cos(radians(a.lat)) * cos(radians(b.lat))"
+        " * power(sin(radians(b.lon - a.lon) / 2), 2), 1.0))))"
+        " * 1e6 + 0.5 + 1e-8) / 1e6"
+    )
+    unions = " ".join(f"UNION ALL SELECT * FROM s{k}" for k in range(1, 15))
+    stages = []
+    for t in range(2, 15):
+        stages.append(f"""
+            s{t} AS MATERIALIZED (
+              SELECT d.ia, d.ib, d.i, {t} AS t,
+                     d.d + least(coalesce(up.cost, 1e18),
+                                 coalesce(lf.cost, 1e18),
+                                 coalesce(ul.cost, 1e18)) AS cost
+              FROM d
+              LEFT JOIN s{t - 1} up ON up.ia = d.ia AND up.ib = d.ib
+                                   AND up.i = d.i - 1
+              LEFT JOIN s{t - 1} lf ON lf.ia = d.ia AND lf.ib = d.ib
+                                   AND lf.i = d.i
+              LEFT JOIN s{t - 2} ul ON ul.ia = d.ia AND ul.ib = d.ib
+                                   AND ul.i = d.i - 1
+              WHERE d.i + d.j = {t})""")
+    return f"""
+        WITH pts AS MATERIALIZED (
+          SELECT tid, rn - 1 AS k, lon, lat FROM (
+            SELECT {_HTID} AS tid,
+                   row_number() OVER (PARTITION BY {_HTID}
+                                      ORDER BY event_id) AS rn,
+                   {_HLON} AS lon, {_HLAT} AS lat
+            FROM events WHERE {_HSEL}) t
+          WHERE rn <= 8),
+        pairs AS MATERIALIZED (
+          SELECT a.tid AS ia, b.tid AS ib
+          FROM (SELECT DISTINCT tid FROM pts) a
+          JOIN (SELECT DISTINCT tid FROM pts) b ON a.tid < b.tid),
+        d AS MATERIALIZED (
+          SELECT p.ia, p.ib, a.k AS i, b.k AS j, {hav} AS d
+          FROM pairs p
+          JOIN pts a ON a.tid = p.ia
+          JOIN pts b ON b.tid = p.ib),
+        lens AS MATERIALIZED (
+          SELECT tid, count(*) AS n FROM pts GROUP BY tid),
+        s0 AS MATERIALIZED (
+          SELECT ia, ib, i, 0 AS t, d AS cost FROM d WHERE i = 0 AND j = 0),
+        s1 AS MATERIALIZED (
+          SELECT d.ia, d.ib, d.i, 1 AS t,
+                 d.d + least(coalesce(up.cost, 1e18),
+                             coalesce(lf.cost, 1e18)) AS cost
+          FROM d
+          LEFT JOIN s0 up ON up.ia = d.ia AND up.ib = d.ib
+                         AND up.i = d.i - 1
+          LEFT JOIN s0 lf ON lf.ia = d.ia AND lf.ib = d.ib
+                         AND lf.i = d.i
+          WHERE d.i + d.j = 1),{",".join(stages)},
+        allcells AS (
+          SELECT * FROM s0 {unions}),
+        final AS (
+          -- the DP's terminal cell per pair is (n_a - 1, n_b - 1) on
+          -- diagonal n_a + n_b - 2: read it by LENGTH, not by a fixed
+          -- stage, so truncated tracks (tiny SFs yield < 8 points) land
+          -- on the same cell the kernel returns
+          SELECT c.ia, c.ib, c.cost
+          FROM allcells c
+          JOIN lens la ON la.tid = c.ia
+          JOIN lens lb ON lb.tid = c.ib
+          WHERE c.t = la.n + lb.n - 2 AND c.i = la.n - 1)
+        SELECT ia AS id_a, ib AS id_b,
+               floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 AS dtw_km
+        FROM final
+        WHERE floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 <= 55.0
+    """
+
+
 def _q_resample_track(spark, sf_dir):
     """Fixed-interval trajectory resampling (geo/trajectory.resample_track):
     every user's 29-day event trace interpolated to a daily grid anchored
@@ -4565,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_hillshade": _q_hillshade,
         "augment_checksums": _q_augment,
         "frequent_tokens": _q_frequent_tokens,
+        "dtw_track_pairs": _q_dtw_pairs,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -6167,6 +6287,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN core_lbl cl ON cl.id = p.id
             LEFT JOIN border bo ON bo.id = p.id
         """,
+        "dtw_track_pairs": _dtw_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -180,3 +180,144 @@ def hausdorff_join(
             yield pd.DataFrame({"id_a": ia, "id_b": ib, "hausdorff_km": hk})
 
     return paired.mapInPandas(_kernel, schema)
+
+
+# --- DTW (r5 tenth session) --------------------------------------------------
+
+
+def _dtw_cost(
+    alon: np.ndarray, alat: np.ndarray,
+    blon: np.ndarray, blat: np.ndarray,
+    band: int | None = None,
+) -> float:
+    """Sum-cost dynamic time warping over 6-dp-pre-rounded haversine km
+    (steps right/down/diagonal from (0,0) to (n-1,m-1)).
+
+    Processed by ANTI-DIAGONALS with only the last two diagonals kept:
+    O(n·m) compute but O(min(n, m)) memory — the distance matrix is never
+    materialized (each diagonal's distances are computed elementwise on
+    the fly), so a monster-track pair cannot blow a worker. Per cell the
+    arithmetic is exactly ``d + min(up, left, upleft)`` — one IEEE add of
+    the rounded distance to an exact min — so the value is bit-identical
+    to the sequential recurrence an SQL oracle unrolls (min order is
+    irrelevant: min never rounds). ``band`` is the Sakoe–Chiba constraint
+    |i−j| ≤ band (cells outside cost +inf); with band < |n−m| no path
+    exists and +inf is returned."""
+    n, m = len(alon), len(blon)
+    la, lb = np.radians(alat), np.radians(blat)
+    oa, ob = np.radians(alon), np.radians(blon)
+    prev1 = prev2 = None
+    s1 = s2 = 0
+    for t in range(n + m - 1):
+        i0, i1 = max(0, t - m + 1), min(n - 1, t)
+        ii = np.arange(i0, i1 + 1)
+        jj = t - ii
+        dlat = lb[jj] - la[ii]
+        dlon = ob[jj] - oa[ii]
+        h = np.sin(dlat / 2) ** 2 + np.cos(la[ii]) * np.cos(lb[jj]) * np.sin(dlon / 2) ** 2
+        d = _round6(2.0 * _R_KM * np.arcsin(np.sqrt(np.minimum(h, 1.0))))
+        if band is not None:
+            d = np.where(np.abs(ii - jj) <= band, d, np.inf)
+        if t == 0:
+            cur = d
+        else:
+            best = np.full(len(ii), np.inf)
+            for pv, st, need_i, need_j, di in (
+                (prev1, s1, True, False, 1),   # up: (i-1, j)
+                (prev1, s1, False, True, 0),   # left: (i, j-1)
+                (prev2, s2, True, True, 1),    # upleft: (i-1, j-1)
+            ):
+                if pv is None:
+                    continue
+                idx = ii - di - st
+                ok = (idx >= 0) & (idx < len(pv))
+                if need_i:
+                    ok &= ii - 1 >= 0
+                if need_j:
+                    ok &= jj - 1 >= 0
+                # NB: best[ok] is a fancy-index COPY — assign, don't out=
+                best[ok] = np.minimum(best[ok], pv[idx[ok]])
+            cur = d + best
+        prev2, s2 = prev1, s1
+        prev1, s1 = cur, i0
+    return float(prev1[-1])
+
+
+def dtw_join(
+    tracks: DataFrame,
+    max_cost_km: float,
+    id_col: str = "track_id",
+    seq_col: str = "seq",
+    res: int | None = None,
+    band: int | None = None,
+) -> DataFrame:
+    """Unordered track pairs (id_a < id_b, dtw_km) whose sum-cost DTW
+    distance is ≤ ``max_cost_km`` — the order-sensitive sibling of
+    :func:`hausdorff_join` (Hausdorff ignores traversal order; DTW aligns
+    the sequences monotonically, so a route driven backwards no longer
+    matches).
+
+    Candidate pairs: every warping path includes the (first, first) cell,
+    so DTW(A, B) ≤ θ forces d(A₁, B₁) ≤ θ — ONE first-point↔first-point
+    :func:`radius_join` at θ km is a provable candidate superset (cheaper
+    than hausdorff's anchor→all-points join). The refine kernel is the
+    O(min(n,m))-memory anti-diagonal DP of :func:`_dtw_cost`."""
+    arrs = track_arrays(tracks, id_col=id_col, seq_col=seq_col).localCheckpoint()
+
+    heads = arrs.select(
+        F.col(id_col),
+        F.element_at("lons", 1).alias("lon"),
+        F.element_at("lats", 1).alias("lat"),
+    )
+    cand = (
+        radius_join(
+            heads.select(F.col(id_col).alias("id_a"), "lon", "lat"),
+            heads.select(F.col(id_col).alias("id_b"), "lon", "lat"),
+            max_cost_km,
+            res=res,
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    a = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lons").alias("_alons"), F.col("lats").alias("_alats"),
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("lons").alias("_blons"), F.col("lats").alias("_blats"),
+    )
+    paired = cand.join(a, "id_a").join(b, "id_b")
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("dtw_km", DoubleType()),
+        ]
+    )
+    thr = float(max_cost_km)
+    bd = band
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ia, ib, ck = [], [], []
+            for ra, rb, al, aa, bl, ba in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_alons"], pdf["_alats"],
+                pdf["_blons"], pdf["_blats"],
+            ):
+                c = _dtw_cost(
+                    np.asarray(al, dtype=np.float64),
+                    np.asarray(aa, dtype=np.float64),
+                    np.asarray(bl, dtype=np.float64),
+                    np.asarray(ba, dtype=np.float64),
+                    band=bd,
+                )
+                c = float(_round6(np.float64(c)))
+                if c <= thr:
+                    ia.append(int(ra)); ib.append(int(rb)); ck.append(c)
+            yield pd.DataFrame({"id_a": ia, "id_b": ib, "dtw_km": ck})
+
+    return paired.mapInPandas(_kernel, schema)
