@@ -1135,6 +1135,136 @@ def main() -> None:
     pq_cand.unpersist()
     pq_q.unpersist()
 
+    # density-tile PNG rendering (r5 tenth session): 4M points → res-10
+    # pixel bins → 4096 res-6 tiles rendered through the real PNG codec.
+    # Points collapse at the first map-side-combinable aggregate; the
+    # render kernel is grid-bounded (≤256 structs per tile row), so this
+    # measures the two aggs + 4096 codec round-trips, not point volume.
+    from morituri_spark.geo.render import render_density_tiles
+
+    rt_pts = (
+        spark.range(4_000_000)
+        .select(
+            ((F.col("id") * 7919 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
+            ((F.col("id") * 104729 % 180000).cast("double") / 1000.0 - 90.0).alias("lat"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    rt_pts.count()
+    timed(
+        "render_tiles_4m_points",
+        lambda: render_density_tiles(rt_pts, tile_res=6, px_bits=4)
+        .agg(F.count(F.lit(1)), F.sum("decoded_sum"), F.bit_xor("px_checksum"))
+        .collect(),
+    )
+    rt_pts.unpersist()
+
+    # augmentation sweep (r5 tenth session): 6k real 16×16 PNGs × 6 exact
+    # pixel permutations, each re-encoded AND re-decoded through the real
+    # codec inside one scan-shaped kernel — 72k codec calls; the agg
+    # consumes checksum so the kernel isn't pruned (rule 18).
+    from morituri_spark.multimodal.ops import augment_images
+
+    def gen_aug(batches):
+        ys, xs = np.mgrid[0:16, 0:16]
+        from morituri_spark.sources import images as I
+
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["i"]:
+                i = int(i)
+                arr = np.empty((16, 16, 3), dtype=np.uint8)
+                arr[:, :, 0] = (i + 2 * ys + 3 * xs) % 256
+                arr[:, :, 1] = (2 * i + ys + 5 * xs) % 256
+                arr[:, :, 2] = (3 * i + 4 * ys + xs) % 256
+                rows["image_id"].append(f"img{i:08d}")
+                rows["bytes"].append(I.encode(arr, "png"))
+                rows["fmt"].append("png")
+                rows["w"].append(16)
+                rows["h"].append(16)
+            import pandas as _pd
+
+            yield _pd.DataFrame(rows)
+
+    aug_imgs = (
+        spark.range(6000)
+        .select(F.col("id").alias("i"))
+        .repartition(cpus)
+        .mapInPandas(gen_aug, "image_id string, bytes binary, fmt string, w int, h int")
+        .persist()
+    )
+    aug_imgs.count()
+    timed(
+        "augment_6k_images_6ops",
+        lambda: augment_images(aug_imgs)
+        .agg(F.count(F.lit(1)), F.sum("checksum")).collect(),
+    )
+    aug_imgs.unpersist()
+
+    # exact heavy hitters (r5 tenth session): 20M strings, 20 planted hot
+    # items over a ~2M-distinct tail; threshold 1/100. Pass A is the
+    # per-task Misra-Gries fold (bounded memory, ≤ capacity rows out per
+    # task); pass B re-scans and counts only broadcast-matched rows —
+    # candidate generation never shuffles the tail's 2M distinct keys.
+    from morituri_spark.text.heavyhitters import frequent_items
+
+    hh_df = (
+        spark.range(20_000_000)
+        .select(
+            F.when(
+                F.col("id") % 3 == 0, F.concat(F.lit("hot"), (F.col("id") % 20).cast("string"))
+            )
+            .otherwise(
+                F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(2_000_000)).cast("string"))
+            )
+            .alias("item")
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    hh_df.count()
+    timed(
+        "heavy_hitters_20m_rows",
+        lambda: frequent_items(hh_df, "item", 1, 100)
+        .agg(F.count(F.lit(1)), F.sum("cnt")).collect(),
+    )
+    hh_df.unpersist()
+
+    # DTW track-similarity join (r5 tenth session): 4k tracks × 24 points
+    # in 500 clusters of 8 → head-to-head radius candidates ≈ 14k pairs,
+    # each refined by the O(min(n,m))-memory anti-diagonal DP (47
+    # diagonals of vectorized cells per pair). The agg consumes dtw_km
+    # (rule 18).
+    from morituri_spark.geo.similarity import dtw_join
+
+    dtw_tracks = (
+        spark.range(96_000)
+        .select(
+            (F.col("id") % 4000).alias("track_id"),
+            F.col("id").alias("seq"),
+            (
+                ((F.col("id") % 4000) % 500 % 25).cast("double") * 14.0 - 170.0
+                + ((F.col("id") % 4000) * 131 % 97).cast("double") / 1000.0
+                + (F.col("id") * 61 % 181).cast("double") / 2000.0
+            ).alias("lon"),
+            (
+                ((F.col("id") % 4000) % 500 / 25).cast("int").cast("double") * 6.0 - 57.0
+                + ((F.col("id") % 4000) * 173 % 89).cast("double") / 1000.0
+                + (F.col("id") * 37 % 151).cast("double") / 2000.0
+            ).alias("lat"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    dtw_tracks.count()
+    timed(
+        "dtw_4k_tracks_24pts",
+        lambda: dtw_join(dtw_tracks, 60.0)
+        .agg(F.count(F.lit(1)), F.sum("dtw_km")).collect(),
+    )
+    dtw_tracks.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
