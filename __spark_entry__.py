@@ -4838,18 +4838,24 @@ _WINDOW = [
     # bfs_hop_distances + sssp_weighted_costs + k_core_membership),
     # track_motion_features and resample_tracks_daily (trajectory family
     # via trajectory_stay_points + position_at_instants).
-    "hausdorff_track_pairs", "spacetime_pairs", "zone_convex_hulls",
-    "od_matrix_flows", "contour_segments",
-    "ring_areas_spherical", "position_at_instants",
+    # tenth-session rotation: the five operators built this session are
+    # the freshest code in the repo and enter per the code-risk triage
+    # rule (color_histogram_dups already swapped in above). Released to
+    # make room — every one frozen, sweep-EQUAL, pytest-pinned, and
+    # replica-checked, with in-window siblings on its machinery:
+    # spacetime_pairs (cover join via hausdorff/dtw head candidates +
+    # the r4-green range_join_bands band key), position_at_instants
+    # (trajectory lerp twin of the resample fixtures; family in-window
+    # via trajectory_stay_points), dbscan_clusters (radius_join + the CC
+    # rounds that grid_density_clusters runs in-window), contour_segments
+    # (density-grid relation family via grid_density_clusters +
+    # idw_surface_cells), od_matrix_flows (its PIP pass runs in-window
+    # via segment_zone_lengths; endpoint min_by/max_by is pytest-pinned).
+    "render_density_tiles", "dem_hillshade", "augment_checksums",
+    "frequent_tokens", "dtw_track_pairs",
+    "hausdorff_track_pairs", "zone_convex_hulls",
+    "ring_areas_spherical",
     "segment_intersections",
-    # never driver-checked: fifth-session survivors (geohash_pyramid and
-    # hilbert_keys released in the ninth-session rotation: geohash is
-    # quadkey_pyramid's base32 twin on the same floor+bit cell family,
-    # hilbert is spatial_layout_bbox's write-path twin; radius_pairs
-    # released too — dbscan_clusters composes the same radius_join plus
-    # the CC machinery, so it is the stronger single check — all frozen,
-    # pytest-golden-pinned, and replica-checked)
-    "dbscan_clusters",
     # never driver-checked: earlier r5 sessions. Ninth-session releases
     # (same evidence class as above): duplicate_span_ratio (decontam
     # family via decontaminate_benchmark; partitioned-window-count
