@@ -1255,6 +1255,146 @@ def _q_snap_segments(spark, sf_dir):
     )
 
 
+# `floor(x / k)` instead of `//`: Spark SQL has no `//` operator, and
+# int/int `/` is exact float division in BOTH engines at these magnitudes
+_HMM_S = "CAST(floor(event_id / 20) AS BIGINT)"
+_HMM_PX = (
+    "CAST(2 * (event_id % 20) AS DOUBLE)"
+    f" + CAST({_HMM_S} AS DOUBLE) / CAST(10 AS DOUBLE)"
+    f" + CAST(((event_id % 20) * 7 + {_HMM_S} * 13) % 10 AS DOUBLE)"
+    " / CAST(100 AS DOUBLE)"
+)
+_HMM_PY = (
+    f"CAST(6 * {_HMM_S} AS DOUBLE) / CAST(10 AS DOUBLE)"
+    f" + CAST(((event_id % 20) * 3 + {_HMM_S} * 5) % 7 AS DOUBLE)"
+    " / CAST(100 AS DOUBLE)"
+)
+_HMM_AX = (
+    "CAST(2 * CAST(floor(event_id / 3) AS BIGINT) AS DOUBLE)"
+    " + CAST(6 * (event_id % 3) AS DOUBLE) / CAST(100 AS DOUBLE)"
+    " - CAST(6 AS DOUBLE) / CAST(100 AS DOUBLE)"
+)
+_HMM_LAM = 20_000_000
+
+
+def _q_hmm_match(spark, sf_dir):
+    """HMM map-matching (geo/matching.hmm_map_match): the Newson–Krumm
+    composition over the engine's own pieces — snap CANDIDATES (cell
+    equi-join, exact recall) feed operators/viterbi.viterbi_costs with
+    the uniform switch model (stay 0, change λ — no S×S matrix, so the
+    state space can be the whole street network). 20 tracks × 6 steps
+    drift across each column's 3 near-parallel segments, so independent
+    snapping zig-zags while the coherent path pays switches only when
+    emissions beat λ = 0.02°. Emissions are the snap oracle's exact
+    nano-degree integers; the oracle unrolls 6 forward + 6 backtrack
+    MATERIALIZED DP stages with the kernel's tie rules (final: min
+    (cost, state); predecessor: min achieving state id)."""
+    from morituri_spark.geo.matching import hmm_map_match
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.where("event_id < 120").select(
+        (F.col("event_id") % 20).alias("track_id"),
+        (F.col("event_id") / 20).cast("long").alias("seq"),
+        F.col("event_id").alias("point_id"),
+        F.expr(_HMM_PX).alias("lon"),
+        F.expr(_HMM_PY).alias("lat"),
+    )
+    segs = ev.where("event_id < 60").select(
+        F.col("event_id").alias("seg_id"),
+        F.expr(_HMM_AX).alias("ax"),
+        F.lit(0.0).alias("ay"),
+        (F.expr(_HMM_AX) + F.lit(0.15)).alias("bx"),
+        F.lit(3.2).alias("by"),
+    )
+    return hmm_map_match(
+        pts, segs, radius=0.6, cell_deg=1.0, switch_cost_nano=_HMM_LAM
+    )
+
+
+def _hmm_oracle_sql(n_steps: int = 6) -> str:
+    """Brute-force candidates (the snap oracle's clamped-projection CTE
+    chain, nano-integer emissions) + the viterbi oracle's unrolled
+    forward/backtrack stages with the uniform switch CASE in place of
+    the dense transition table (rule 27: all stages MATERIALIZED)."""
+    lam = _HMM_LAM
+    parts = [f"""
+        WITH p AS MATERIALIZED (
+            SELECT event_id % 20 AS tid, CAST(floor(event_id / 20) AS BIGINT) AS s,
+                   event_id AS pid, {_HMM_PX} AS px, {_HMM_PY} AS py
+            FROM events WHERE event_id < 120),
+        sg AS MATERIALIZED (
+            SELECT event_id AS seg, {_HMM_AX} AS ax,
+                   CAST(0.0 AS DOUBLE) AS ay,
+                   ({_HMM_AX}) + 0.15 AS bx, CAST(3.2 AS DOUBLE) AS by
+            FROM events WHERE event_id < 60),
+        d0 AS (
+            SELECT tid, s, pid, seg, px, py, ax, ay,
+                   bx - ax AS dx, by - ay AS dy
+            FROM p, sg),
+        l0 AS (SELECT *, dx * dx + dy * dy AS len2 FROM d0),
+        t0 AS (
+            SELECT tid, s, pid, seg, px, py, ax, ay, dx, dy,
+                   CASE WHEN len2 = 0.0 THEN 0.0
+                        ELSE least(greatest(
+                            ((px - ax) * dx + (py - ay) * dy) / len2,
+                            0.0), 1.0) END AS tt
+            FROM l0),
+        e0 AS (
+            SELECT tid, s, pid, seg,
+                   px - (ax + tt * dx) AS ex, py - (ay + tt * dy) AS ey
+            FROM t0),
+        cand AS MATERIALIZED (
+            SELECT tid, s, pid, seg,
+                   floor(sqrt(ex * ex + ey * ey) * 1e9 + 0.5 + 1e-8) / 1e9
+                       AS dist,
+                   CAST(floor(sqrt(ex * ex + ey * ey) * 1e9 + 0.5 + 1e-8)
+                        AS BIGINT) AS e
+            FROM e0
+            WHERE floor(sqrt(ex * ex + ey * ey) * 1e9 + 0.5 + 1e-8) / 1e9
+                  <= 0.6),
+        v0 AS MATERIALIZED (
+            SELECT tid, seg, e AS cost FROM cand WHERE s = 0)"""]
+    for t in range(1, n_steps):
+        parts.append(f""",
+        v{t} AS MATERIALIZED (
+            SELECT c.tid, c.seg,
+                   min(pv.cost
+                       + CASE WHEN pv.seg = c.seg THEN 0 ELSE {lam} END
+                       + c.e) AS cost
+            FROM v{t - 1} pv
+            JOIN cand c ON c.tid = pv.tid AND c.s = {t}
+            GROUP BY c.tid, c.seg)""")
+    last = n_steps - 1
+    parts.append(f""",
+        b{last} AS MATERIALIZED (
+            SELECT tid, seg, cost FROM (
+                SELECT tid, seg, cost, row_number() OVER (
+                    PARTITION BY tid ORDER BY cost, seg) AS rn
+                FROM v{last}) WHERE rn = 1)""")
+    for t in range(last - 1, -1, -1):
+        parts.append(f""",
+        b{t} AS MATERIALIZED (
+            SELECT tid, seg, cost FROM (
+                SELECT pv.tid, pv.seg, pv.cost, row_number() OVER (
+                    PARTITION BY pv.tid ORDER BY pv.seg) AS rn
+                FROM v{t} pv
+                JOIN b{t + 1} nb ON nb.tid = pv.tid
+                JOIN cand c ON c.tid = pv.tid AND c.s = {t + 1}
+                           AND c.seg = nb.seg
+                WHERE pv.cost
+                      + CASE WHEN pv.seg = nb.seg THEN 0 ELSE {lam} END
+                      = nb.cost - c.e) WHERE rn = 1)""")
+    picks = " UNION ALL ".join(
+        f"SELECT tid, {t} AS s, seg, cost FROM b{t}" for t in range(n_steps)
+    )
+    parts.append(f"""
+        SELECT pk.tid AS track_id, pk.s AS seq, c.pid AS point_id,
+               pk.seg AS seg_id, c.dist AS dist, pk.cost AS cost
+        FROM ({picks}) pk
+        JOIN cand c ON c.tid = pk.tid AND c.s = pk.s AND c.seg = pk.seg""")
+    return "".join(parts)
+
+
 def _q_grid_clusters(spark, sf_dir):
     """Grid-density clustering (geo/clustering.grid_clusters — DBSCAN
     over cells): the dwell-shaped trace synth puts each 1500-id block in
@@ -4685,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_checksums": _q_augment,
         "frequent_tokens": _q_frequent_tokens,
         "dtw_track_pairs": _q_dtw_pairs,
+        "hmm_map_match": _q_hmm_match,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -4853,6 +4994,10 @@ _WINDOW = [
     # via segment_zone_lengths; endpoint min_by/max_by is pytest-pinned).
     "render_density_tiles", "dem_hillshade", "augment_checksums",
     "frequent_tokens", "dtw_track_pairs",
+    # (hmm_map_match enters too — adaptive_assign_rollup released: its
+    # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
+    # the strongest sibling possible)
+    "hmm_map_match",
     "hausdorff_track_pairs", "zone_convex_hulls",
     "ring_areas_spherical",
     "segment_intersections",
@@ -4907,7 +5052,7 @@ _WINDOW = [
     # r3-stale-but-green rotations zsplit_golden_vectors +
     # streaming_first_seen — both frozen code with pytest goldens and r3
     # EQUAL rows — plus the four sibling-covered releases noted above)
-    "bm25_doc_retrieval", "local_morans_lisa", "adaptive_assign_rollup",
+    "bm25_doc_retrieval", "local_morans_lisa",
     "image_quality_gates", "ripley_k_curve", "bfs_hop_distances",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
@@ -6788,6 +6933,7 @@ def oracle_sql() -> dict[str, str]:
             FROM loc, g
             WHERE ncells * s2 - s1 * s1 > 0
         """,
+        "hmm_map_match": _hmm_oracle_sql(),
         "snap_points_to_segments": f"""
             WITH p AS (
                 SELECT event_id AS point_id, {_GLON} AS px, {_GLAT} AS py

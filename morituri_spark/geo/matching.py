@@ -51,9 +51,13 @@ def snap_to_segments(
     point_id: str = "point_id",
     seg_id: str = "seg_id",
     max_cells_per_segment: int = 4096,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """→ (point_id, seg_id, dist) — each point's nearest segment within
-    ``radius`` (scaled degrees), ties to the smallest segment id.
+    ``radius`` (scaled degrees), ties to the smallest segment id. With
+    ``return_candidates`` the pre-argmin candidate relation is returned
+    instead — (point_id, seg_id, dist, dist_nano) for every in-radius
+    pair — the shared input of :func:`hmm_map_match`.
 
     ``points``: (point_id, lon, lat); ``segments``: (seg_id, ax, ay, bx,
     by) segment endpoints in degrees. ``cell_deg`` is the candidate grid
@@ -136,7 +140,21 @@ def snap_to_segments(
         point_id, seg_id,
         F.expr(_ROUND.format(
             x="sqrt(_ex * _ex + _ey * _ey)")).alias("dist"),
+        F.expr(
+            "CAST(floor(sqrt(_ex * _ex + _ey * _ey) * 1e9 + 0.5 + 1e-8)"
+            " AS BIGINT)"
+        ).alias("dist_nano"),
     ).where(F.col("dist") <= r)
+
+    if return_candidates:
+        # a pair can meet through several cover cells — harmless under
+        # the argmin below, but a trellis must see each (point, segment)
+        # candidate ONCE: dedup through the hash aggregate (rule 21);
+        # dist is a pure function of the pair so min == the value
+        return cand.groupBy(point_id, seg_id).agg(
+            F.min("dist").alias("dist"),
+            F.min("dist_nano").alias("dist_nano"),
+        )
 
     # --- argmin: one partial agg ----------------------------------------
     best = (
@@ -145,3 +163,77 @@ def snap_to_segments(
         .select(point_id, F.col(f"_b.{seg_id}").alias(seg_id), F.col("_b.dist").alias("dist"))
     )
     return best
+
+
+def hmm_map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    cell_deg: float,
+    switch_cost_nano: int,
+    cos_lat: float = 1.0,
+    track_col: str = "track_id",
+    seq_col: str = "seq",
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    max_cells_per_segment: int = 4096,
+) -> DataFrame:
+    """→ (track_id, seq, point_id, seg_id, dist, cost): HMM map-matching —
+    each point assigned the segment on the min-cost COHERENT path through
+    its track, where :func:`snap_to_segments` would pick each point's
+    nearest segment independently (and zig-zag at every parallel road).
+
+    The classic composition (Newson–Krumm shape, integerized): emission
+    cost = the snap candidate's distance in exact nano-degree units
+    (``dist_nano`` — the same rule-16 quantity the snap oracle replays);
+    transition = the uniform switch model (stay 0, change
+    ``switch_cost_nano``), which needs no S×S matrix so the state space
+    can be the whole street network. Decoding is
+    :func:`morituri_spark.operators.viterbi.viterbi_costs`: ONE shuffle
+    keyed by track, the DP vectorized per sequence in exact int64.
+
+    ``points`` must carry (track_col, seq_col, point_id, lon, lat);
+    a point with no candidate inside ``radius`` is a gap — the DP chains
+    its neighbors directly (documented in viterbi_costs). Scale shape:
+    candidates from the same cell equi-join as snap (never all-pairs);
+    the only additions are one point-keyed join to recover track/seq and
+    the track-keyed viterbi exchange."""
+    cands = snap_to_segments(
+        points, segments, radius, cell_deg,
+        cos_lat=cos_lat, point_id=point_id, seg_id=seg_id,
+        max_cells_per_segment=max_cells_per_segment,
+        return_candidates=True,
+    )
+    keyed = cands.join(
+        points.select(point_id, track_col, seq_col), point_id
+    )
+    from ..operators.viterbi import viterbi_costs
+
+    emissions = keyed.select(
+        F.col(track_col).cast("long").alias("key"),
+        F.col(seq_col).cast("long").alias("step"),
+        F.col(seg_id).cast("long").alias("state"),
+        F.col("dist_nano").alias("e_cost"),
+    )
+    path = viterbi_costs(emissions, switch_cost=int(switch_cost_nano)).where(
+        F.col("on_path")
+    )
+    return (
+        path.join(
+            keyed.select(
+                F.col(track_col).cast("long").alias("key"),
+                F.col(seq_col).cast("long").alias("step"),
+                F.col(seg_id).cast("long").alias("state"),
+                point_id, "dist",
+            ),
+            ["key", "step", "state"],
+        )
+        .select(
+            F.col("key").alias(track_col),
+            F.col("step").alias(seq_col),
+            point_id,
+            F.col("state").alias(seg_id),
+            "dist",
+            "cost",
+        )
+    )
