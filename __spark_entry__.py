@@ -499,6 +499,28 @@ def _q_value_quantiles(spark, sf_dir):
     )
 
 
+def _q_quantiles_nosort(spark, sf_dir):
+    """Sort-free exact quantiles (operators/quantiles.exact_quantiles):
+    iterative histogram refinement — per round ONE map-side-combinable
+    (quantile, bucket) count aggregate (kilobytes to the driver), ≤
+    ceil(log_4096(domain)) + 2 rounds, NO shuffle of data rows ever —
+    where value_quantiles' percentile() buffers whole groups and a
+    sort-based rank would range-shuffle the entire table. Type-1
+    semantics: smallest value with cumulative count ≥ ceil(q·n), the
+    rank computed in IEEE double from the same literal q both engines
+    parse (0.01·n can sit one ulp above an integer; both engines then
+    ceil identically). The oracle is an independent full sort +
+    row_number rank lookup."""
+    from morituri_spark.operators.quantiles import exact_quantiles_df
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm")
+    )
+    return exact_quantiles_df(ev, "vm", [0.01, 0.25, 0.5, 0.9, 0.99])
+
+
 def _q_cube_rollup(spark, sf_dir):
     """Multi-dimensional CUBE aggregate (type × day incl. margins); grouping
     nulls are coalesced to sentinels on both sides for the value compare."""
@@ -4826,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": _q_frequent_tokens,
         "dtw_track_pairs": _q_dtw_pairs,
         "hmm_map_match": _q_hmm_match,
+        "quantiles_nosort": _q_quantiles_nosort,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -4996,8 +5019,11 @@ _WINDOW = [
     "frequent_tokens", "dtw_track_pairs",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
-    # the strongest sibling possible)
-    "hmm_map_match",
+    # the strongest sibling possible. quantiles_nosort enters releasing
+    # emerging_hotspots: its Mann-Kendall stage shares the space-time
+    # cube with in-window theil_sen_trends, its Gi* stage runs in-window
+    # via gi_star_hotspots + local_morans_lisa.)
+    "hmm_map_match", "quantiles_nosort",
     "hausdorff_track_pairs", "zone_convex_hulls",
     "ring_areas_spherical",
     "segment_intersections",
@@ -5032,7 +5058,7 @@ _WINDOW = [
     # sessionize_gap, r4-fresh; pricing_summary, code-frozen since r2; and
     # ring_areas_shoelace, whose shoelace machinery the in-window
     # ring_areas_spherical + ring_centroids exercise more deeply)
-    "gi_star_hotspots", "emerging_hotspots", "weighted_topk_sample",
+    "gi_star_hotspots", "weighted_topk_sample",
     # (units_format_6g released for this one: the formatter family stays
     # represented by string_merge_lr and both carry pytest goldens on
     # frozen code)
@@ -6934,6 +6960,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE ncells * s2 - s1 * s1 > 0
         """,
         "hmm_map_match": _hmm_oracle_sql(),
+        # quantiles_nosort: independent full-sort rank oracle; the rank
+        # expression ceil(q * n) is evaluated in IEEE double in BOTH
+        # engines from the same literals (see the query docstring)
+        "quantiles_nosort": """
+            WITH v AS (
+              SELECT CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                     AS vm
+              FROM events),
+            tot AS (SELECT count(*) AS n FROM v),
+            qs AS (
+              SELECT CAST(unnest([0.01, 0.25, 0.5, 0.9, 0.99]) AS DOUBLE)
+                     AS q),
+            ranks AS (
+              SELECT q, CAST(ceil(q * n) AS BIGINT) AS k FROM qs, tot),
+            srt AS (
+              SELECT vm, row_number() OVER (ORDER BY vm) AS rn FROM v)
+            SELECT r.q AS q, s.vm AS value
+            FROM ranks r JOIN srt s ON s.rn = r.k
+        """,
         "snap_points_to_segments": f"""
             WITH p AS (
                 SELECT event_id AS point_id, {_GLON} AS px, {_GLAT} AS py

@@ -1265,6 +1265,59 @@ def main() -> None:
     )
     dtw_tracks.unpersist()
 
+    # HMM map-matching (r5 tenth session): 20k tracks × 12 steps over 30k
+    # segments — snap candidates through the cell equi-join, then one
+    # track-keyed viterbi exchange; the DP is vectorized int64 per track.
+    from morituri_spark.geo.matching import hmm_map_match
+
+    hmm_pts = (
+        spark.range(240_000)
+        .select(
+            (F.col("id") % 20000).alias("track_id"),
+            F.floor(F.col("id") / 20000).cast("long").alias("seq"),
+            F.col("id").alias("point_id"),
+            (
+                ((F.col("id") % 20000) % 200).cast("double") * 1.5 - 150.0
+                + F.floor(F.col("id") / 20000).cast("double") * 0.02
+                + ((F.col("id") * 7) % 10).cast("double") / 1000.0
+            ).alias("lon"),
+            (
+                F.floor((F.col("id") % 20000) / 200).cast("double") * 1.1 - 55.0
+                + F.floor(F.col("id") / 20000).cast("double") * 0.015
+                + ((F.col("id") * 13) % 7).cast("double") / 1000.0
+            ).alias("lat"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    hmm_pts.count()
+    hmm_segs = (
+        spark.range(30_000)
+        .select(
+            F.col("id").alias("seg_id"),
+            (
+                (F.col("id") % 200).cast("double") * 1.5 - 150.0
+                + ((F.col("id") * 31) % 3).cast("double") * 0.04 - 0.04
+            ).alias("ax"),
+            (F.floor(F.col("id") / 200).cast("double") % 100 * 1.1 - 55.0).alias("ay"),
+        )
+        .select(
+            "seg_id", "ax", "ay",
+            (F.col("ax") + 0.05).alias("bx"), (F.col("ay") + 0.4).alias("by"),
+        )
+        .persist()
+    )
+    hmm_segs.count()
+    timed(
+        "hmm_map_match_20k_tracks",
+        lambda: hmm_map_match(
+            hmm_pts, hmm_segs, radius=0.5, cell_deg=1.0,
+            switch_cost_nano=50_000_000,
+        ).agg(F.count(F.lit(1)), F.sum("dist"), F.sum("cost")).collect(),
+    )
+    hmm_pts.unpersist()
+    hmm_segs.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
