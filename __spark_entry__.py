@@ -499,6 +499,37 @@ def _q_value_quantiles(spark, sf_dir):
     )
 
 
+def _q_diff_tables(spark, sf_dir):
+    """Merkle-style table reconciliation (io/reconcile.diff_tables — the
+    lineage/resume audit primitive): events vs a closed-form mutation of
+    itself (drop every 131st key, +1.0 the value of every 97th, append
+    every 211th under a shifted key). Per-bucket fingerprints (count +
+    bit_xor + masked 31-bit sum, ONE map-side-combinable aggregate per
+    side) prove equal buckets equal; only differing buckets re-scan into
+    the row-level anti-joins — shuffle O(diff + buckets), never
+    O(table). The oracle is an INDEPENDENT full outer join with IS
+    DISTINCT FROM, so a green row proves the bucket routing lost
+    nothing."""
+    from morituri_spark.io.reconcile import diff_tables
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    b = ev.where("event_id % 131 <> 5").select(
+        "event_id",
+        F.when(F.expr("event_id % 97 = 3"), F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "event_type",
+    ).unionByName(
+        ev.where("event_id % 211 = 7").select(
+            (F.col("event_id") + 10000000).alias("event_id"),
+            "value", "event_type",
+        )
+    )
+    return diff_tables(ev, b, ["event_id"])
+
+
 def _q_quantiles_nosort(spark, sf_dir):
     """Sort-free exact quantiles (operators/quantiles.exact_quantiles):
     iterative histogram refinement — per round ONE map-side-combinable
@@ -4849,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_track_pairs": _q_dtw_pairs,
         "hmm_map_match": _q_hmm_match,
         "quantiles_nosort": _q_quantiles_nosort,
+        "table_diff_audit": _q_diff_tables,
         "color_histogram_dups": _q_color_hist_dups,
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
@@ -5023,7 +5055,10 @@ _WINDOW = [
     # emerging_hotspots: its Mann-Kendall stage shares the space-time
     # cube with in-window theil_sen_trends, its Gi* stage runs in-window
     # via gi_star_hotspots + local_morans_lisa.)
-    "hmm_map_match", "quantiles_nosort",
+    # (table_diff_audit enters releasing ripley_k_curve: the K-curve is
+    # ONE radius_join — recall driver-proven in-window via the hausdorff/
+    # dtw/snap candidate joins — plus frozen pytest-pinned aggregation.)
+    "hmm_map_match", "quantiles_nosort", "table_diff_audit",
     "hausdorff_track_pairs", "zone_convex_hulls",
     "ring_areas_spherical",
     "segment_intersections",
@@ -5079,7 +5114,7 @@ _WINDOW = [
     # streaming_first_seen — both frozen code with pytest goldens and r3
     # EQUAL rows — plus the four sibling-covered releases noted above)
     "bm25_doc_retrieval", "local_morans_lisa",
-    "image_quality_gates", "ripley_k_curve", "bfs_hop_distances",
+    "image_quality_gates", "bfs_hop_distances",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
     "sssp_weighted_costs", "triangle_counts", "lm_perplexity_scores",
@@ -6960,6 +6995,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ncells * s2 - s1 * s1 > 0
         """,
         "hmm_map_match": _hmm_oracle_sql(),
+        "table_diff_audit": """
+            WITH a AS (SELECT event_id, value, event_type FROM events),
+            b AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 97 = 3 THEN value + 1.0
+                          ELSE value END AS value,
+                     event_type
+              FROM events WHERE event_id % 131 <> 5
+              UNION ALL
+              SELECT event_id + 10000000, value, event_type
+              FROM events WHERE event_id % 211 = 7),
+            j AS (
+              SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                     CASE WHEN a.event_id IS NULL THEN 'b_only'
+                          WHEN b.event_id IS NULL THEN 'a_only'
+                          WHEN (a.value IS DISTINCT FROM b.value)
+                            OR (a.event_type IS DISTINCT FROM b.event_type)
+                          THEN 'differs' END AS status
+              FROM a FULL JOIN b ON a.event_id = b.event_id)
+            SELECT event_id, status FROM j WHERE status IS NOT NULL
+        """,
         # quantiles_nosort: independent full-sort rank oracle; the rank
         # expression ceil(q * n) is evaluated in IEEE double in BOTH
         # engines from the same literals (see the query docstring)
