@@ -1318,6 +1318,68 @@ def main() -> None:
     hmm_pts.unpersist()
     hmm_segs.unpersist()
 
+    # sort-free exact quantiles (r5 tenth session) vs the buffering
+    # percentile() control: 20M longs over a 2^40 domain. The refinement
+    # path is ~4 rounds of one tiny (q, bucket) aggregate; the control
+    # collects all values into ONE aggregation buffer (fine at 20M on one
+    # box — the pair documents the shapes, the 10^12 argument is that the
+    # control's buffer and the sort-rank's shuffle do not exist here).
+    from morituri_spark.operators.quantiles import exact_quantiles
+
+    qn_df = (
+        spark.range(20_000_000)
+        .select(((F.col("id") * 2654435761) % 1099511627776).alias("v"))
+        .repartition(cpus * 2)
+        .persist()
+    )
+    qn_df.count()
+    timed(
+        "quantiles_nosort_20m",
+        lambda: exact_quantiles(qn_df, "v", [0.01, 0.25, 0.5, 0.9, 0.99]),
+    )
+    timed(
+        "quantiles_percentile_control_20m",
+        lambda: qn_df.agg(
+            F.expr("percentile(v, array(0.01D, 0.25D, 0.5D, 0.9D, 0.99D))")
+        ).collect(),
+    )
+
+    # Merkle table diff (r5 tenth session) vs the full-join control: two
+    # 20M-row tables differing in ~34k rows. Bucket count must exceed the
+    # diff count (every diff dirties a bucket, and dirty buckets rescan):
+    # at the 4096 default here EVERY bucket dirties and the sketch
+    # degenerates to a worse full join (measured 9.1s vs 3.7s at 2M) —
+    # 1M buckets keeps the rescan to ~3% of rows. Summaries stay tiny
+    # (1M rows per side).
+    from morituri_spark.io.reconcile import diff_tables
+
+    ta = qn_df.select(
+        F.col("v").alias("k"),
+        (F.col("v") % 1000).alias("x"),
+    ).persist()
+    ta.count()
+    tb = ta.where("k % 1753 <> 5").select(
+        "k",
+        F.when(F.col("k") % 877 == 3, F.col("x") + 1).otherwise(F.col("x")).alias("x"),
+    ).persist()
+    tb.count()
+    timed(
+        "table_diff_20m_sketch",
+        lambda: diff_tables(ta, tb, ["k"], n_buckets=1_000_000).count(),
+    )
+    timed(
+        "table_diff_20m_fulljoin_control",
+        lambda: ta.alias("a").join(tb.alias("b"), "k", "full")
+        .where(
+            F.col("a.x").isNull() | F.col("b.x").isNull()
+            | (F.col("a.x") != F.col("b.x"))
+        )
+        .count(),
+    )
+    ta.unpersist()
+    tb.unpersist()
+    qn_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",

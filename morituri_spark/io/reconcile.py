@@ -26,6 +26,17 @@ nothing.
 Keys must be unique per side (the lineage/primary-key contract);
 signature equality is 95-bit-collision-exact, documented like the
 content-hash dedup family.
+
+Bucket sizing: every differing row dirties its bucket and dirty buckets
+rescan, so ``n_buckets`` must comfortably exceed the EXPECTED diff count
+(~30× keeps the rescan to a few %) while staying well under the row
+count (or the summaries degenerate into the full join they replace).
+The 4096 default fits the audit case — "probably identical, a handful
+of diffs"; raise it toward rows/20 when large diffs are plausible. Like
+every routing sketch in the engine (rule 20), it has a regime: below
+~table-scale memory the plain full join WINS locally (measured 3.7s vs
+9.1s at 2M rows) — the sketch buys its keep when the join's shuffle is
+the bottleneck, i.e. at cluster scale.
 """
 
 from __future__ import annotations
