@@ -61,6 +61,15 @@ def exact_quantiles(
     n, glo, ghi = head["n"], head["lo"], head["hi"]
     if n == 0:
         raise ValueError("exact_quantiles: empty input")
+    if ghi - glo > (1 << 63) - 2:
+        # the bucket expression computes v - lo in int64 (ANSI): a span
+        # past 2^63-1 overflows it. No quantized physical metric needs
+        # the FULL int64 range; callers that do can split by sign and
+        # merge ranks.
+        raise ValueError(
+            f"exact_quantiles: value span [{glo}, {ghi}] exceeds 2^63-1; "
+            "split the domain (e.g. by sign) and merge ranks"
+        )
 
     # state per quantile: [lo, hi] bounds on the answer + ranks already
     # accounted below lo
@@ -102,8 +111,11 @@ def exact_quantiles(
             .where((F.col("v") >= F.col("r.lo")) & (F.col("v") <= F.col("r.hi")))
             .groupBy(
                 F.col("r.qi").alias("qi"),
-                ((F.col("v") - F.col("r.lo")) / F.col("r.w"))
-                .cast("long").alias("b"),
+                # integer `div`, NOT `/`: long / long is DOUBLE division
+                # in Spark, and truncating its quotient mis-buckets once
+                # the span passes 2^53 — the driver's exact-int bucket
+                # math would then disagree with the counts
+                F.expr("(v - r.lo) div r.w").alias("b"),
             )
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()

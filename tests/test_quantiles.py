@@ -57,3 +57,19 @@ def test_df_form_and_guards(spark):
         exact_quantiles(
             spark.createDataFrame([], "v long"), "v", [0.5]
         )
+
+
+def test_huge_domain_past_2_53(spark):
+    # spans past 2^53 (double-division bucketing would mis-bucket) but
+    # inside the int64-span contract
+    values = [
+        -(2**61), -(2**60) - 7, -1, 0, 1, 2**52 + 1, 2**61, 2**61 + 3,
+    ] * 5
+    got = exact_quantiles(_df(spark, values), "v", QS)
+    assert got == _ref(values, QS)
+
+
+def test_full_int64_span_guarded(spark):
+    values = [-(2**62) - 5, 2**62 + 5]
+    with pytest.raises(ValueError, match="span"):
+        exact_quantiles(_df(spark, values), "v", [0.5])
