@@ -1265,25 +1265,26 @@ def main() -> None:
     )
     dtw_tracks.unpersist()
 
-    # HMM map-matching (r5 tenth session): 20k tracks × 12 steps over 30k
+    # HMM map-matching (r5 tenth session): 10k tracks × 12 steps over 30k
     # segments — snap candidates through the cell equi-join, then one
-    # track-keyed viterbi exchange; the DP is vectorized int64 per track.
+    # track-keyed viterbi exchange; the DP is vectorized int64 per track
+    # (cost is applyInPandas group overhead × tracks, not points).
     from morituri_spark.geo.matching import hmm_map_match
 
     hmm_pts = (
-        spark.range(240_000)
+        spark.range(120_000)
         .select(
-            (F.col("id") % 20000).alias("track_id"),
-            F.floor(F.col("id") / 20000).cast("long").alias("seq"),
+            (F.col("id") % 10000).alias("track_id"),
+            F.floor(F.col("id") / 10000).cast("long").alias("seq"),
             F.col("id").alias("point_id"),
             (
-                ((F.col("id") % 20000) % 200).cast("double") * 1.5 - 150.0
-                + F.floor(F.col("id") / 20000).cast("double") * 0.02
+                ((F.col("id") % 10000) % 200).cast("double") * 1.5 - 150.0
+                + F.floor(F.col("id") / 10000).cast("double") * 0.02
                 + ((F.col("id") * 7) % 10).cast("double") / 1000.0
             ).alias("lon"),
             (
-                F.floor((F.col("id") % 20000) / 200).cast("double") * 1.1 - 55.0
-                + F.floor(F.col("id") / 20000).cast("double") * 0.015
+                F.floor((F.col("id") % 10000) / 200).cast("double") * 1.1 - 55.0
+                + F.floor(F.col("id") / 10000).cast("double") * 0.015
                 + ((F.col("id") * 13) % 7).cast("double") / 1000.0
             ).alias("lat"),
         )
@@ -1309,7 +1310,7 @@ def main() -> None:
     )
     hmm_segs.count()
     timed(
-        "hmm_map_match_20k_tracks",
+        "hmm_map_match_10k_tracks",
         lambda: hmm_map_match(
             hmm_pts, hmm_segs, radius=0.5, cell_deg=1.0,
             switch_cost_nano=50_000_000,
