@@ -4788,6 +4788,170 @@ def _pq_oracle_sql() -> str:
     """
 
 
+def _q_dissolve(spark, sf_dir):
+    """Polygon dissolve (geo/dissolve.py dissolve_stats): merge-by-
+    attribute over a topologically clean tessellation via shared-edge
+    cancellation — interior edges appear in exactly two member rings and
+    cancel in ONE map-side-combinable groupBy; no geometry library, no
+    pairwise unions. The synth is a 24×16 unit-square grid (built in pure
+    Catalyst from event ids) dissolved into four 12×8 blocks, with ONE
+    planted duplicate cell (event 384 re-emits cell (0,0)) so the
+    non-manifold surfacing path is driver-checked too: group 0 reads
+    n_polys 97, two multiplicity-3 edges, and a 38-edge boundary (the
+    duplicate's two outer edges pair up and leave the boundary). All
+    coordinates are small integers in doubles, so every sum — shoelace
+    areas, unit edge lengths, midpoint halves — is exact and the value
+    compare is bit-strict with no rounding anywhere."""
+    from morituri_spark.geo.dissolve import dissolve_stats
+
+    cells = (
+        _read(spark, sf_dir, "events")
+        .where("event_id < 385")
+        .select(
+            (F.col("event_id") % 24).alias("ix"),
+            F.expr("(event_id div 24) % 16").alias("iy"),
+            F.col("event_id").alias("zone_id"),
+        )
+    )
+    x0 = F.col("ix").cast("double")
+    y0 = F.col("iy").cast("double")
+    x1 = (F.col("ix") + 1).cast("double")
+    y1 = (F.col("iy") + 1).cast("double")
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    zones = cells.select(
+        (F.expr("ix div 12") + 2 * F.expr("iy div 8")).alias("gid"),
+        "zone_id",
+        F.array(ring).alias("rings"),
+    )
+    return dissolve_stats(zones, group_col="gid", zone_id="zone_id").select(
+        F.col("gid").cast("long").alias("gid"),
+        "n_polys", "dissolved_area", "n_boundary_edges", "boundary_len",
+        "sum_mid_x", "sum_mid_y", "n_nonmanifold",
+    )
+
+
+def _q_hough(spark, sf_dir):
+    """Distributed Hough line voting (geo/hough.py hough_lines): every
+    point votes for the (θ, ρ) cells of all lines through it — a T-fold
+    literal explode + ONE map-side-combinable groupBy whose exchange is
+    bounded by T·n_bins·n_tasks regardless of input size. The point
+    cloud is the sf-scaled lattice (7·id mod 199, 13·id mod 211); trig
+    is 6-dp half-up decimal literals baked into BOTH plans (the
+    hillshade driver-literal discipline), so rho bins are identical
+    doubles in the two engines and the vote counts compare bit-strict."""
+    from morituri_spark.geo.hough import hough_lines
+
+    pts = _read(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 7) % 199).cast("double").alias("x"),
+        ((F.col("event_id") * 13) % 211).cast("double").alias("y"),
+    )
+    return hough_lines(pts, n_theta=8, rho_step=4.0, min_votes=10).select(
+        F.col("theta_k").cast("int").alias("theta_k"),
+        F.col("rho_bin").cast("long").alias("rho_bin"),
+        F.col("votes").cast("long").alias("votes"),
+        "rho_center",
+    )
+
+
+def _hough_oracle_sql() -> str:
+    """SQL replay of the vote pipeline with the SAME trig literals the
+    engine bakes into its plan (theta_table's 6-dp half-up decimals) —
+    both engines parse identical decimal strings to identical doubles,
+    every product/sum/floor is then the same IEEE op."""
+    from morituri_spark.geo.hough import theta_table
+
+    vals = ", ".join(f"({k}, {c!r}, {s!r})" for k, c, s in theta_table(8))
+    return f"""
+        WITH pts AS (
+            SELECT CAST((event_id * 7) % 199 AS DOUBLE) AS x,
+                   CAST((event_id * 13) % 211 AS DOUBLE) AS y
+            FROM events),
+        ang(theta_k, c, s) AS (VALUES {vals}),
+        v AS (
+            SELECT theta_k,
+                   CAST(floor((x * c + y * s) / 4.0 + 0.5) AS BIGINT) AS rho_bin
+            FROM pts, ang),
+        acc AS (SELECT theta_k, rho_bin, count(*) AS votes FROM v GROUP BY ALL)
+        SELECT CAST(theta_k AS INT) AS theta_k, rho_bin, votes,
+               CAST(rho_bin AS DOUBLE) * 4.0 AS rho_center
+        FROM acc WHERE votes >= 10
+    """
+
+
+def _q_equalize_otsu(spark, sf_dir):
+    """Otsu threshold + histogram equalization (multimodal/enhance.py)
+    over REAL PNG payloads: the data-sized work is one decode+bincount
+    scan kernel; everything algorithmic runs on the ≤766-row-per-image
+    sparse histogram in codegen Catalyst (bounded window frames, never a
+    global sort). The between-class score is emitted as its EXACT integer
+    (numerator², denominator) pair — the float ratio only drives the
+    argmax — so the whole output is integers plus the image id: no
+    rounding anywhere. The oracle re-derives every pixel from the
+    gradient closed form (the vit_patch_tokens fixture) and replays
+    prefix sums → argmax → remap in SQL windows."""
+    from morituri_spark.multimodal.enhance import equalize_otsu
+
+    return equalize_otsu(_gradient_images(spark, sf_dir, n=300))
+
+
+def _q_bpe(spark, sf_dir):
+    """Distributed BPE merge training (text/bpe.py bpe_train): R=3 greedy
+    rounds of pair-count → global top-1 → corpus merge over the documents
+    table. Pair counts are map-side-combinable (the one data-sized
+    exchange per round moves accumulator cells); the top-1 compiles to
+    TakeOrderedAndProject; the merge is a broadcast crossJoin + one
+    string replace whose left-to-right non-overlap contract Spark and
+    DuckDB share, so the oracle replays the whole trajectory with
+    unrolled AS MATERIALIZED CTE stages (rule 27). Ties break to the
+    lexicographically smallest pair — deterministic on the ASCII corpus."""
+    from morituri_spark.text.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, rounds=3)
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled-iteration BPE oracle: each round MATERIALIZED (a plain
+    CTE would inline the previous corpus per reference and re-read the
+    base scan exponentially — rule 27), pair explode via
+    list_transform(range(...)) (1-based DuckDB arrays), merge via the
+    shared replace contract."""
+
+    def rnd(r: int, src: str) -> str:
+        return f"""
+        p{r} AS MATERIALIZED (
+            SELECT pair, count(*) AS cnt FROM (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            j -> t[j] || ' ' || t[j+1])) AS pair
+              FROM (SELECT string_split(text, ' ') AS t FROM {src}))
+            GROUP BY 1),
+        b{r} AS MATERIALIZED (
+            SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+        m{r} AS MATERIALIZED (
+            SELECT trim(replace(' ' || text || ' ', ' ' || pair || ' ',
+                        ' ' || replace(pair, ' ', '') || ' ')) AS text
+            FROM {src}, b{r}),
+        t{r} AS (
+            SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+            FROM m{r})"""
+
+    stages = ",".join(
+        rnd(r, f"m{r - 1}" if r > 1 else "c0") for r in range(1, rounds + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, cnt,"
+        f" total AS total_tokens_after FROM b{r}, t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH c0 AS MATERIALIZED (SELECT text FROM documents)," + stages
+        + f" SELECT * FROM ({rows})"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -4885,6 +5049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_mega_cell_skew": _q_knn_mega_cell,
         "jpeg_progressive_roundtrip": _q_jpeg_progressive_roundtrip,
         "jpeg_constant_roundtrip": _q_jpeg_roundtrip,  # decoder refactored
+        # --- eleventh session: freshest code, all enter the window ---
+        "poly_dissolve_stats": _q_dissolve,
+        "hough_line_votes": _q_hough,
+        "image_equalize_otsu": _q_equalize_otsu,
+        "bpe_train_merges": _q_bpe,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5059,9 +5228,23 @@ _WINDOW = [
     # ONE radius_join — recall driver-proven in-window via the hausdorff/
     # dtw/snap candidate joins — plus frozen pytest-pinned aggregation.)
     "hmm_map_match", "quantiles_nosort", "table_diff_audit",
-    "hausdorff_track_pairs", "zone_convex_hulls",
-    "ring_areas_spherical",
-    "segment_intersections",
+    # eleventh-session rotation: the four operators built this session
+    # (poly_dissolve_stats, hough_line_votes, image_equalize_otsu,
+    # bpe_train_merges) are the freshest code in the repo and enter per
+    # the code-risk triage rule. Released — every one frozen, sweep-EQUAL,
+    # pytest-pinned, replica-checked, with in-window siblings:
+    # hausdorff_track_pairs (dtw_track_pairs runs the same radius_join
+    # anchor candidates + tiled NumPy refine discipline in-window),
+    # ring_areas_spherical (the shoelace fold gains a NEW in-window
+    # member via poly_dissolve_stats' additive area rollup; the
+    # spherical-excess kernel itself is pytest-golden-pinned),
+    # segment_intersections (snap_points_to_segments shares the segment
+    # cell-cover join machinery in-window; orientation tests pytest-
+    # pinned), gi_star_hotspots (local_morans_lisa holds the same
+    # neighbor-window lattice machinery in-window).
+    "poly_dissolve_stats", "hough_line_votes", "image_equalize_otsu",
+    "bpe_train_merges",
+    "zone_convex_hulls",
     # never driver-checked: earlier r5 sessions. Ninth-session releases
     # (same evidence class as above): duplicate_span_ratio (decontam
     # family via decontaminate_benchmark; partitioned-window-count
@@ -5093,7 +5276,7 @@ _WINDOW = [
     # sessionize_gap, r4-fresh; pricing_summary, code-frozen since r2; and
     # ring_areas_shoelace, whose shoelace machinery the in-window
     # ring_areas_spherical + ring_centroids exercise more deeply)
-    "gi_star_hotspots", "weighted_topk_sample",
+    "weighted_topk_sample",
     # (units_format_6g released for this one: the formatter family stays
     # represented by string_merge_lr and both carry pytest goldens on
     # frozen code)
@@ -7034,6 +7217,128 @@ def oracle_sql() -> dict[str, str]:
               SELECT vm, row_number() OVER (ORDER BY vm) AS rn FROM v)
             SELECT r.q AS q, s.vm AS value
             FROM ranks r JOIN srt s ON s.rn = r.k
+        """,
+        # replay of edge cancellation over the unit-square tessellation:
+        # integer coordinates make every multiplicity key, unit length,
+        # midpoint half, and unit shoelace area exact (bit-strict compare)
+        "poly_dissolve_stats": """
+            WITH cells AS (
+                SELECT event_id % 24 AS ix, (event_id // 24) % 16 AS iy
+                FROM events WHERE event_id < 385),
+            e AS (
+                SELECT (ix // 12) + 2 * (iy // 8) AS gid,
+                       CASE k WHEN 0 THEN ix WHEN 1 THEN ix + 1
+                              WHEN 2 THEN ix + 1 ELSE ix END AS ax,
+                       CASE k WHEN 0 THEN iy WHEN 1 THEN iy
+                              WHEN 2 THEN iy + 1 ELSE iy + 1 END AS ay,
+                       CASE k WHEN 0 THEN ix + 1 WHEN 1 THEN ix + 1
+                              WHEN 2 THEN ix ELSE ix END AS bx,
+                       CASE k WHEN 0 THEN iy WHEN 1 THEN iy + 1
+                              WHEN 2 THEN iy + 1 ELSE iy END AS by
+                FROM cells, generate_series(0, 3) g(k)),
+            norm AS (
+                SELECT gid,
+                       CASE WHEN ax < bx OR (ax = bx AND ay < by)
+                            THEN ax ELSE bx END AS x1,
+                       CASE WHEN ax < bx OR (ax = bx AND ay < by)
+                            THEN ay ELSE by END AS y1,
+                       CASE WHEN ax < bx OR (ax = bx AND ay < by)
+                            THEN bx ELSE ax END AS x2,
+                       CASE WHEN ax < bx OR (ax = bx AND ay < by)
+                            THEN by ELSE ay END AS y2
+                FROM e),
+            mult AS (
+                SELECT gid, x1, y1, x2, y2, count(*) AS m
+                FROM norm GROUP BY ALL),
+            eroll AS (
+                SELECT gid,
+                       CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_boundary_edges,
+                       sum(CASE WHEN m = 1 THEN sqrt(CAST(
+                           (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS DOUBLE))
+                           ELSE 0.0 END) AS boundary_len,
+                       sum(CASE WHEN m = 1 THEN CAST(x1 + x2 AS DOUBLE) / 2.0
+                           ELSE 0.0 END) AS sum_mid_x,
+                       sum(CASE WHEN m = 1 THEN CAST(y1 + y2 AS DOUBLE) / 2.0
+                           ELSE 0.0 END) AS sum_mid_y,
+                       CAST(sum(CASE WHEN m > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_nonmanifold
+                FROM mult GROUP BY gid),
+            aroll AS (
+                SELECT (ix // 12) + 2 * (iy // 8) AS gid,
+                       CAST(count(*) AS BIGINT) AS n_polys,
+                       sum(1.0) AS dissolved_area
+                FROM cells GROUP BY 1)
+            SELECT CAST(a.gid AS BIGINT) AS gid, n_polys, dissolved_area,
+                   n_boundary_edges, boundary_len, sum_mid_x, sum_mid_y,
+                   n_nonmanifold
+            FROM aroll a JOIN eroll e2 ON a.gid = e2.gid
+        """,
+        "hough_line_votes": _hough_oracle_sql(),
+        "bpe_train_merges": _bpe_oracle_sql(),
+        # pixel re-derivation from the gradient closed form + the same
+        # prefix-sum / argmax / remap pipeline in SQL windows; output is
+        # all-integer (the score ships as its exact num²/den pair)
+        "image_equalize_otsu": """
+            WITH ids AS (
+                SELECT event_id AS i FROM events WHERE event_id < 300),
+            pix AS (
+                SELECT i,
+                       (i + 2 * y + 3 * x) % 256
+                       + (2 * i + y + 5 * x) % 256
+                       + (3 * i + 4 * y + x) % 256 AS v
+                FROM ids, generate_series(0, 15) ys(y),
+                     generate_series(0, 15) xs(x)),
+            hist AS (SELECT i, v, count(*) AS cnt FROM pix GROUP BY ALL),
+            h AS (
+                SELECT i, v, cnt,
+                       sum(cnt) OVER (PARTITION BY i ORDER BY v) AS c0,
+                       sum(v * cnt) OVER (PARTITION BY i ORDER BY v) AS s0,
+                       sum(cnt) OVER (PARTITION BY i) AS n,
+                       sum(v * cnt) OVER (PARTITION BY i) AS s,
+                       first_value(cnt) OVER (PARTITION BY i ORDER BY v)
+                           AS cdf_min
+                FROM hist),
+            sg AS (
+                SELECT *,
+                       (s0 * (n - c0) - (s - s0) * c0)
+                       * (s0 * (n - c0) - (s - s0) * c0) AS numsq,
+                       c0 * (n - c0) AS den,
+                       CASE WHEN c0 < n THEN
+                         CAST((s0 * (n - c0) - (s - s0) * c0)
+                              * (s0 * (n - c0) - (s - s0) * c0) AS DOUBLE)
+                         / CAST(c0 * (n - c0) AS DOUBLE)
+                       END AS sigma
+                FROM h),
+            smax AS (
+                SELECT i, max(sigma) AS sigma_max FROM sg
+                WHERE sigma IS NOT NULL GROUP BY i),
+            tstar AS (
+                SELECT sg.i, min(v) AS otsu_t,
+                       CAST(min_by(numsq, v) AS BIGINT) AS sigma_num_sq,
+                       CAST(min_by(den, v) AS BIGINT) AS sigma_den
+                FROM sg JOIN smax
+                  ON sg.i = smax.i AND sg.sigma = smax.sigma_max
+                GROUP BY sg.i),
+            eq AS (
+                SELECT h.*, CAST(floor(CAST((c0 - cdf_min) * 765 AS DOUBLE)
+                                 / CAST(n - cdf_min AS DOUBLE)) AS BIGINT)
+                            AS eqv
+                FROM h),
+            stats AS (
+                SELECT eq.i,
+                       CAST(sum(CASE WHEN v > otsu_t THEN cnt ELSE 0 END)
+                            AS BIGINT) AS fg_cnt,
+                       CAST(sum(CASE WHEN v > otsu_t THEN v * cnt ELSE 0 END)
+                            AS BIGINT) AS fg_sum,
+                       CAST(sum(cnt * eqv) AS BIGINT) AS eq_checksum,
+                       CAST(sum(cnt * v * eqv) AS BIGINT) AS eq_cross
+                FROM eq JOIN tstar ON eq.i = tstar.i GROUP BY eq.i)
+            SELECT printf('img%08d', t.i) AS image_id,
+                   CAST(otsu_t AS BIGINT) AS otsu_t,
+                   sigma_num_sq, sigma_den, fg_cnt, fg_sum,
+                   eq_checksum, eq_cross
+            FROM tstar t JOIN stats s ON t.i = s.i
         """,
         "snap_points_to_segments": f"""
             WITH p AS (
