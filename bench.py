@@ -1381,6 +1381,72 @@ def main() -> None:
     tb.unpersist()
     qn_df.unpersist()
 
+    # Hough line voting (r5 eleventh session): 20M points × 8 angles
+    # through ONE map-side-combinable accumulator groupBy — each task
+    # pre-collapses its 160M votes to ≤ 8·n_bins partial cells, so the
+    # exchange is accumulator-sized (~28k cells/task here) no matter the
+    # input size; the scan+codegen vote arithmetic is the whole cost.
+    from morituri_spark.geo.hough import hough_votes
+
+    hg_pts = (
+        spark.range(20_000_000)
+        .select(
+            ((F.col("id") * 7) % 9973).cast("double").alias("x"),
+            ((F.col("id") * 13) % 9941).cast("double").alias("y"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    hg_pts.count()
+    timed(
+        "hough_votes_20m",
+        lambda: hough_votes(hg_pts, n_theta=8, rho_step=4.0)
+        .agg(F.count(F.lit(1)), F.sum("votes"), F.sum("rho_bin"))
+        .collect(),
+    )
+    hg_pts.unpersist()
+
+    # Polygon dissolve (r5 eleventh session): 4M unit cells (2000×2000
+    # grid, 1600 groups of 50×50) dissolved by shared-edge cancellation —
+    # one O(edges)=16M narrow-row exchange with map-side partial
+    # aggregation, no geometry library, no pairwise unions. The per-cell
+    # shoelace HOF runs on 5-point rings (off the hot path, rule 8).
+    from morituri_spark.geo.dissolve import dissolve_stats
+
+    dx0 = (F.col("id") % 2000).cast("double")
+    dy0 = F.floor(F.col("id") / 2000).cast("double")
+    dis_cells = (
+        spark.range(4_000_000)
+        .select(
+            (F.expr("id % 2000 div 50") + 40 * F.expr("id div 2000 div 50")).alias("gid"),
+            F.col("id").alias("zone_id"),
+            F.array(
+                F.array(
+                    F.array(dx0, dy0),
+                    F.array(dx0 + 1, dy0),
+                    F.array(dx0 + 1, dy0 + 1),
+                    F.array(dx0, dy0 + 1),
+                    F.array(dx0, dy0),
+                )
+            ).alias("rings"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    dis_cells.count()
+    timed(
+        "dissolve_4m_cells",
+        lambda: dissolve_stats(dis_cells, group_col="gid")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum("dissolved_area"),
+            F.sum("n_boundary_edges"),
+            F.sum("n_nonmanifold"),
+        )
+        .collect(),
+    )
+    dis_cells.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
