@@ -4952,6 +4952,96 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     )
 
 
+def _q_collocations(spark, sf_dir):
+    """PMI collocation mining (text/collocations.py): statistically-bound
+    phrases over the documents table — positional PMI where every
+    marginal is a rollup of the ONE bigram-count aggregate (the corpus
+    scans once; the two marginal joins key single words against
+    aggregate relations, so stopword skew stays AQE-splittable). The
+    score ships floor-rounded to integer micro-nats with the rule-16
+    epsilon absorbing cross-libm ln ulp dust (the lm.py scheme); counts
+    are exact integers, so the compare is strict."""
+    from morituri_spark.text.collocations import collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations(docs, "doc_id", "text", min_count=20)
+
+
+def _q_edge_hough(spark, sf_dir):
+    """Sobel edge extraction → per-image Hough line voting
+    (multimodal/edges.py + geo/hough.py): the raster→vector composition
+    — REAL PNG decode, exact integer Sobel L1 magnitude on 3×-gray
+    (edge membership is an integer comparison), sparse edge points feed
+    the keyed Hough accumulator (one map-side-combinable groupBy; the
+    image key just widens it). On the gradient fixture the mod-256 wrap
+    boundaries of the linear channel forms ARE straight lines, so the
+    detector finds real structure, not noise. The oracle re-derives
+    pixels from the closed form, replays the 3×3 stencil as a weighted
+    neighbor join, and re-votes with the same 6-dp trig literals."""
+    from morituri_spark.geo.hough import hough_votes
+    from morituri_spark.multimodal.edges import edge_points
+
+    ep = edge_points(_gradient_images(spark, sf_dir, n=200), threshold=400)
+    hv = hough_votes(
+        ep.select(
+            "image_id",
+            F.col("x").cast("double").alias("x"),
+            F.col("y").cast("double").alias("y"),
+        ),
+        n_theta=8,
+        rho_step=4.0,
+        keys=["image_id"],
+    )
+    return hv.where("votes >= 3").select(
+        "image_id",
+        F.col("theta_k").cast("int").alias("theta_k"),
+        F.col("rho_bin").cast("long").alias("rho_bin"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+def _edge_hough_oracle_sql() -> str:
+    """Pixel closed form → Sobel as a weighted 3×3 neighbor join →
+    the same literal-trig vote replay as hough_line_votes."""
+    from morituri_spark.geo.hough import theta_table
+
+    vals = ", ".join(f"({k}, {c!r}, {s!r})" for k, c, s in theta_table(8))
+    return f"""
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 200),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        k(dx, dy, wx, wy) AS (VALUES
+            (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+            (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+            (-1,1,-1,1),(0,1,0,2),(1,1,1,1)),
+        sob AS (
+            SELECT p.i, p.y, p.x,
+                   abs(sum(k.wx * q.g3)) + abs(sum(k.wy * q.g3)) AS mag
+            FROM pix p JOIN k ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + k.dy AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+            GROUP BY 1, 2, 3),
+        e AS (SELECT i, x, y FROM sob WHERE mag >= 400),
+        ang(theta_k, c, s) AS (VALUES {vals}),
+        v AS (
+            SELECT i, theta_k,
+                   CAST(floor((CAST(x AS DOUBLE) * c + CAST(y AS DOUBLE) * s)
+                              / 4.0 + 0.5) AS BIGINT) AS rho_bin
+            FROM e, ang),
+        acc AS (
+            SELECT i, theta_k, rho_bin, count(*) AS votes
+            FROM v GROUP BY ALL)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(theta_k AS INT) AS theta_k, rho_bin, votes
+        FROM acc WHERE votes >= 3
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -5054,6 +5144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hough_line_votes": _q_hough,
         "image_equalize_otsu": _q_equalize_otsu,
         "bpe_train_merges": _q_bpe,
+        "collocation_pmi": _q_collocations,
+        "image_edge_hough": _q_edge_hough,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5244,7 +5336,14 @@ _WINDOW = [
     # neighbor-window lattice machinery in-window).
     "poly_dissolve_stats", "hough_line_votes", "image_equalize_otsu",
     "bpe_train_merges",
-    "zone_convex_hulls",
+    # (collocation_pmi and image_edge_hough enter under the same rule,
+    # releasing zone_convex_hulls — its oracle is a CLOSED-FORM vertex
+    # list, the golden-pin evidence class that zsplit/ring-chunk releases
+    # established, plus pytest + the sf0.001 replica — and
+    # weighted_topk_sample, whose shared deterministic-coin machinery
+    # carries the r3-green stratified_sample driver row and whose
+    # Efraimidis-Spirakis ranking is pytest-pinned on frozen code.)
+    "collocation_pmi", "image_edge_hough",
     # never driver-checked: earlier r5 sessions. Ninth-session releases
     # (same evidence class as above): duplicate_span_ratio (decontam
     # family via decontaminate_benchmark; partitioned-window-count
@@ -5276,7 +5375,6 @@ _WINDOW = [
     # sessionize_gap, r4-fresh; pricing_summary, code-frozen since r2; and
     # ring_areas_shoelace, whose shoelace machinery the in-window
     # ring_areas_spherical + ring_centroids exercise more deeply)
-    "weighted_topk_sample",
     # (units_format_6g released for this one: the formatter family stays
     # represented by string_merge_lr and both carry pytest goldens on
     # frozen code)
@@ -7276,6 +7374,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hough_line_votes": _hough_oracle_sql(),
         "bpe_train_merges": _bpe_oracle_sql(),
+        "image_edge_hough": _edge_hough_oracle_sql(),
+        # positional PMI: every marginal is a rollup of the one bigram
+        # aggregate; ln ulp dust absorbed by the micro-unit epsilon
+        "collocation_pmi": """
+            WITH toks AS (
+                SELECT doc_id, t.term, t.pos
+                FROM documents,
+                LATERAL (
+                    SELECT unnest(regexp_split_to_array(lower(text),
+                                  '[^a-z0-9]+')) AS term,
+                           generate_subscripts(regexp_split_to_array(
+                                  lower(text), '[^a-z0-9]+'), 1) AS pos
+                ) t
+                WHERE t.term <> ''),
+            bg AS (
+                SELECT doc_id, w1, w2 FROM (
+                    SELECT doc_id, term AS w1,
+                           lead(term) OVER (
+                               PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks)
+                WHERE w2 IS NOT NULL),
+            cab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n1
+                   FROM cab GROUP BY 1),
+            c2 AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n2
+                   FROM cab GROUP BY 1),
+            nt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM cab)
+            SELECT w1, w2, n_ab, n1, n2,
+                   CAST(floor(ln(CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                              * 1e6 + 0.5 + 1e-8) AS BIGINT) AS pmi_micro
+            FROM cab JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
+            WHERE n_ab >= 20
+        """,
         # pixel re-derivation from the gradient closed form + the same
         # prefix-sum / argmax / remap pipeline in SQL windows; output is
         # all-integer (the score ships as its exact num²/den pair)

@@ -30,6 +30,7 @@ same IEEE op, and the half-up bin floor is the shared rule-16 rounding
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -57,11 +58,14 @@ def hough_votes(
     rho_step: float = 4.0,
     x_col: str = "x",
     y_col: str = "y",
+    keys: Sequence[str] = (),
 ) -> DataFrame:
-    """→ (theta_k, rho_bin, votes): full Hough accumulator over the
-    point table. ``rho_bin = floor(ρ/step + 1/2)`` (half-up, shared
-    with SQL replays). Callers wanting per-image accumulators add the
-    image key to ``points`` and group the OUTPUT — votes are additive."""
+    """→ (*keys, theta_k, rho_bin, votes): full Hough accumulator over
+    the point table. ``rho_bin = floor(ρ/step + 1/2)`` (half-up, shared
+    with SQL replays). ``keys`` (e.g. an image id) yields one
+    independent accumulator per key group at no extra exchange — the
+    key just widens the groupBy, and votes stay additive across any
+    further rollup."""
     rows = theta_table(n_theta)
     angle = F.array(
         *[
@@ -73,17 +77,20 @@ def hough_votes(
             for k, c, s in rows
         ]
     )
+    key_cols = [F.col(k) for k in keys]
     v = points.select(
+        *key_cols,
         F.col(x_col).alias("_x"),
         F.col(y_col).alias("_y"),
         F.explode(angle).alias("_a"),
     )
     rho = F.col("_x") * F.col("_a.c") + F.col("_y") * F.col("_a.s")
     binned = v.select(
+        *keys,
         F.col("_a.theta_k").alias("theta_k"),
         F.floor(rho / F.lit(float(rho_step)) + F.lit(0.5)).alias("rho_bin"),
     )
-    return binned.groupBy("theta_k", "rho_bin").agg(
+    return binned.groupBy(*keys, "theta_k", "rho_bin").agg(
         F.count(F.lit(1)).alias("votes")
     )
 
