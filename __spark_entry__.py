@@ -5042,6 +5042,21 @@ def _edge_hough_oracle_sql() -> str:
     """
 
 
+def _q_blob_stats(spark, sf_dir):
+    """Blob analysis (multimodal/blobs.py): per-image 4-connected
+    component labeling of the g3>=384 mask over REAL PNG payloads, each
+    component named by its smallest row-major pixel index (a total
+    deterministic naming, no tie rule needed) with exact integer
+    size/bbox/centroid-sum stats. The oracle re-derives the mask from
+    the gradient closed form and reproduces the labeling with a
+    recursive-CTE min-label propagation (the dbscan_points evidence
+    class) — the general algorithm checked against an independent
+    fixpoint formulation, not a closed-form special case."""
+    from morituri_spark.multimodal.blobs import blob_stats
+
+    return blob_stats(_gradient_images(spark, sf_dir, n=150), threshold=384)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -5146,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe,
         "collocation_pmi": _q_collocations,
         "image_edge_hough": _q_edge_hough,
+        "image_blob_stats": _q_blob_stats,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5344,6 +5360,13 @@ _WINDOW = [
     # carries the r3-green stratified_sample driver row and whose
     # Efraimidis-Spirakis ranking is pytest-pinned on frozen code.)
     "collocation_pmi", "image_edge_hough",
+    # (image_blob_stats enters under the same rule, releasing
+    # colocation_quotients — frozen seventh-session code whose
+    # cell-block lattice machinery keeps THREE in-window siblings:
+    # local_morans_lisa + gi-composing emerging_hotspots' stages via
+    # grid_density_clusters and adaptive_quadtree_cells' packed-cell
+    # arithmetic; pytest-pinned, sweep-EQUAL, replica-checked.)
+    "image_blob_stats",
     # never driver-checked: earlier r5 sessions. Ninth-session releases
     # (same evidence class as above): duplicate_span_ratio (decontam
     # family via decontaminate_benchmark; partitioned-window-count
@@ -5382,7 +5405,6 @@ _WINDOW = [
     # (ring_chunking_golden released for this one: the golden-pin family
     # stays represented by zsplit_golden_vectors and both carry pytest
     # goldens on frozen code)
-    "colocation_quotients",
     # (string_merge_lr released for this one: the formatter family is
     # pytest-golden-pinned on frozen code; units_format_6g left the same
     # way earlier this session. emerging_gi_hotspots itself released in
@@ -7375,6 +7397,47 @@ def oracle_sql() -> dict[str, str]:
         "hough_line_votes": _hough_oracle_sql(),
         "bpe_train_merges": _bpe_oracle_sql(),
         "image_edge_hough": _edge_hough_oracle_sql(),
+        # independent fixpoint formulation of the SAME labeling contract:
+        # recursive-CTE min-label propagation over the 4-neighbor mask
+        # graph (the dbscan_points evidence class)
+        "image_blob_stats": """
+            WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+            pix AS (
+                SELECT i, y, x, y * 16 + x AS pid,
+                       (i + 2 * y + 3 * x) % 256
+                       + (2 * i + y + 5 * x) % 256
+                       + (3 * i + 4 * y + x) % 256 AS g3
+                FROM ids, generate_series(0, 15) ys(y),
+                     generate_series(0, 15) xs(x)),
+            mask AS (SELECT i, y, x, pid FROM pix WHERE g3 >= 384),
+            adj AS (
+                SELECT a.i, a.pid AS pa, b.pid AS pb
+                FROM mask a JOIN mask b
+                  ON a.i = b.i AND ((abs(a.x - b.x) = 1 AND a.y = b.y)
+                                 OR (abs(a.y - b.y) = 1 AND a.x = b.x))),
+            lab AS (
+                WITH RECURSIVE r AS (
+                    SELECT i, pid, pid AS lbl FROM mask
+                    UNION
+                    SELECT adj.i, adj.pa AS pid, r.lbl
+                    FROM r JOIN adj ON adj.i = r.i AND adj.pb = r.pid
+                    WHERE r.lbl < adj.pa)
+                SELECT i, pid, min(lbl) AS lbl FROM r GROUP BY i, pid),
+            stats AS (
+                SELECT m.i, l.lbl AS label,
+                       CAST(count(*) AS BIGINT) AS n_pixels,
+                       CAST(min(m.x) AS BIGINT) AS min_x,
+                       CAST(min(m.y) AS BIGINT) AS min_y,
+                       CAST(max(m.x) AS BIGINT) AS max_x,
+                       CAST(max(m.y) AS BIGINT) AS max_y,
+                       CAST(sum(m.x) AS BIGINT) AS sum_x,
+                       CAST(sum(m.y) AS BIGINT) AS sum_y
+                FROM mask m JOIN lab l ON l.i = m.i AND l.pid = m.pid
+                GROUP BY 1, 2)
+            SELECT printf('img%08d', i) AS image_id, label, n_pixels,
+                   min_x, min_y, max_x, max_y, sum_x, sum_y
+            FROM stats
+        """,
         # positional PMI: every marginal is a rollup of the one bigram
         # aggregate; ln ulp dust absorbed by the micro-unit epsilon
         "collocation_pmi": """
