@@ -2400,12 +2400,52 @@ def _q_dtw_pairs(spark, sf_dir):
     )
 
 
-def _dtw_oracle_sql() -> str:
+def _q_frechet_pairs(spark, sf_dir):
+    """Discrete-Fréchet track join (geo/similarity.frechet_join) — the
+    bounded-deviation sibling of dtw_track_pairs over the SAME 40-track
+    8-point fixture: per-cell combine is max(d, min(up, left, upleft))
+    (Eiter–Mannila), so the result is a MAX over 6-dp-pre-rounded
+    distances — selection-exact cross-engine, no accumulated float at
+    all. Candidates: every coupling pays the (first, first) cell, so the
+    head↔head radius_join at the gate is a provable superset. The 8 km
+    gate discriminates WITHIN the 8 base groups (in-group Fréchet spans
+    ~3-13 km on this fixture)."""
+    from morituri_spark.geo.similarity import frechet_join
+    from pyspark.sql import Window
+
+    pts = (
+        _read(spark, sf_dir, "events")
+        .where(F.expr(_HSEL))
+        .select(
+            F.expr(_HTID).alias("track_id"),
+            F.col("event_id").alias("seq"),
+            F.expr(_HLON).alias("lon"),
+            F.expr(_HLAT).alias("lat"),
+        )
+    )
+    w = Window.partitionBy("track_id").orderBy("seq")
+    pts8 = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+    return frechet_join(pts8, 8.0, id_col="track_id", seq_col="seq").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "frechet_km",
+    )
+
+
+def _dtw_oracle_sql(
+    frechet: bool = False, out_col: str = "dtw_km", thr: float = 55.0
+) -> str:
     """15 unrolled anti-diagonal DP stages, each AS MATERIALIZED (rule
     27: every stage references the previous two; inlining would re-read
     the base scan exponentially). Cell arithmetic is the kernel's
-    d + least(predecessors); the 1e18 sentinel is never selected because
-    every non-origin cell has at least one real predecessor."""
+    d + least(predecessors) — or, with ``frechet=True``, the
+    Eiter–Mannila greatest(d, least(predecessors)) — the 1e18 sentinel is
+    never selected because every non-origin cell has at least one real
+    predecessor."""
     hav = (
         "floor((2 * 6371.0088 * asin(sqrt(least("
         "power(sin(radians(b.lat - a.lat) / 2), 2)"
@@ -2414,14 +2454,20 @@ def _dtw_oracle_sql() -> str:
         " * 1e6 + 0.5 + 1e-8) / 1e6"
     )
     unions = " ".join(f"UNION ALL SELECT * FROM s{k}" for k in range(1, 15))
+
+    def _cell(best: str) -> str:
+        return f"greatest(d.d, {best})" if frechet else f"d.d + {best}"
+
+    best3 = (
+        "least(coalesce(up.cost, 1e18), coalesce(lf.cost, 1e18),"
+        " coalesce(ul.cost, 1e18))"
+    )
     stages = []
     for t in range(2, 15):
         stages.append(f"""
             s{t} AS MATERIALIZED (
               SELECT d.ia, d.ib, d.i, {t} AS t,
-                     d.d + least(coalesce(up.cost, 1e18),
-                                 coalesce(lf.cost, 1e18),
-                                 coalesce(ul.cost, 1e18)) AS cost
+                     {_cell(best3)} AS cost
               FROM d
               LEFT JOIN s{t - 1} up ON up.ia = d.ia AND up.ib = d.ib
                                    AND up.i = d.i - 1
@@ -2454,8 +2500,8 @@ def _dtw_oracle_sql() -> str:
           SELECT ia, ib, i, 0 AS t, d AS cost FROM d WHERE i = 0 AND j = 0),
         s1 AS MATERIALIZED (
           SELECT d.ia, d.ib, d.i, 1 AS t,
-                 d.d + least(coalesce(up.cost, 1e18),
-                             coalesce(lf.cost, 1e18)) AS cost
+                 {_cell("least(coalesce(up.cost, 1e18),"
+                        " coalesce(lf.cost, 1e18))")} AS cost
           FROM d
           LEFT JOIN s0 up ON up.ia = d.ia AND up.ib = d.ib
                          AND up.i = d.i - 1
@@ -2475,9 +2521,9 @@ def _dtw_oracle_sql() -> str:
           JOIN lens lb ON lb.tid = c.ib
           WHERE c.t = la.n + lb.n - 2 AND c.i = la.n - 1)
         SELECT ia AS id_a, ib AS id_b,
-               floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 AS dtw_km
+               floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 AS {out_col}
         FROM final
-        WHERE floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 <= 55.0
+        WHERE floor(cost * 1e6 + 0.5 + 1e-8) / 1e6 <= {thr}
     """
 
 
@@ -5162,6 +5208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": _q_collocations,
         "image_edge_hough": _q_edge_hough,
         "image_blob_stats": _q_blob_stats,
+        # --- twelfth session: freshest code, enters the window ---
+        "frechet_track_pairs": _q_frechet_pairs,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5367,6 +5415,14 @@ _WINDOW = [
     # grid_density_clusters and adaptive_quadtree_cells' packed-cell
     # arithmetic; pytest-pinned, sweep-EQUAL, replica-checked.)
     "image_blob_stats",
+    # twelfth-session rotation: frechet_track_pairs is the freshest code
+    # (the _warp_join refactor touched dtw_join's path too — both stay
+    # in-window). Released: snap_points_to_segments — frozen
+    # seventh-session code whose segment cell-cover join machinery runs
+    # in-window TWICE (hmm_map_match composes the same snap candidates
+    # with viterbi; segment_zone_lengths runs the midpoint cell assign);
+    # pytest-pinned, sweep-EQUAL, replica-checked.
+    "frechet_track_pairs",
     # never driver-checked: earlier r5 sessions. Ninth-session releases
     # (same evidence class as above): duplicate_span_ratio (decontam
     # family via decontaminate_benchmark; partitioned-window-count
@@ -5381,7 +5437,6 @@ _WINDOW = [
     "decontaminate_benchmark",
     "segment_zone_lengths",
     "polygon_overlap_join", "ann_pq_topk", "trajectory_stay_points",
-    "snap_points_to_segments",
     # (grid_hotspot_cells released in the tenth-session rotation for
     # color_histogram_dups — the freshest code in the repo, per the
     # code-risk triage rule; the cell-grid hotspot machinery keeps THREE
@@ -6803,6 +6858,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN border bo ON bo.id = p.id
         """,
         "dtw_track_pairs": _dtw_oracle_sql(),
+        "frechet_track_pairs": _dtw_oracle_sql(
+            frechet=True, out_col="frechet_km", thr=8.0
+        ),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

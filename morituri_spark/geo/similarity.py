@@ -189,6 +189,7 @@ def _dtw_cost(
     alon: np.ndarray, alat: np.ndarray,
     blon: np.ndarray, blat: np.ndarray,
     band: int | None = None,
+    frechet: bool = False,
 ) -> float:
     """Sum-cost dynamic time warping over 6-dp-pre-rounded haversine km
     (steps right/down/diagonal from (0,0) to (n-1,m-1)).
@@ -202,7 +203,14 @@ def _dtw_cost(
     to the sequential recurrence an SQL oracle unrolls (min order is
     irrelevant: min never rounds). ``band`` is the Sakoe–Chiba constraint
     |i−j| ≤ band (cells outside cost +inf); with band < |n−m| no path
-    exists and +inf is returned."""
+    exists and +inf is returned.
+
+    ``frechet=True`` swaps the per-cell combine to
+    ``max(d, min(up, left, upleft))`` — the discrete Fréchet (coupling)
+    distance recurrence of Eiter & Mannila (1994). Same traversal, same
+    memory bound; the value is then a MAX over pre-rounded distances, so
+    no accumulation happens at all and cross-engine equality holds by
+    selection (each engine picks the same rounded double)."""
     n, m = len(alon), len(blon)
     la, lb = np.radians(alat), np.radians(blat)
     oa, ob = np.radians(alon), np.radians(blon)
@@ -237,7 +245,7 @@ def _dtw_cost(
                     ok &= jj - 1 >= 0
                 # NB: best[ok] is a fancy-index COPY — assign, don't out=
                 best[ok] = np.minimum(best[ok], pv[idx[ok]])
-            cur = d + best
+            cur = np.maximum(d, best) if frechet else d + best
         prev2, s2 = prev1, s1
         prev1, s1 = cur, i0
     return float(prev1[-1])
@@ -262,6 +270,53 @@ def dtw_join(
     :func:`radius_join` at θ km is a provable candidate superset (cheaper
     than hausdorff's anchor→all-points join). The refine kernel is the
     O(min(n,m))-memory anti-diagonal DP of :func:`_dtw_cost`."""
+    return _warp_join(
+        tracks, max_cost_km, id_col, seq_col, res, band,
+        frechet=False, out_col="dtw_km",
+    )
+
+
+def frechet_join(
+    tracks: DataFrame,
+    max_km: float,
+    id_col: str = "track_id",
+    seq_col: str = "seq",
+    res: int | None = None,
+    band: int | None = None,
+) -> DataFrame:
+    """Unordered track pairs (id_a < id_b, frechet_km) whose DISCRETE
+    FRÉCHET distance (Eiter–Mannila coupling distance) is ≤ ``max_km`` —
+    the bounded-deviation sibling of :func:`dtw_join`: where DTW sums
+    alignment costs (tolerating one large excursion if the rest is
+    tight), Fréchet takes the MAX over the optimal coupling, so the gate
+    is "the dog and its walker never exceed ``max_km`` of leash".
+
+    Candidates: every coupling includes the (first, first) cell, so
+    Fréchet(A, B) ≤ θ forces d(A₁, B₁) ≤ θ — the same head↔head
+    :func:`radius_join` superset as DTW. The refine reuses
+    :func:`_dtw_cost`'s anti-diagonal traversal with the per-cell
+    combine swapped to ``max(d, min(up, left, upleft))``; because the
+    result is a max over 6-dp-pre-rounded distances, the value compare
+    against the SQL oracle is selection-exact (no accumulated float)."""
+    return _warp_join(
+        tracks, max_km, id_col, seq_col, res, band,
+        frechet=True, out_col="frechet_km",
+    )
+
+
+def _warp_join(
+    tracks: DataFrame,
+    thr_km: float,
+    id_col: str,
+    seq_col: str,
+    res: int | None,
+    band: int | None,
+    frechet: bool,
+    out_col: str,
+) -> DataFrame:
+    """Shared head-candidate + anti-diagonal-DP refine for dtw_join /
+    frechet_join (identical candidate bound: both DPs pay the
+    (first, first) cell, so thr_km bounds the head-to-head distance)."""
     arrs = track_arrays(tracks, id_col=id_col, seq_col=seq_col).localCheckpoint()
 
     heads = arrs.select(
@@ -273,7 +328,7 @@ def dtw_join(
         radius_join(
             heads.select(F.col(id_col).alias("id_a"), "lon", "lat"),
             heads.select(F.col(id_col).alias("id_b"), "lon", "lat"),
-            max_cost_km,
+            thr_km,
             res=res,
         )
         .where(F.col("id_a") < F.col("id_b"))
@@ -295,11 +350,11 @@ def dtw_join(
         [
             StructField("id_a", LongType()),
             StructField("id_b", LongType()),
-            StructField("dtw_km", DoubleType()),
+            StructField(out_col, DoubleType()),
         ]
     )
-    thr = float(max_cost_km)
-    bd = band
+    thr = float(thr_km)
+    bd, fr = band, frechet
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -314,10 +369,11 @@ def dtw_join(
                     np.asarray(bl, dtype=np.float64),
                     np.asarray(ba, dtype=np.float64),
                     band=bd,
+                    frechet=fr,
                 )
                 c = float(_round6(np.float64(c)))
                 if c <= thr:
                     ia.append(int(ra)); ib.append(int(rb)); ck.append(c)
-            yield pd.DataFrame({"id_a": ia, "id_b": ib, "dtw_km": ck})
+            yield pd.DataFrame({"id_a": ia, "id_b": ib, out_col: ck})
 
     return paired.mapInPandas(_kernel, schema)
