@@ -2560,6 +2560,85 @@ def _q_idw_surface(spark, sf_dir):
     return idw_surface(pts, cell_deg=5.0)
 
 
+def _q_gwr_surface(spark, sf_dir):
+    """Geographically weighted regression (geo/interpolate.gwr_surface):
+    per-cell weighted-OLS fit of value on position over the 3×3
+    neighborhood — IDW's sibling that also returns the LOCAL GRADIENT.
+    Regressors/weights/values quantized to integers (1e-6-cell local
+    coords, ⌊1e21/(1e9+d2q)⌋ kernel weights), nine moments summed as
+    DECIMAL(38,0) — exact at any parallelism — then the 3×3 Cramer solve
+    runs as the SAME expression text (_GWR_* strings) in Catalyst and
+    DuckDB, so the only float arithmetic is a shared IEEE tree of exact
+    integer inputs."""
+    from morituri_spark.geo.interpolate import gwr_surface
+
+    pts = _read(spark, sf_dir, "events").select(
+        F.expr(_GLON).alias("lon"), F.expr(_GLAT).alias("lat"), "value"
+    )
+    return gwr_surface(pts, cell_deg=5.0)
+
+
+def _gwr_oracle_sql() -> str:
+    """Replays gwr_surface stage-for-stage; the solve reuses the
+    module's _GWR_* expression strings verbatim (shared IEEE tree)."""
+    from morituri_spark.geo.interpolate import (
+        _GWR_B0, _GWR_BX, _GWR_BY, _GWR_GATE,
+    )
+
+    moments = {
+        "s0": None, "sx": "xq", "sy": "yq", "sxx": "xx", "sxy": "xy",
+        "syy": "yy", "sv": "vq", "sxv": "xv", "syv": "yv",
+    }
+    sums = ",\n                   ".join(
+        f"sum(CAST(wq AS DECIMAL(19,0))) AS d_{k}" if c is None
+        else f"sum(CAST(wq AS DECIMAL(19,0)) * CAST({c} AS DECIMAL(19,0))) AS d_{k}"
+        for k, c in moments.items()
+    )
+    casts = ", ".join(f"CAST(d_{k} AS DOUBLE) AS {k}" for k in moments)
+    return f"""
+        WITH pts AS (
+            SELECT {_GLON} AS lon, {_GLAT} AS lat, value FROM events),
+        b AS (
+            SELECT CAST(floor(lon / 5.0) AS BIGINT) AS px,
+                   CAST(floor(lat / 5.0) AS BIGINT) AS py,
+                   lon AS x, lat AS y,
+                   CAST(floor(value * 1000.0) AS BIGINT) AS vq
+            FROM pts),
+        c AS (
+            SELECT b.*, px + dx.d AS ix, py + dy.d AS iy
+            FROM b,
+                 (VALUES (-1), (0), (1)) AS dx(d),
+                 (VALUES (-1), (0), (1)) AS dy(d)),
+        q AS (
+            SELECT ix, iy, vq,
+                   CAST(floor((x / 5.0 - (CAST(ix AS DOUBLE) + 0.5)) * 1e6)
+                        AS BIGINT) AS xq,
+                   CAST(floor((y / 5.0 - (CAST(iy AS DOUBLE) + 0.5)) * 1e6)
+                        AS BIGINT) AS yq
+            FROM c),
+        s AS (
+            SELECT ix, iy,
+                   CAST(floor(1e21 / (1e9 + CAST(xq * xq + yq * yq AS DOUBLE)))
+                        AS BIGINT) AS wq,
+                   xq, yq, vq,
+                   xq * xq AS xx, xq * yq AS xy, yq * yq AS yy,
+                   xq * vq AS xv, yq * vq AS yv
+            FROM q),
+        a AS (
+            SELECT ix, iy, count(*) AS n_samples,
+                   {sums}
+            FROM s GROUP BY 1, 2),
+        m AS (
+            SELECT ix, iy, n_samples, {casts} FROM a)
+        SELECT ix, iy, n_samples,
+               {_GWR_B0} AS beta0,
+               {_GWR_BX} AS beta_x,
+               {_GWR_BY} AS beta_y
+        FROM m
+        WHERE n_samples >= 3 AND {_GWR_GATE}
+    """
+
+
 def _q_chunk_text(spark, sf_dir):
     """Overlapping token-window chunking (text/chunking.chunk_text — the
     RAG/pretraining splitter): 32-token windows, 8-token overlap, last
@@ -5210,6 +5289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_blob_stats": _q_blob_stats,
         # --- twelfth session: freshest code, enters the window ---
         "frechet_track_pairs": _q_frechet_pairs,
+        "gwr_surface_betas": _q_gwr_surface,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5446,7 +5526,12 @@ _WINDOW = [
     # pytest-covered, and replica-checked.)
     "grid_density_clusters", "color_histogram_dups",
     "semdedup_keep_flags", "vit_patch_tokens",
-    "idw_surface_cells", "quadkey_pyramid",
+    # (gwr_surface_betas enters per the code-risk rule, releasing
+    # idw_surface_cells: GWR is the same bin → 9-way neighbor explode →
+    # DECIMAL(38,0) moment aggregate plumbing with a strictly deeper
+    # solve on top — the strongest sibling possible; idw stays
+    # pytest-pinned (test_interpolate), sweep-EQUAL, replica-checked.)
+    "gwr_surface_betas", "quadkey_pyramid",
     "crossmodal_dup_confirm", "knn_mega_cell_skew",
     "jpeg_progressive_roundtrip",
     # never driver-checked: seventh-session trio (displacing
@@ -6861,6 +6946,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_track_pairs": _dtw_oracle_sql(
             frechet=True, out_col="frechet_km", thr=8.0
         ),
+        "gwr_surface_betas": _gwr_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
