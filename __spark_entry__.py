@@ -5182,6 +5182,71 @@ def _q_blob_stats(spark, sf_dir):
     return blob_stats(_gradient_images(spark, sf_dir, n=150), threshold=384)
 
 
+def _q_morphology(spark, sf_dir):
+    """Binary morphology (multimodal/morphology.py): per-image 3×3
+    erode/dilate/opening/closing of the g3>=384 mask over REAL PNG
+    payloads, with exact populations AND position-weighted membership
+    checksums (Σ (y·W+x+1) over set pixels — a single shifted pixel flips
+    them). Border convention outside-is-0 is pinned in both engines. The
+    oracle re-derives the mask from the gradient closed form and replays
+    each operator as a 3×3 neighborhood self-join min/max."""
+    from morituri_spark.multimodal.morphology import morphology_stats
+
+    return morphology_stats(_gradient_images(spark, sf_dir, n=150), threshold=384)
+
+
+def _morphology_oracle_sql() -> str:
+    """Each morphology stage is one 3×3 neighborhood self-join (min for
+    erode with the border CASE, max for dilate); opening/closing chain
+    the staged relations. All-integer arithmetic end to end."""
+
+    def _erode(src: str, name: str) -> str:
+        return f"""
+            {name} AS (
+                SELECT p.i, p.y, p.x,
+                       CASE WHEN p.y > 0 AND p.y < 15 AND p.x > 0 AND p.x < 15
+                            THEN min(q.m) ELSE 0 END AS m
+                FROM {src} p JOIN {src} q
+                  ON q.i = p.i AND q.y BETWEEN p.y - 1 AND p.y + 1
+                               AND q.x BETWEEN p.x - 1 AND p.x + 1
+                GROUP BY p.i, p.y, p.x)"""
+
+    def _dilate(src: str, name: str) -> str:
+        return f"""
+            {name} AS (
+                SELECT p.i, p.y, p.x, max(q.m) AS m
+                FROM {src} p JOIN {src} q
+                  ON q.i = p.i AND q.y BETWEEN p.y - 1 AND p.y + 1
+                               AND q.x BETWEEN p.x - 1 AND p.x + 1
+                GROUP BY p.i, p.y, p.x)"""
+
+    def _agg(src: str, n: str, chk: str | None) -> str:
+        cols = f"CAST(sum(m) AS BIGINT) AS {n}"
+        if chk:
+            cols += f", CAST(sum(m * (y * 16 + x + 1)) AS BIGINT) AS {chk}"
+        return f"(SELECT i, {cols} FROM {src} GROUP BY i)"
+
+    return f"""
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   CASE WHEN (i + 2 * y + 3 * x) % 256
+                             + (2 * i + y + 5 * x) % 256
+                             + (3 * i + 4 * y + x) % 256 >= 384
+                        THEN 1 ELSE 0 END AS m
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),{_erode("pix", "er")},{_dilate("pix", "di")},{_dilate("er", "op")},{_erode("di", "cl")}
+        SELECT printf('img%08d', am.i) AS image_id,
+               am.n_mask, ae.n_erode, ad.n_dilate, ao.n_open, ac.n_close,
+               am.chk_mask, ao.chk_open, ac.chk_close
+        FROM {_agg("pix", "n_mask", "chk_mask")} am
+        JOIN {_agg("er", "n_erode", None)} ae ON ae.i = am.i
+        JOIN {_agg("di", "n_dilate", None)} ad ON ad.i = am.i
+        JOIN {_agg("op", "n_open", "chk_open")} ao ON ao.i = am.i
+        JOIN {_agg("cl", "n_close", "chk_close")} ac ON ac.i = am.i
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -5290,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- twelfth session: freshest code, enters the window ---
         "frechet_track_pairs": _q_frechet_pairs,
         "gwr_surface_betas": _q_gwr_surface,
+        "image_morphology": _q_morphology,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5478,7 +5544,12 @@ _WINDOW = [
     # cell-cover join machinery in-window; orientation tests pytest-
     # pinned), gi_star_hotspots (local_morans_lisa holds the same
     # neighbor-window lattice machinery in-window).
-    "poly_dissolve_stats", "hough_line_votes", "image_equalize_otsu",
+    # (twelfth session: image_morphology enters per the code-risk rule,
+    # releasing hough_line_votes — its per-(rho,theta) vote accumulation
+    # runs in-window END-TO-END inside image_edge_hough, which composes
+    # Sobel edges into the same Hough vote code path; pytest-pinned,
+    # sweep-EQUAL, replica-checked.)
+    "poly_dissolve_stats", "image_morphology", "image_equalize_otsu",
     "bpe_train_merges",
     # (collocation_pmi and image_edge_hough enter under the same rule,
     # releasing zone_convex_hulls — its oracle is a CLOSED-FORM vertex
@@ -6947,6 +7018,7 @@ def oracle_sql() -> dict[str, str]:
             frechet=True, out_col="frechet_km", thr=8.0
         ),
         "gwr_surface_betas": _gwr_oracle_sql(),
+        "image_morphology": _morphology_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
