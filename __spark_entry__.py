@@ -5167,6 +5167,65 @@ def _edge_hough_oracle_sql() -> str:
     """
 
 
+def _q_harris_corners(spark, sf_dir):
+    """Harris corners (multimodal/corners.py): per-image top-5 keypoints
+    by the ALL-INTEGER response r20 = 20·det(M) − trace(M)² (k=1/20)
+    over Sobel structure tensors on real PNG payloads, ranked by the
+    total order (r20 DESC, y, x) — the oracle replays Sobel as a
+    weighted 3×3 join (the edge-Hough evidence class), the window sums
+    as a second 3×3 join, and the ranking as row_number()."""
+    from morituri_spark.multimodal.corners import harris_corners
+
+    return harris_corners(_gradient_images(spark, sf_dir, n=150), k=5)
+
+
+def _harris_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        k(dx, dy, wx, wy) AS (VALUES
+            (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+            (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+            (-1,1,-1,1),(0,1,0,2),(1,1,1,1)),
+        sob AS (
+            SELECT p.i, p.y, p.x,
+                   sum(k.wx * q.g3) AS gx, sum(k.wy * q.g3) AS gy
+            FROM pix p JOIN k ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + k.dy AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+            GROUP BY 1, 2, 3),
+        win AS (
+            SELECT a.i, a.y, a.x,
+                   sum(b.gx * b.gx) AS sxx, sum(b.gy * b.gy) AS syy,
+                   sum(b.gx * b.gy) AS sxy
+            FROM sob a JOIN sob b
+              ON b.i = a.i AND b.y BETWEEN a.y - 1 AND a.y + 1
+                           AND b.x BETWEEN a.x - 1 AND a.x + 1
+            WHERE a.y BETWEEN 2 AND 13 AND a.x BETWEEN 2 AND 13
+            GROUP BY 1, 2, 3),
+        resp AS (
+            SELECT i, y, x,
+                   20 * (sxx * syy - sxy * sxy)
+                   - (sxx + syy) * (sxx + syy) AS r20
+            FROM win),
+        ranked AS (
+            SELECT i, y, x, r20,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY r20 DESC, y, x) AS rk
+            FROM resp WHERE r20 > 0)
+        SELECT printf('img%08d', i) AS image_id, CAST(rk AS BIGINT) AS "rank",
+               CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CAST(r20 AS BIGINT) AS r20
+        FROM ranked WHERE rk <= 5
+    """
+
+
 def _q_blob_stats(spark, sf_dir):
     """Blob analysis (multimodal/blobs.py): per-image 4-connected
     component labeling of the g3>=384 mask over REAL PNG payloads, each
@@ -5356,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_track_pairs": _q_frechet_pairs,
         "gwr_surface_betas": _q_gwr_surface,
         "image_morphology": _q_morphology,
+        "harris_corners_topk": _q_harris_corners,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5518,7 +5578,12 @@ _WINDOW = [
     # (density-grid relation family via grid_density_clusters +
     # idw_surface_cells), od_matrix_flows (its PIP pass runs in-window
     # via segment_zone_lengths; endpoint min_by/max_by is pytest-pinned).
-    "render_density_tiles", "dem_hillshade", "augment_checksums",
+    # (twelfth session: harris_corners_topk enters per the code-risk
+    # rule, releasing render_density_tiles — its density-grid rollup
+    # runs in-window via grid_density_clusters and its real-PNG encode
+    # path runs in-window inside every _gradient_images fixture query;
+    # pytest-pinned, sweep-EQUAL, replica-checked.)
+    "harris_corners_topk", "dem_hillshade", "augment_checksums",
     "frequent_tokens", "dtw_track_pairs",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -7019,6 +7084,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gwr_surface_betas": _gwr_oracle_sql(),
         "image_morphology": _morphology_oracle_sql(),
+        "harris_corners_topk": _harris_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

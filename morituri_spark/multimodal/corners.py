@@ -1,0 +1,121 @@
+"""Harris corner detection — per-image ALL-INTEGER corner response and
+top-k corner extraction (the keypoint primitive for image registration /
+capture-dedup pipelines: corners are what you match before estimating a
+homography).
+
+ALL-INTEGER contract (engine-stable, SQL-replayable):
+
+- gradients Ix, Iy are the classic Sobel stencils on 3×-gray
+  ``g3 = r+g+b`` (the exact convention of edges.py — same stencil, same
+  interior-only domain);
+- the structure tensor window sums Sxx = Σ Ix², Syy = Σ Iy²,
+  Sxy = Σ IxIy run over the full 3×3 box, defined where all nine
+  gradient neighbors exist (y, x ∈ [2, h-3]);
+- the response is Harris' R = det(M) − k·trace(M)² with k = 1/20,
+  kept integer as  ``r20 = 20·(Sxx·Syy − Sxy²) − (Sxx + Syy)²``
+  (magnitudes stay < 2⁶³ for any 8-bit image: |I| ≤ 4·765, so
+  S ≤ 9·(4·765)² < 2²⁷ and r20 < 20·2⁵⁴ⁱˢʰ… bounded at ≈1.4e17);
+- corners are the top ``k`` pixels per image by the TOTAL deterministic
+  order (r20 DESC, y ASC, x ASC) with r20 > 0 — no float, no tie
+  ambiguity, so a SQL row_number() replay selects identical pixels.
+
+Scale shape: one scan-shaped Arrow kernel; pixels never leave the task
+and the output is k rows per image. Giant rasters follow the module's
+standard tiling contract (2-pixel halo — Sobel+window is 2-local).
+
+Reference scope: no counterpart in morituri; multimodal extension
+family (SURVEY.md §2), sibling of edges.py (this module keeps the
+gradient, edges.py keeps only its magnitude).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .ops import _decode
+
+
+def _sobel(g3: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(Ix, Iy) on interior pixels (h-2, w-2), edges.py's stencil."""
+    gx = (
+        -g3[:-2, :-2] + g3[:-2, 2:]
+        - 2 * g3[1:-1, :-2] + 2 * g3[1:-1, 2:]
+        - g3[2:, :-2] + g3[2:, 2:]
+    )
+    gy = (
+        -g3[:-2, :-2] - 2 * g3[:-2, 1:-1] - g3[:-2, 2:]
+        + g3[2:, :-2] + 2 * g3[2:, 1:-1] + g3[2:, 2:]
+    )
+    return gx, gy
+
+
+def _box3(a: np.ndarray) -> np.ndarray:
+    """3×3 box sum, valid-only (shrinks each axis by 2)."""
+    out = np.zeros((a.shape[0] - 2, a.shape[1] - 2), dtype=a.dtype)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out += a[dy : dy + out.shape[0], dx : dx + out.shape[1]]
+    return out
+
+
+def harris_corners(
+    images: DataFrame,
+    k: int = 5,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """→ (image_id, rank, y, x, r20): the top-``k`` Harris corners per
+    image by integer response ``r20 = 20·det(M) − trace(M)²`` (k=1/20),
+    ranked by (r20 DESC, y ASC, x ASC), positive responses only."""
+    kk = int(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("image_id", "rank", "y", "x", "r20")}
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(
+                    bytes(payload), fmt, int(w), int(h), deterministic_fake
+                )
+                g3 = arr.astype(np.int64).sum(axis=2)
+                if g3.shape[0] < 5 or g3.shape[1] < 5:
+                    continue
+                ix, iy = _sobel(g3)
+                sxx = _box3(ix * ix)
+                syy = _box3(iy * iy)
+                sxy = _box3(ix * iy)
+                r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                hh, ww = r20.shape
+                ys, xs = np.divmod(np.arange(hh * ww, dtype=np.int64), ww)
+                flat = r20.ravel()
+                pos = flat > 0
+                if not pos.any():
+                    continue
+                ys, xs, flat = ys[pos] + 2, xs[pos] + 2, flat[pos]
+                # total order (r20 DESC, y ASC, x ASC): lexsort keys are
+                # last-key-primary, and (y, x) ascending is the ravel
+                # order, preserved by a stable sort on -r20
+                order = np.argsort(-flat, kind="stable")[:kk]
+                for r, j in enumerate(order, start=1):
+                    out["image_id"].append(image_id)
+                    out["rank"].append(r)
+                    out["y"].append(int(ys[j]))
+                    out["x"].append(int(xs[j]))
+                    out["r20"].append(int(flat[j]))
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    **{
+                        c: np.asarray(out[c], dtype=np.int64)
+                        for c in ("rank", "y", "x", "r20")
+                    },
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, "image_id string, rank long, y long, x long, r20 long"
+    )

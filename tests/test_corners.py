@@ -1,0 +1,92 @@
+"""harris_corners (multimodal/corners.py) vs a plain-loop reference."""
+
+import numpy as np
+
+from morituri_spark.multimodal.corners import _box3, _sobel, harris_corners
+from morituri_spark.sources import images as I
+
+SOB_X = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+SOB_Y = [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]
+
+
+def _ref_corners(g3, k):
+    h, w = g3.shape
+    resp = {}
+    gx = np.zeros((h, w), dtype=np.int64)
+    gy = np.zeros((h, w), dtype=np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx[y, x] = sum(
+                SOB_X[dy + 1][dx + 1] * g3[y + dy, x + dx]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            )
+            gy[y, x] = sum(
+                SOB_Y[dy + 1][dx + 1] * g3[y + dy, x + dx]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            )
+    for y in range(2, h - 2):
+        for x in range(2, w - 2):
+            sxx = syy = sxy = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    sxx += int(gx[y + dy, x + dx]) ** 2
+                    syy += int(gy[y + dy, x + dx]) ** 2
+                    sxy += int(gx[y + dy, x + dx]) * int(gy[y + dy, x + dx])
+            r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            if r20 > 0:
+                resp[(y, x)] = r20
+    ranked = sorted(resp.items(), key=lambda t: (-t[1], t[0][0], t[0][1]))[:k]
+    return [(r + 1, y, x, v) for r, ((y, x), v) in enumerate(ranked)]
+
+
+def test_sobel_and_box_match_loop():
+    rng = np.random.RandomState(5)
+    g3 = rng.randint(0, 766, size=(9, 11)).astype(np.int64)
+    gx, gy = _sobel(g3)
+    for y in range(1, 8):
+        for x in range(1, 10):
+            wx = sum(SOB_X[dy + 1][dx + 1] * g3[y + dy, x + dx]
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            wy = sum(SOB_Y[dy + 1][dx + 1] * g3[y + dy, x + dx]
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+            assert gx[y - 1, x - 1] == wx and gy[y - 1, x - 1] == wy
+    b = _box3(g3)
+    assert b[0, 0] == g3[0:3, 0:3].sum()
+    assert b[-1, -1] == g3[-3:, -3:].sum()
+
+
+def test_checkerboard_corner_beats_flat():
+    # a 2x2-block checkerboard has strong corners; a flat image has none
+    g = np.zeros((12, 12), dtype=np.int64)
+    g[:6, :6] = 765
+    g[6:, 6:] = 765
+    arr = np.repeat((g // 3).astype(np.uint8)[:, :, None], 3, axis=2)
+    g3 = arr.astype(np.int64).sum(axis=2)
+    got = _ref_corners(g3, 3)
+    assert got, "corner expected"
+    # the top corner should sit near the center crossing (5..6, 5..6)
+    _, y, x, _ = got[0]
+    assert 4 <= y <= 7 and 4 <= x <= 7
+    flat = np.full((12, 12, 3), 100, dtype=np.uint8)
+    assert _ref_corners(flat.astype(np.int64).sum(axis=2), 3) == []
+
+
+def test_spark_matches_reference(spark):
+    rng = np.random.RandomState(17)
+    rows, expect = [], {}
+    for i in range(5):
+        arr = (rng.rand(12, 14, 3) * 255).astype(np.uint8)
+        rows.append((f"im{i}", bytearray(I.encode(arr, "png")), "png", 14, 12))
+        g3 = arr.astype(np.int64).sum(axis=2)
+        expect[f"im{i}"] = _ref_corners(g3, 5)
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {}
+    for r in harris_corners(df, k=5).collect():
+        got.setdefault(r["image_id"], []).append(
+            (r["rank"], r["y"], r["x"], r["r20"])
+        )
+    for k in got:
+        got[k].sort()
+    assert got == {k: v for k, v in expect.items() if v}
