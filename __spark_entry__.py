@@ -5226,6 +5226,54 @@ def _harris_oracle_sql() -> str:
     """
 
 
+def _q_chamfer_hist(spark, sf_dir):
+    """Chamfer 3-4 distance transform (multimodal/distance.py): per-image
+    integer distance-to-mask field over real PNG payloads, emitted as an
+    exact per-distance histogram with membership checksums. The kernel
+    relaxes min-plus to fixpoint; the oracle re-derives the SAME field as
+    shortest paths over the 3/4-weighted 8-neighbor graph via a capped
+    recursive CTE (the blob/dbscan evidence class) — two independent
+    formulations of one metric."""
+    from morituri_spark.multimodal.distance import chamfer_histogram
+
+    return chamfer_histogram(_gradient_images(spark, sf_dir, n=100), threshold=384)
+
+
+def _chamfer_oracle_sql() -> str:
+    # cap 60 = the 16×16 grid's chamfer diameter (15 diagonals); every
+    # shortest path fits under it, and the UNION-dedup recursion is
+    # state-bounded at pixels × 61 levels per image
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 100),
+        pix AS (
+            SELECT i, y, x, y * 16 + x AS pid,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        mask AS (SELECT i, pid FROM pix WHERE g3 >= 384),
+        adj AS (
+            SELECT a.i, a.pid AS pa, b.pid AS pb,
+                   CASE WHEN a.y <> b.y AND a.x <> b.x THEN 4 ELSE 3 END AS w
+            FROM pix a JOIN pix b
+              ON b.i = a.i AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+             AND NOT (a.y = b.y AND a.x = b.x)),
+        paths AS (
+            WITH RECURSIVE r AS (
+                SELECT i, pid, 0 AS dist FROM mask
+                UNION
+                SELECT adj.i, adj.pb AS pid, r.dist + adj.w AS dist
+                FROM r JOIN adj ON adj.i = r.i AND adj.pa = r.pid
+                WHERE r.dist + adj.w <= 60)
+            SELECT i, pid, min(dist) AS dist FROM r GROUP BY i, pid)
+        SELECT printf('img%08d', i) AS image_id, CAST(dist AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(pid + 1) AS BIGINT) AS chk_pos
+        FROM paths GROUP BY i, dist
+    """
+
+
 def _q_blob_stats(spark, sf_dir):
     """Blob analysis (multimodal/blobs.py): per-image 4-connected
     component labeling of the g3>=384 mask over REAL PNG payloads, each
@@ -5416,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwr_surface_betas": _q_gwr_surface,
         "image_morphology": _q_morphology,
         "harris_corners_topk": _q_harris_corners,
+        "chamfer_distance_hist": _q_chamfer_hist,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -5583,7 +5632,11 @@ _WINDOW = [
     # runs in-window via grid_density_clusters and its real-PNG encode
     # path runs in-window inside every _gradient_images fixture query;
     # pytest-pinned, sweep-EQUAL, replica-checked.)
-    "harris_corners_topk", "dem_hillshade", "augment_checksums",
+    # (chamfer_distance_hist enters the same way, releasing dem_hillshade
+    # — its Horn-stencil DEM gradient machinery runs in-window via
+    # dem_slope_aspect, which computes the same staged gradients before
+    # the shading step; pytest-pinned, sweep-EQUAL, replica-checked.)
+    "harris_corners_topk", "chamfer_distance_hist", "augment_checksums",
     "frequent_tokens", "dtw_track_pairs",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -7085,6 +7138,7 @@ def oracle_sql() -> dict[str, str]:
         "gwr_surface_betas": _gwr_oracle_sql(),
         "image_morphology": _morphology_oracle_sql(),
         "harris_corners_topk": _harris_oracle_sql(),
+        "chamfer_distance_hist": _chamfer_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
