@@ -5274,6 +5274,125 @@ def _chamfer_oracle_sql() -> str:
     """
 
 
+def _q_glcm_features(spark, sf_dir):
+    """GLCM texture (multimodal/texture.py): per-image, per-offset
+    ALL-INTEGER co-occurrence feature numerators (n_pairs, contrast,
+    energy², homogeneity·840) over REAL PNG payloads at 8 gray levels
+    and offsets (0,1)/(1,0). The oracle re-derives pixels from the
+    gradient closed form, quantizes with the same exact floor, and
+    replays each offset as a self-join + grouped integer aggregates."""
+    from morituri_spark.multimodal.texture import glcm_features
+
+    return glcm_features(_gradient_images(spark, sf_dir, n=120), levels=8)
+
+
+def _glcm_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 120),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        lvl AS (
+            SELECT i, y, x,
+                   CAST(floor((g3 * 8) / 766.0) AS BIGINT) AS lv
+            FROM pix),
+        offs(dy, dx) AS (VALUES (0, 1), (1, 0)),
+        cooc AS (
+            SELECT p.i, o.dy, o.dx, p.lv AS la, q.lv AS lb,
+                   count(*) AS c
+            FROM lvl p JOIN offs o ON TRUE
+            JOIN lvl q ON q.i = p.i AND q.y = p.y + o.dy
+                      AND q.x = p.x + o.dx
+            GROUP BY ALL)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
+               CAST(sum(c) AS BIGINT) AS n_pairs,
+               CAST(sum(c * (la - lb) * (la - lb)) AS BIGINT) AS contrast,
+               CAST(sum(c * c) AS BIGINT) AS energy_sq,
+               CAST(sum(c * (840 // (1 + abs(la - lb)))) AS BIGINT)
+                   AS homog840
+        FROM cooc GROUP BY 1, 2, 3
+    """
+
+
+def _q_lbp_histogram(spark, sf_dir):
+    """LBP texture (multimodal/texture.py): per-image histogram of 8-bit
+    local-binary-pattern codes (fixed E→NE weight ring, neighbor ≥
+    center) over interior pixels of REAL PNG payloads — all-integer, so
+    the oracle's weighted 8-neighbor join replay matches bit-exactly."""
+    from morituri_spark.multimodal.texture import lbp_histogram
+
+    return lbp_histogram(_gradient_images(spark, sf_dir, n=120))
+
+
+def _lbp_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 120),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        k(dy, dx, w) AS (VALUES
+            (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+            (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)),
+        codes AS (
+            SELECT p.i, p.y, p.x,
+                   sum(CASE WHEN q.g3 >= p.g3 THEN k.w ELSE 0 END) AS code
+            FROM pix p JOIN k ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + k.dy
+                      AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+            GROUP BY 1, 2, 3)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(code AS BIGINT) AS code,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM codes GROUP BY 1, 2
+    """
+
+
+def _q_run_lengths(spark, sf_dir):
+    """Binary run-length texture (multimodal/texture.py): per-image
+    histogram of horizontal run lengths of the g3≥384 mask over REAL PNG
+    payloads. The oracle re-derives the mask from the closed form and
+    replays runs as gaps-and-islands (x − row_number per row)."""
+    from morituri_spark.multimodal.texture import run_length_hist
+
+    return run_length_hist(_gradient_images(spark, sf_dir, n=150), threshold=384)
+
+
+def _run_lengths_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        mask AS (SELECT i, y, x FROM pix WHERE g3 >= 384),
+        isl AS (
+            SELECT i, y, x,
+                   x - row_number() OVER (PARTITION BY i, y ORDER BY x)
+                       AS grp
+            FROM mask),
+        runs AS (
+            SELECT i, count(*) AS run_len
+            FROM isl GROUP BY i, y, grp)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(run_len AS BIGINT) AS run_len,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM runs GROUP BY 1, 2
+    """
+
+
 def _q_blob_stats(spark, sf_dir):
     """Blob analysis (multimodal/blobs.py): per-image 4-connected
     component labeling of the g3>=384 mask over REAL PNG payloads, each
@@ -5465,6 +5584,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_morphology": _q_morphology,
         "harris_corners_topk": _q_harris_corners,
         "chamfer_distance_hist": _q_chamfer_hist,
+        # --- thirteenth session: freshest code, enters the window ---
+        "glcm_texture": _q_glcm_features,
+        "lbp_histogram": _q_lbp_histogram,
+        "run_length_texture": _q_run_lengths,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7139,6 +7262,9 @@ def oracle_sql() -> dict[str, str]:
         "image_morphology": _morphology_oracle_sql(),
         "harris_corners_topk": _harris_oracle_sql(),
         "chamfer_distance_hist": _chamfer_oracle_sql(),
+        "glcm_texture": _glcm_oracle_sql(),
+        "lbp_histogram": _lbp_oracle_sql(),
+        "run_length_texture": _run_lengths_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
