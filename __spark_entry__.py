@@ -5393,6 +5393,92 @@ def _run_lengths_oracle_sql() -> str:
     """
 
 
+def _q_median_filter(spark, sf_dir):
+    """3×3 median filter (multimodal/filters.py): per-image exact stats
+    of the median-filtered g3 field over the valid interior of REAL PNG
+    payloads — population, Σ median, position-weighted checksum, min and
+    max. The median is the 5th-smallest of nine integers (a pure order
+    statistic — duplicate values cannot make it engine-dependent), so
+    the oracle's 9-neighbor-join + row_number()=5 replay is bit-exact."""
+    from morituri_spark.multimodal.filters import median_filter_stats
+
+    return median_filter_stats(_gradient_images(spark, sf_dir, n=120))
+
+
+def _median_filter_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 120),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        nine AS (
+            SELECT p.i, p.y, p.x, q.g3,
+                   row_number() OVER (PARTITION BY p.i, p.y, p.x
+                                      ORDER BY q.g3, q.y, q.x) AS rk
+            FROM pix p JOIN pix q
+              ON q.i = p.i AND q.y BETWEEN p.y - 1 AND p.y + 1
+                           AND q.x BETWEEN p.x - 1 AND p.x + 1
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14),
+        med AS (SELECT i, y, x, g3 AS m FROM nine WHERE rk = 5)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(m) AS BIGINT) AS sum_med,
+               CAST(sum((y * 16 + x + 1) * m) AS BIGINT) AS chk_pos,
+               CAST(min(m) AS BIGINT) AS min_med,
+               CAST(max(m) AS BIGINT) AS max_med
+        FROM med GROUP BY 1
+    """
+
+
+def _q_template_match(spark, sf_dir):
+    """SAD template matching (multimodal/filters.py): per image the
+    best fully-in-bounds placement of the closed-form 4×4 integer
+    template under the total order (sad ASC, y0, x0) over REAL PNG
+    payloads. The oracle regenerates the template with generate_series,
+    scores every offset as a grouped |diff| sum, and ranks with
+    row_number() under the same order."""
+    from morituri_spark.multimodal.filters import template_match_sad
+
+    return template_match_sad(_gradient_images(spark, sf_dir, n=100))
+
+
+def _template_match_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 100),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        t AS (
+            SELECT u, v, ((7 * u + 11 * v + 13) * 17) % 766 AS tv
+            FROM generate_series(0, 3) us(u), generate_series(0, 3) vs(v)),
+        offs AS (
+            SELECT y0, x0
+            FROM generate_series(0, 12) a(y0), generate_series(0, 12) b(x0)),
+        scores AS (
+            SELECT p.i, o.y0, o.x0, sum(abs(p.g3 - t.tv)) AS sad
+            FROM offs o JOIN t ON TRUE
+            JOIN pix p ON p.y = o.y0 + t.u AND p.x = o.x0 + t.v
+            GROUP BY 1, 2, 3),
+        ranked AS (
+            SELECT i, y0, x0, sad,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY sad, y0, x0) AS rk
+            FROM scores)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(y0 AS BIGINT) AS y0, CAST(x0 AS BIGINT) AS x0,
+               CAST(sad AS BIGINT) AS sad
+        FROM ranked WHERE rk = 1
+    """
+
+
 def _q_blob_stats(spark, sf_dir):
     """Blob analysis (multimodal/blobs.py): per-image 4-connected
     component labeling of the g3>=384 mask over REAL PNG payloads, each
@@ -5588,6 +5674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_texture": _q_glcm_features,
         "lbp_histogram": _q_lbp_histogram,
         "run_length_texture": _q_run_lengths,
+        "median_filter_stats": _q_median_filter,
+        "template_match_sad": _q_template_match,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7265,6 +7353,8 @@ def oracle_sql() -> dict[str, str]:
         "glcm_texture": _glcm_oracle_sql(),
         "lbp_histogram": _lbp_oracle_sql(),
         "run_length_texture": _run_lengths_oracle_sql(),
+        "median_filter_stats": _median_filter_oracle_sql(),
+        "template_match_sad": _template_match_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
