@@ -5393,6 +5393,81 @@ def _run_lengths_oracle_sql() -> str:
     """
 
 
+def _q_convoy(spark, sf_dir):
+    """Convoy detection (geo/convoy.py): maximal consecutive-tick runs
+    on which two entities stay within Chebyshev radius 2, over a
+    closed-form 60-entity × 40-tick trajectory table (12 convoys of 5
+    entities sharing a base path, with a modular perturbation that
+    breaks runs). The engine finds candidates through the (tick, cell)
+    equi-join with a ×9 probe-side explode; the oracle brute-forces the
+    per-tick pairs and replays the gaps-and-islands window — two
+    independent formulations of one relation."""
+    from morituri_spark.geo.convoy import comovement_runs
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 2400")
+    st1 = ev.selectExpr(
+        "event_id % 60 AS eid",
+        "CAST(floor(event_id / 60.0) AS BIGINT) AS t",
+    )
+    st2 = st1.selectExpr(
+        "eid", "t", "eid % 12 AS g", "CAST(floor(eid / 12.0) AS BIGINT) AS k"
+    )
+    pts = st2.selectExpr(
+        "eid",
+        "t",
+        "(13 * g + 4 * t) % 120 + k % 3"
+        " + (CASE WHEN (eid + t) % 9 = 0 THEN 7 ELSE 0 END) AS x",
+        "(7 * g + 3 * t) % 120 + k % 2 AS y",
+    )
+    return comovement_runs(
+        pts, radius=2, min_len=3, id_col="eid", t_col="t"
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("start_t").cast("long").alias("start_t"),
+        F.col("end_t").cast("long").alias("end_t"),
+        F.col("run_len").cast("long").alias("run_len"),
+    )
+
+
+def _convoy_oracle_sql() -> str:
+    return """
+        WITH ev AS (SELECT event_id FROM events WHERE event_id < 2400),
+        st1 AS (
+            SELECT event_id % 60 AS eid,
+                   CAST(floor(event_id / 60.0) AS BIGINT) AS t
+            FROM ev),
+        st2 AS (
+            SELECT eid, t, eid % 12 AS g,
+                   CAST(floor(eid / 12.0) AS BIGINT) AS k
+            FROM st1),
+        pts AS (
+            SELECT eid, t,
+                   (13 * g + 4 * t) % 120 + k % 3
+                   + (CASE WHEN (eid + t) % 9 = 0 THEN 7 ELSE 0 END) AS x,
+                   (7 * g + 3 * t) % 120 + k % 2 AS y
+            FROM st2),
+        pairs AS (
+            SELECT a.eid AS id_a, b.eid AS id_b, a.t
+            FROM pts a JOIN pts b ON b.t = a.t AND a.eid < b.eid
+            WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 2),
+        isl AS (
+            SELECT id_a, id_b, t,
+                   t - row_number() OVER (PARTITION BY id_a, id_b
+                                          ORDER BY t) AS grp
+            FROM pairs),
+        runs AS (
+            SELECT id_a, id_b, min(t) AS start_t, max(t) AS end_t,
+                   count(*) AS run_len
+            FROM isl GROUP BY id_a, id_b, grp)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(start_t AS BIGINT) AS start_t,
+               CAST(end_t AS BIGINT) AS end_t,
+               CAST(run_len AS BIGINT) AS run_len
+        FROM runs WHERE run_len >= 3
+    """
+
+
 def _q_median_filter(spark, sf_dir):
     """3×3 median filter (multimodal/filters.py): per-image exact stats
     of the median-filtered g3 field over the valid interior of REAL PNG
@@ -5676,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length_texture": _q_run_lengths,
         "median_filter_stats": _q_median_filter,
         "template_match_sad": _q_template_match,
+        "convoy_comovement": _q_convoy,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7355,6 +7431,7 @@ def oracle_sql() -> dict[str, str]:
         "run_length_texture": _run_lengths_oracle_sql(),
         "median_filter_stats": _median_filter_oracle_sql(),
         "template_match_sad": _template_match_oracle_sql(),
+        "convoy_comovement": _convoy_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
