@@ -5393,6 +5393,55 @@ def _run_lengths_oracle_sql() -> str:
     """
 
 
+def _q_kn_bigram(spark, sf_dir):
+    """Kneser-Ney bigram LM (text/lm.kn_bigram_probs): interpolated-KN
+    probabilities for every observed bigram type of the documents
+    corpus, in exact micro-units. The p_KN formula is ONE expression
+    string shared verbatim between the engine (F.expr) and the oracle
+    SQL over identical integer counts, so the doubles agree bitwise."""
+    from morituri_spark.text.lm import kn_bigram_probs
+
+    return kn_bigram_probs(_read(spark, sf_dir, "documents"))
+
+
+def _kn_bigram_oracle_sql() -> str:
+    from morituri_spark.text.lm import _KN_P_EXPR
+
+    p_expr = _KN_P_EXPR.format(d="0.75")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.term, t.pos
+            FROM documents,
+            LATERAL (
+                SELECT unnest(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+')) AS term,
+                       generate_subscripts(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), 1) AS pos
+            ) t
+            WHERE t.term <> ''),
+        bg AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id, term AS w1,
+                       lead(term) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS w2
+                FROM toks)
+            WHERE w2 IS NOT NULL),
+        cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+        cctx AS (
+            SELECT w1, count(*) AS cctx, count(DISTINCT w2) AS n1fw
+            FROM bg GROUP BY 1),
+        n1bw AS (SELECT w2, count(*) AS n1bw FROM cbg GROUP BY 1),
+        nbb AS (SELECT count(*) AS nbb FROM cbg),
+        staged AS (
+            SELECT w1, w2, cbg, {p_expr} AS p
+            FROM cbg JOIN cctx USING (w1) JOIN n1bw USING (w2)
+            CROSS JOIN nbb)
+        SELECT w1, w2, CAST(cbg AS BIGINT) AS cbg,
+               CAST(floor(p * 1e6 + 0.5 + 1e-8) AS BIGINT) AS p_micro
+        FROM staged
+    """
+
+
 def _q_dag_longest(spark, sf_dir):
     """DAG critical path (graph/dag.py): per-node longest weighted path
     length from any in-degree-0 node, over a closed-form 120-node DAG
@@ -5804,6 +5853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_match_sad": _q_template_match,
         "convoy_comovement": _q_convoy,
         "dag_critical_path": _q_dag_longest,
+        "kn_bigram_lm": _q_kn_bigram,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7485,6 +7535,7 @@ def oracle_sql() -> dict[str, str]:
         "template_match_sad": _template_match_oracle_sql(),
         "convoy_comovement": _convoy_oracle_sql(),
         "dag_critical_path": _dag_longest_oracle_sql(),
+        "kn_bigram_lm": _kn_bigram_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

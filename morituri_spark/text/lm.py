@@ -59,6 +59,71 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+#: the Kneser-Ney probability as ONE shared engine/oracle expression over
+#: the staged integer counts (rule 5: explicit DOUBLE casts; rule 9: the
+#: counts are separate projected columns). 0.75 and the micro-rounding
+#: epsilon are binary-representable, so Spark and DuckDB evaluate the
+#: identical IEEE operation sequence.
+_KN_P_EXPR = (
+    "(greatest(CAST(cbg AS DOUBLE) - {d}, 0.0)"
+    " + {d} * CAST(n1fw AS DOUBLE)"
+    " * (CAST(n1bw AS DOUBLE) / CAST(nbb AS DOUBLE)))"
+    " / CAST(cctx AS DOUBLE)"
+)
+
+
+def kn_bigram_probs(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the real-LM
+    smoothing (add-one over-smooths; KN backs off by CONTINUATION
+    counts, the published fix):
+
+        p_KN(w2|w1) = max(c(w1,w2) − D, 0)/c_ctx(w1)
+                      + D·N1+(w1,·)/c_ctx(w1) · N1+(·,w2)/N(··)
+
+    where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct
+    contexts preceding w2, N(··) = distinct bigram types, D = discount.
+
+    → (w1, w2, cbg, p_micro): every OBSERVED bigram type with its raw
+    count and p_KN floor-rounded to integer micro-units via the shared
+    rule-16 expression — bit-identical across engines because every
+    operand is an exact integer count and D = 0.75 is binary-exact.
+
+    Scale shape: four map-side-combinable aggregates over the bigram
+    relation (counts, per-context stats, per-word continuation counts,
+    one global scalar) and two equi-joins keyed by w1 / w2 — stopword
+    skew stays joinable because both join sides are aggregates.
+    """
+    d = float(discount)
+    bg = doc_bigrams(docs, doc_id, text_col)
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    cctx = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cctx"),
+        F.countDistinct("w2").alias("n1fw"),
+    )
+    n1bw = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    nbb = cbg.agg(F.count(F.lit(1)).alias("nbb"))
+    staged = (
+        cbg.join(cctx, "w1")
+        .join(n1bw, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "w1", "w2", "cbg",
+            F.expr(_KN_P_EXPR.format(d=repr(d))).alias("_p"),
+        )
+    )
+    return staged.select(
+        "w1", "w2", "cbg",
+        F.floor(F.col("_p") * F.lit(1e6) + F.lit(0.5) + F.lit(1e-8))
+        .cast("long")
+        .alias("p_micro"),
+    )
+
+
 def lm_nll_scores(
     docs: DataFrame,
     doc_id: str = "doc_id",
