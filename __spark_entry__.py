@@ -5393,6 +5393,46 @@ def _run_lengths_oracle_sql() -> str:
     """
 
 
+def _q_image_moments(spark, sf_dir):
+    """Image moments (multimodal/moments.py): per-image exact raw
+    moments and central-moment numerators (×m00) of the g3≥384 mask
+    over REAL PNG payloads. The oracle re-derives the mask from the
+    gradient closed form and replays every moment as a grouped integer
+    aggregate — all-integer, no centroid float."""
+    from morituri_spark.multimodal.moments import image_moments
+
+    return image_moments(_gradient_images(spark, sf_dir, n=150), threshold=384)
+
+
+def _image_moments_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        mask AS (SELECT i, y, x FROM pix WHERE g3 >= 384),
+        raw AS (
+            SELECT i,
+                   CAST(count(*) AS BIGINT) AS m00,
+                   CAST(sum(x) AS BIGINT) AS m10,
+                   CAST(sum(y) AS BIGINT) AS m01,
+                   CAST(sum(x * x) AS BIGINT) AS m20,
+                   CAST(sum(y * y) AS BIGINT) AS m02,
+                   CAST(sum(x * y) AS BIGINT) AS m11
+            FROM mask GROUP BY i)
+        SELECT printf('img%08d', i) AS image_id,
+               m00, m10, m01, m20, m02, m11,
+               m00 * m20 - m10 * m10 AS mu20n,
+               m00 * m02 - m01 * m01 AS mu02n,
+               m00 * m11 - m10 * m01 AS mu11n
+        FROM raw
+    """
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Kneser-Ney bigram LM (text/lm.kn_bigram_probs): interpolated-KN
     probabilities for every observed bigram type of the documents
@@ -5854,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convoy_comovement": _q_convoy,
         "dag_critical_path": _q_dag_longest,
         "kn_bigram_lm": _q_kn_bigram,
+        "image_moments": _q_image_moments,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7536,6 +7577,7 @@ def oracle_sql() -> dict[str, str]:
         "convoy_comovement": _convoy_oracle_sql(),
         "dag_critical_path": _dag_longest_oracle_sql(),
         "kn_bigram_lm": _kn_bigram_oracle_sql(),
+        "image_moments": _image_moments_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
