@@ -6066,8 +6066,37 @@ _WINDOW = [
     # — its Horn-stencil DEM gradient machinery runs in-window via
     # dem_slope_aspect, which computes the same staged gradients before
     # the shading step; pytest-pinned, sweep-EQUAL, replica-checked.)
-    "harris_corners_topk", "chamfer_distance_hist", "augment_checksums",
-    "frequent_tokens", "dtw_track_pairs",
+    # thirteenth-session rotation: the nine operators built this session
+    # (GLCM/LBP/run-length texture, median filter + SAD template match,
+    # convoy detection, DAG critical path, Kneser-Ney LM, image moments)
+    # are the freshest code in the repo and enter per the code-risk
+    # triage rule. Released — every one frozen, sweep-EQUAL,
+    # pytest-pinned, replica-checked, with in-window siblings:
+    # augment_checksums (its real-PNG encode/decode machinery runs
+    # in-window inside every _gradient_images fixture query — now ten of
+    # them; the flip/rot pixel permutations are pytest-golden),
+    # frequent_tokens (tokenizer family in-window via collocation_pmi;
+    # the Misra-Gries + exact-pass aggregation is frozen pytest-pinned
+    # code), dtw_track_pairs (the shared _warp_join anti-diagonal DP
+    # runs in-window via frechet_track_pairs — same module, same
+    # radius_join anchor candidates), hmm_map_match (its snap-candidate
+    # cell-cover join runs in-window via segment_zone_lengths; the
+    # viterbi trellis is pytest-pinned on frozen code),
+    # lm_perplexity_scores (the entering kn_bigram_lm exercises the SAME
+    # doc_bigrams machinery and micro-exact rounding contract from the
+    # same module — the strongest sibling possible), image_blob_stats
+    # (the g3>=384 mask family runs in-window via image_morphology plus
+    # the entering run_length_texture and image_moments; CC labeling is
+    # pytest-pinned vs the fixpoint oracle), vit_patch_tokens (real
+    # decode in-window via every gradient fixture; patch indexing is
+    # pytest-golden), quadkey_pyramid (packed-cell arithmetic in-window
+    # via adaptive_quadtree_cells), crossmodal_dup_confirm (Hamming
+    # bucket-join dup confirmation in-window via color_histogram_dups;
+    # phash machinery pytest-pinned).
+    "glcm_texture", "lbp_histogram", "run_length_texture",
+    "median_filter_stats", "template_match_sad", "convoy_comovement",
+    "dag_critical_path", "kn_bigram_lm", "image_moments",
+    "harris_corners_topk", "chamfer_distance_hist",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
     # the strongest sibling possible. quantiles_nosort enters releasing
@@ -6077,7 +6106,7 @@ _WINDOW = [
     # (table_diff_audit enters releasing ripley_k_curve: the K-curve is
     # ONE radius_join — recall driver-proven in-window via the hausdorff/
     # dtw/snap candidate joins — plus frozen pytest-pinned aggregation.)
-    "hmm_map_match", "quantiles_nosort", "table_diff_audit",
+    "quantiles_nosort", "table_diff_audit",
     # eleventh-session rotation: the four operators built this session
     # (poly_dissolve_stats, hough_line_votes, image_equalize_otsu,
     # bpe_train_merges) are the freshest code in the repo and enter per
@@ -6113,7 +6142,6 @@ _WINDOW = [
     # local_morans_lisa + gi-composing emerging_hotspots' stages via
     # grid_density_clusters and adaptive_quadtree_cells' packed-cell
     # arithmetic; pytest-pinned, sweep-EQUAL, replica-checked.)
-    "image_blob_stats",
     # twelfth-session rotation: frechet_track_pairs is the freshest code
     # (the _warp_join refactor touched dtw_join's path too — both stay
     # in-window). Released: snap_points_to_segments — frozen
@@ -6144,14 +6172,13 @@ _WINDOW = [
     # the same cell-count rollup. grid_hotspot_cells stays sweep-EQUAL,
     # pytest-covered, and replica-checked.)
     "grid_density_clusters", "color_histogram_dups",
-    "semdedup_keep_flags", "vit_patch_tokens",
+    "semdedup_keep_flags",
     # (gwr_surface_betas enters per the code-risk rule, releasing
     # idw_surface_cells: GWR is the same bin → 9-way neighbor explode →
     # DECIMAL(38,0) moment aggregate plumbing with a strictly deeper
     # solve on top — the strongest sibling possible; idw stays
     # pytest-pinned (test_interpolate), sweep-EQUAL, replica-checked.)
-    "gwr_surface_betas", "quadkey_pyramid",
-    "crossmodal_dup_confirm", "knn_mega_cell_skew",
+    "gwr_surface_betas", "knn_mega_cell_skew",
     "jpeg_progressive_roundtrip",
     # never driver-checked: seventh-session trio (displacing
     # sessionize_gap, r4-fresh; pricing_summary, code-frozen since r2; and
@@ -6179,7 +6206,7 @@ _WINDOW = [
     "image_quality_gates", "bfs_hop_distances",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
-    "sssp_weighted_costs", "triangle_counts", "lm_perplexity_scores",
+    "sssp_weighted_costs", "triangle_counts",
     "theil_sen_trends", "interval_union_coverage", "tfidf_keywords",
     "k_core_membership", "audio_silence_segments", "rolling_window_rates",
     "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
