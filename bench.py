@@ -1447,6 +1447,141 @@ def main() -> None:
     )
     dis_cells.unpersist()
 
+    # texture/filter/moments kernels (r5 thirteenth session): one shared
+    # 50k real-PNG corpus, decode-dominated scan-shaped kernels; every
+    # aggregate CONSUMES the kernel outputs (rule 18 — a count would let
+    # Catalyst prune the kernel away)
+    from morituri_spark.multimodal.filters import (
+        median_filter_stats as _mfs,
+        template_match_sad as _tms,
+    )
+    from morituri_spark.multimodal.moments import image_moments as _imom
+    from morituri_spark.multimodal.texture import (
+        glcm_features as _glcm,
+        lbp_histogram as _lbp,
+        run_length_hist as _rlh,
+    )
+
+    tex_imgs = synth.images_table(
+        spark, 50_000, partitions=cpus * 2, px=16
+    ).persist()
+    tex_imgs.count()
+    timed(
+        "glcm_50k_images",
+        lambda: _glcm(tex_imgs)
+        .agg(F.sum("contrast"), F.sum("energy_sq"), F.sum("homog840"))
+        .collect(),
+    )
+    timed(
+        "lbp_50k_images",
+        lambda: _lbp(tex_imgs)
+        .agg(F.bit_xor(F.xxhash64("image_id", "code", "cnt")))
+        .collect(),
+    )
+    timed(
+        "run_length_50k_images",
+        lambda: _rlh(tex_imgs)
+        .agg(F.bit_xor(F.xxhash64("image_id", "run_len", "cnt")))
+        .collect(),
+    )
+    timed(
+        "median_filter_50k_images",
+        lambda: _mfs(tex_imgs).agg(F.sum("chk_pos"), F.sum("sum_med")).collect(),
+    )
+    timed(
+        "template_sad_50k_images",
+        lambda: _tms(tex_imgs).agg(F.sum("sad"), F.sum("y0"), F.sum("x0")).collect(),
+    )
+    timed(
+        "image_moments_50k_images",
+        lambda: _imom(tex_imgs).agg(F.sum("mu20n"), F.sum("mu11n")).collect(),
+    )
+    tex_imgs.unpersist()
+
+    # convoy detection (r5 thirteenth session): 20k entities × 100 ticks =
+    # 2M points; candidates come from ONE (tick, cell) equi-join (probe
+    # side ×9 cell explode), runs from one window + one partial-agg
+    # groupBy on pair keys — no pair-level distinct anywhere
+    from morituri_spark.geo.convoy import comovement_runs
+
+    cv_pts = (
+        spark.range(2_000_000)
+        .selectExpr(
+            "id % 20000 AS eid",
+            "CAST(floor(id / 20000.0) AS BIGINT) AS t",
+        )
+        .selectExpr(
+            "eid",
+            "t",
+            "eid % 4000 AS g",
+            "CAST(floor(eid / 4000.0) AS BIGINT) AS k",
+        )
+        .selectExpr(
+            "eid",
+            "t",
+            "(13 * g + 4 * t) % 40000 + k % 3"
+            " + (CASE WHEN (eid + t) % 9 = 0 THEN 7 ELSE 0 END) AS x",
+            "(7 * g + 3 * t) % 40000 + k % 2 AS y",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    cv_pts.count()
+    timed(
+        "convoy_2m_points",
+        lambda: comovement_runs(cv_pts, radius=2, min_len=3, id_col="eid", t_col="t")
+        .agg(F.count(F.lit(1)), F.sum("run_len"), F.sum("start_t"))
+        .collect(),
+    )
+    cv_pts.unpersist()
+
+    # DAG critical path (r5 thirteenth session): 50k nodes / ~500k edges,
+    # min edge span 2500 bounds the depth at 20 relaxation rounds — the
+    # known_depth fast path makes each round ONE job (join + max agg,
+    # both map-side combinable), verified by a final fixpoint round
+    from morituri_spark.graph.dag import longest_paths
+
+    dag_edges = (
+        spark.range(500_000)
+        .selectExpr(
+            "id % 50000 AS src",
+            "id % 50000 + 2500 + id % 500 AS dst",
+            "id % 5 + 1 AS w",
+        )
+        .where("dst < 50000")
+        .repartition(cpus)
+        .persist()
+    )
+    dag_edges.count()
+    timed(
+        "dag_longest_500k_edges",
+        lambda: longest_paths(dag_edges, max_rounds=40, known_depth=21)
+        .agg(F.sum("dist"), F.max("dist"), F.count(F.lit(1)))
+        .collect(),
+    )
+    dag_edges.unpersist()
+
+    # Kneser-Ney bigram LM (r5 thirteenth session) over the same 10×
+    # replica corpus shape as the minhash stress (~50k docs): four
+    # map-side-combinable aggregates + two aggregate-vs-aggregate joins
+    from morituri_spark.text.lm import kn_bigram_probs
+
+    kn_docs = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"), "doc_id", "text"
+        )
+        .select((F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"), "text")
+        .persist()
+    )
+    kn_docs.count()
+    timed(
+        "kn_bigram_50k_docs",
+        lambda: kn_bigram_probs(kn_docs)
+        .agg(F.sum("p_micro"), F.sum("cbg"), F.count(F.lit(1)))
+        .collect(),
+    )
+    kn_docs.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
