@@ -5433,6 +5433,65 @@ def _image_moments_oracle_sql() -> str:
     """
 
 
+def _q_box_filter(spark, sf_dir):
+    """Separable box filter (geo/terrain.box_filter): exact (2r+1)²
+    box sums + support counts over 40 closed-form 24×24 keyed rasters
+    — TWO Catalyst range-frame windows (rows then columns) instead of a
+    25-way neighbor self-join. The oracle replays the same two RANGE
+    frames in DuckDB; integers end to end."""
+    from morituri_spark.geo.terrain import box_filter
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 23040")
+    dem = ev.selectExpr(
+        "event_id % 40 AS g",
+        "CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix",
+        "CAST(floor(event_id / 960.0) AS BIGINT) AS iy",
+    ).selectExpr(
+        "g", "ix", "iy",
+        "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+    )
+    return box_filter(dem, radius=2, keys=["g"]).select(
+        F.col("g").cast("long").alias("g"),
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col("z").cast("long").alias("z"),
+        F.col("box_sum").cast("long").alias("box_sum"),
+        F.col("box_n").cast("long").alias("box_n"),
+    )
+
+
+def _box_filter_oracle_sql() -> str:
+    return """
+        WITH ev AS (SELECT event_id FROM events WHERE event_id < 23040),
+        cells AS (
+            SELECT event_id % 40 AS g,
+                   CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix,
+                   CAST(floor(event_id / 960.0) AS BIGINT) AS iy
+            FROM ev),
+        dem AS (
+            SELECT g, ix, iy,
+                   (7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z
+            FROM cells),
+        h AS (
+            SELECT g, ix, iy, z,
+                   sum(z) OVER (PARTITION BY g, iy ORDER BY ix
+                                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS hsum,
+                   count(*) OVER (PARTITION BY g, iy ORDER BY ix
+                                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS hn
+            FROM dem)
+        SELECT g, ix, iy, z,
+               CAST(sum(hsum) OVER (PARTITION BY g, ix ORDER BY iy
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+                   AS box_sum,
+               CAST(sum(hn) OVER (PARTITION BY g, ix ORDER BY iy
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+                   AS box_n
+        FROM h
+    """
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Kneser-Ney bigram LM (text/lm.kn_bigram_probs): interpolated-KN
     probabilities for every observed bigram type of the documents
@@ -5895,6 +5954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_critical_path": _q_dag_longest,
         "kn_bigram_lm": _q_kn_bigram,
         "image_moments": _q_image_moments,
+        "box_filter_grid": _q_box_filter,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7605,6 +7665,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_critical_path": _dag_longest_oracle_sql(),
         "kn_bigram_lm": _kn_bigram_oracle_sql(),
         "image_moments": _image_moments_oracle_sql(),
+        "box_filter_grid": _box_filter_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -30,7 +30,7 @@ Reference scope: no counterpart in morituri; raster family extension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .knn import _Round
 
@@ -78,6 +78,58 @@ def _horn_numerators(
         F.count(F.lit(1)).alias("_n"),
     )
     return sums.where(F.col("_n") == 9).drop("_n")
+
+
+def box_filter(
+    dem: DataFrame,
+    radius: int = 1,
+    keys: list[str] | None = None,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """Separable (2r+1)×(2r+1) box sums — the summed-area / smoothing
+    primitive — as TWO Catalyst range-frame windows instead of a
+    (2r+1)² neighbor self-join: first Σz over ix∈[−r, r] within each
+    (keys, iy) row, then Σ of those over iy∈[−r, r] within each
+    (keys, ix) column. → input columns + (box_sum, box_n), where box_n
+    is the in-bounds cell count (borders clip — box_n < (2r+1)² there),
+    so callers can form exact means as a rational pair.
+
+    Exactness: integer z stays integer end to end; a SQL replay with
+    the same two RANGE frames matches bit-for-bit (ties are impossible
+    — the frame is keyed by the unique cell coordinate).
+
+    Scale shape: no join, no explode — two windows whose running state
+    is O(r) per partition; partitions are raster rows then columns
+    (bounded by raster extent, never by total cell count), and a keyed
+    multi-raster table parallelizes over keys × rows. The self-join
+    formulation this replaces shuffles (2r+1)² candidate rows per cell;
+    this shuffles each cell twice, independent of r.
+
+    Missing cells are treated as ABSENT (sparse rasters sum what
+    exists), not zero-filled — box_n reports the actual support.
+    """
+    r = int(radius)
+    if r < 0:
+        raise ValueError(f"radius must be >= 0, got {r}")
+    ks = list(keys or [])
+    w_row = (
+        Window.partitionBy(*ks, iy_col).orderBy(ix_col).rangeBetween(-r, r)
+    )
+    h = dem.select(
+        *ks, ix_col, iy_col, z_col,
+        F.sum(z_col).over(w_row).alias("_h"),
+        F.count(F.lit(1)).over(w_row).alias("_hn"),
+    )
+    w_col = (
+        Window.partitionBy(*ks, ix_col).orderBy(iy_col).rangeBetween(-r, r)
+    )
+    return h.select(
+        *ks, ix_col, iy_col, z_col,
+        F.sum("_h").over(w_col).alias("box_sum"),
+        F.sum("_hn").over(w_col).alias("box_n"),
+    )
 
 
 def slope_aspect(

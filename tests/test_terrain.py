@@ -257,3 +257,40 @@ def test_hillshade_guard(spark):
     df = spark.createDataFrame([(0, 0, 1)], "ix long, iy long, z long")
     with pytest.raises(ValueError):
         hillshade(df, -1.0)
+
+
+def test_box_filter_matches_loop(spark):
+    import numpy as np
+
+    from morituri_spark.geo.terrain import box_filter
+
+    rng = np.random.RandomState(7)
+    z = rng.randint(0, 100, size=(6, 9)).astype(np.int64)
+    rows = [(int(x), int(y), int(z[y, x]))
+            for y in range(6) for x in range(9)]
+    dem = spark.createDataFrame(rows, "ix long, iy long, z long")
+    got = {(r["ix"], r["iy"]): (r["box_sum"], r["box_n"])
+           for r in box_filter(dem, radius=2).collect()}
+    for y in range(6):
+        for x in range(9):
+            y0, y1 = max(0, y - 2), min(6, y + 3)
+            x0, x1 = max(0, x - 2), min(9, x + 3)
+            blk = z[y0:y1, x0:x1]
+            assert got[(x, y)] == (int(blk.sum()), blk.size)
+
+
+def test_box_filter_sparse_and_keys(spark):
+    from morituri_spark.geo.terrain import box_filter
+
+    # two keyed grids, one with a hole: absent cells don't contribute
+    rows = [("a", 0, 0, 10), ("a", 1, 0, 20), ("a", 0, 1, 30),
+            ("b", 0, 0, 5)]
+    dem = spark.createDataFrame(rows, "g string, ix long, iy long, z long")
+    got = {(r["g"], r["ix"], r["iy"]): (r["box_sum"], r["box_n"])
+           for r in box_filter(dem, radius=1, keys=["g"]).collect()}
+    assert got[("a", 0, 0)] == (60, 3)
+    assert got[("b", 0, 0)] == (5, 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        box_filter(dem, radius=-1, keys=["g"])
