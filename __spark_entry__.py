@@ -5433,6 +5433,39 @@ def _image_moments_oracle_sql() -> str:
     """
 
 
+#: literal needle dictionary shared by the engine query and the oracle
+_NEEDLES = ("the", "and", "ing", "ion", "ent", "for", "ate", "tion",
+            "er", "re", "data", "of")
+
+
+def _q_pattern_hits(spark, sf_dir):
+    """Multi-pattern substring counting (text/patterns.py): every
+    document scored against a broadcast literal dictionary — the count
+    is the left-to-right non-overlapping occurrence count via the
+    length-delta-of-replace identity, a convention Spark and DuckDB
+    share, so the oracle's VALUES-dictionary replay is exact."""
+    from morituri_spark.text.patterns import pattern_hit_counts
+
+    needles = spark.createDataFrame(
+        [(n,) for n in _NEEDLES], "needle string"
+    )
+    return pattern_hit_counts(_read(spark, sf_dir, "documents"), needles)
+
+
+def _pattern_hits_oracle_sql() -> str:
+    vals = ", ".join(f"({n!r})" for n in _NEEDLES)
+    return f"""
+        WITH nd(needle) AS (VALUES {vals}),
+        lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+        scored AS (
+            SELECT doc_id, needle,
+                   CAST((length(t) - length(replace(t, needle, '')))
+                        / length(needle) AS BIGINT) AS hits
+            FROM lowered CROSS JOIN nd)
+        SELECT doc_id, needle, hits FROM scored WHERE hits > 0
+    """
+
+
 def _q_box_filter(spark, sf_dir):
     """Separable box filter (geo/terrain.box_filter): exact (2r+1)²
     box sums + support counts over 40 closed-form 24×24 keyed rasters
@@ -5955,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_lm": _q_kn_bigram,
         "image_moments": _q_image_moments,
         "box_filter_grid": _q_box_filter,
+        "pattern_hit_counts": _q_pattern_hits,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7666,6 +7700,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_lm": _kn_bigram_oracle_sql(),
         "image_moments": _image_moments_oracle_sql(),
         "box_filter_grid": _box_filter_oracle_sql(),
+        "pattern_hit_counts": _pattern_hits_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
