@@ -5433,6 +5433,80 @@ def _image_moments_oracle_sql() -> str:
     """
 
 
+def _q_thinning(spark, sf_dir):
+    """Zhang-Suen thinning (multimodal/thinning.py): exactly 8
+    sub-iterations of the published two-phase thinning over the g3≥384
+    mask of REAL PNG payloads, emitted as exact populations + the
+    position-weighted skeleton checksum. The oracle unrolls the SAME 8
+    sub-iterations as MATERIALIZED CTE stages (rule 27 — each stage
+    self-joins its predecessor twice), with the neighbor ring pivoted
+    through conditional aggregates — the morphology evidence class,
+    iterated and condition-gated."""
+    from morituri_spark.multimodal.thinning import thinning_stats
+
+    return thinning_stats(
+        _gradient_images(spark, sf_dir, n=60), threshold=384, n_steps=8
+    )
+
+
+def _thinning_oracle_sql() -> str:
+    from morituri_spark.multimodal.thinning import RING
+
+    pivots = ", ".join(
+        f"coalesce(max(CASE WHEN b.y = a.y + {dy} AND b.x = a.x + {dx}"
+        f" THEN b.m END), 0) AS p{idx}"
+        for idx, (dy, dx) in enumerate(RING, start=2)
+    )
+    ring = [2, 3, 4, 5, 6, 7, 8, 9]
+    trans = " + ".join(
+        f"(CASE WHEN p{a} = 0 AND p{b} = 1 THEN 1 ELSE 0 END)"
+        for a, b in zip(ring, ring[1:] + ring[:1])
+    )
+
+    def _stage(prev: str, name: str, phase: int) -> str:
+        g = (
+            "p2 * p4 * p6 = 0 AND p4 * p6 * p8 = 0"
+            if phase == 0
+            else "p2 * p4 * p8 = 0 AND p2 * p6 * p8 = 0"
+        )
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT i, y, x,
+                   CASE WHEN m = 1
+                             AND (p2+p3+p4+p5+p6+p7+p8+p9) BETWEEN 2 AND 6
+                             AND ({trans}) = 1 AND {g}
+                        THEN 0 ELSE m END AS m
+            FROM (
+                SELECT a.i, a.y, a.x, a.m, {pivots}
+                FROM {prev} a LEFT JOIN {prev} b
+                  ON b.i = a.i AND abs(b.y - a.y) <= 1
+                 AND abs(b.x - a.x) <= 1
+                 AND NOT (b.y = a.y AND b.x = a.x)
+                GROUP BY a.i, a.y, a.x, a.m))"""
+
+    stages = ",".join(
+        _stage(f"s{k}", f"s{k + 1}", k % 2) for k in range(8)
+    )
+    return f"""
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 60),
+        s0 AS MATERIALIZED (
+            SELECT i, y, x,
+                   CASE WHEN (i + 2 * y + 3 * x) % 256
+                             + (2 * i + y + 5 * x) % 256
+                             + (3 * i + 4 * y + x) % 256 >= 384
+                        THEN 1 ELSE 0 END AS m
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),{stages}
+        SELECT printf('img%08d', a0.i) AS image_id,
+               a0.n AS n_mask, a8.n AS n_skel,
+               a0.n - a8.n AS n_deleted, a8.chk AS chk_skel
+        FROM (SELECT i, CAST(sum(m) AS BIGINT) AS n FROM s0 GROUP BY i) a0
+        JOIN (SELECT i, CAST(sum(m) AS BIGINT) AS n,
+                     CAST(sum(m * (y * 16 + x + 1)) AS BIGINT) AS chk
+              FROM s8 GROUP BY i) a8 ON a8.i = a0.i
+    """
+
+
 #: literal needle dictionary shared by the engine query and the oracle
 _NEEDLES = ("the", "and", "ing", "ion", "ent", "for", "ate", "tion",
             "er", "re", "data", "of")
@@ -5989,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_moments": _q_image_moments,
         "box_filter_grid": _q_box_filter,
         "pattern_hit_counts": _q_pattern_hits,
+        "zhang_suen_thinning": _q_thinning,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7701,6 +7776,7 @@ def oracle_sql() -> dict[str, str]:
         "image_moments": _image_moments_oracle_sql(),
         "box_filter_grid": _box_filter_oracle_sql(),
         "pattern_hit_counts": _pattern_hits_oracle_sql(),
+        "zhang_suen_thinning": _thinning_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
