@@ -6262,9 +6262,19 @@ _WINDOW = [
     # via adaptive_quadtree_cells), crossmodal_dup_confirm (Hamming
     # bucket-join dup confirmation in-window via color_histogram_dups;
     # phash machinery pytest-pinned).
+    # (box_filter_grid, pattern_hit_counts, and zhang_suen_thinning enter
+    # under the same rule, releasing bm25_doc_retrieval — tokenization +
+    # micro-exact scoring family in-window via kn_bigram_lm and
+    # tfidf_keywords, frozen pytest-pinned code — image_quality_gates —
+    # the real-decode + per-image-stats machinery now runs in-window
+    # through SIX entering kernels (texture triple, median/SAD, moments,
+    # thinning); gate arithmetic pytest-pinned — and rolling_window_rates
+    # — its rangeBetween range-frame machinery is exactly what
+    # box_filter_grid exercises in-window, twice.)
     "glcm_texture", "lbp_histogram", "run_length_texture",
     "median_filter_stats", "template_match_sad", "convoy_comovement",
     "dag_critical_path", "kn_bigram_lm", "image_moments",
+    "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
     "harris_corners_topk", "chamfer_distance_hist",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -6371,13 +6381,13 @@ _WINDOW = [
     # r3-stale-but-green rotations zsplit_golden_vectors +
     # streaming_first_seen — both frozen code with pytest goldens and r3
     # EQUAL rows — plus the four sibling-covered releases noted above)
-    "bm25_doc_retrieval", "local_morans_lisa",
-    "image_quality_gates", "bfs_hop_distances",
+    "local_morans_lisa",
+    "bfs_hop_distances",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
     "sssp_weighted_costs", "triangle_counts",
     "theil_sen_trends", "interval_union_coverage", "tfidf_keywords",
-    "k_core_membership", "audio_silence_segments", "rolling_window_rates",
+    "k_core_membership", "audio_silence_segments",
     "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
 ]
 
