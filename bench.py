@@ -1496,7 +1496,44 @@ def main() -> None:
         "image_moments_50k_images",
         lambda: _imom(tex_imgs).agg(F.sum("mu20n"), F.sum("mu11n")).collect(),
     )
+    from morituri_spark.multimodal.thinning import thinning_stats as _thin
+
+    timed(
+        "thinning_50k_images_8_steps",
+        lambda: _thin(tex_imgs, n_steps=8)
+        .agg(F.sum("chk_skel"), F.sum("n_deleted"))
+        .collect(),
+    )
     tex_imgs.unpersist()
+
+    # separable box filter (r5 thirteenth session): 16.7M cells as 4096
+    # keyed 64×64 rasters — TWO range-frame windows whose running state
+    # is O(r) per partition; the 25-way self-join this replaces would
+    # shuffle 25 candidate rows per cell
+    from morituri_spark.geo.terrain import box_filter
+
+    bf_dem = (
+        spark.range(16_777_216)
+        .selectExpr(
+            "id % 4096 AS g",
+            "CAST(floor(id / 4096.0) AS BIGINT) % 64 AS ix",
+            "CAST(floor(id / 262144.0) AS BIGINT) AS iy",
+        )
+        .selectExpr(
+            "g", "ix", "iy",
+            "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    bf_dem.count()
+    timed(
+        "box_filter_16m_cells",
+        lambda: box_filter(bf_dem, radius=2, keys=["g"])
+        .agg(F.sum("box_sum"), F.sum("box_n"))
+        .collect(),
+    )
+    bf_dem.unpersist()
 
     # convoy detection (r5 thirteenth session): 20k entities × 100 ticks =
     # 2M points; candidates come from ONE (tick, cell) equi-join (probe
@@ -1578,6 +1615,23 @@ def main() -> None:
         "kn_bigram_50k_docs",
         lambda: kn_bigram_probs(kn_docs)
         .agg(F.sum("p_micro"), F.sum("cbg"), F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # multi-pattern hit counts (r5 thirteenth session) over the same 10×
+    # corpus: broadcast dictionary, codegen replace-scan, no corpus
+    # shuffle — cost is needles × one linear text pass per doc
+    from morituri_spark.text.patterns import pattern_hit_counts
+
+    pat_needles = spark.createDataFrame(
+        [(n,) for n in ("the", "and", "ing", "ion", "ent", "for", "ate",
+                        "tion", "er", "re", "data", "of")],
+        "needle string",
+    )
+    timed(
+        "pattern_hits_50k_docs",
+        lambda: pattern_hit_counts(kn_docs, pat_needles)
+        .agg(F.sum("hits"), F.count(F.lit(1)))
         .collect(),
     )
     kn_docs.unpersist()
