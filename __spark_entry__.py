@@ -5599,6 +5599,71 @@ def _box_filter_oracle_sql() -> str:
     """
 
 
+def _q_ridge_visibility(spark, sf_dir):
+    """West-edge line-of-sight sweep (geo/terrain.ridge_visibility)
+    over the same closed-form 40×24×24 keyed rasters as
+    box_filter_grid: per-row visible-cell counts + membership checksum
+    under the floor-quantized integer-slope contract (2²⁰ scale). The
+    engine's running-max window is replayed by the oracle's ROWS frame;
+    both engines share the exact floor-division expression."""
+    from morituri_spark.geo.terrain import ridge_visibility
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 23040")
+    dem = ev.selectExpr(
+        "event_id % 40 AS g",
+        "CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix",
+        "CAST(floor(event_id / 960.0) AS BIGINT) AS iy",
+    ).selectExpr(
+        "g", "ix", "iy",
+        "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+    )
+    return ridge_visibility(dem, eye_height=2, keys=["g"]).select(
+        F.col("g").cast("long").alias("g"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col("n_visible").cast("long").alias("n_visible"),
+        F.col("chk_x").cast("long").alias("chk_x"),
+    )
+
+
+def _ridge_visibility_oracle_sql() -> str:
+    return """
+        WITH ev AS (SELECT event_id FROM events WHERE event_id < 23040),
+        cells AS (
+            SELECT event_id % 40 AS g,
+                   CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix,
+                   CAST(floor(event_id / 960.0) AS BIGINT) AS iy
+            FROM ev),
+        dem AS (
+            SELECT g, ix, iy,
+                   (7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z
+            FROM cells),
+        obs AS (SELECT g, iy, z + 2 AS h FROM dem WHERE ix = 0),
+        st AS (
+            SELECT d.g, d.iy, d.ix,
+                   CASE WHEN d.ix > 0 THEN
+                        CAST(floor(((d.z - o.h) * 1048576) / d.ix)
+                             AS BIGINT)
+                   END AS sq
+            FROM dem d JOIN obs o ON o.g = d.g AND o.iy = d.iy),
+        mk AS (
+            SELECT g, iy, ix, sq,
+                   max(sq) OVER (PARTITION BY g, iy ORDER BY ix
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS rm
+            FROM st),
+        vis AS (
+            SELECT g, iy, ix,
+                   (ix > 0 AND (rm IS NULL OR sq > rm)) AS v
+            FROM mk)
+        SELECT g, iy,
+               CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_visible,
+               CAST(sum(CASE WHEN v THEN ix ELSE 0 END) AS BIGINT)
+                   AS chk_x
+        FROM vis GROUP BY 1, 2
+    """
+
+
 def _q_kn_bigram(spark, sf_dir):
     """Kneser-Ney bigram LM (text/lm.kn_bigram_probs): interpolated-KN
     probabilities for every observed bigram type of the documents
@@ -6064,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_filter_grid": _q_box_filter,
         "pattern_hit_counts": _q_pattern_hits,
         "zhang_suen_thinning": _q_thinning,
+        "ridge_visibility": _q_ridge_visibility,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7787,6 +7853,7 @@ def oracle_sql() -> dict[str, str]:
         "box_filter_grid": _box_filter_oracle_sql(),
         "pattern_hit_counts": _pattern_hits_oracle_sql(),
         "zhang_suen_thinning": _thinning_oracle_sql(),
+        "ridge_visibility": _ridge_visibility_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

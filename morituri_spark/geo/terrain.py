@@ -132,6 +132,71 @@ def box_filter(
     )
 
 
+def ridge_visibility(
+    dem: DataFrame,
+    eye_height: int = 2,
+    keys: list[str] | None = None,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """West-edge line-of-sight sweep — per raster row, which cells an
+    observer standing at the row's x=0 cell (eye ``eye_height`` above
+    the terrain) can see: cell x is visible iff its elevation angle
+    strictly exceeds every angle at 0 < x' < x (the classic running-max
+    visibility sweep under viewshed analysis and radio/solar exposure).
+
+    Exactness: the angle is the FLOOR-QUANTIZED integer slope
+    ``sq(x) = floor(((z − h) · 2²⁰) / x)`` with h = z(row, 0) +
+    eye_height — a pinned contract both engines compute identically
+    (the 2²⁰ scale makes quantization collisions need slope agreement
+    within ~1e-6, and int/int division stays exact below 2^53, rule
+    28). Visibility is then a pure integer comparison against ONE
+    running-max window (rows −∞..−1) — no float, no tie ambiguity.
+
+    → (keys…, iy, n_visible, chk_x) where chk_x = Σ ix over visible
+    cells (membership-sensitive). The observer cell x=0 is not counted;
+    rows with no x=0 cell are absent (no observer).
+
+    Scale shape: one window + one partial-aggregable groupBy, zero
+    joins; partitions are raster rows (× keys), the window state is one
+    integer. The naive formulation is an O(width²) per-row self-join.
+    """
+    ks = list(keys or [])
+    w_row = Window.partitionBy(*ks, iy_col)
+    h = (
+        F.max(F.when(F.col(ix_col) == 0, F.col(z_col))).over(w_row)
+        + F.lit(int(eye_height))
+    ).alias("_h")
+    staged = dem.select(*ks, ix_col, iy_col, z_col, h).where(
+        F.col("_h").isNotNull()
+    )
+    # stage the quantized slope as its own projection (rule 9)
+    sq = F.when(
+        F.col(ix_col) > 0,
+        F.floor(
+            ((F.col(z_col) - F.col("_h")) * F.lit(1 << 20)) / F.col(ix_col)
+        ).cast("long"),
+    )
+    staged = staged.select(*ks, ix_col, iy_col, sq.alias("_sq"))
+    w_run = (
+        Window.partitionBy(*ks, iy_col)
+        .orderBy(ix_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vis = (F.col(ix_col) > 0) & (
+        F.max("_sq").over(w_run).isNull()
+        | (F.col("_sq") > F.max("_sq").over(w_run))
+    )
+    marked = staged.select(*ks, ix_col, iy_col, vis.alias("_v"))
+    return marked.groupBy(*ks, iy_col).agg(
+        F.sum(F.col("_v").cast("long")).alias("n_visible"),
+        F.sum(F.when(F.col("_v"), F.col(ix_col)).otherwise(F.lit(0))).alias(
+            "chk_x"
+        ),
+    )
+
+
 def slope_aspect(
     dem: DataFrame,
     cell_size: float,

@@ -294,3 +294,49 @@ def test_box_filter_sparse_and_keys(spark):
 
     with pytest.raises(ValueError):
         box_filter(dem, radius=-1, keys=["g"])
+
+
+def _ref_visibility(z_row, eye):
+    """z_row: list of ints; observer at x=0. Returns visible x set."""
+    h = z_row[0] + eye
+    vis = []
+    best = None
+    for x in range(1, len(z_row)):
+        sq = ((z_row[x] - h) << 20) // x
+        if best is None or sq > best:
+            vis.append(x)
+        if best is None or sq > best:
+            best = sq
+        # running max INCLUDES non-visible cells too
+        best = max(best, sq)
+    return vis
+
+
+def test_ridge_visibility_matches_loop(spark):
+    import numpy as np
+
+    from morituri_spark.geo.terrain import ridge_visibility
+
+    rng = np.random.RandomState(17)
+    grid = rng.randint(0, 50, size=(5, 12)).astype(int)
+    rows = [(int(y), int(x), int(grid[y, x]))
+            for y in range(5) for x in range(12)]
+    dem = spark.createDataFrame(rows, "iy long, ix long, z long")
+    got = {r["iy"]: (r["n_visible"], r["chk_x"])
+           for r in ridge_visibility(dem, eye_height=2).collect()}
+    for y in range(5):
+        vis = _ref_visibility(list(grid[y]), 2)
+        assert got[y] == (len(vis), sum(vis)), f"row {y}"
+
+
+def test_ridge_visibility_monotone_and_blocked(spark):
+    from morituri_spark.geo.terrain import ridge_visibility
+
+    # strictly rising terrain: every cell visible; then a wall hides all
+    rising = [(0, x, 10 * x) for x in range(6)]
+    wall = [(1, 0, 0), (1, 1, 100), (1, 2, 0), (1, 3, 0), (1, 4, 1)]
+    dem = spark.createDataFrame(rising + wall, "iy long, ix long, z long")
+    got = {r["iy"]: (r["n_visible"], r["chk_x"])
+           for r in ridge_visibility(dem, eye_height=2).collect()}
+    assert got[0] == (5, 1 + 2 + 3 + 4 + 5)
+    assert got[1] == (1, 1)  # only the wall itself
