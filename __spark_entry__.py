@@ -5599,6 +5599,54 @@ def _box_filter_oracle_sql() -> str:
     """
 
 
+def _q_frequent_pairs(spark, sf_dir):
+    """Market-basket pair mining (text/basket.frequent_pairs): pair
+    supports + lift in micro-units over closed-form baskets (500
+    baskets × up to 20 items from event_id arithmetic), with the
+    Apriori prune applied before pairing. The oracle brute-forces the
+    deduped pair join and shares the lift expression."""
+    from morituri_spark.text.basket import frequent_pairs
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 10000")
+    baskets = ev.selectExpr(
+        "event_id % 500 AS basket_id",
+        "format_string('i%02d', (event_id * 7 + event_id % 13) % 40)"
+        " AS item",
+    )
+    return frequent_pairs(baskets, min_support=3)
+
+
+def _frequent_pairs_oracle_sql() -> str:
+    return """
+        WITH ev AS (SELECT event_id FROM events WHERE event_id < 10000),
+        bi AS (
+            SELECT DISTINCT event_id % 500 AS b,
+                   printf('i%02d', (event_id * 7 + event_id % 13) % 40)
+                       AS i
+            FROM ev),
+        n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+        supp AS (SELECT i, count(*) AS s FROM bi GROUP BY i),
+        pruned AS (
+            SELECT bi.b, bi.i, supp.s
+            FROM bi JOIN supp USING (i) WHERE supp.s >= 3),
+        pairs AS (
+            SELECT a.i AS item_a, c.i AS item_b, count(*) AS supp_ab,
+                   max(a.s) AS sa, max(c.s) AS sb
+            FROM pruned a JOIN pruned c ON c.b = a.b AND a.i < c.i
+            GROUP BY 1, 2
+            HAVING count(*) >= 3),
+        staged AS (
+            SELECT item_a, item_b, supp_ab,
+                   (CAST(nb AS DOUBLE) * CAST(supp_ab AS DOUBLE))
+                   / (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) AS lift
+            FROM pairs CROSS JOIN n)
+        SELECT item_a, item_b, CAST(supp_ab AS BIGINT) AS supp_ab,
+               CAST(floor(lift * 1e6 + 0.5 + 1e-8) AS BIGINT)
+                   AS lift_micro
+        FROM staged
+    """
+
+
 def _q_ridge_visibility(spark, sf_dir):
     """West-edge line-of-sight sweep (geo/terrain.ridge_visibility)
     over the same closed-form 40×24×24 keyed rasters as
@@ -6130,6 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_hit_counts": _q_pattern_hits,
         "zhang_suen_thinning": _q_thinning,
         "ridge_visibility": _q_ridge_visibility,
+        "frequent_pairs_lift": _q_frequent_pairs,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7854,6 +7903,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_hit_counts": _pattern_hits_oracle_sql(),
         "zhang_suen_thinning": _thinning_oracle_sql(),
         "ridge_visibility": _ridge_visibility_oracle_sql(),
+        "frequent_pairs_lift": _frequent_pairs_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
