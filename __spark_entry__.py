@@ -5599,6 +5599,55 @@ def _box_filter_oracle_sql() -> str:
     """
 
 
+def _q_orientation_hist(spark, sf_dir):
+    """Gradient-orientation histogram (multimodal/edges.
+    orientation_histogram): per-image 8-class sign-magnitude octant
+    code over Sobel gradients of REAL PNG payloads, with per-class
+    exact pixel counts and L1-magnitude sums. The oracle replays Sobel
+    as the weighted 3×3 neighbor join (edge-Hough/Harris evidence
+    class) and classes with the same pinned integer predicate."""
+    from morituri_spark.multimodal.edges import orientation_histogram
+
+    return orientation_histogram(_gradient_images(spark, sf_dir, n=150))
+
+
+def _orientation_hist_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        k(dx, dy, wx, wy) AS (VALUES
+            (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+            (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+            (-1,1,-1,1),(0,1,0,2),(1,1,1,1)),
+        sob AS (
+            SELECT p.i, p.y, p.x,
+                   sum(k.wx * q.g3) AS gx, sum(k.wy * q.g3) AS gy
+            FROM pix p JOIN k ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + k.dy AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+            GROUP BY 1, 2, 3),
+        classed AS (
+            SELECT i,
+                   (CASE WHEN gx > 0 THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN gy > 0 THEN 1 ELSE 0 END)
+                   + 4 * (CASE WHEN abs(gx) >= abs(gy) THEN 1 ELSE 0 END)
+                       AS octant,
+                   abs(gx) + abs(gy) AS mag
+            FROM sob WHERE gx <> 0 OR gy <> 0)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(octant AS BIGINT) AS octant,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(mag) AS BIGINT) AS sum_mag
+        FROM classed GROUP BY 1, 2
+    """
+
+
 def _q_frequent_pairs(spark, sf_dir):
     """Market-basket pair mining (text/basket.frequent_pairs): pair
     supports + lift in micro-units over closed-form baskets (500
@@ -6179,6 +6228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zhang_suen_thinning": _q_thinning,
         "ridge_visibility": _q_ridge_visibility,
         "frequent_pairs_lift": _q_frequent_pairs,
+        "orientation_histogram": _q_orientation_hist,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7904,6 +7954,7 @@ def oracle_sql() -> dict[str, str]:
         "zhang_suen_thinning": _thinning_oracle_sql(),
         "ridge_visibility": _ridge_visibility_oracle_sql(),
         "frequent_pairs_lift": _frequent_pairs_oracle_sql(),
+        "orientation_histogram": _orientation_hist_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -91,3 +91,69 @@ def edge_points(
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         run, "image_id string, x long, y long, mag long"
     )
+
+
+def orientation_histogram(
+    images: DataFrame, deterministic_fake: bool = False
+) -> DataFrame:
+    """Gradient-orientation histogram (sign-magnitude octant variant) —
+    the HOG-style texture/shape descriptor, kept ALL-INTEGER.
+
+    Per interior pixel the Sobel gradient (corners.py's stencil on
+    3×-gray) is classed into one of 8 orientation codes by the PINNED
+    integer contract ``oct = (gx>0) + 2·(gy>0) + 4·(|gx|≥|gy|)`` — a
+    sign-magnitude octant code, not the Dalal-Triggs angular bin (that
+    needs atan2; this variant is engine-exact and angle-consistent
+    within each half-quadrant). Zero-gradient pixels (gx=gy=0) are
+    excluded. → (image_id, octant, n_pixels, sum_mag) with
+    mag = |gx|+|gy| — both exact integers, so the oracle's weighted
+    3×3-join replay matches bit-for-bit.
+
+    Scale shape: one scan-shaped Arrow kernel; output ≤ 8 rows per
+    image. Giant rasters tile with a 1-pixel halo and the per-tile
+    histograms SUM (map-side combinable).
+    """
+    from .corners import _sobel
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "octant": [], "n_pixels": [],
+                   "sum_mag": []}
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(
+                    bytes(payload), fmt, int(w), int(h), deterministic_fake
+                )
+                g3 = arr.astype(np.int64).sum(axis=2)
+                if g3.shape[0] < 3 or g3.shape[1] < 3:
+                    continue
+                gx, gy = _sobel(g3)
+                nz = (gx != 0) | (gy != 0)
+                oct_ = (
+                    (gx > 0).astype(np.int64)
+                    + 2 * (gy > 0).astype(np.int64)
+                    + 4 * (np.abs(gx) >= np.abs(gy)).astype(np.int64)
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                n = np.bincount(oct_[nz], minlength=8)
+                s = np.bincount(oct_[nz], weights=mag[nz].astype(np.float64),
+                                minlength=8).astype(np.int64)
+                for o in np.flatnonzero(n):
+                    out["image_id"].append(image_id)
+                    out["octant"].append(int(o))
+                    out["n_pixels"].append(int(n[o]))
+                    out["sum_mag"].append(int(s[o]))
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    **{
+                        c: np.asarray(out[c], dtype=np.int64)
+                        for c in ("octant", "n_pixels", "sum_mag")
+                    },
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, "image_id string, octant long, n_pixels long, sum_mag long"
+    )

@@ -125,3 +125,35 @@ def test_spark_matches_reference(spark):
         for ln in lens:
             exp[ln] = exp.get(ln, 0) + 1
         assert got_rle.get(k, {}) == exp
+
+
+def test_orientation_histogram_matches_loop(spark):
+    from morituri_spark.multimodal.corners import _sobel
+    from morituri_spark.multimodal.edges import orientation_histogram
+
+    rng = np.random.RandomState(37)
+    rows, arrs = [], {}
+    for i in range(3):
+        arr = (rng.rand(9, 11, 3) * 255).astype(np.uint8)
+        rows.append((f"im{i}", bytearray(I.encode(arr, "png")), "png", 11, 9))
+        arrs[f"im{i}"] = arr.astype(np.int64).sum(axis=2)
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {}
+    for r in orientation_histogram(df).collect():
+        got.setdefault(r["image_id"], {})[r["octant"]] = (
+            r["n_pixels"], r["sum_mag"]
+        )
+    for k, g3 in arrs.items():
+        gx, gy = _sobel(g3)
+        exp = {}
+        for y in range(gx.shape[0]):
+            for x in range(gx.shape[1]):
+                a, b = int(gx[y, x]), int(gy[y, x])
+                if a == 0 and b == 0:
+                    continue
+                o = (a > 0) + 2 * (b > 0) + 4 * (abs(a) >= abs(b))
+                n, s = exp.get(o, (0, 0))
+                exp[o] = (n + 1, s + abs(a) + abs(b))
+        assert got[k] == exp
