@@ -6436,10 +6436,23 @@ _WINDOW = [
     # thinning); gate arithmetic pytest-pinned — and rolling_window_rates
     # — its rangeBetween range-frame machinery is exactly what
     # box_filter_grid exercises in-window, twice.)
+    # (ridge_visibility, frequent_pairs_lift, and orientation_histogram
+    # enter under the same rule, releasing audio_silence_segments — WAV
+    # decode + frame RMS are pytest-golden and its interval-islands stage
+    # runs in-window via interval_union_coverage plus the entering
+    # convoy_comovement's gaps-and-islands window; audio_features /
+    # audio_frames hold r4-green rows — k_core_membership — the _Round
+    # lineage-truncated iterative machinery runs in-window via
+    # sssp_weighted_costs and the entering dag_critical_path, and its
+    # MATERIALIZED-stage unrolled oracle is the same evidence class the
+    # entering zhang_suen_thinning exercises — and bfs_hop_distances —
+    # the greedy min-witness relaxation is sssp's lexicographic special
+    # case and sssp_weighted_costs stays in-window.)
     "glcm_texture", "lbp_histogram", "run_length_texture",
     "median_filter_stats", "template_match_sad", "convoy_comovement",
     "dag_critical_path", "kn_bigram_lm", "image_moments",
     "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
+    "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
     "harris_corners_topk", "chamfer_distance_hist",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -6547,13 +6560,11 @@ _WINDOW = [
     # streaming_first_seen — both frozen code with pytest goldens and r3
     # EQUAL rows — plus the four sibling-covered releases noted above)
     "local_morans_lisa",
-    "bfs_hop_distances",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
     "sssp_weighted_costs", "triangle_counts",
     "theil_sen_trends", "interval_union_coverage", "tfidf_keywords",
-    "k_core_membership", "audio_silence_segments",
-    "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
+        "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
 ]
 
 
