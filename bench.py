@@ -1504,6 +1504,14 @@ def main() -> None:
         .agg(F.sum("chk_skel"), F.sum("n_deleted"))
         .collect(),
     )
+    from morituri_spark.multimodal.edges import orientation_histogram as _ohist
+
+    timed(
+        "orientation_hist_50k_images",
+        lambda: _ohist(tex_imgs)
+        .agg(F.sum("sum_mag"), F.sum("n_pixels"))
+        .collect(),
+    )
     tex_imgs.unpersist()
 
     # separable box filter (r5 thirteenth session): 16.7M cells as 4096
@@ -1534,6 +1542,56 @@ def main() -> None:
         .collect(),
     )
     bf_dem.unpersist()
+
+    # ridge visibility (r5 thirteenth session): same 16.7M-cell grid
+    # shape — one running-max window + one partial-agg groupBy replaces
+    # the O(width²) per-row self-join
+    from morituri_spark.geo.terrain import ridge_visibility
+
+    rv_dem = (
+        spark.range(16_777_216)
+        .selectExpr(
+            "id % 4096 AS g",
+            "CAST(floor(id / 4096.0) AS BIGINT) % 64 AS ix",
+            "CAST(floor(id / 262144.0) AS BIGINT) AS iy",
+        )
+        .selectExpr(
+            "g", "ix", "iy",
+            "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    rv_dem.count()
+    timed(
+        "ridge_visibility_16m_cells",
+        lambda: ridge_visibility(rv_dem, eye_height=2, keys=["g"])
+        .agg(F.sum("n_visible"), F.sum("chk_x"))
+        .collect(),
+    )
+    rv_dem.unpersist()
+
+    # frequent pairs (r5 thirteenth session): 2M basket-item rows, 200k
+    # baskets × 2000 items — Apriori prune before the basket self-join
+    from morituri_spark.text.basket import frequent_pairs
+
+    fp_rows = (
+        spark.range(2_000_000)
+        .selectExpr(
+            "id % 200000 AS basket_id",
+            "format_string('i%04d', (id * 7 + id % 13) % 2000) AS item",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    fp_rows.count()
+    timed(
+        "frequent_pairs_2m_rows",
+        lambda: frequent_pairs(fp_rows, min_support=3)
+        .agg(F.sum("supp_ab"), F.sum("lift_micro"), F.count(F.lit(1)))
+        .collect(),
+    )
+    fp_rows.unpersist()
 
     # convoy detection (r5 thirteenth session): 20k entities × 100 ticks =
     # 2M points; candidates come from ONE (tick, cell) equi-join (probe
