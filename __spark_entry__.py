@@ -6102,6 +6102,160 @@ def _morphology_oracle_sql() -> str:
     """
 
 
+# --- per-key time-series diagnostics (operators/timeseries.py) -----------
+# Shared closed-form fixture: 200 keys × up to 48 ticks from event_id
+# arithmetic, with a planted mean shift (at tick 16 + key % 17) and a
+# planted cycle (period 2 + key % 4) on top of a modular noise floor —
+# every value an exact integer both engines rebuild identically.
+_TS_V = (
+    "(3 * t + 5 * key) % 17"
+    " + (CASE WHEN t >= 16 + key % 17 THEN 8 ELSE 0 END)"
+    " + (CASE WHEN t % (2 + key % 4) = 0 THEN 6 ELSE 0 END)"
+)
+
+
+def _ts_series(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").where("event_id < 9600")
+    return ev.selectExpr(
+        "event_id % 200 AS key",
+        "CAST(floor(event_id / 200.0) AS BIGINT) AS t",
+    ).selectExpr("key", "t", f"{_TS_V} AS v")
+
+
+_TS_SER_SQL = f"""
+        ev AS (SELECT event_id FROM events WHERE event_id < 9600),
+        ser AS (
+            SELECT key, t, {_TS_V} AS v
+            FROM (SELECT event_id % 200 AS key,
+                         CAST(floor(event_id / 200.0) AS BIGINT) AS t
+                  FROM ev))
+"""
+
+
+def _q_cusum(spark, sf_dir):
+    """Scaled-CUSUM changepoint detection (operators/timeseries.
+    cusum_changepoints): per key, the rank maximizing |n·P_r − r·S|
+    (earliest on ties) over the planted-mean-shift series — the
+    denominators-cleared mean-shift detector, exact integers end to
+    end. The oracle replays the prefix-sum window and the argmax via
+    QUALIFY row_number."""
+    from morituri_spark.operators.timeseries import cusum_changepoints
+
+    return cusum_changepoints(_ts_series(spark, sf_dir)).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cp_rank").cast("long").alias("cp_rank"),
+        F.col("cp_t").cast("long").alias("cp_t"),
+        F.col("cusum_abs_max").cast("long").alias("cusum_abs_max"),
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    return f"""
+        WITH {_TS_SER_SQL},
+        st AS (
+            SELECT key, t,
+                   sum(v) OVER (PARTITION BY key ORDER BY t) AS p,
+                   row_number() OVER (PARTITION BY key ORDER BY t) AS r,
+                   count(*) OVER (PARTITION BY key) AS n,
+                   sum(v) OVER (PARTITION BY key) AS s
+            FROM ser),
+        c AS (SELECT key, t, r, n, n * p - r * s AS c FROM st)
+        SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
+               CAST(r AS BIGINT) AS cp_rank, CAST(t AS BIGINT) AS cp_t,
+               CAST(abs(c) AS BIGINT) AS cusum_abs_max
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY key
+                                   ORDER BY abs(c) DESC, r ASC) = 1
+    """
+
+
+def _q_acf(spark, sf_dir):
+    """Exact-integer autocorrelation (operators/timeseries.acf_lags):
+    per (key, lag ∈ 1..3) the mean-cleared numerator
+    Σ(n·v_t − S)(n·v_{t+ℓ} − S), denominator n·(n·Σv² − S²), and the
+    rule-16 micro-rounded ratio. The oracle replays the lead() window
+    and shares the rounding expression."""
+    from morituri_spark.operators.timeseries import acf_lags
+
+    return acf_lags(_ts_series(spark, sf_dir), max_lag=3).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        "acf_micro",
+    )
+
+
+def _acf_oracle_sql() -> str:
+    return f"""
+        WITH {_TS_SER_SQL},
+        st AS (
+            SELECT key, v,
+                   lead(v, 1) OVER (PARTITION BY key ORDER BY t) AS w1,
+                   lead(v, 2) OVER (PARTITION BY key ORDER BY t) AS w2,
+                   lead(v, 3) OVER (PARTITION BY key ORDER BY t) AS w3,
+                   count(*) OVER (PARTITION BY key) AS n,
+                   sum(v) OVER (PARTITION BY key) AS s,
+                   sum(v * v) OVER (PARTITION BY key) AS q
+            FROM ser),
+        terms AS (
+            SELECT key, lag, n, s, q,
+                   CASE lag WHEN 1 THEN (n * v - s) * (n * w1 - s)
+                            WHEN 2 THEN (n * v - s) * (n * w2 - s)
+                            ELSE (n * v - s) * (n * w3 - s) END AS term
+            FROM st CROSS JOIN (VALUES (1), (2), (3)) lags(lag)),
+        agg AS (
+            SELECT key, lag, max(n) AS n,
+                   sum(term) AS num,
+                   max(n) * (max(n) * max(q) - max(s) * max(s)) AS den
+            FROM terms GROUP BY 1, 2)
+        SELECT CAST(key AS BIGINT) AS key, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS num,
+               CAST(den AS BIGINT) AS den,
+               CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6
+                          + 0.5 + 1e-8) AS BIGINT) AS acf_micro
+        FROM agg WHERE den <> 0
+    """
+
+
+def _q_dominant_period(spark, sf_dir):
+    """Folded dominant-period detection (operators/timeseries.
+    dominant_period): per key, argmax over candidate periods
+    {2,3,4,6,8} of the integer fold score p·Σ_phase S_phase²
+    (smallest p on ties) — the variance-of-phase-means order when
+    candidates divide the series length, exact integer max_by. The
+    oracle folds via t % p over a VALUES list and replays the argmax
+    with QUALIFY."""
+    from morituri_spark.operators.timeseries import dominant_period
+
+    return dominant_period(_ts_series(spark, sf_dir), periods=(2, 3, 4, 6, 8)).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("best_p").cast("long").alias("best_p"),
+        F.col("best_score").cast("long").alias("best_score"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _dominant_period_oracle_sql() -> str:
+    return f"""
+        WITH {_TS_SER_SQL},
+        ph AS (
+            SELECT key, p, t % p AS phase, sum(v) AS sp, count(*) AS np
+            FROM ser CROSS JOIN (VALUES (2), (3), (4), (6), (8)) ps(p)
+            GROUP BY 1, 2, 3),
+        sc AS (
+            SELECT key, p, p * sum(sp * sp) AS score, sum(np) AS n
+            FROM ph GROUP BY 1, 2)
+        SELECT CAST(key AS BIGINT) AS key, CAST(p AS BIGINT) AS best_p,
+               CAST(score AS BIGINT) AS best_score, CAST(n AS BIGINT) AS n
+        FROM sc
+        QUALIFY row_number() OVER (PARTITION BY key
+                                   ORDER BY score DESC, p ASC) = 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -6229,6 +6383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ridge_visibility": _q_ridge_visibility,
         "frequent_pairs_lift": _q_frequent_pairs,
         "orientation_histogram": _q_orientation_hist,
+        "cusum_changepoints": _q_cusum,
+        "acf_lags": _q_acf,
+        "dominant_period": _q_dominant_period,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7966,6 +8123,9 @@ def oracle_sql() -> dict[str, str]:
         "ridge_visibility": _ridge_visibility_oracle_sql(),
         "frequent_pairs_lift": _frequent_pairs_oracle_sql(),
         "orientation_histogram": _orientation_hist_oracle_sql(),
+        "cusum_changepoints": _cusum_oracle_sql(),
+        "acf_lags": _acf_oracle_sql(),
+        "dominant_period": _dominant_period_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
