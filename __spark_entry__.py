@@ -6605,6 +6605,21 @@ _WINDOW = [
     # entering zhang_suen_thinning exercises — and bfs_hop_distances —
     # the greedy min-witness relaxation is sssp's lexicographic special
     # case and sssp_weighted_costs stays in-window.)
+    # fourteenth-session rotation: the time-series trio (CUSUM
+    # changepoints, exact ACF, folded period detection) is the freshest
+    # code in the repo and enters per the code-risk triage rule.
+    # Released — every one frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: funnel_conversion (its
+    # ordered-event windowed min-struct stage machinery runs in-window
+    # via convoy_comovement's gaps-and-islands window and
+    # interval_union_coverage's ordered sweep; stage arithmetic
+    # pytest-pinned), tfidf_keywords (tokenizer + micro-exact scoring
+    # family in-window via kn_bigram_lm and collocation_pmi — same
+    # doc-token machinery and rounding contract; pytest-pinned), and
+    # triangle_counts (an oriented two-hop self-join over the SAME edges
+    # relation whose iterative siblings sssp_weighted_costs and
+    # dag_critical_path stay in-window; pinned vs a closed-form oracle).
+    "cusum_changepoints", "acf_lags", "dominant_period",
     "glcm_texture", "lbp_histogram", "run_length_texture",
     "median_filter_stats", "template_match_sad", "convoy_comovement",
     "dag_critical_path", "kn_bigram_lm", "image_moments",
@@ -6719,9 +6734,9 @@ _WINDOW = [
     "local_morans_lisa",
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
-    "sssp_weighted_costs", "triangle_counts",
-    "theil_sen_trends", "interval_union_coverage", "tfidf_keywords",
-        "edit1_fuzzy_pairs", "funnel_conversion", "dem_slope_aspect",
+    "sssp_weighted_costs",
+    "theil_sen_trends", "interval_union_coverage",
+    "edit1_fuzzy_pairs", "dem_slope_aspect",
 ]
 
 
