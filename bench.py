@@ -1694,6 +1694,63 @@ def main() -> None:
     )
     kn_docs.unpersist()
 
+    # time-series diagnostics (r5 fourteenth session): 20M rows as 200k
+    # independent keyed series × 100 ticks — key count is the parallelism
+    # axis; each entry is one per-key ordered window (or a small explode)
+    # plus map-side-combinable aggregates, no self-join anywhere. The
+    # planted shift at t>=60 and the mod-5 cycle keep the argmaxes
+    # non-degenerate.
+    from morituri_spark.operators.timeseries import (
+        acf_lags,
+        cusum_changepoints,
+        dominant_period,
+    )
+
+    ts_rows = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "id % 200000 AS key",
+            "CAST(floor(id / 200000.0) AS BIGINT) AS t",
+        )
+        .selectExpr(
+            "key",
+            "t",
+            "key % 7 + (t * 3) % 5 + (CASE WHEN t >= 60 THEN 4 ELSE 0 END)"
+            " + (key * t) % 3 AS v",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ts_rows.count()
+    timed(
+        "cusum_20m_rows",
+        lambda: cusum_changepoints(ts_rows)
+        .agg(F.sum("cusum_abs_max"), F.sum("cp_rank"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "acf_lag3_20m_rows",
+        lambda: acf_lags(ts_rows, max_lag=3)
+        .agg(F.sum("num"), F.sum("acf_micro"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "dominant_period_20m_rows",
+        lambda: dominant_period(ts_rows, periods=(2, 4, 5, 10, 20))
+        .agg(F.sum("best_score"), F.sum("best_p"), F.count(F.lit(1)))
+        .collect(),
+    )
+    # explode-path control: quantifies the buffer win (same checksums)
+    timed(
+        "dominant_period_20m_rows_explode_ctl",
+        lambda: dominant_period(
+            ts_rows, periods=(2, 4, 5, 10, 20), strategy="explode"
+        )
+        .agg(F.sum("best_score"), F.sum("best_p"), F.count(F.lit(1)))
+        .collect(),
+    )
+    ts_rows.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",

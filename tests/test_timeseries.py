@@ -89,6 +89,32 @@ def test_dominant_period_tiebreak_smallest(spark):
     assert out["best_p"] == 2
 
 
+def test_dominant_period_strategies_identical(spark):
+    # buffers (Σp ≤ 256 default) and explode must agree byte-for-byte,
+    # including ragged lengths and keys missing some phases entirely
+    rows = [(k, t, (3 * k + t * t) % 11) for k in range(7) for t in range(5 + 3 * k)]
+    rows += [(99, 0, 4)]  # single-point series: every phase but 0 empty
+    df = _series(spark, rows)
+    a = sorted(
+        dominant_period(df, periods=(2, 3, 4, 6), strategy="buffers").collect()
+    )
+    b = sorted(
+        dominant_period(df, periods=(2, 3, 4, 6), strategy="explode").collect()
+    )
+    assert a == b and len(a) == 8
+
+
+def test_dominant_period_auto_routes_on_sum_of_periods(spark):
+    df = _series(spark, [(0, t, t % 3) for t in range(12)])
+    # Σ(2,3,4)=9 ≤ 256 → buffers; a huge candidate forces the explode path
+    small = dominant_period(df, periods=(2, 3, 4))
+    assert "explode" not in small._jdf.queryExecution().logical().toString().lower()
+    big = dominant_period(df, periods=(2, 300))
+    assert "explode" in big._jdf.queryExecution().logical().toString().lower()
+    with pytest.raises(ValueError):
+        dominant_period(df, periods=(2, 3), strategy="bogus")
+
+
 def test_guards(spark):
     df = _series(spark, [(0, 0, 1)])
     with pytest.raises(ValueError):
