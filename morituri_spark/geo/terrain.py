@@ -197,6 +197,147 @@ def ridge_visibility(
     )
 
 
+def cardinal_viewshed(
+    dem: DataFrame,
+    eye_height: int = 2,
+    keys: list[str] | None = None,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    z_col: str = "z",
+) -> DataFrame:
+    """Per-cell 4-direction viewshed — from how many of the four grid
+    edges (an observer at the W/E end of the cell's row and the N/S end
+    of its column, eye ``eye_height`` above terrain) each cell is
+    visible. The 2-D generalization of :func:`ridge_visibility`'s
+    west-edge sweep, under the SAME pinned floor-quantized integer
+    slope contract ``sq(d) = floor(((z − h) · 2²⁰) / d)`` (d = distance
+    from the observer along the ray) — visibility per direction is a
+    strict integer comparison against one running-max window.
+
+    → (keys…, ix, iy, dir_mask, n_dirs) for every cell at positive
+    distance from all four observers; ``dir_mask`` packs W=1, E=2, N=4,
+    S=8. Cells in an observer's own row/column position (d = 0 for that
+    direction) are simply not visible in that direction; rows/columns
+    missing their edge cell yield no visibility in that direction.
+
+    Scale shape: TWO exchanges total — all row-partitioned windows
+    (W/E sweeps + the row-edge anchors) evaluate under the (keys, iy)
+    hash, then all column work under (keys, ix). Four ordered windows,
+    zero joins; window state is one integer each.
+    """
+    ks = list(keys or [])
+    eh = F.lit(int(eye_height))
+    w_row = Window.partitionBy(*ks, iy_col)
+    w_col = Window.partitionBy(*ks, ix_col)
+
+    def _sq(h_col: str, d):
+        # staged quantized slope (rule 9); NULL at d <= 0 or no anchor
+        return F.when(
+            d > 0,
+            F.floor(
+                ((F.col(z_col) - F.col(h_col)) * F.lit(1 << 20)) / d
+            ).cast("long"),
+        )
+
+    def _vis(sq_name: str, part_cols, order):
+        w_run = (
+            Window.partitionBy(*part_cols)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run = F.max(sq_name).over(w_run)
+        return F.coalesce(
+            F.col(sq_name).isNotNull()
+            & (run.isNull() | (F.col(sq_name) > run)),
+            F.lit(False),
+        )
+
+    # ---- row-partitioned stage: anchors + W/E sweeps --------------------
+    s1 = dem.select(
+        *ks,
+        F.col(ix_col).cast("long").alias(ix_col),
+        F.col(iy_col).cast("long").alias(iy_col),
+        F.col(z_col).cast("long").alias(z_col),
+        F.max(ix_col).over(w_row).alias("_xmax"),
+        (F.max(F.when(F.col(ix_col) == 0, F.col(z_col))).over(w_row) + eh).alias("_hw"),
+    )
+    s2 = s1.select(
+        "*",
+        (
+            F.max(F.when(F.col(ix_col) == F.col("_xmax"), F.col(z_col))).over(w_row)
+            + eh
+        ).alias("_he"),
+    )
+    s3 = s2.select(
+        *ks,
+        ix_col,
+        iy_col,
+        z_col,
+        "_xmax",
+        _sq("_hw", F.col(ix_col)).alias("_sqw"),
+        _sq("_he", F.col("_xmax") - F.col(ix_col)).alias("_sqe"),
+    )
+    s4 = s3.select(
+        *ks,
+        ix_col,
+        iy_col,
+        z_col,
+        _vis("_sqw", [*ks, iy_col], F.col(ix_col).asc()).alias("_vw"),
+        _vis("_sqe", [*ks, iy_col], F.col(ix_col).desc()).alias("_ve"),
+    )
+    # ---- column-partitioned stage: anchors + N/S sweeps ------------------
+    s5 = s4.select(
+        "*",
+        F.max(iy_col).over(w_col).alias("_ymax"),
+        (F.max(F.when(F.col(iy_col) == 0, F.col(z_col))).over(w_col) + eh).alias("_hn"),
+    )
+    s6 = s5.select(
+        "*",
+        (
+            F.max(F.when(F.col(iy_col) == F.col("_ymax"), F.col(z_col))).over(w_col)
+            + eh
+        ).alias("_hs"),
+    )
+    s7 = s6.select(
+        *ks,
+        ix_col,
+        iy_col,
+        "_vw",
+        "_ve",
+        "_ymax",
+        _sq("_hn", F.col(iy_col)).alias("_sqn"),
+        _sq("_hs", F.col("_ymax") - F.col(iy_col)).alias("_sqs"),
+    )
+    s8 = s7.select(
+        *ks,
+        ix_col,
+        iy_col,
+        "_vw",
+        "_ve",
+        _vis("_sqn", [*ks, ix_col], F.col(iy_col).asc()).alias("_vn"),
+        _vis("_sqs", [*ks, ix_col], F.col(iy_col).desc()).alias("_vs"),
+    )
+    mask = (
+        F.col("_vw").cast("long")
+        + F.col("_ve").cast("long") * 2
+        + F.col("_vn").cast("long") * 4
+        + F.col("_vs").cast("long") * 8
+    )
+    staged = s8.select(*ks, ix_col, iy_col, mask.alias("dir_mask"))
+    return staged.select(
+        *ks,
+        ix_col,
+        iy_col,
+        "dir_mask",
+        (
+            F.col("dir_mask").bitwiseAND(1)
+            + F.shiftright("dir_mask", 1).bitwiseAND(1)
+            + F.shiftright("dir_mask", 2).bitwiseAND(1)
+            + F.shiftright("dir_mask", 3).bitwiseAND(1)
+        ).alias("n_dirs"),
+    )
+
+
 def slope_aspect(
     dem: DataFrame,
     cell_size: float,

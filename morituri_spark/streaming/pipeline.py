@@ -55,6 +55,32 @@ def streaming_tile_rollup(
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming face of operators/sessions.sessionize — the SAME
+    ``session_window`` aggregation composes with a watermark unchanged
+    (Spark merges a late event into its session until the watermark
+    passes the session's close; state is bounded to open sessions).
+
+    The gap rule is inherited: the merge bound is INCLUSIVE (an
+    exactly-gap event merges; tests/test_sessions.py pins it, SQL
+    replays must test strict ``>``).
+    """
+    from ..operators.sessions import sessionize
+
+    return sessionize(
+        events_stream.withWatermark(ts_col, watermark),
+        user_col=user_col,
+        ts_col=ts_col,
+        gap=gap,
+    )
+
+
 def run_available_now(
     rollup: DataFrame, query_name: str = "tile_rollup", output_mode: str = "complete"
 ):

@@ -228,3 +228,52 @@ def test_streaming_first_seen_no_ttl_unchanged(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.table("t_fs_nottl").count() == 3  # one per distinct key
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from morituri_spark.operators.sessions import sessionize
+
+    src = str(tmp_path / "sess_src")
+    # 40 users × bursty events: gaps of 10s inside a session, 120s between
+    rows = [
+        (u, burst, i, 1_700_000_000 + u * 7 + burst * 120 + i * 10)
+        for u in range(40)
+        for burst in range(3)
+        for i in range(4)
+    ]
+    raw = spark.createDataFrame(
+        rows, "user_id long, burst long, i long, epoch long"
+    )
+    ev = raw.select("user_id", F.col("epoch").cast("timestamp").alias("ts"))
+    # split MID-SESSION: the first two events of every burst arrive in
+    # micro-batch 1, the rest in micro-batch 2 — the session must merge
+    # across batches (generous watermark: nothing is late)
+    for part in ("i < 2", "i >= 2"):
+        raw.where(part).select(
+            "user_id", F.col("epoch").cast("timestamp").alias("ts")
+        ).write.parquet(src, mode="append")
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    stream = SP.stream_images(spark, src, schema, max_files_per_trigger=1)
+    sess = SP.streaming_sessionize(
+        stream, gap="60 seconds", watermark="1 hour"
+    )
+    q = SP.run_available_now(sess, "t_sessions", output_mode="complete")
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["duration_s"])
+        for r in spark.table("t_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["duration_s"])
+        for r in sessionize(ev, gap="60 seconds").collect()
+    }
+    assert got == want and len(got) == 120  # 40 users × 3 bursts

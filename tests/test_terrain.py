@@ -340,3 +340,80 @@ def test_ridge_visibility_monotone_and_blocked(spark):
            for r in ridge_visibility(dem, eye_height=2).collect()}
     assert got[0] == (5, 1 + 2 + 3 + 4 + 5)
     assert got[1] == (1, 1)  # only the wall itself
+
+
+def _ref_viewshed(grid, eye):
+    """4-direction brute force under the quantized-slope contract.
+    Returns {(y, x): dir_mask} with W=1, E=2, N=4, S=8."""
+    H, W = len(grid), len(grid[0])
+
+    def _sweep(series):
+        # visible indices within a 1-D series, observer at index 0
+        h = series[0] + eye
+        vis, best = set(), None
+        for d in range(1, len(series)):
+            sq = ((series[d] - h) << 20) // d
+            if best is None or sq > best:
+                vis.add(d)
+                best = sq if best is None else max(best, sq)
+            else:
+                best = max(best, sq)
+        return vis
+
+    mask = {(y, x): 0 for y in range(H) for x in range(W)}
+    for y in range(H):
+        row = [grid[y][x] for x in range(W)]
+        for x in _sweep(row):
+            mask[(y, x)] |= 1
+        for d in _sweep(row[::-1]):
+            mask[(y, W - 1 - d)] |= 2
+    for x in range(W):
+        col = [grid[y][x] for y in range(H)]
+        for d in _sweep(col):
+            mask[(d, x)] |= 4
+        for d in _sweep(col[::-1]):
+            mask[(H - 1 - d, x)] |= 8
+    return mask
+
+
+def test_cardinal_viewshed_matches_loop(spark):
+    import numpy as np
+
+    from morituri_spark.geo.terrain import cardinal_viewshed
+
+    rng = np.random.RandomState(23)
+    grid = rng.randint(0, 60, size=(7, 9)).astype(int)
+    rows = [(int(y), int(x), int(grid[y, x]))
+            for y in range(7) for x in range(9)]
+    dem = spark.createDataFrame(rows, "iy long, ix long, z long")
+    got = {(r["iy"], r["ix"]): (r["dir_mask"], r["n_dirs"])
+           for r in cardinal_viewshed(dem, eye_height=2).collect()}
+    want = _ref_viewshed(grid.tolist(), 2)
+    assert len(got) == 63
+    for (y, x), m in want.items():
+        assert got[(y, x)] == (m, bin(m).count("1")), f"cell {(y, x)}"
+
+
+def test_cardinal_viewshed_rising_ridge(spark):
+    from morituri_spark.geo.terrain import cardinal_viewshed
+
+    # one row linear west→east: the uphill slope (-2/d term rising) makes
+    # every cell visible from W, and the downhill line of sight from E is
+    # likewise progressively visible (slope −10 − 2/d increases with d)
+    rows = [(0, x, 10 * x) for x in range(6)]
+    dem = spark.createDataFrame(rows, "iy long, ix long, z long")
+    got = {r["ix"]: r["dir_mask"] for r in
+           cardinal_viewshed(dem, eye_height=2).collect()}
+    for x in range(1, 6):
+        assert got[x] & 1, f"x={x} should be W-visible"
+    for x in range(5):
+        assert got[x] & 2, f"x={x} should be E-visible"
+    assert got[0] & 1 == 0 and got[5] & 2 == 0  # observer cells, d=0
+    # 1-cell-tall columns: N/S sweeps have no d>0 cells anywhere
+    assert not any(got[x] & 12 for x in range(6))
+    # a wall hides the valley behind it from the W observer
+    wall = [(1, 0, 0), (1, 1, 100), (1, 2, 0), (1, 3, 0), (1, 4, 1)]
+    dem2 = spark.createDataFrame(wall, "iy long, ix long, z long")
+    got2 = {r["ix"]: r["dir_mask"] for r in
+            cardinal_viewshed(dem2, eye_height=2).collect()}
+    assert got2[1] & 1 and not any(got2[x] & 1 for x in (2, 3, 4))
