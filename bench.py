@@ -1751,6 +1751,83 @@ def main() -> None:
     )
     ts_rows.unpersist()
 
+    # pipeline-plumbing trio (r5 fifteenth session): SCD2 history build
+    # (20M change events, 500k keys — two ordered windows over one per-key
+    # sort), sorted-neighborhood blocking (10M records, 20k blocks,
+    # window 4 → ~30M candidate pairs from ONE window + stack, no
+    # self-join), and the 4-direction viewshed (16.7M cells as 4096 keyed
+    # 64×64 rasters — four running-max windows, two exchanges)
+    from morituri_spark.geo.terrain import cardinal_viewshed
+    from morituri_spark.operators.history import scd2_intervals
+    from morituri_spark.text.blocking import sorted_neighborhood_pairs
+
+    scd_rows = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "id % 500000 AS key",
+            "CAST(floor(id / 500000.0) AS BIGINT) AS ts",
+        )
+        .selectExpr(
+            "key", "ts",
+            "(3 * CAST(floor(ts / 4.0) AS BIGINT) + key) % 7 AS v",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    scd_rows.count()
+    timed(
+        "scd2_intervals_20m_events",
+        lambda: scd2_intervals(scd_rows)
+        .agg(F.sum("version"), F.sum("valid_from"), F.count(F.lit(1)))
+        .collect(),
+    )
+    scd_rows.unpersist()
+
+    snm_recs = (
+        spark.range(10_000_000)
+        .selectExpr(
+            "id",
+            "id % 20000 AS blk",
+            "concat('k', lpad(CAST((id * 13) % 9973 AS STRING), 4, '0'))"
+            " AS sk",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    snm_recs.count()
+    timed(
+        "snm_blocking_10m_records",
+        lambda: sorted_neighborhood_pairs(
+            snm_recs, id_col="id", sort_col="sk", block_col="blk", window=4
+        )
+        .agg(F.sum("id_a"), F.sum("rank_dist"), F.count(F.lit(1)))
+        .collect(),
+    )
+    snm_recs.unpersist()
+
+    vs_dem = (
+        spark.range(16_777_216)
+        .selectExpr(
+            "id % 4096 AS g",
+            "CAST(floor(id / 4096.0) AS BIGINT) % 64 AS ix",
+            "CAST(floor(id / 262144.0) AS BIGINT) AS iy",
+        )
+        .selectExpr(
+            "g", "ix", "iy",
+            "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    vs_dem.count()
+    timed(
+        "cardinal_viewshed_16m_cells",
+        lambda: cardinal_viewshed(vs_dem, eye_height=2, keys=["g"])
+        .agg(F.sum("dir_mask"), F.sum("n_dirs"), F.count(F.lit(1)))
+        .collect(),
+    )
+    vs_dem.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
