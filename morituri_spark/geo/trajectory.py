@@ -432,3 +432,93 @@ def track_motion(
         ).alias("tortuosity"),
         F.max("_speed").alias("max_speed_kmh"),
     )
+
+
+def geofence_visits(
+    points: DataFrame,
+    zone_rows,
+    key_col: str = "key",
+    t_col: str = "t",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Geofence enter/exit mining — collapse each ordered trace into
+    VISIT runs: maximal spans of consecutive points inside the same
+    fence (or outside every fence), with enter/exit instants and dwell.
+
+    → (key, visit, zone_id, enter_t, exit_t, n_points, dwell): one row
+    per run; ``zone_id`` NULL = outside every fence, ``visit`` is the
+    1-based run index, ``exit_t`` = the next run's ``enter_t`` (NULL for
+    the trace's open last run), ``dwell = exit_t − enter_t`` in
+    ``t_col``'s own units. Overlapping fences resolve to the SMALLEST
+    zone_id (a pinned deterministic tie rule — geofence sets are
+    normally disjoint).
+
+    Spark-first shape: zone membership is the stateless literal-edge
+    PIP expression (pip._zone_pip_condition — whole-stage codegen, no
+    join) reduced by ``array_min`` to one zone per point, then the runs
+    are gaps-and-islands windows. ONE hash exchange on the key: the
+    run groupBy and the exit-lead window both reuse the window's
+    HashPartitioning (superset-key clustering), same as stay_points.
+    """
+    from .pip import _zone_pip_condition
+
+    zone = F.array_min(
+        F.array(
+            *[
+                F.when(
+                    _zone_pip_condition(rings, F.col(lon_col), F.col(lat_col)),
+                    F.lit(zid).cast("long"),
+                )
+                for zid, rings in zone_rows
+            ]
+        )
+    )
+    staged = points.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).alias("t"),
+        zone.alias("zone_id"),
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    flagged = staged.select(
+        "key",
+        "t",
+        "zone_id",
+        F.when(
+            (F.row_number().over(w) == 1)
+            | ~F.col("zone_id").eqNullSafe(F.lag("zone_id").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    runs = flagged.select(
+        "key",
+        "t",
+        "zone_id",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("visit"),
+    )
+    agg = runs.groupBy("key", "visit").agg(
+        F.max("zone_id").alias("zone_id"),
+        F.min("t").alias("enter_t"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    wv = Window.partitionBy("key").orderBy("visit")
+    return agg.select(
+        "key",
+        F.col("visit").cast("long").alias("visit"),
+        "zone_id",
+        "enter_t",
+        F.lead("enter_t").over(wv).alias("exit_t"),
+        F.col("n_points").cast("long").alias("n_points"),
+    ).select(
+        "key",
+        "visit",
+        "zone_id",
+        "enter_t",
+        "exit_t",
+        "n_points",
+        (F.col("exit_t") - F.col("enter_t")).alias("dwell"),
+    )

@@ -119,3 +119,103 @@ def harris_corners(
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         run, "image_id string, rank long, y long, x long, r20 long"
     )
+
+
+#: FAST radius-3 Bresenham circle, clockwise from 12 o'clock — the
+#: published segment-test order (Rosten & Drummond 2006): (dx, dy).
+FAST_CIRCLE = [
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2),
+    (-1, -3),
+]
+
+
+def fast_corners(
+    images: DataFrame,
+    t: int = 30,
+    arc: int = 9,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """FAST-``arc`` segment-test corners (Rosten & Drummond 2006) on 3×-gray
+    ``g3 = r+g+b`` — per image, how many interior pixels have ≥ ``arc``
+    CONTIGUOUS radius-3 circle pixels all brighter than ``g3+t`` (or all
+    darker than ``g3−t``), plus membership checksums.
+
+    ALL-INTEGER arc test, shared bit-for-bit with the SQL oracle: the 16
+    circle comparisons pack into a bitmask ``m``; doubling it as
+    ``m · 65537 = m | (m << 16)`` makes every CIRCULAR window a plain
+    shift, so a contiguous arc exists iff
+    ``((m·65537) >> s) & (2^arc − 1) = 2^arc − 1`` for some s ∈ 0..15 —
+    a 16-term OR both engines evaluate identically, no wraparound
+    branch anywhere.
+
+    → (image_id, n_corners, n_bright, n_dark, chk_yx) with
+    ``chk_yx = Σ (y·w + x)`` over corner pixels (membership-sensitive);
+    images too small for the radius-3 interior emit a zero row.
+
+    Scale shape: one scan-shaped Arrow kernel, one aggregate row per
+    image; giant rasters follow the module's tiling contract with a
+    3-pixel halo (the segment test is 3-local).
+    """
+    tt, aa = int(t), int(arc)
+    if not 2 <= aa <= 16:
+        raise ValueError(f"arc must be in [2, 16], got {aa}")
+    mask_val = (1 << aa) - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                c: []
+                for c in ("image_id", "n_corners", "n_bright", "n_dark",
+                          "chk_yx")
+            }
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(
+                    bytes(payload), fmt, int(w), int(h), deterministic_fake
+                )
+                g3 = arr.astype(np.int64).sum(axis=2)
+                hh, ww = g3.shape[0] - 6, g3.shape[1] - 6
+                if hh <= 0 or ww <= 0:
+                    out["image_id"].append(image_id)
+                    for c in ("n_corners", "n_bright", "n_dark", "chk_yx"):
+                        out[c].append(0)
+                    continue
+                center = g3[3 : 3 + hh, 3 : 3 + ww]
+                bmask = np.zeros((hh, ww), dtype=np.int64)
+                dmask = np.zeros((hh, ww), dtype=np.int64)
+                for j, (dx, dy) in enumerate(FAST_CIRCLE):
+                    ring = g3[3 + dy : 3 + dy + hh, 3 + dx : 3 + dx + ww]
+                    bmask |= (ring > center + tt).astype(np.int64) << j
+                    dmask |= (ring < center - tt).astype(np.int64) << j
+                be, de = bmask * 65537, dmask * 65537
+                bright = np.zeros((hh, ww), dtype=bool)
+                dark = np.zeros((hh, ww), dtype=bool)
+                for s in range(16):
+                    bright |= (be >> s) & mask_val == mask_val
+                    dark |= (de >> s) & mask_val == mask_val
+                corner = bright | dark
+                ys, xs = np.nonzero(corner)
+                out["image_id"].append(image_id)
+                out["n_corners"].append(int(corner.sum()))
+                out["n_bright"].append(int(bright.sum()))
+                out["n_dark"].append(int(dark.sum()))
+                out["chk_yx"].append(
+                    int(((ys + 3) * g3.shape[1] + (xs + 3)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    **{
+                        c: np.asarray(out[c], dtype=np.int64)
+                        for c in ("n_corners", "n_bright", "n_dark", "chk_yx")
+                    },
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run,
+        "image_id string, n_corners long, n_bright long, n_dark long,"
+        " chk_yx long",
+    )

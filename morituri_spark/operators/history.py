@@ -79,3 +79,55 @@ def scd2_intervals(
         "version",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    op_col: str = "op",
+    seq_col: str = "seq",
+    val_cols: tuple = ("v",),
+) -> DataFrame:
+    """MERGE-INTO semantics as one plan: apply a CDC change batch
+    (``op`` ∈ {'U' upsert, 'D' delete}, ordered per key by ``seq_col``)
+    to a snapshot → the post-merge table (key, *val_cols).
+
+    Per key, only the LATEST change wins (max ``seq``; ``(key, seq)``
+    unique is the caller's contract): latest 'U' replaces-or-inserts
+    the row, latest 'D' removes it, keys without changes pass through.
+
+    Scale shape: the latest-change reduction is ONE map-side-combinable
+    ``max_by`` over a total (seq) order (rule 25 — no ranking window),
+    then a single full-outer hash join on the key against the snapshot
+    with the decision a plain CASE. No driver state; both sides stream.
+    """
+    vs = list(val_cols)
+    if not vs:
+        raise ValueError("val_cols must name at least one tracked column")
+    latest = changes.groupBy(F.col(key_col).alias("_k")).agg(
+        F.max_by(
+            F.struct(
+                F.col(op_col).alias("op"),
+                *[F.col(v).alias(v) for v in vs],
+            ),
+            F.col(seq_col),
+        ).alias("_c")
+    )
+    snap = snapshot.select(
+        F.col(key_col).alias("key"), *[F.col(v) for v in vs]
+    )
+    joined = snap.join(latest, snap["key"] == latest["_k"], "full_outer")
+    keep = F.col("_c").isNull() | (F.col("_c.op") == "U")
+    return (
+        joined.where(keep)
+        .select(
+            F.coalesce(F.col("key"), F.col("_k")).alias("key"),
+            *[
+                F.when(F.col("_c").isNotNull(), F.col(f"_c.{v}"))
+                .otherwise(F.col(v))
+                .alias(v)
+                for v in vs
+            ],
+        )
+    )

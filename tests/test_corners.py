@@ -90,3 +90,86 @@ def test_spark_matches_reference(spark):
     for k in got:
         got[k].sort()
     assert got == {k: v for k, v in expect.items() if v}
+
+
+def _ref_fast(g3, t, arc):
+    """Wraparound brute force — deliberately a DIFFERENT formulation than
+    the kernel's bitmask-doubling trick."""
+    from morituri_spark.multimodal.corners import FAST_CIRCLE
+
+    h, w = g3.shape
+    bright_set, dark_set = set(), set()
+    for y in range(3, h - 3):
+        for x in range(3, w - 3):
+            b = [g3[y + dy, x + dx] > g3[y, x] + t for dx, dy in FAST_CIRCLE]
+            d = [g3[y + dy, x + dx] < g3[y, x] - t for dx, dy in FAST_CIRCLE]
+            for flags, out in ((b, bright_set), (d, dark_set)):
+                ext = flags + flags
+                if any(all(ext[s : s + arc]) for s in range(16)):
+                    out.add((y, x))
+    return bright_set, dark_set
+
+
+def test_fast_corners_match_bruteforce(spark):
+    from morituri_spark.multimodal.corners import fast_corners
+
+    rng = np.random.RandomState(31)
+    rows, expect = [], {}
+    for i in range(4):
+        arr = (rng.rand(12, 14, 3) * 255).astype(np.uint8)
+        rows.append((f"im{i}", bytearray(I.encode(arr, "png")), "png", 14, 12))
+        g3 = arr.astype(np.int64).sum(axis=2)
+        b, d = _ref_fast(g3, 30, 9)
+        corners = b | d
+        expect[f"im{i}"] = (
+            len(corners), len(b), len(d),
+            sum(y * 14 + x for y, x in corners),
+        )
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {
+        r["image_id"]: (r["n_corners"], r["n_bright"], r["n_dark"], r["chk_yx"])
+        for r in fast_corners(df, t=30, arc=9).collect()
+    }
+    assert got == expect
+    assert any(v[0] > 0 for v in expect.values()), "fixture found no corners"
+
+
+def test_fast_wraparound_arc_detected(spark):
+    from morituri_spark.multimodal.corners import fast_corners
+
+    # an arc that ONLY exists across the index-15 → index-0 wrap: circle
+    # positions 12..15 and 0..4 bright (9 contiguous with wraparound)
+    from morituri_spark.multimodal.corners import FAST_CIRCLE
+
+    g = np.full((9, 9), 100, dtype=np.int64)
+    for j in list(range(12, 16)) + list(range(0, 5)):
+        dx, dy = FAST_CIRCLE[j]
+        g[4 + dy, 4 + dx] = 250
+    arr = np.repeat((g // 3).astype(np.uint8)[:, :, None], 3, axis=2)
+    g3 = arr.astype(np.int64).sum(axis=2)
+    b, _ = _ref_fast(g3, 30, 9)
+    assert (4, 4) in b  # the reference agrees the wrap arc exists
+    df = spark.createDataFrame(
+        [("im0", bytearray(I.encode(arr, "png")), "png", 9, 9)],
+        "image_id string, bytes binary, fmt string, w int, h int",
+    )
+    row = fast_corners(df, t=30, arc=9).collect()[0]
+    assert row["n_bright"] >= 1 and row["n_corners"] >= 1
+
+
+def test_fast_guards_and_small_image(spark):
+    import pytest
+
+    from morituri_spark.multimodal.corners import fast_corners
+
+    arr = np.full((4, 4, 3), 50, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("tiny", bytearray(I.encode(arr, "png")), "png", 4, 4)],
+        "image_id string, bytes binary, fmt string, w int, h int",
+    )
+    row = fast_corners(df).collect()[0]
+    assert (row["n_corners"], row["chk_yx"]) == (0, 0)
+    with pytest.raises(ValueError):
+        fast_corners(df, arc=1)

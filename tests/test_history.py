@@ -73,3 +73,34 @@ def test_guard(spark):
     df = spark.createDataFrame([(1, 1, "a")], "key long, ts long, v string")
     with pytest.raises(ValueError):
         scd2_intervals(df, val_cols=())
+
+
+def test_merge_upsert_semantics(spark):
+    from morituri_spark.operators.history import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key long, v string"
+    )
+    # key 1: update then delete (delete wins by seq); key 2: two updates
+    # (latest wins); key 4: insert; key 3: untouched
+    chg = spark.createDataFrame(
+        [
+            (1, "U", 10, "a2"), (1, "D", 20, None),
+            (2, "U", 5, "b2"), (2, "U", 6, "b3"),
+            (4, "U", 1, "d"),
+        ],
+        "key long, op string, seq long, v string",
+    )
+    got = {r["key"]: r["v"] for r in merge_upsert(snap, chg).collect()}
+    assert got == {2: "b3", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_guard(spark):
+    from morituri_spark.operators.history import merge_upsert
+
+    df = spark.createDataFrame([(1, "a")], "key long, v string")
+    chg = spark.createDataFrame(
+        [(1, "U", 1, "b")], "key long, op string, seq long, v string"
+    )
+    with pytest.raises(ValueError):
+        merge_upsert(df, chg, val_cols=())

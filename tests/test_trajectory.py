@@ -277,3 +277,60 @@ def test_track_motion_features(spark):
     assert got[3].max_speed_kmh is not None
     seg_km = got[3].path_km  # two short segments
     assert got[3].max_speed_kmh < seg_km * 3600 / 100 + 1
+
+
+def _fence_rows():
+    # two disjoint unit squares: zone 1 = [0,1]², zone 2 = [2,3]×[0,1]
+    sq1 = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]
+    sq2 = [[(2.0, 0.0), (3.0, 0.0), (3.0, 1.0), (2.0, 1.0), (2.0, 0.0)]]
+    return [(1, sq1), (2, sq2)]
+
+
+def test_geofence_visits_runs_and_dwell(spark):
+    from morituri_spark.geo.trajectory import geofence_visits
+
+    # trace: inside z1 (t 0-2), outside (t 3), z2 (t 4-5), back to z1 (t 6)
+    xs = [0.5, 0.6, 0.7, 1.5, 2.5, 2.6, 0.5]
+    pts = spark.createDataFrame(
+        [(7, t, x, 0.5) for t, x in enumerate(xs)],
+        "key long, t long, lon double, lat double",
+    )
+    got = sorted(
+        geofence_visits(pts, _fence_rows()).collect(),
+        key=lambda r: r["visit"],
+    )
+    runs = [
+        (r["visit"], r["zone_id"], r["enter_t"], r["exit_t"], r["n_points"],
+         r["dwell"])
+        for r in got
+    ]
+    assert runs == [
+        (1, 1, 0, 3, 3, 3),
+        (2, None, 3, 4, 1, 1),
+        (3, 2, 4, 6, 2, 2),
+        (4, 1, 6, None, 1, None),
+    ]
+
+
+def test_geofence_overlap_resolves_to_smallest_id(spark):
+    from morituri_spark.geo.trajectory import geofence_visits
+
+    # overlapping fences: zone 5 and zone 9 both contain the point
+    sq = [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]
+    pts = spark.createDataFrame(
+        [(1, 0, 0.5, 0.5)], "key long, t long, lon double, lat double"
+    )
+    got = geofence_visits(pts, [(9, sq), (5, sq)]).collect()
+    assert got[0]["zone_id"] == 5
+
+
+def test_geofence_single_exchange_plan(spark):
+    from morituri_spark.geo.trajectory import geofence_visits
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0.5, 0.5), (1, 1, 2.5, 0.5)],
+        "key long, t long, lon double, lat double",
+    )
+    plan = geofence_visits(pts, _fence_rows())._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1  # windows + groupBy + lead share it
