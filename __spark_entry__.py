@@ -6534,6 +6534,237 @@ def _streaming_sessionize_oracle_sql() -> str:
     """
 
 
+# --- sixteenth session: FAST corners, geofence visits, merge upsert -------
+
+
+def _block_images(spark, sf_dir, n: int = 150, w: int = 16, h: int = 16):
+    """Real-PNG images with ONE closed-form bright rectangle per image
+    (bounds vary with i) — rectangle corners are the classic FAST
+    segment-test targets; a smooth gradient never fires (a linear ramp
+    lights at most half the circle, 8 < 9 contiguous). Channels are 200
+    inside / 30 outside → g3 = 600 / 90, a 510 step ≫ t."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.sources import images as I
+
+    ev = _read(spark, sf_dir, "events").where(f"event_id < {n}")
+    base = ev.select(F.col("event_id").alias("i"))
+
+    def gen(batches):
+        ys, xs = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for i in pdf["i"]:
+                i = int(i)
+                a, c = 2 + i % 5, 3 + (i * 2) % 5
+                inside = (ys >= a) & (ys < a + 6) & (xs >= c) & (xs < c + 7)
+                arr = np.full((h, w, 3), 30, dtype=np.uint8)
+                arr[inside] = 200
+                rows["image_id"].append(f"img{i:08d}")
+                rows["bytes"].append(I.encode(arr, "png"))
+                rows["fmt"].append("png")
+                rows["w"].append(w)
+                rows["h"].append(h)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+
+
+def _q_fast_corners(spark, sf_dir):
+    """FAST-9 segment-test corners (multimodal/corners.fast_corners)
+    over real PNG payloads of per-image closed-form rectangles (whose
+    corners actually fire the detector): counts + membership checksum
+    under the all-integer bitmask arc test (m·65537 doubles the circle
+    so every circular window is one shift). The oracle replays the
+    16-offset circle as a VALUES join and the identical 16-term
+    shift-mask OR."""
+    from morituri_spark.multimodal.corners import fast_corners
+
+    return fast_corners(_block_images(spark, sf_dir, n=150), t=30, arc=9)
+
+
+def _fast_oracle_sql() -> str:
+    from morituri_spark.multimodal.corners import FAST_CIRCLE
+
+    offs = ", ".join(
+        f"({j}, {dx}, {dy})" for j, (dx, dy) in enumerate(FAST_CIRCLE)
+    )
+    bright = " OR ".join(
+        f"(((bm * 65537) >> {s}) & 511 = 511)" for s in range(16)
+    )
+    dark = " OR ".join(
+        f"(((dm * 65537) >> {s}) & 511 = 511)" for s in range(16)
+    )
+    return f"""
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   CASE WHEN y >= 2 + i % 5 AND y < 2 + i % 5 + 6
+                         AND x >= 3 + (i * 2) % 5 AND x < 3 + (i * 2) % 5 + 7
+                        THEN 600 ELSE 90 END AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        c AS (
+            SELECT p.i, p.y, p.x,
+                   sum(CASE WHEN q.g3 > p.g3 + 30 THEN 1 << o.j
+                            ELSE 0 END) AS bm,
+                   sum(CASE WHEN q.g3 < p.g3 - 30 THEN 1 << o.j
+                            ELSE 0 END) AS dm
+            FROM pix p
+            JOIN (VALUES {offs}) o(j, dx, dy) ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + o.dy
+                       AND q.x = p.x + o.dx
+            WHERE p.y BETWEEN 3 AND 12 AND p.x BETWEEN 3 AND 12
+            GROUP BY 1, 2, 3),
+        f AS (
+            SELECT i, y, x, ({bright}) AS bright, ({dark}) AS dark
+            FROM c)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(sum(CASE WHEN bright OR dark THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corners,
+               CAST(sum(CASE WHEN bright THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bright,
+               CAST(sum(CASE WHEN dark THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dark,
+               CAST(sum(CASE WHEN bright OR dark THEN y * 16 + x ELSE 0 END)
+                    AS BIGINT) AS chk_yx
+        FROM f GROUP BY 1
+    """
+
+
+def _q_geofence(spark, sf_dir):
+    """Geofence visit mining (geo/trajectory.geofence_visits): 50
+    closed-form tracks crossing the rect-zone grid (and leaving it —
+    lon runs to 34.9° vs the grid's 25°), collapsed into visit runs
+    with enter/exit/dwell. Membership is the literal-edge ray-cast;
+    on these half-open rectangles the oracle's bbox join replays it
+    exactly (the pip_* evidence class)."""
+    from morituri_spark.geo.trajectory import geofence_visits
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 5000")
+    pts = ev.selectExpr(
+        "event_id % 50 AS key",
+        "CAST(floor(event_id / 50.0) AS BIGINT) AS t",
+    ).selectExpr(
+        "key",
+        "t",
+        "CAST((key * 7 + t) % 350 AS DOUBLE) / 10.0 AS lon",
+        "40.0 + CAST((key * 3 + 2 * t) % 250 AS DOUBLE) / 10.0 AS lat",
+    )
+    zone_rows = [
+        (r["zone_id"], r["rings"]) for r in _rect_zones(spark).collect()
+    ]
+    return geofence_visits(pts, zone_rows).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("visit").cast("long").alias("visit"),
+        F.col("zone_id").cast("long").alias("zone_id"),
+        F.col("enter_t").cast("long").alias("enter_t"),
+        F.col("exit_t").cast("long").alias("exit_t"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("dwell").cast("long").alias("dwell"),
+    )
+
+
+def _geofence_oracle_sql() -> str:
+    return f"""
+        WITH ev AS (SELECT event_id FROM events WHERE event_id < 5000),
+        base AS (
+            SELECT event_id % 50 AS key,
+                   CAST(floor(event_id / 50.0) AS BIGINT) AS t
+            FROM ev),
+        pts AS (
+            SELECT key, t,
+                   CAST((key * 7 + t) % 350 AS DOUBLE) / 10.0 AS lon,
+                   40.0 + CAST((key * 3 + 2 * t) % 250 AS DOUBLE) / 10.0
+                       AS lat
+            FROM base),
+        zoned AS (
+            SELECT p.key, p.t, min(z.zone_id) AS zone_id
+            FROM pts p LEFT JOIN (VALUES {_ZONES_SQL})
+                 z(zone_id, x0, y0, x1, y1)
+              ON p.lon >= z.x0 AND p.lon < z.x1
+             AND p.lat >= z.y0 AND p.lat < z.y1
+            GROUP BY 1, 2),
+        flag AS (
+            SELECT key, t, zone_id,
+                   CASE WHEN row_number() OVER w = 1
+                             OR zone_id IS DISTINCT FROM lag(zone_id) OVER w
+                        THEN 1 ELSE 0 END AS new_r
+            FROM zoned WINDOW w AS (PARTITION BY key ORDER BY t)),
+        runs AS (
+            SELECT key, t, zone_id,
+                   sum(new_r) OVER (PARTITION BY key ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS visit
+            FROM flag),
+        agg AS (
+            SELECT key, visit, max(zone_id) AS zone_id,
+                   min(t) AS enter_t, count(*) AS n_points
+            FROM runs GROUP BY 1, 2),
+        fin AS (
+            SELECT key, visit, zone_id, enter_t,
+                   lead(enter_t) OVER (PARTITION BY key ORDER BY visit)
+                       AS exit_t,
+                   n_points
+            FROM agg)
+        SELECT CAST(key AS BIGINT) AS key, CAST(visit AS BIGINT) AS visit,
+               CAST(zone_id AS BIGINT) AS zone_id,
+               CAST(enter_t AS BIGINT) AS enter_t,
+               CAST(exit_t AS BIGINT) AS exit_t,
+               CAST(n_points AS BIGINT) AS n_points,
+               CAST(exit_t - enter_t AS BIGINT) AS dwell
+        FROM fin
+    """
+
+
+def _q_merge_upsert(spark, sf_dir):
+    """MERGE-INTO upsert (operators/history.merge_upsert): a CDC batch
+    derived from orders (every 7th change a delete, every 5th an
+    insert under a shifted key, latest o_orderkey wins per key) applied
+    to the customer snapshot. The oracle replays latest-change with
+    row_number DESC + the full-outer CASE."""
+    from morituri_spark.operators.history import merge_upsert
+
+    snap = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS key", "c_mktsegment AS v"
+    )
+    chg = _read(spark, sf_dir, "orders").selectExpr(
+        "CASE WHEN o_orderkey % 5 = 0 THEN 1000000 + o_custkey"
+        " ELSE o_custkey END AS key",
+        "CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+        "o_orderkey AS seq",
+        "o_orderstatus AS v",
+    )
+    return merge_upsert(snap, chg).select(
+        F.col("key").cast("long").alias("key"), "v"
+    )
+
+
+def _merge_upsert_oracle_sql() -> str:
+    return """
+        WITH snap AS (SELECT c_custkey AS key, c_mktsegment AS v
+                      FROM customer),
+        chg AS (
+            SELECT CASE WHEN o_orderkey % 5 = 0 THEN 1000000 + o_custkey
+                        ELSE o_custkey END AS key,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                   o_orderkey AS seq, o_orderstatus AS v
+            FROM orders),
+        latest AS (
+            SELECT key, op, v FROM (
+                SELECT key, op, v,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY seq DESC) AS rn
+                FROM chg) WHERE rn = 1)
+        SELECT CAST(coalesce(s.key, l.key) AS BIGINT) AS key,
+               CASE WHEN l.key IS NOT NULL THEN l.v ELSE s.v END AS v
+        FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+        WHERE l.key IS NULL OR l.op = 'U'
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -6669,6 +6900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_pairs": _q_snm_pairs,
         "cardinal_viewshed": _q_cardinal_viewshed,
         "streaming_sessionize": _q_streaming_sessionize,
+        # --- sixteenth session ---
+        "fast_corners": _q_fast_corners,
+        "geofence_visits": _q_geofence,
+        "merge_upsert": _q_merge_upsert,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -6922,12 +7157,27 @@ _WINDOW = [
     # stage; the pairwise-slope median is pytest-pinned frozen code).
     "scd2_intervals", "sorted_neighborhood_pairs", "cardinal_viewshed",
     "streaming_sessionize",
+    # sixteenth-session rotation: FAST corners, geofence visits, and
+    # merge upsert are the freshest code and enter per the code-risk
+    # rule. Released — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: harris_corners_topk
+    # (same module — the entering fast_corners runs the SAME Sobel-free
+    # decode + scan-kernel + real-PNG machinery in-window; the Harris
+    # response/top-k is pytest-pinned vs the loop reference),
+    # trajectory_stay_points (its per-key gaps-and-islands run
+    # machinery now runs in-window TWICE via the entering
+    # geofence_visits and convoy_comovement; the dwell gates are
+    # pytest-pinned), and interval_union_coverage (the ordered
+    # interval-islands sweep stays in-window via convoy_comovement's
+    # gaps-and-islands and the entering geofence_visits' run collapse;
+    # pytest-pinned frozen code).
+    "fast_corners", "geofence_visits", "merge_upsert",
     "glcm_texture", "lbp_histogram", "run_length_texture",
     "median_filter_stats", "template_match_sad", "convoy_comovement",
     "dag_critical_path", "kn_bigram_lm", "image_moments",
     "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
     "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
-    "harris_corners_topk", "chamfer_distance_hist",
+    "chamfer_distance_hist",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
     # the strongest sibling possible. quantiles_nosort enters releasing
@@ -6994,7 +7244,6 @@ _WINDOW = [
     # grid_density_clusters / idw_surface_cells).
     "decontaminate_benchmark",
     "segment_zone_lengths",
-    "trajectory_stay_points",
     # (grid_hotspot_cells released in the tenth-session rotation for
     # color_histogram_dups — the freshest code in the repo, per the
     # code-risk triage rule; the cell-grid hotspot machinery keeps THREE
@@ -7037,7 +7286,6 @@ _WINDOW = [
     # never driver-checked: ninth-session operators — the freshest code
     # in the repo, all in-window
     "sssp_weighted_costs",
-    "interval_union_coverage",
     "dem_slope_aspect",
 ]
 
@@ -8447,6 +8695,9 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_pairs": _snm_oracle_sql(),
         "cardinal_viewshed": _cardinal_viewshed_oracle_sql(),
         "streaming_sessionize": _streaming_sessionize_oracle_sql(),
+        "fast_corners": _fast_oracle_sql(),
+        "geofence_visits": _geofence_oracle_sql(),
+        "merge_upsert": _merge_upsert_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,
