@@ -1828,6 +1828,81 @@ def main() -> None:
     )
     vs_dem.unpersist()
 
+    # sixteenth session: FAST-9 corners (scan kernel, 50k real images),
+    # geofence visit mining (2M trace points, convoy's shape — literal-edge
+    # membership + gaps-and-islands, one exchange), MERGE upsert (20M
+    # changes vs 5M-row snapshot — one max_by reduction + one join)
+    from morituri_spark.geo.trajectory import geofence_visits
+    from morituri_spark.multimodal.corners import fast_corners
+    from morituri_spark.operators.history import merge_upsert
+
+    fc_imgs = synth.images_table(
+        spark, 50_000, partitions=cpus * 2, px=16
+    ).persist()
+    fc_imgs.count()
+    timed(
+        "fast_corners_50k_images",
+        lambda: fast_corners(fc_imgs, t=30, arc=9)
+        .agg(F.sum("n_corners"), F.sum("chk_yx"), F.count(F.lit(1)))
+        .collect(),
+    )
+    fc_imgs.unpersist()
+
+    gf_zone_rows = [
+        (int(z), [[[x0, y0], [x0 + 5.0, y0], [x0 + 5.0, y0 + 5.0],
+                   [x0, y0 + 5.0], [x0, y0]]])
+        for z in range(25)
+        for x0, y0 in [((z % 5) * 5.0, 40.0 + (z // 5) * 5.0)]
+    ]
+    gf_pts = (
+        spark.range(2_000_000)
+        .selectExpr(
+            "id % 20000 AS key",
+            "CAST(floor(id / 20000.0) AS BIGINT) AS t",
+        )
+        .selectExpr(
+            "key", "t",
+            "CAST((key * 7 + t * 3) % 300 AS DOUBLE) / 10.0 AS lon",
+            "40.0 + CAST((key * 3 + t * 2) % 250 AS DOUBLE) / 10.0 AS lat",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    gf_pts.count()
+    timed(
+        "geofence_visits_2m_points",
+        lambda: geofence_visits(gf_pts, gf_zone_rows)
+        .agg(F.sum("n_points"), F.sum("dwell"), F.count(F.lit(1)))
+        .collect(),
+    )
+    gf_pts.unpersist()
+
+    mu_snap = (
+        spark.range(5_000_000)
+        .selectExpr("id AS key", "CAST(id % 97 AS STRING) AS v")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    mu_chg = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "(id * 7) % 6000000 AS key",
+            "CASE WHEN id % 9 = 0 THEN 'D' ELSE 'U' END AS op",
+            "id AS seq",
+            "CAST(id % 89 AS STRING) AS v",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    mu_snap.count(); mu_chg.count()
+    timed(
+        "merge_upsert_20m_changes",
+        lambda: merge_upsert(mu_snap, mu_chg)
+        .agg(F.bit_xor(F.xxhash64("key", "v")), F.count(F.lit(1)))
+        .collect(),
+    )
+    mu_snap.unpersist(); mu_chg.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
