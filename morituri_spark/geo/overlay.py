@@ -374,3 +374,67 @@ def segment_intersections(
         _r6(F.col("_aax") + F.col("_t") * F.col("_dax")).alias("x"),
         _r6(F.col("_aay") + F.col("_t") * F.col("_day")).alias("y"),
     )
+
+
+def ring_self_intersections(
+    rings: DataFrame,
+    ring_id: str = "ring_id",
+    ring_col: str = "ring",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Simple-polygon validity audit: pairs of NON-ADJACENT ring edges
+    that properly cross (a valid simple ring has none — bowties and
+    figure-eights surface here). → (ring_id, i, j, x, y) with i < j the
+    0-based edge indices and (x, y) the rule-16-rounded crossing.
+
+    Composes :func:`segment_intersections` (the cell-cover candidate
+    join + strict orientation refine) over the ring's edge list: edges
+    come from ONE in-row transform over the vertex array (small array,
+    off the hot path), adjacency — including the last↔first wrap — is a
+    post-filter, and "properly cross" already excludes the shared
+    endpoints adjacent edges always have.
+
+    Scale shape: inherited from segment_intersections — never
+    |E|², candidates from the grid-cell equi-join; rings are
+    independent rows so 10⁹ polygons partition freely.
+    """
+    edges = rings.select(
+        F.col(ring_id).alias("_rid"),
+        F.expr(
+            f"transform(sequence(0, size({ring_col}) - 2), idx -> struct("
+            f"idx AS i, size({ring_col}) - 1 AS n_edges,"
+            f" {ring_col}[idx][0] AS ax, {ring_col}[idx][1] AS ay,"
+            f" {ring_col}[idx + 1][0] AS bx, {ring_col}[idx + 1][1] AS by))"
+        ).alias("_es"),
+    ).select("_rid", F.explode("_es").alias("_e"))
+    seg = edges.select(
+        F.struct(
+            F.col("_rid").alias("rid"),
+            F.col("_e.i").alias("i"),
+            F.col("_e.n_edges").alias("n_edges"),
+        ).alias("sid"),
+        F.col("_e.ax").alias("ax"),
+        F.col("_e.ay").alias("ay"),
+        F.col("_e.bx").alias("bx"),
+        F.col("_e.by").alias("by"),
+    )
+    hits = segment_intersections(
+        seg,
+        seg.withColumnRenamed("sid", "sid_b"),
+        cell_deg,
+        id_a="sid",
+        id_b="sid_b",
+    )
+    same_ring = F.col("sid.rid") == F.col("sid_b.rid")
+    ordered = F.col("sid_b.i") > F.col("sid.i") + 1
+    not_wrap = ~(
+        (F.col("sid.i") == 0)
+        & (F.col("sid_b.i") == F.col("sid.n_edges") - 1)
+    )
+    return hits.where(same_ring & ordered & not_wrap).select(
+        F.col("sid.rid").alias(ring_id),
+        F.col("sid.i").cast("long").alias("i"),
+        F.col("sid_b.i").cast("long").alias("j"),
+        "x",
+        "y",
+    )

@@ -42,10 +42,12 @@ def _block_values(hash_col: str, n_blocks: int):
     sign bit's block correct for negative hashes (SimHash signs bit 63)."""
     vals = []
     for off, w in block_layout(n_blocks):
-        mask = (1 << w) - 1
-        vals.append(
-            F.shiftrightunsigned(F.col(hash_col), off).bitwiseAND(F.lit(mask))
-        )
+        col = F.shiftrightunsigned(F.col(hash_col), off)
+        if w < 64:
+            # a full-width block (n_blocks=1, max_hamming=0) needs no
+            # mask — and its 2⁶⁴−1 literal would overflow py4j's long
+            col = col.bitwiseAND(F.lit((1 << w) - 1))
+        vals.append(col)
     return F.array(*vals)
 
 

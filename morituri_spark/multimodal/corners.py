@@ -219,3 +219,106 @@ def fast_corners(
         "image_id string, n_corners long, n_bright long, n_dark long,"
         " chk_yx long",
     )
+
+
+def _brief_pattern(n_bits: int, patch: int) -> list:
+    """Deterministic BRIEF sampling pairs ((ay, ax), (by, bx)) inside the
+    ``patch``-radius square — closed-form modular offsets (both engines
+    carry them as literals), degenerate equal pairs nudged."""
+    span = 2 * patch + 1
+    pat = []
+    for j in range(n_bits):
+        a = ((j * 5) % span - patch, (j * 7 + 3) % span - patch)
+        b = ((j * 11 + 1) % span - patch, (j * 13 + 5) % span - patch)
+        while a == b:
+            b = (b[0], (b[1] + 1 + patch) % span - patch)
+        pat.append((a, b))
+    return pat
+
+
+def brief_descriptors(
+    images: DataFrame,
+    k: int = 5,
+    n_bits: int = 56,
+    patch: int = 4,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """BRIEF binary descriptors (Calonder et al. 2010) at the top-``k``
+    Harris corners per image: bit j = 1 iff ``g3[p+a_j] < g3[p+b_j]``
+    for the pinned deterministic sampling pattern
+    (:func:`_brief_pattern`) — packed into ONE int64 (``n_bits ≤ 56``
+    keeps every value positive in both engines; SQL has no unsigned
+    shift on the build side).
+
+    Corners are Harris' total order (r20 DESC, y, x) restricted to the
+    patch-interior domain (y, x ∈ [max(2, patch), dim−1−max(2, patch)])
+    so every sample lands in-image. → (image_id, rank, y, x, desc).
+
+    The keypoint → descriptor → Hamming-match pipeline composes this
+    with ml/hamming.hamming_near_duplicates — the registration
+    candidate generator for capture-dedup.
+
+    Scale shape: one scan-shaped Arrow kernel, ≤ k rows per image;
+    matching inherits the Hamming block join's pigeonhole bounds.
+    """
+    kk, nb, pp = int(k), int(n_bits), int(patch)
+    if not 1 <= nb <= 56:
+        raise ValueError(f"n_bits must be in [1, 56], got {nb}")
+    pat = _brief_pattern(nb, pp)
+    lo = max(2, pp)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("image_id", "rank", "y", "x", "desc")}
+            for image_id, payload, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(
+                    bytes(payload), fmt, int(w), int(h), deterministic_fake
+                )
+                g3 = arr.astype(np.int64).sum(axis=2)
+                H, W = g3.shape
+                if H < 2 * lo + 1 or W < 2 * lo + 1:
+                    continue
+                ix, iy = _sobel(g3)
+                sxx = _box3(ix * ix)
+                syy = _box3(iy * iy)
+                sxy = _box3(ix * iy)
+                r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                hh, ww = r20.shape
+                ys, xs = np.divmod(np.arange(hh * ww, dtype=np.int64), ww)
+                ys, xs = ys + 2, xs + 2
+                flat = r20.ravel()
+                keep = (
+                    (flat > 0)
+                    & (ys >= lo) & (ys <= H - 1 - lo)
+                    & (xs >= lo) & (xs <= W - 1 - lo)
+                )
+                ys, xs, flat = ys[keep], xs[keep], flat[keep]
+                if not len(flat):
+                    continue
+                order = np.argsort(-flat, kind="stable")[:kk]
+                for r, j in enumerate(order, start=1):
+                    y, x = int(ys[j]), int(xs[j])
+                    desc = 0
+                    for bit, ((ay, ax), (by, bx)) in enumerate(pat):
+                        if g3[y + ay, x + ax] < g3[y + by, x + bx]:
+                            desc |= 1 << bit
+                    out["image_id"].append(image_id)
+                    out["rank"].append(r)
+                    out["y"].append(y)
+                    out["x"].append(x)
+                    out["desc"].append(desc)
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    **{
+                        c: np.asarray(out[c], dtype=np.int64)
+                        for c in ("rank", "y", "x", "desc")
+                    },
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, "image_id string, rank long, y long, x long, desc long"
+    )

@@ -111,3 +111,50 @@ def test_silence_segments(spark):
     for k in got:
         got[k].sort()
     assert got == {"a": [(1, 50, 150, 2), (2, 200, 250, 1)]}
+
+
+def test_pitch_amdf_square_wave(spark):
+    import numpy as np
+
+    from morituri_spark.multimodal import audio as A
+
+    rate, win = 16_000, 800
+    rows = []
+    periods = {f"sq{p}": p for p in (20, 32, 50)}
+    for aid, p in periods.items():
+        n = np.arange(win * 2)
+        x = np.where(n % p < p // 2, 9000, -9000).astype(np.int16)
+        rows.append((aid, bytes(A.encode_wav(x, rate))))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {(r["audio_id"], r["frame_seq"]): (r["best_lag"], r["amdf_min"])
+           for r in A.pitch_amdf(df, lag_min=16, lag_max=64).collect()}
+    for aid, p in periods.items():
+        for k in (0, 1):
+            lag, dmin = got[(aid, k)]
+            assert (lag, dmin) == (p, 0), f"{aid} frame {k}"
+
+
+def test_pitch_amdf_matches_loop_and_guards(spark):
+    import numpy as np
+    import pytest
+
+    from morituri_spark.multimodal import audio as A
+
+    rate, win, lmin, lmax = 16_000, 800, 16, 64
+    rng = np.random.RandomState(9)
+    x = rng.randint(-20000, 20000, size=win * 3).astype(np.int16)
+    df = spark.createDataFrame(
+        [("r", bytes(A.encode_wav(x, rate)))], "audio_id string, bytes binary"
+    )
+    got = {r["frame_seq"]: (r["best_lag"], r["amdf_min"], r["span"])
+           for r in A.pitch_amdf(df, lag_min=lmin, lag_max=lmax).collect()}
+    xs = x.astype(np.int64)
+    span = win - lmax
+    for k in range(3):
+        fr = xs[k * win : (k + 1) * win]
+        ds = [(int(np.abs(fr[:span] - fr[l : l + span]).sum()), l)
+              for l in range(lmin, lmax + 1)]
+        dmin, lag = min(ds)
+        assert got[k] == (lag, dmin, span)
+    with pytest.raises(ValueError):
+        A.pitch_amdf(df, lag_min=0)

@@ -1,6 +1,7 @@
 """harris_corners (multimodal/corners.py) vs a plain-loop reference."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from morituri_spark.multimodal.corners import _box3, _sobel, harris_corners
 from morituri_spark.sources import images as I
@@ -173,3 +174,74 @@ def test_fast_guards_and_small_image(spark):
     assert (row["n_corners"], row["chk_yx"]) == (0, 0)
     with pytest.raises(ValueError):
         fast_corners(df, arc=1)
+
+
+def test_brief_descriptors_match_loop(spark):
+    from morituri_spark.multimodal.corners import (
+        _brief_pattern, brief_descriptors,
+    )
+
+    rng = np.random.RandomState(41)
+    pat = _brief_pattern(56, 4)
+    rows, expect = [], {}
+    for i in range(4):
+        arr = (rng.rand(14, 16, 3) * 255).astype(np.uint8)
+        rows.append((f"im{i}", bytearray(I.encode(arr, "png")), "png", 16, 14))
+        g3 = arr.astype(np.int64).sum(axis=2)
+        # loop reference: harris corners restricted to the patch interior
+        cand = [
+            (y, x, v) for (_, y, x, v) in
+            [(r, y, x, v) for r, y, x, v in _ref_corners(g3, 10**9)]
+            if 4 <= y <= 9 and 4 <= x <= 11
+        ]
+        cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+        for r, (y, x, _) in enumerate(cand[:5], start=1):
+            desc = 0
+            for bit, ((ay, ax), (by, bx)) in enumerate(pat):
+                if g3[y + ay, x + ax] < g3[y + by, x + bx]:
+                    desc |= 1 << bit
+            expect[(f"im{i}", r)] = (y, x, desc)
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {
+        (r["image_id"], r["rank"]): (r["y"], r["x"], r["desc"])
+        for r in brief_descriptors(df, k=5).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert all(0 <= d < (1 << 56) for (_, _, d) in got.values())
+
+
+def test_brief_matching_finds_duplicates(spark):
+    from morituri_spark.ml.hamming import hamming_near_duplicates
+    from morituri_spark.multimodal.corners import brief_descriptors
+
+    rng = np.random.RandomState(43)
+    arr = (rng.rand(14, 16, 3) * 255).astype(np.uint8)
+    rows = [
+        ("orig", bytearray(I.encode(arr, "png")), "png", 16, 14),
+        ("copy", bytearray(I.encode(arr, "png")), "png", 16, 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    desc = brief_descriptors(df, k=3).select(
+        F.concat("image_id", F.lit("#"), F.col("rank").cast("string")).alias("id"),
+        "desc",
+    )
+    pairs = hamming_near_duplicates(desc, "desc", id_col="id", max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical images → identical descriptors per rank
+    assert {("copy#1", "orig#1"), ("copy#2", "orig#2")} <= got
+
+
+def test_brief_guard(spark):
+    import pytest
+
+    from morituri_spark.multimodal.corners import brief_descriptors
+
+    df = spark.createDataFrame(
+        [], "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    with pytest.raises(ValueError):
+        brief_descriptors(df, n_bits=57)

@@ -185,3 +185,32 @@ def test_ring_centroids_known_shapes(spark):
     # (c=1.5, w=1) -> (4*1 - 1*1.5)/3 = 5/6 -> rounded 0.833333
     assert got[2] == (0.833333, 0.833333)
     assert 3 not in got
+
+
+def test_ring_self_intersections_bowtie(spark):
+    from morituri_spark.geo.overlay import ring_self_intersections
+
+    bowtie = [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]
+    square = [[5.0, 5.0], [7.0, 5.0], [7.0, 7.0], [5.0, 7.0], [5.0, 5.0]]
+    df = spark.createDataFrame(
+        [(1, bowtie), (2, square)],
+        "ring_id long, ring array<array<double>>",
+    )
+    got = ring_self_intersections(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # edges 0 ((0,0)-(2,2)) and 2 ((2,0)-(0,2)) cross at (1,1)
+    assert (r["ring_id"], r["i"], r["j"], r["x"], r["y"]) == (1, 0, 2, 1.0, 1.0)
+
+
+def test_ring_self_intersections_adjacent_excluded(spark):
+    from morituri_spark.geo.overlay import ring_self_intersections
+
+    # a concave-but-simple arrow: adjacent edges share endpoints but never
+    # properly cross; the wrap pair (first, last) shares the start vertex
+    arrow = [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [2.0, 1.0], [0.0, 3.0],
+             [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(9, arrow)], "ring_id long, ring array<array<double>>"
+    )
+    assert ring_self_intersections(df).count() == 0
