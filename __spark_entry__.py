@@ -6765,6 +6765,205 @@ def _merge_upsert_oracle_sql() -> str:
     """
 
 
+def _q_brief_descriptors(spark, sf_dir):
+    """BRIEF binary descriptors (multimodal/corners.brief_descriptors) at
+    the top-5 Harris corners of the closed-form gradient images: bit j =
+    [g3[p+a_j] < g3[p+b_j]] over the pinned deterministic sampling
+    pattern, packed into ONE positive int64 (n_bits=56). The oracle
+    replays Sobel + the structure-tensor window as 3×3 joins (the
+    harris_corners_topk evidence class), restricts the rank domain to
+    the patch interior (y, x ∈ [4, 11] at patch=4), and rebuilds the
+    descriptor as a VALUES join over the same literal pattern."""
+    from morituri_spark.multimodal.corners import brief_descriptors
+
+    return brief_descriptors(
+        _gradient_images(spark, sf_dir, n=150), k=5, n_bits=56, patch=4
+    )
+
+
+def _brief_oracle_sql() -> str:
+    from morituri_spark.multimodal.corners import _brief_pattern
+
+    pat = ", ".join(
+        f"({j}, {ay}, {ax}, {by}, {bx})"
+        for j, ((ay, ax), (by, bx)) in enumerate(_brief_pattern(56, 4))
+    )
+    return f"""
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        pix AS (
+            SELECT i, y, x,
+                   (i + 2 * y + 3 * x) % 256
+                   + (2 * i + y + 5 * x) % 256
+                   + (3 * i + 4 * y + x) % 256 AS g3
+            FROM ids, generate_series(0, 15) ys(y),
+                 generate_series(0, 15) xs(x)),
+        k(dx, dy, wx, wy) AS (VALUES
+            (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+            (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+            (-1,1,-1,1),(0,1,0,2),(1,1,1,1)),
+        sob AS (
+            SELECT p.i, p.y, p.x,
+                   sum(k.wx * q.g3) AS gx, sum(k.wy * q.g3) AS gy
+            FROM pix p JOIN k ON TRUE
+            JOIN pix q ON q.i = p.i AND q.y = p.y + k.dy AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+            GROUP BY 1, 2, 3),
+        win AS (
+            SELECT a.i, a.y, a.x,
+                   sum(b.gx * b.gx) AS sxx, sum(b.gy * b.gy) AS syy,
+                   sum(b.gx * b.gy) AS sxy
+            FROM sob a JOIN sob b
+              ON b.i = a.i AND b.y BETWEEN a.y - 1 AND a.y + 1
+                           AND b.x BETWEEN a.x - 1 AND a.x + 1
+            WHERE a.y BETWEEN 4 AND 11 AND a.x BETWEEN 4 AND 11
+            GROUP BY 1, 2, 3),
+        ranked AS (
+            SELECT i, y, x,
+                   row_number() OVER (PARTITION BY i ORDER BY
+                       20 * (sxx * syy - sxy * sxy)
+                       - (sxx + syy) * (sxx + syy) DESC, y, x) AS rk
+            FROM win
+            WHERE 20 * (sxx * syy - sxy * sxy)
+                  - (sxx + syy) * (sxx + syy) > 0),
+        corners AS (SELECT i, y, x, rk FROM ranked WHERE rk <= 5)
+        SELECT printf('img%08d', c.i) AS image_id,
+               CAST(c.rk AS BIGINT) AS "rank",
+               CAST(c.y AS BIGINT) AS y, CAST(c.x AS BIGINT) AS x,
+               CAST(sum(CASE WHEN pa.g3 < pb.g3
+                             THEN CAST(1 AS BIGINT) << b.j
+                             ELSE 0 END) AS BIGINT) AS "desc"
+        FROM corners c
+        JOIN (VALUES {pat}) b(j, ay, ax, "by", bx) ON TRUE
+        JOIN pix pa ON pa.i = c.i AND pa.y = c.y + b.ay
+                   AND pa.x = c.x + b.ax
+        JOIN pix pb ON pb.i = c.i AND pb.y = c.y + b."by"
+                   AND pb.x = c.x + b.bx
+        GROUP BY 1, 2, 3, 4
+    """
+
+
+def _q_pitch_amdf(spark, sf_dir):
+    """Integer AMDF pitch tracking (multimodal/audio.pitch_amdf) over the
+    shared closed-form sine clips: per 50 ms frame, the lag ℓ ∈ [16, 64]
+    minimizing D(ℓ) = Σ_{n<736} |x[n] − x[n+ℓ]| — span fixed across lags,
+    smallest-lag tie-break, every intermediate an exact integer. The
+    oracle replays the sine samples symbolically (the audio_features
+    evidence class) and the literal D sweep with a (d, lag) row_number
+    argmin."""
+    from morituri_spark.multimodal import audio as A
+
+    return A.pitch_amdf(
+        _audio_clips_df(spark), lag_min=16, lag_max=64, frame_ms=50
+    )
+
+
+def _pitch_amdf_oracle_sql() -> str:
+    return """
+        WITH clips AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS i),
+        s AS (
+          SELECT i, CAST(t AS BIGINT) AS t,
+                 CAST(floor(sin(((2 * pi()) * (200.0 + 10.0 * CAST(i AS DOUBLE)))
+                      * CAST(t AS DOUBLE) / 16000.0) * 13106.8) AS BIGINT) AS v
+          FROM clips, LATERAL (SELECT unnest(range(0, 4000)) AS t) ts),
+        d AS (
+          SELECT a.i, a.t // 800 AS k, l.lg,
+                 CAST(sum(abs(a.v - b.v)) AS BIGINT) AS d
+          FROM s a
+          JOIN (SELECT CAST(unnest(range(16, 65)) AS BIGINT) AS lg) l ON TRUE
+          JOIN s b ON b.i = a.i AND b.t = a.t + l.lg
+          WHERE a.t % 800 < 736
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT i, k, lg, d,
+                 row_number() OVER (PARTITION BY i, k ORDER BY d, lg) AS rn
+          FROM d)
+        SELECT printf('clip%04d', i) AS audio_id,
+               CAST(k AS BIGINT) AS frame_seq,
+               CAST(lg AS BIGINT) AS best_lag,
+               CAST(d AS BIGINT) AS amdf_min,
+               CAST(736 AS BIGINT) AS span
+        FROM best WHERE rn = 1
+    """
+
+
+def _q_ring_self_intersections(spark, sf_dir):
+    """Simple-polygon validity audit (geo/overlay.ring_self_intersections):
+    200 closed-form quad rings — even ids simple squares (no findings),
+    odd ids bowties whose diagonal edges 0 and 2 properly cross at the
+    exact integer center. The operator runs the cell-cover candidate
+    join + strict orientation refine over in-row edge lists with
+    adjacency/wrap post-filters; the oracle replays the edge list and
+    the identical d1..d4 sign tests + crossing point all-pairs."""
+    from morituri_spark.geo.overlay import ring_self_intersections
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 200")
+    rings = ev.selectExpr(
+        "event_id AS ring_id",
+        "CAST((event_id * 7) % 100 AS DOUBLE) AS x0",
+        "CAST((event_id * 13) % 100 AS DOUBLE) AS y0",
+        "CAST(event_id % 2 AS DOUBLE) AS p",
+    ).selectExpr(
+        "ring_id",
+        "array(array(x0, y0),"
+        " array(x0 + CAST(2 AS DOUBLE), y0 + CAST(2 AS DOUBLE) * p),"
+        " array(x0 + CAST(2 AS DOUBLE),"
+        "       y0 + CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) - p)),"
+        " array(x0, y0 + CAST(2 AS DOUBLE)),"
+        " array(x0, y0)) AS ring",
+    )
+    return ring_self_intersections(rings, "ring_id", "ring", 1.0).select(
+        F.col("ring_id").cast("long").alias("ring_id"), "i", "j", "x", "y"
+    )
+
+
+def _ring_self_intersections_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 200),
+        v AS (
+            SELECT i, CAST((i * 7) % 100 AS DOUBLE) AS x0,
+                   CAST((i * 13) % 100 AS DOUBLE) AS y0,
+                   CAST(i % 2 AS DOUBLE) AS p
+            FROM ids),
+        pts AS (
+            SELECT i, n,
+                   CASE WHEN n IN (1, 2) THEN x0 + CAST(2 AS DOUBLE)
+                        ELSE x0 END AS px,
+                   CASE n WHEN 1 THEN y0 + CAST(2 AS DOUBLE) * p
+                          WHEN 2 THEN y0 + CAST(2 AS DOUBLE)
+                                      * (CAST(1 AS DOUBLE) - p)
+                          WHEN 3 THEN y0 + CAST(2 AS DOUBLE)
+                          ELSE y0 END AS py
+            FROM v, generate_series(0, 4) ns(n)),
+        e AS (
+            SELECT a.i, a.n AS ei, a.px AS ax, a.py AS ay,
+                   b.px AS bx, b.py AS by
+            FROM pts a JOIN pts b ON b.i = a.i AND b.n = a.n + 1),
+        pairs AS (
+            SELECT p.i, p.ei, q.ei AS ej,
+                   p.ax, p.ay, p.bx, p.by,
+                   q.ax AS cx, q.ay AS cy, q.bx AS dx, q.by AS dy
+            FROM e p JOIN e q ON q.i = p.i AND q.ei > p.ei + 1
+            WHERE NOT (p.ei = 0 AND q.ei = 3)),
+        c AS (
+            SELECT *,
+                   (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS d1,
+                   (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) AS d2,
+                   (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx) AS d3,
+                   (dx - cx) * (by - cy) - (dy - cy) * (bx - cx) AS d4
+            FROM pairs),
+        x AS (
+            SELECT i, ei, ej, ax, ay, bx - ax AS dax, by - ay AS day,
+                   ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                   / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx)) AS t
+            FROM c WHERE d1 * d2 < 0 AND d3 * d4 < 0)
+        SELECT CAST(i AS BIGINT) AS ring_id, CAST(ei AS BIGINT) AS i,
+               CAST(ej AS BIGINT) AS j,
+               floor((ax + t * dax) * 1e6 + 0.5 + 1e-8) / 1e6 AS x,
+               floor((ay + t * day) * 1e6 + 0.5 + 1e-8) / 1e6 AS y
+        FROM x
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -6904,6 +7103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_corners": _q_fast_corners,
         "geofence_visits": _q_geofence,
         "merge_upsert": _q_merge_upsert,
+        # --- seventeenth session ---
+        "brief_descriptors": _q_brief_descriptors,
+        "pitch_amdf": _q_pitch_amdf,
+        "ring_self_intersections": _q_ring_self_intersections,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7172,8 +7375,25 @@ _WINDOW = [
     # gaps-and-islands and the entering geofence_visits' run collapse;
     # pytest-pinned frozen code).
     "fast_corners", "geofence_visits", "merge_upsert",
-    "glcm_texture", "lbp_histogram", "run_length_texture",
-    "median_filter_stats", "template_match_sad", "convoy_comovement",
+    # seventeenth-session rotation: BRIEF descriptors, AMDF pitch, and
+    # the ring self-intersection audit are the freshest code and enter
+    # per the code-risk rule. Released — frozen, sweep-EQUAL,
+    # pytest-pinned, replica-checked, with in-window siblings:
+    # lbp_histogram (glcm_texture + run_length_texture hold the same
+    # integer-exact per-image texture-histogram machinery in-window —
+    # same module, same scan-kernel discipline), median_filter_stats
+    # (template_match_sad is the same nonlinear-filter module and
+    # commit; box_filter_grid holds the 3×3-window family), and
+    # image_equalize_otsu (per-image integer histogram machinery stays
+    # in-window via color_histogram_dups' binned channel histograms and
+    # orientation_histogram's per-pixel classing). The entering
+    # brief_descriptors additionally re-runs the RELEASED
+    # harris_corners_topk response kernel (Sobel + box3 + r20 top-k)
+    # end-to-end in-window, and pitch_amdf re-runs the audio WAV codec
+    # (audio_features/audio_frames family) in-window.
+    "brief_descriptors", "pitch_amdf", "ring_self_intersections",
+    "glcm_texture", "run_length_texture",
+    "template_match_sad", "convoy_comovement",
     "dag_critical_path", "kn_bigram_lm", "image_moments",
     "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
     "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
@@ -7207,7 +7427,7 @@ _WINDOW = [
     # runs in-window END-TO-END inside image_edge_hough, which composes
     # Sobel edges into the same Hough vote code path; pytest-pinned,
     # sweep-EQUAL, replica-checked.)
-    "poly_dissolve_stats", "image_morphology", "image_equalize_otsu",
+    "poly_dissolve_stats", "image_morphology",
     "bpe_train_merges",
     # (collocation_pmi and image_edge_hough enter under the same rule,
     # releasing zone_convex_hulls — its oracle is a CLOSED-FORM vertex
@@ -8698,6 +8918,9 @@ def oracle_sql() -> dict[str, str]:
         "fast_corners": _fast_oracle_sql(),
         "geofence_visits": _geofence_oracle_sql(),
         "merge_upsert": _merge_upsert_oracle_sql(),
+        "brief_descriptors": _brief_oracle_sql(),
+        "pitch_amdf": _pitch_amdf_oracle_sql(),
+        "ring_self_intersections": _ring_self_intersections_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

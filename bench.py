@@ -1903,6 +1903,90 @@ def main() -> None:
     )
     mu_snap.unpersist(); mu_chg.unpersist()
 
+    # seventeenth session: BRIEF descriptors (Harris response + 56-bit
+    # pattern packing, scan kernel over 50k real images), AMDF pitch
+    # (49-lag integer sweep over 20k decoded WAV clips), ring
+    # self-intersection audit (1M quad rings through the segment
+    # cell-cover candidate join + orientation refine)
+    from morituri_spark.geo.overlay import ring_self_intersections
+    from morituri_spark.multimodal.corners import brief_descriptors
+    from morituri_spark.multimodal import audio as _audio
+
+    bd_imgs = synth.images_table(
+        spark, 50_000, partitions=cpus * 2, px=16
+    ).persist()
+    bd_imgs.count()
+    timed(
+        "brief_descriptors_50k_images",
+        lambda: brief_descriptors(bd_imgs, k=5, n_bits=56, patch=4)
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "rank", "y", "x", "desc")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    bd_imgs.unpersist()
+
+    def _amdf_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        rate, n = 16_000, 4_000
+        t = np.arange(n, dtype=np.float64)
+        for pdf in batches:
+            rows = {"audio_id": [], "bytes": []}
+            for i in pdf["id"]:
+                i = int(i)
+                freq = 150.0 + (i % 700) * 0.5
+                s = np.floor(
+                    np.sin(((2 * np.pi) * freq) * t / rate) * 13106.8
+                ).astype(np.int16)
+                rows["audio_id"].append(f"clip{i:08d}")
+                rows["bytes"].append(bytes(_audio.encode_wav(s, rate)))
+            yield pd.DataFrame(rows)
+
+    pa_clips = (
+        spark.range(0, 20_000, numPartitions=cpus * 2)
+        .mapInPandas(_amdf_clips, "audio_id string, bytes binary")
+        .persist()
+    )
+    pa_clips.count()
+    timed(
+        "pitch_amdf_20k_clips",
+        lambda: _audio.pitch_amdf(pa_clips, lag_min=16, lag_max=64)
+        .agg(F.sum("amdf_min"), F.sum("best_lag"), F.count(F.lit(1)))
+        .collect(),
+    )
+    pa_clips.unpersist()
+
+    rsi_rings = (
+        spark.range(1_000_000)
+        .selectExpr(
+            "id AS ring_id",
+            "CAST((id * 7) % 10000 AS DOUBLE) AS x0",
+            "CAST((id * 13) % 10000 AS DOUBLE) AS y0",
+            "CAST(id % 2 AS DOUBLE) AS p",
+        )
+        .selectExpr(
+            "ring_id",
+            "array(array(x0, y0),"
+            " array(x0 + 2.0D, y0 + 2.0D * p),"
+            " array(x0 + 2.0D, y0 + 2.0D * (1.0D - p)),"
+            " array(x0, y0 + 2.0D),"
+            " array(x0, y0)) AS ring",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    rsi_rings.count()
+    timed(
+        "ring_self_intersections_1m_rings",
+        lambda: ring_self_intersections(rsi_rings, "ring_id", "ring", 4.0)
+        .agg(F.sum("i"), F.sum("j"), F.count(F.lit(1)))
+        .collect(),
+    )
+    rsi_rings.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
