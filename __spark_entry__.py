@@ -6964,6 +6964,229 @@ def _ring_self_intersections_oracle_sql() -> str:
     """
 
 
+def _det_boxes(spark, sf_dir, n_img: int, per_img: int, shift: int = 0):
+    """Closed-form detection boxes over events: image i carries per_img
+    half-open integer boxes with modular-arithmetic corners/sizes/scores
+    both engines replay as literals. shift offsets the corners (used to
+    build a ground-truth set that partially overlaps the predictions)."""
+    ev = _read(spark, sf_dir, "events").where(
+        f"event_id < {n_img * per_img}"
+    )
+    return ev.selectExpr(
+        f"CAST(event_id / {per_img} AS BIGINT) AS i",
+        f"event_id % {per_img} AS j",
+    ).selectExpr(
+        "printf('img%08d', i) AS image_id",
+        "j AS box_id",
+        f"(i * 3 + j * 17 + {shift}) % 40 AS x0",
+        f"(i * 5 + j * 23 + {shift}) % 40 AS y0",
+        f"(i * 3 + j * 17 + {shift}) % 40 + 4 + (i + 3 * j + {shift}) % 12 AS x1",
+        f"(i * 5 + j * 23 + {shift}) % 40 + 4 + (2 * i + j + {shift}) % 10 AS y1",
+        "(i * 7 + j * 31) % 100 AS score",
+    )
+
+
+_DET_BOX_SQL = """
+            SELECT i, j,
+                   (i * 3 + j * 17 + {shift}) % 40 AS x0,
+                   (i * 5 + j * 23 + {shift}) % 40 AS y0,
+                   (i * 3 + j * 17 + {shift}) % 40
+                     + 4 + (i + 3 * j + {shift}) % 12 AS x1,
+                   (i * 5 + j * 23 + {shift}) % 40
+                     + 4 + (2 * i + j + {shift}) % 10 AS y1,
+                   (i * 7 + j * 31) % 100 AS s
+            FROM (SELECT event_id // {per_img} AS i,
+                         event_id % {per_img} AS j
+                  FROM events WHERE event_id < {n_rows})"""
+
+#: exact integer suppression/gate predicate: IoU(a, b) > thr/1000
+_DET_SUPP = (
+    "greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))"
+    " * greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)) * 1000"
+    " > {thr} * ((a.x1 - a.x0) * (a.y1 - a.y0)"
+    " + (b.x1 - b.x0) * (b.y1 - b.y0)"
+    " - greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))"
+    " * greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)))"
+)
+
+
+def _q_nms(spark, sf_dir):
+    """Greedy NMS (multimodal/detections.nms_boxes) over 200 images × 6
+    closed-form integer boxes at IoU > 0.3: visit (score DESC, box_id),
+    keep iff inter·1000 ≤ 300·union vs every kept box — ALL-integer
+    arithmetic, zero rounding surface. The oracle unrolls the greedy
+    loop as 6 materialized stages (rule 27), each picking the top
+    surviving box then filtering the suppressed (the DP-oracle evidence
+    class)."""
+    from morituri_spark.multimodal.detections import nms_boxes
+
+    return nms_boxes(_det_boxes(spark, sf_dir, 200, 6), iou_thr_milli=300)
+
+
+def _nms_oracle_sql() -> str:
+    b_sql = _DET_BOX_SQL.format(shift=0, per_img=6, n_rows=1200)
+    supp = _DET_SUPP.format(thr=300)
+    stages = []
+    for k in range(1, 7):
+        src = "b" if k == 1 else f"s{k - 1}"
+        stages.append(
+            f"""k{k} AS MATERIALIZED (
+                SELECT i, j, x0, y0, x1, y1, s FROM (
+                    SELECT {src}.*, row_number() OVER (
+                        PARTITION BY i ORDER BY s DESC, j) AS rn
+                    FROM {src}) WHERE rn = 1)"""
+        )
+        if k < 6:
+            stages.append(
+                f"""s{k} AS MATERIALIZED (
+                SELECT b.* FROM {src} b JOIN k{k} a USING (i)
+                WHERE b.j <> a.j AND NOT ({supp}))"""
+            )
+    picks = "\n            UNION ALL\n            ".join(
+        f"SELECT i, CAST({k} AS BIGINT) AS keep_rank, j, s FROM k{k}"
+        for k in range(1, 7)
+    )
+    return f"""
+        WITH b AS MATERIALIZED ({b_sql}),
+        {", ".join(stages)}
+        SELECT printf('img%08d', i) AS image_id, keep_rank,
+               CAST(j AS BIGINT) AS box_id, CAST(s AS BIGINT) AS score
+        FROM ({picks})
+    """
+
+
+def _q_detection_matches(spark, sf_dir):
+    """Greedy pred↔GT matching (multimodal/detections.match_detections,
+    the COCO/VOC evaluation step) over 200 images × 4 predictions × 4
+    shifted ground truths at IoU > 0.2: each prediction (score DESC,
+    box_id) takes the unmatched GT maximizing iou_micro = inter·10⁶ DIV
+    union (exact integer division per rule 28, ties to smallest gt_id).
+    The oracle unrolls 4 materialized stages, each excluding the GTs
+    taken by earlier stages."""
+    from morituri_spark.multimodal.detections import match_detections
+
+    preds = _det_boxes(spark, sf_dir, 200, 4)
+    gts = _det_boxes(spark, sf_dir, 200, 4, shift=2).selectExpr(
+        "image_id", "box_id AS gt_id", "x0", "y0", "x1", "y1"
+    )
+    return match_detections(preds, gts, iou_thr_milli=200)
+
+
+def _detection_matches_oracle_sql() -> str:
+    p_sql = _DET_BOX_SQL.format(shift=0, per_img=4, n_rows=800)
+    g_sql = _DET_BOX_SQL.format(shift=2, per_img=4, n_rows=800)
+    gate = _DET_SUPP.format(thr=200)
+    # candidate pairs: prediction a × gt b passing the IoU gate, with the
+    # exact integer-division ranking score
+    stages = []
+    for k in range(1, 5):
+        excl = (
+            ""
+            if k == 1
+            else "AND NOT EXISTS (SELECT 1 FROM ("
+            + " UNION ALL ".join(
+                f"SELECT i, gt_id FROM m{x}" for x in range(1, k)
+            )
+            + f") t WHERE t.i = c.i AND t.gt_id = c.gt_id)"
+        )
+        stages.append(
+            f"""m{k} AS MATERIALIZED (
+                SELECT i, j, s, gt_id, iou_micro FROM (
+                    SELECT c.*, row_number() OVER (PARTITION BY c.i
+                        ORDER BY c.iou_micro DESC, c.gt_id) AS rn
+                    FROM cand c WHERE c.rk = {k} {excl})
+                WHERE rn = 1)"""
+        )
+    matched = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, 5)
+    )
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT q.*, row_number() OVER (PARTITION BY i
+                ORDER BY s DESC, j) AS rk
+            FROM ({p_sql}) q),
+        g AS MATERIALIZED ({g_sql}),
+        cand AS MATERIALIZED (
+            SELECT a.i, a.j, a.s, a.rk, b.j AS gt_id,
+                   CAST(floor((greatest(0, least(a.x1, b.x1)
+                       - greatest(a.x0, b.x0))
+                     * greatest(0, least(a.y1, b.y1)
+                       - greatest(a.y0, b.y0)) * 1000000.0)
+                     / ((a.x1 - a.x0) * (a.y1 - a.y0)
+                        + (b.x1 - b.x0) * (b.y1 - b.y0)
+                        - greatest(0, least(a.x1, b.x1)
+                          - greatest(a.x0, b.x0))
+                        * greatest(0, least(a.y1, b.y1)
+                          - greatest(a.y0, b.y0)))) AS BIGINT) AS iou_micro
+            FROM p a JOIN g b ON b.i = a.i AND ({gate})),
+        {", ".join(stages)},
+        m AS ({matched})
+        SELECT printf('img%08d', p.i) AS image_id,
+               CAST(p.j AS BIGINT) AS box_id, CAST(p.s AS BIGINT) AS score,
+               CAST(m.gt_id AS BIGINT) AS matched_gt,
+               CAST(m.iou_micro AS BIGINT) AS iou_micro
+        FROM p LEFT JOIN m ON m.i = p.i AND m.j = p.j
+    """
+
+
+def _q_mask_rle(spark, sf_dir):
+    """COCO-order RLE of packed binary masks (multimodal/masks.
+    mask_rle_runs): 150 closed-form 16×16 masks — pixel (y, x) of mask i
+    is on iff (i + 2y + 3x) % 7 < 3 — packed row-major to bits, decoded
+    and scanned COLUMN-major (pos = x·16 + y) into maximal 1-runs. The
+    oracle replays the pixels symbolically and the runs with the
+    gaps-and-islands idiom (pos − row_number)."""
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal.masks import mask_rle_runs, pack_mask
+
+    base = (
+        _read(spark, sf_dir, "events")
+        .where("event_id < 150")
+        .select(F.col("event_id").alias("i"))
+    )
+
+    def gen(batches):
+        ys, xs = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = {"image_id": [], "mask": [], "w": [], "h": []}
+            for i in pdf["i"]:
+                i = int(i)
+                m = ((i + 2 * ys + 3 * xs) % 7) < 3
+                rows["image_id"].append(f"img{i:08d}")
+                rows["mask"].append(pack_mask(m))
+                rows["w"].append(16)
+                rows["h"].append(16)
+            yield pd.DataFrame(rows)
+
+    masks = base.mapInPandas(gen, "image_id string, mask binary, w int, h int")
+    return mask_rle_runs(masks)
+
+
+def _mask_rle_oracle_sql() -> str:
+    return """
+        WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 150),
+        on_pix AS (
+            SELECT i, x * 16 + y AS pos
+            FROM ids, generate_series(0, 15) ys(y), generate_series(0, 15) xs(x)
+            WHERE (i + 2 * y + 3 * x) % 7 < 3),
+        isl AS (
+            SELECT i, pos,
+                   pos - row_number() OVER (PARTITION BY i ORDER BY pos) AS grp
+            FROM on_pix),
+        runs AS (
+            SELECT i, min(pos) AS start, count(*) AS length
+            FROM isl GROUP BY i, grp)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(row_number() OVER (PARTITION BY i ORDER BY start)
+                    AS BIGINT) AS run_idx,
+               CAST(start AS BIGINT) AS start,
+               CAST(length AS BIGINT) AS length
+        FROM runs
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -7107,6 +7330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brief_descriptors": _q_brief_descriptors,
         "pitch_amdf": _q_pitch_amdf,
         "ring_self_intersections": _q_ring_self_intersections,
+        # --- eighteenth session: detection post-processing + masks ---
+        "nms_boxes": _q_nms,
+        "detection_matches": _q_detection_matches,
+        "mask_rle_runs": _q_mask_rle,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7392,9 +7619,21 @@ _WINDOW = [
     # end-to-end in-window, and pitch_amdf re-runs the audio WAV codec
     # (audio_features/audio_frames family) in-window.
     "brief_descriptors", "pitch_amdf", "ring_self_intersections",
-    "glcm_texture", "run_length_texture",
-    "template_match_sad", "convoy_comovement",
-    "dag_critical_path", "kn_bigram_lm", "image_moments",
+    # eighteenth-session rotation: greedy NMS, pred↔GT matching, and
+    # mask RLE are the freshest code (new multimodal/detections.py and
+    # masks.py modules) and enter per the code-risk rule. Released —
+    # frozen, sweep-EQUAL, pytest-pinned, replica-checked, with
+    # in-window siblings: glcm_texture (run_length_texture holds the
+    # same integer texture-histogram scan-kernel machinery — same
+    # module), convoy_comovement (geofence_visits runs the same
+    # gaps-and-islands run collapse in-window; the (tick, cell)
+    # candidate join machinery stays via knn_mega_cell_skew's cell
+    # joins), and dag_critical_path (sssp_weighted_costs holds the
+    # iterative _Round relaxation machinery in-window).
+    "nms_boxes", "detection_matches", "mask_rle_runs",
+    "run_length_texture",
+    "template_match_sad",
+    "kn_bigram_lm", "image_moments",
     "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
     "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
     "chamfer_distance_hist",
@@ -8921,6 +9160,9 @@ def oracle_sql() -> dict[str, str]:
         "brief_descriptors": _brief_oracle_sql(),
         "pitch_amdf": _pitch_amdf_oracle_sql(),
         "ring_self_intersections": _ring_self_intersections_oracle_sql(),
+        "nms_boxes": _nms_oracle_sql(),
+        "detection_matches": _detection_matches_oracle_sql(),
+        "mask_rle_runs": _mask_rle_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -1987,6 +1987,99 @@ def main() -> None:
     )
     rsi_rings.unpersist()
 
+    # eighteenth session: greedy NMS (5M boxes packed per image through
+    # one exchange, integer-IoU greedy in the scan kernel), pred↔GT
+    # matching (two packs + one co-partitioned join, 2M+2M boxes), and
+    # COCO RLE over 100k packed 64×64 masks (no exchange at all)
+    from morituri_spark.multimodal.detections import (
+        match_detections,
+        nms_boxes,
+    )
+    from morituri_spark.multimodal.masks import mask_rle_runs
+
+    def _det_boxes_sql(n_img, per_img, shift=0):
+        return (
+            spark.range(n_img * per_img)
+            .selectExpr(
+                f"CAST(floor(id / {per_img}) AS BIGINT) AS i",
+                f"id % {per_img} AS j",
+            )
+            .selectExpr(
+                "printf('img%012d', i) AS image_id",
+                "j AS box_id",
+                f"(i * 3 + j * 17 + {shift}) % 48 AS x0",
+                f"(i * 5 + j * 23 + {shift}) % 48 AS y0",
+                f"(i * 3 + j * 17 + {shift}) % 48"
+                f" + 4 + (i + 3 * j + {shift}) % 12 AS x1",
+                f"(i * 5 + j * 23 + {shift}) % 48"
+                f" + 4 + (2 * i + j + {shift}) % 10 AS y1",
+                "(i * 7 + j * 31) % 100 AS score",
+            )
+            .repartition(cpus * 2)
+        )
+
+    nms_dets = _det_boxes_sql(500_000, 10).persist()
+    nms_dets.count()
+    timed(
+        "nms_5m_boxes",
+        lambda: nms_boxes(nms_dets, iou_thr_milli=300)
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "keep_rank", "box_id")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    nms_dets.unpersist()
+
+    dm_preds = _det_boxes_sql(250_000, 8).persist()
+    dm_gts = (
+        _det_boxes_sql(250_000, 8, shift=2)
+        .selectExpr("image_id", "box_id AS gt_id", "x0", "y0", "x1", "y1")
+        .persist()
+    )
+    dm_preds.count(); dm_gts.count()
+    timed(
+        "detection_matches_4m_boxes",
+        lambda: match_detections(dm_preds, dm_gts, iou_thr_milli=200)
+        .agg(
+            F.sum("iou_micro"),
+            F.count("matched_gt"),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    dm_preds.unpersist(); dm_gts.unpersist()
+
+    def _mask_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        ys, xs = np.mgrid[0:64, 0:64]
+        for pdf in batches:
+            rows = {"image_id": [], "mask": [], "w": [], "h": []}
+            for i in pdf["id"]:
+                i = int(i)
+                m = ((i + 2 * ys + 3 * xs) % 7) < 3
+                rows["image_id"].append(f"img{i:012d}")
+                rows["mask"].append(bytes(np.packbits(m.astype(np.uint8).ravel())))
+                rows["w"].append(64)
+                rows["h"].append(64)
+            yield pd.DataFrame(rows)
+
+    rle_masks = (
+        spark.range(0, 100_000, numPartitions=cpus * 2)
+        .mapInPandas(_mask_rows, "image_id string, mask binary, w int, h int")
+        .persist()
+    )
+    rle_masks.count()
+    timed(
+        "mask_rle_100k_masks",
+        lambda: mask_rle_runs(rle_masks)
+        .agg(F.sum("start"), F.sum("length"), F.count(F.lit(1)))
+        .collect(),
+    )
+    rle_masks.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
