@@ -38,7 +38,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["nms_boxes", "match_detections"]
+__all__ = [
+    "nms_boxes",
+    "match_detections",
+    "assign_anchors",
+    "average_precision",
+]
 
 _BOX_COLS = ("box_id", "x0", "y0", "x1", "y1", "score")
 
@@ -92,7 +97,7 @@ def nms_boxes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {c: [] for c in ("image_id", "keep_rank", "box_id", "score")}
+            out = {c: [] for c in (id_col, "keep_rank", "box_id", "score")}
             for image_id, boxes in zip(pdf[id_col], pdf["_boxes"]):
                 a = _boxes_np(boxes)
                 order = np.lexsort((a[:, 0], -a[:, 5]))
@@ -104,13 +109,13 @@ def nms_boxes(
                         if np.any(inter * 1000 > thr * union):
                             continue
                     kept_rows.append(box)
-                    out["image_id"].append(image_id)
+                    out[id_col].append(image_id)
                     out["keep_rank"].append(len(kept_rows))
                     out["box_id"].append(int(box[0]))
                     out["score"].append(int(box[5]))
             yield pd.DataFrame(
                 {
-                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    id_col: pd.array(out[id_col], dtype="string"),
                     **{
                         c: np.asarray(out[c], dtype=np.int64)
                         for c in ("keep_rank", "box_id", "score")
@@ -155,7 +160,7 @@ def match_detections(
         for pdf in batches:
             out = {
                 c: []
-                for c in ("image_id", "box_id", "score", "matched_gt", "iou_micro")
+                for c in (id_col, "box_id", "score", "matched_gt", "iou_micro")
             }
             for image_id, pboxes, gboxes in zip(
                 pdf[id_col], pdf["_preds"], pdf["_gts"]
@@ -187,14 +192,14 @@ def match_detections(
                             matched_gt = int(ids[j])
                             best_iou = int(iou_micro[j])
                             taken[np.flatnonzero(ok)[j]] = True
-                    out["image_id"].append(image_id)
+                    out[id_col].append(image_id)
                     out["box_id"].append(int(box[0]))
                     out["score"].append(int(box[5]))
                     out["matched_gt"].append(matched_gt)
                     out["iou_micro"].append(best_iou)
             yield pd.DataFrame(
                 {
-                    "image_id": pd.array(out["image_id"], dtype="string"),
+                    id_col: pd.array(out[id_col], dtype="string"),
                     "box_id": np.asarray(out["box_id"], dtype=np.int64),
                     "score": np.asarray(out["score"], dtype=np.int64),
                     "matched_gt": pd.array(out["matched_gt"], dtype="Int64"),
@@ -206,4 +211,167 @@ def match_detections(
         run,
         f"{id_col} string, box_id long, score long, matched_gt long,"
         " iou_micro long",
+    )
+
+
+def assign_anchors(
+    gts: DataFrame,
+    grid_w: int = 4,
+    grid_h: int = 4,
+    cell: int = 12,
+    sizes: tuple = ((8, 8), (12, 16)),
+    pos_thr_milli: int = 300,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Anchor-assignment training targets (the label-generation step of a
+    one-stage detector): a fixed grid_w × grid_h grid of anchor boxes
+    per image — len(sizes) shapes centered in each cell — and each
+    anchor takes the ground-truth box maximizing
+    ``iou_micro = inter·10⁶ DIV union`` among those passing
+    ``inter·1000 > pos_thr_milli·union`` (ties to the smallest gt_id).
+    → one row per POSITIVE anchor: (image_id, anchor_id, gx, gy,
+    size_idx, matched_gt, iou_micro).
+
+    Pure Catalyst, whole-stage-codegen end to end: the anchor grid is a
+    chain of sequence-explodes with per-size LITERAL corner offsets (no
+    division in the plan), IoU is exact integer arithmetic, and the
+    per-anchor argmax is ONE map-side-combinable max_by over the
+    ordering struct (iou_micro, −gt_id) — rule 25: no ranking window,
+    no per-group sort. Scale: the explode fan-out is a constant
+    grid_w·grid_h·len(sizes) per image and the join with the ≤ tens of
+    GT boxes fans out before the partial aggregate collapses it, so
+    10¹² images stream through one exchange.
+    """
+    thr = int(pos_thr_milli)
+    n_s = len(sizes)
+    # literal per-size offsets (centering divisions resolved in Python)
+    off = [
+        (int((cell - sw) // 2), int((cell - sh) // 2), int(sw), int(sh))
+        for sw, sh in sizes
+    ]
+    sw_case = "".join(
+        f"WHEN {s} THEN {o[2]} " for s, o in enumerate(off)
+    )
+    sh_case = "".join(
+        f"WHEN {s} THEN {o[3]} " for s, o in enumerate(off)
+    )
+    ox_case = "".join(
+        f"WHEN {s} THEN {o[0]} " for s, o in enumerate(off)
+    )
+    oy_case = "".join(
+        f"WHEN {s} THEN {o[1]} " for s, o in enumerate(off)
+    )
+    anchors = (
+        gts.select(id_col)
+        .distinct()
+        .selectExpr(
+            id_col, f"explode(sequence(0, {grid_h - 1})) AS gy"
+        )
+        .selectExpr(
+            id_col, "gy", f"explode(sequence(0, {grid_w - 1})) AS gx"
+        )
+        .selectExpr(
+            id_col, "gy", "gx", f"explode(sequence(0, {n_s - 1})) AS s"
+        )
+        .selectExpr(
+            id_col,
+            "gx", "gy", "s",
+            f"(gy * {grid_w} + gx) * {n_s} + s AS anchor_id",
+            f"gx * {cell} + CASE s {ox_case}END AS ax0",
+            f"gy * {cell} + CASE s {oy_case}END AS ay0",
+            f"gx * {cell} + CASE s {ox_case}END + CASE s {sw_case}END AS ax1",
+            f"gy * {cell} + CASE s {oy_case}END + CASE s {sh_case}END AS ay1",
+        )
+    )
+    j = anchors.join(gts, id_col)
+    inter = (
+        "greatest(0, least(ax1, x1) - greatest(ax0, x0))"
+        " * greatest(0, least(ay1, y1) - greatest(ay0, y0))"
+    )
+    union = (
+        f"(ax1 - ax0) * (ay1 - ay0) + (x1 - x0) * (y1 - y0) - {inter}"
+    )
+    # staged projection (rule 9): _inter/_union computed once, referenced
+    # by both the gate and the quantized ranking score
+    scored = (
+        j.selectExpr(
+            id_col, "anchor_id", "gx", "gy", "s", "gt_id",
+            f"{inter} AS _inter", f"{union} AS _union",
+        )
+        .where(f"_inter * 1000 > {thr} * _union")
+        .selectExpr(
+            id_col, "anchor_id", "gx", "gy", "s", "gt_id",
+            "CAST(floor(_inter * CAST(1000000 AS DOUBLE) / _union)"
+            " AS BIGINT) AS iou_micro",
+        )
+    )
+    return (
+        scored.groupBy(id_col, "anchor_id", "gx", "gy", "s")
+        .agg(
+            F.expr(
+                "max_by(struct(gt_id AS matched_gt, iou_micro AS iou_micro),"
+                " struct(iou_micro, -gt_id))"
+            ).alias("_m")
+        )
+        .selectExpr(
+            id_col, "anchor_id", "gx", "gy", "s AS size_idx",
+            "_m.matched_gt AS matched_gt", "_m.iou_micro AS iou_micro",
+        )
+    )
+
+
+def average_precision(
+    matches: DataFrame,
+    gt_counts: DataFrame,
+    class_col: str = "cls",
+    score_col: str = "score",
+    tp_col: str = "is_tp",
+    order_cols: tuple = ("image_id", "box_id"),
+) -> DataFrame:
+    """VOC-style interpolated average precision per class from matched
+    detections (the composition target of :func:`match_detections`).
+
+    Predictions rank per class by (score DESC, *order_cols ASC) — a
+    TOTAL deterministic order. With tp_k the running TP count at rank k,
+    ``prec_micro(k) = tp_k·10⁶ DIV k`` and the interpolated precision at
+    k is ``max_{j ≥ k} prec_micro(j)`` (the suffix running max). AP sums
+    the interpolated precision at each TP rank, once per ground truth:
+    → (cls, n_gt, n_pred, n_tp, ap_num_micro) with
+    AP = ap_num_micro / (n_gt · 10⁶) — kept as exact integers so the
+    oracle replays bit-for-bit; the caller divides.
+
+    gt_counts: (cls, n_gt). Pure Catalyst: two windows over ONE
+    per-class sort (rank/cumsum share the frame; the suffix max reuses
+    the same ordering reversed) + one aggregate + one broadcast-sized
+    join. Classes partition the sort; 10⁹ predictions per class flow
+    through a single exchange.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc()] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(class_col).orderBy(*order)
+    wsuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked = matches.withColumn("_k", F.row_number().over(w)).withColumn(
+        "_tp_cum",
+        F.sum(F.col(tp_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    prec = ranked.withColumn(
+        "_prec_micro",
+        F.expr(
+            "CAST(floor(_tp_cum * CAST(1000000 AS DOUBLE) / _k) AS BIGINT)"
+        ),
+    ).withColumn("_interp", F.max("_prec_micro").over(wsuf))
+    agg = prec.groupBy(class_col).agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(F.col(tp_col).cast("long")).alias("n_tp"),
+        F.sum(
+            F.when(F.col(tp_col).cast("boolean"), F.col("_interp")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ap_num_micro"),
+    )
+    return agg.join(F.broadcast(gt_counts), class_col).select(
+        class_col, "n_gt", "n_pred", "n_tp", "ap_num_micro"
     )
