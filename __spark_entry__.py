@@ -7187,6 +7187,250 @@ def _mask_rle_oracle_sql() -> str:
     """
 
 
+def _q_anchor_assign(spark, sf_dir):
+    """Anchor-assignment training targets (multimodal/detections.
+    assign_anchors) over the 200-image closed-form GT boxes: a 4×4 grid
+    × 2 anchor shapes per image, each anchor taking the GT maximizing
+    the DIV-quantized iou_micro among those with IoU > 0.25 — pure
+    whole-stage-codegen Catalyst (sequence-explodes, literal offsets,
+    ONE map-side-combinable max_by per rule 25). The oracle replays the
+    grid with generate_series and the argmax with a row_number."""
+    from morituri_spark.multimodal.detections import assign_anchors
+
+    gts = _det_boxes(spark, sf_dir, 200, 4, shift=2).selectExpr(
+        "image_id", "box_id AS gt_id", "x0", "y0", "x1", "y1"
+    )
+    return assign_anchors(
+        gts, grid_w=4, grid_h=4, cell=12, sizes=((8, 8), (12, 16)),
+        pos_thr_milli=250,
+    )
+
+
+def _anchor_assign_oracle_sql() -> str:
+    g_sql = _DET_BOX_SQL.format(shift=2, per_img=4, n_rows=800)
+    # literal per-size geometry: (ox, oy, sw, sh) for cell=12
+    return f"""
+        WITH g AS MATERIALIZED ({g_sql}),
+        a AS (
+            SELECT i, gx, gy, s,
+                   (gy * 4 + gx) * 2 + s AS anchor_id,
+                   gx * 12 + CASE s WHEN 0 THEN 2 ELSE 0 END AS ax0,
+                   gy * 12 + CASE s WHEN 0 THEN 2 ELSE -2 END AS ay0,
+                   gx * 12 + CASE s WHEN 0 THEN 10 ELSE 12 END AS ax1,
+                   gy * 12 + CASE s WHEN 0 THEN 10 ELSE 14 END AS ay1
+            FROM (SELECT DISTINCT i FROM g),
+                 generate_series(0, 3) gys(gy),
+                 generate_series(0, 3) gxs(gx),
+                 generate_series(0, 1) ss(s)),
+        cand AS (
+            SELECT a.i, a.anchor_id, a.gx, a.gy, a.s, g.j AS gt_id,
+                   greatest(0, least(a.ax1, g.x1) - greatest(a.ax0, g.x0))
+                   * greatest(0, least(a.ay1, g.y1) - greatest(a.ay0, g.y0))
+                     AS inter,
+                   (a.ax1 - a.ax0) * (a.ay1 - a.ay0)
+                   + (g.x1 - g.x0) * (g.y1 - g.y0)
+                   - greatest(0, least(a.ax1, g.x1) - greatest(a.ax0, g.x0))
+                   * greatest(0, least(a.ay1, g.y1) - greatest(a.ay0, g.y0))
+                     AS un
+            FROM a JOIN g ON g.i = a.i),
+        pos AS (
+            SELECT i, anchor_id, gx, gy, s, gt_id,
+                   CAST(floor(inter * 1000000.0 / un) AS BIGINT) AS iou_micro
+            FROM cand WHERE inter * 1000 > 250 * un),
+        best AS (
+            SELECT *, row_number() OVER (PARTITION BY i, anchor_id
+                ORDER BY iou_micro DESC, gt_id) AS rn
+            FROM pos)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(anchor_id AS BIGINT) AS anchor_id,
+               CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(s AS BIGINT) AS size_idx,
+               CAST(gt_id AS BIGINT) AS matched_gt, iou_micro
+        FROM best WHERE rn = 1
+    """
+
+
+def _q_detection_ap(spark, sf_dir):
+    """Per-class interpolated average precision (multimodal/detections.
+    average_precision) COMPOSED over per-class greedy matching: the 200
+    closed-form images' predictions and shifted GTs carry class
+    (i + j) % 3, matching runs per (image, class) key through
+    match_detections, and AP ranks per class by (score DESC, key,
+    box_id) with the DIV-quantized precision and the suffix-max
+    interpolation — every output an exact integer. The oracle unrolls
+    the 2-deep per-(image, class) greedy then replays the identical
+    windows."""
+    from morituri_spark.multimodal.detections import (
+        average_precision,
+        match_detections,
+    )
+
+    preds = _det_boxes(spark, sf_dir, 200, 4).selectExpr(
+        "printf('%s#%d', image_id, (CAST(substr(image_id, 4) AS BIGINT)"
+        " + box_id) % 3) AS key",
+        "box_id", "x0", "y0", "x1", "y1", "score",
+    )
+    gts = _det_boxes(spark, sf_dir, 200, 4, shift=2).selectExpr(
+        "printf('%s#%d', image_id, (CAST(substr(image_id, 4) AS BIGINT)"
+        " + box_id) % 3) AS key",
+        "box_id AS gt_id", "x0", "y0", "x1", "y1",
+    )
+    m = match_detections(preds, gts, iou_thr_milli=200, id_col="key")
+    matches = m.selectExpr(
+        "CAST(split(key, '#')[1] AS BIGINT) AS cls",
+        "key", "box_id", "score",
+        "matched_gt IS NOT NULL AS is_tp",
+    )
+    gt_counts = gts.selectExpr(
+        "CAST(split(key, '#')[1] AS BIGINT) AS cls"
+    ).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
+    return average_precision(
+        matches, gt_counts, class_col="cls", order_cols=("key", "box_id")
+    ).select(
+        "cls",
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_tp").cast("long").alias("n_tp"),
+        F.col("ap_num_micro").cast("long").alias("ap_num_micro"),
+    )
+
+
+def _detection_ap_oracle_sql() -> str:
+    p_sql = _DET_BOX_SQL.format(shift=0, per_img=4, n_rows=800)
+    g_sql = _DET_BOX_SQL.format(shift=2, per_img=4, n_rows=800)
+    gate = _DET_SUPP.format(thr=200)
+    # per-(image, class) greedy: at most 2 predictions share a class
+    # within an image (j ∈ 0..3 mod 3), so 2 stages suffice
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT q.*, (i + j) % 3 AS cls, row_number() OVER (
+                PARTITION BY i, (i + j) % 3 ORDER BY s DESC, j) AS rk
+            FROM ({p_sql}) q),
+        g AS MATERIALIZED (
+            SELECT q.*, (i + j) % 3 AS cls FROM ({g_sql}) q),
+        cand AS MATERIALIZED (
+            SELECT a.i, a.cls, a.j, a.s, a.rk, b.j AS gt_id,
+                   CAST(floor((greatest(0, least(a.x1, b.x1)
+                       - greatest(a.x0, b.x0))
+                     * greatest(0, least(a.y1, b.y1)
+                       - greatest(a.y0, b.y0)) * 1000000.0)
+                     / ((a.x1 - a.x0) * (a.y1 - a.y0)
+                        + (b.x1 - b.x0) * (b.y1 - b.y0)
+                        - greatest(0, least(a.x1, b.x1)
+                          - greatest(a.x0, b.x0))
+                        * greatest(0, least(a.y1, b.y1)
+                          - greatest(a.y0, b.y0)))) AS BIGINT) AS iou_micro
+            FROM p a JOIN g b ON b.i = a.i AND b.cls = a.cls AND ({gate})),
+        m1 AS MATERIALIZED (
+            SELECT i, cls, j, gt_id FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY c.i, c.cls
+                    ORDER BY c.iou_micro DESC, c.gt_id) AS rn
+                FROM cand c WHERE c.rk = 1) WHERE rn = 1),
+        m2 AS MATERIALIZED (
+            SELECT i, cls, j, gt_id FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY c.i, c.cls
+                    ORDER BY c.iou_micro DESC, c.gt_id) AS rn
+                FROM cand c WHERE c.rk = 2
+                  AND NOT EXISTS (SELECT 1 FROM m1
+                      WHERE m1.i = c.i AND m1.cls = c.cls
+                        AND m1.gt_id = c.gt_id)) WHERE rn = 1),
+        m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+        scored AS (
+            SELECT p.cls, p.s,
+                   printf('img%08d#%d', p.i, p.cls) AS key, p.j,
+                   (m.gt_id IS NOT NULL) AS is_tp
+            FROM p LEFT JOIN m ON m.i = p.i AND m.cls = p.cls AND m.j = p.j),
+        ranked AS (
+            SELECT cls, is_tp,
+                   row_number() OVER (PARTITION BY cls
+                       ORDER BY s DESC, key, j) AS k,
+                   sum(CASE WHEN is_tp THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY cls ORDER BY s DESC, key, j
+                       ROWS UNBOUNDED PRECEDING) AS tp_cum
+            FROM scored),
+        prec AS (
+            SELECT cls, is_tp, k,
+                   CAST(floor(tp_cum * 1000000.0 / k) AS BIGINT)
+                     AS prec_micro
+            FROM ranked),
+        interp AS (
+            SELECT cls, is_tp,
+                   max(prec_micro) OVER (PARTITION BY cls ORDER BY k
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS ip
+            FROM prec),
+        agg AS (
+            SELECT cls, count(*) AS n_pred,
+                   sum(CASE WHEN is_tp THEN 1 ELSE 0 END) AS n_tp,
+                   sum(CASE WHEN is_tp THEN ip ELSE 0 END) AS ap_num_micro
+            FROM interp GROUP BY cls),
+        gc AS (SELECT cls, count(*) AS n_gt FROM g GROUP BY cls)
+        SELECT CAST(agg.cls AS BIGINT) AS cls,
+               CAST(gc.n_gt AS BIGINT) AS n_gt,
+               CAST(agg.n_pred AS BIGINT) AS n_pred,
+               CAST(agg.n_tp AS BIGINT) AS n_tp,
+               CAST(agg.ap_num_micro AS BIGINT) AS ap_num_micro
+        FROM agg JOIN gc ON gc.cls = agg.cls
+    """
+
+
+def _q_bleu_captions(spark, sf_dir):
+    """BLEU clipped n-gram counts (text/metrics.bleu_clip_counts) over
+    250 caption pairs from the documents table (candidate doc d vs
+    reference doc d+250): exact integer sufficient statistics
+    (clipped, total) per (pair, n ≤ 4) — tokens staged once (rule 9),
+    grams from chained sequence-explodes, the clip through a
+    (pair, n, gram) hash-aggregate join (rule 21). The oracle replays
+    with string_split + 1-based list slices."""
+    from morituri_spark.text.metrics import bleu_clip_counts
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where("doc_id < 250").selectExpr(
+        "doc_id AS pair_id", "text AS cand"
+    )
+    b = docs.where("doc_id >= 250 AND doc_id < 500").selectExpr(
+        "doc_id - 250 AS pair_id", "text AS ref"
+    )
+    return bleu_clip_counts(a.join(b, "pair_id"), n_max=4)
+
+
+def _bleu_captions_oracle_sql() -> str:
+    return """
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE doc_id < 500),
+        p AS (
+            SELECT a.doc_id AS pair_id, a.toks AS cand, b.toks AS ref
+            FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 250
+            WHERE a.doc_id < 250),
+        -- static position series (captions are < 256 tokens; laterally
+        -- parameterized generate_series trips a DuckDB binder assertion)
+        ks AS (SELECT unnest(range(1, 256)) AS k),
+        cgc AS (
+            SELECT pair_id, n, array_to_string(cand[k : k + n - 1], ' ')
+                     AS gram, count(*) AS cc
+            FROM p, generate_series(1, 4) ns(n), ks
+            WHERE k <= len(cand) - n + 1
+            GROUP BY 1, 2, 3),
+        rgc AS (
+            SELECT pair_id, n, array_to_string(ref[k : k + n - 1], ' ')
+                     AS gram, count(*) AS rc
+            FROM p, generate_series(1, 4) ns(n), ks
+            WHERE k <= len(ref) - n + 1
+            GROUP BY 1, 2, 3),
+        tot AS (SELECT pair_id, n, sum(cc) AS total FROM cgc GROUP BY 1, 2),
+        clip AS (
+            SELECT c.pair_id, c.n, sum(least(c.cc, r.rc)) AS clipped
+            FROM cgc c JOIN rgc r USING (pair_id, n, gram)
+            GROUP BY 1, 2)
+        SELECT tot.pair_id, CAST(tot.n AS BIGINT) AS n,
+               CAST(coalesce(clip.clipped, 0) AS BIGINT) AS clipped,
+               CAST(tot.total AS BIGINT) AS total
+        FROM tot LEFT JOIN clip USING (pair_id, n)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -7334,6 +7578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nms_boxes": _q_nms,
         "detection_matches": _q_detection_matches,
         "mask_rle_runs": _q_mask_rle,
+        # --- nineteenth session: training targets + evaluation ---
+        "anchor_assign": _q_anchor_assign,
+        "detection_ap": _q_detection_ap,
+        "bleu_captions": _q_bleu_captions,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7631,9 +7879,22 @@ _WINDOW = [
     # joins), and dag_critical_path (sssp_weighted_costs holds the
     # iterative _Round relaxation machinery in-window).
     "nms_boxes", "detection_matches", "mask_rle_runs",
+    # nineteenth-session rotation: anchor assignment, per-class AP, and
+    # BLEU clip counts are the freshest code and enter per the
+    # code-risk rule (detection_ap additionally re-runs
+    # match_detections' pack+join+greedy kernel end-to-end in-window).
+    # Released — frozen, sweep-EQUAL, pytest-pinned, replica-checked,
+    # with in-window siblings: kn_bigram_lm (the entering bleu_captions
+    # is the same token-n-gram hash-aggregate machinery; the
+    # continuation-count backoff is pytest-pinned), image_moments
+    # (per-image integer-aggregate machinery stays in-window via
+    # orientation_histogram, box_filter_grid, image_morphology, and the
+    # detection kernels), and template_match_sad (box_filter_grid holds
+    # the neighbor-window-sum machinery in-window; the SAD scan kernel
+    # is pytest-pinned vs its loop reference).
+    "anchor_assign", "detection_ap", "bleu_captions",
     "run_length_texture",
-    "template_match_sad",
-    "kn_bigram_lm", "image_moments",
+    
     "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
     "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
     "chamfer_distance_hist",
@@ -9163,6 +9424,9 @@ def oracle_sql() -> dict[str, str]:
         "nms_boxes": _nms_oracle_sql(),
         "detection_matches": _detection_matches_oracle_sql(),
         "mask_rle_runs": _mask_rle_oracle_sql(),
+        "anchor_assign": _anchor_assign_oracle_sql(),
+        "detection_ap": _detection_ap_oracle_sql(),
+        "bleu_captions": _bleu_captions_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2080,6 +2080,81 @@ def main() -> None:
     )
     rle_masks.unpersist()
 
+    # nineteenth session: anchor assignment (pure-codegen grid explode +
+    # integer IoU + one max_by exchange, 500k images × 4 GTs × 32
+    # anchors), per-class AP (two windows over one per-class sort, 4M
+    # predictions), BLEU clip counts (token n-gram hash-aggregate clip,
+    # 500k caption pairs)
+    from morituri_spark.multimodal.detections import (
+        assign_anchors,
+        average_precision,
+    )
+    from morituri_spark.text.metrics import bleu_clip_counts
+
+    aa_gts = (
+        _det_boxes_sql(500_000, 4, shift=2)
+        .selectExpr("image_id", "box_id AS gt_id", "x0", "y0", "x1", "y1")
+        .persist()
+    )
+    aa_gts.count()
+    timed(
+        "anchor_assign_500k_images",
+        lambda: assign_anchors(
+            aa_gts, grid_w=4, grid_h=4, cell=12,
+            sizes=((8, 8), (12, 16)), pos_thr_milli=250,
+        )
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "anchor_id", "matched_gt")),
+            F.sum("iou_micro"),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    aa_gts.unpersist()
+
+    ap_matches = (
+        spark.range(4_000_000)
+        .selectExpr(
+            "id % 16 AS cls",
+            "(id * 7) % 100000 AS score",
+            "id % 3 = 0 AS is_tp",
+            "printf('img%09d', CAST(floor(id / 8.0) AS BIGINT)) AS image_id",
+            "id % 8 AS box_id",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ap_gt = spark.range(16).selectExpr("id AS cls", "(id + 1) * 90000 AS n_gt")
+    ap_matches.count()
+    timed(
+        "detection_ap_4m_preds",
+        lambda: average_precision(ap_matches, ap_gt)
+        .agg(F.sum("ap_num_micro"), F.sum("n_tp"), F.count(F.lit(1)))
+        .collect(),
+    )
+    ap_matches.unpersist()
+
+    bl_pairs = (
+        spark.range(500_000)
+        .selectExpr(
+            "id AS pair_id",
+            "concat_ws(' ', transform(sequence(0, 19),"
+            " k -> concat('w', (id * 3 + k * 7) % 50))) AS cand",
+            "concat_ws(' ', transform(sequence(0, 19),"
+            " k -> concat('w', (id * 5 + k * 11 + 1) % 50))) AS ref",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    bl_pairs.count()
+    timed(
+        "bleu_500k_pairs",
+        lambda: bleu_clip_counts(bl_pairs, n_max=4)
+        .agg(F.sum("clipped"), F.sum("total"), F.count(F.lit(1)))
+        .collect(),
+    )
+    bl_pairs.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
