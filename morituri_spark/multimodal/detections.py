@@ -43,6 +43,8 @@ __all__ = [
     "match_detections",
     "assign_anchors",
     "average_precision",
+    "detection_confusion",
+    "mosaic_boxes",
 ]
 
 _BOX_COLS = ("box_id", "x0", "y0", "x1", "y1", "score")
@@ -374,4 +376,107 @@ def average_precision(
     )
     return agg.join(F.broadcast(gt_counts), class_col).select(
         class_col, "n_gt", "n_pred", "n_tp", "ap_num_micro"
+    )
+
+
+def detection_confusion(
+    matches: DataFrame,
+    pred_classes: DataFrame,
+    gt_classes: DataFrame,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Detection confusion matrix from class-AGNOSTIC greedy matching
+    (:func:`match_detections` output): → (pred_cls, gt_cls, n) where a
+    matched pair counts under (its prediction's class, its GT's class),
+    an unmatched prediction under (pred_cls, NULL), and an unmatched
+    ground truth under (NULL, gt_cls). Off-diagonal mass localizes
+    label confusion; the NULL row/column are the FP/FN budgets.
+
+    pred_classes: (image_id, box_id, cls); gt_classes:
+    (image_id, gt_id, cls). Pure Catalyst: two equi-joins onto the
+    match rows (both sides unique on their key — no fan-out), one
+    anti-join for the unmatched GTs, one hash aggregate. 10¹² matches
+    partition on image_id; the output is |classes|² + 2·|classes| rows.
+    """
+    pc = pred_classes.select(
+        id_col, "box_id", F.col("cls").alias("pred_cls")
+    )
+    gc = gt_classes.select(
+        id_col, F.col("gt_id").alias("matched_gt"), F.col("cls").alias("gt_cls")
+    )
+    pred_rows = (
+        matches.join(pc, [id_col, "box_id"])
+        .join(gc, [id_col, "matched_gt"], "left")
+        .select("pred_cls", "gt_cls")
+    )
+    matched_gts = matches.where(F.col("matched_gt").isNotNull()).select(
+        id_col, "matched_gt"
+    )
+    fn_rows = (
+        gt_classes.join(
+            matched_gts.withColumnRenamed("matched_gt", "gt_id"),
+            [id_col, "gt_id"],
+            "left_anti",
+        )
+        .select(F.lit(None).cast("long").alias("pred_cls"), F.col("cls").alias("gt_cls"))
+    )
+    return (
+        pred_rows.unionByName(fn_rows)
+        .groupBy("pred_cls", "gt_cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def mosaic_boxes(
+    boxes: DataFrame,
+    crops: DataFrame,
+    size: int = 64,
+    min_area: int = 4,
+    img_col: str = "img_idx",
+) -> DataFrame:
+    """Mosaic-augmentation box remapping (the YOLO mosaic layout):
+    image ``img_idx`` lands in mosaic ``img_idx DIV 4`` at quadrant
+    ``img_idx % 4`` of a 2·size × 2·size canvas (quadrant corner
+    offsets (0,0), (size,0), (0,size), (size,size)); the mosaic is then
+    cropped back to a size × size window at (cx, cy) from ``crops``
+    (mosaic_id, cx, cy). Boxes translate, clip to the crop, and drop
+    when degenerate or smaller than ``min_area``:
+    → (mosaic_id, img_idx, box_id, x0, y0, x1, y1, score) in crop
+    coordinates. All integer arithmetic — the oracle replays it as
+    literal expressions.
+
+    Pure Catalyst: one projection chain + ONE equi-join on mosaic_id.
+    crops is one row per FOUR images — proportional to the corpus, so
+    the op does NOT force a broadcast: AQE broadcasts small crop sets
+    and hash-joins at scale (both sides key on mosaic_id, the
+    co-bucketed zero-Exchange shape at warehouse scale, io/bucketed.py).
+    """
+    s = int(size)
+    q = boxes.selectExpr(
+        "*",
+        f"CAST(floor({img_col} / CAST(4 AS DOUBLE)) AS BIGINT) AS mosaic_id",
+        f"{img_col} % 4 AS _q",
+    ).selectExpr(
+        "*",
+        f"CASE WHEN _q IN (1, 3) THEN {s} ELSE 0 END AS _ox",
+        f"CASE WHEN _q IN (2, 3) THEN {s} ELSE 0 END AS _oy",
+    )
+    j = q.join(crops, "mosaic_id")
+    clipped = j.selectExpr(
+        "mosaic_id", img_col, "box_id", "score",
+        f"greatest(x0 + _ox - cx, 0) AS nx0",
+        f"greatest(y0 + _oy - cy, 0) AS ny0",
+        f"least(x1 + _ox - cx, {s}) AS nx1",
+        f"least(y1 + _oy - cy, {s}) AS ny1",
+    )
+    return clipped.where(
+        (F.col("nx1") > F.col("nx0"))
+        & (F.col("ny1") > F.col("ny0"))
+        & (
+            (F.col("nx1") - F.col("nx0")) * (F.col("ny1") - F.col("ny0"))
+            >= int(min_area)
+        )
+    ).selectExpr(
+        "mosaic_id", img_col, "box_id",
+        "nx0 AS x0", "ny0 AS y0", "nx1 AS x1", "ny1 AS y1", "score",
     )

@@ -66,3 +66,73 @@ def range_join(
     if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
         return joined.drop("_fbin")
     return joined.drop("_fbin", "_ibin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list,
+    a_lo: str = "a_lo",
+    a_hi: str = "a_hi",
+    b_lo: str = "b_lo",
+    b_hi: str = "b_hi",
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: pairs where ``a_lo < b_hi AND
+    b_lo < a_hi`` (half-open, proper overlap — touching endpoints do
+    NOT join), equi-keyed on ``keys``. Each side explodes into the
+    fixed-width bins it covers; candidates equi-join on (keys, bin) and
+    the pair is emitted ONLY in the first bin both sides share
+    (``bin == greatest(floor(a_lo/w), floor(b_lo/w))``) — the classic
+    dedup that keeps the output exactly-once without a distinct. The
+    exact overlap predicate rides INSIDE the join condition.
+
+    One shuffle on (keys, bin); replication per row is
+    interval_width / bin_width, so pick ``bin_width`` near the median
+    interval width (the default measures side ``a``). The rule-24
+    shape: both sides explode here because both are interval sets —
+    there is no un-fanned side to prefer.
+    """
+    if bin_width is None:
+        med = a.select(
+            F.expr(f"percentile({a_hi} - {a_lo}, 0.5D)").alias("m")
+        ).head()["m"]
+        bin_width = float(med) if med else 1.0
+    w = float(bin_width)
+    ax = a.where(F.col(a_lo) < F.col(a_hi)).withColumn(
+        "_abin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_lo) / w).cast("long"),
+                (F.ceil(F.col(a_hi) / w) - 1).cast("long"),
+            )
+        ),
+    )
+    bx = b.where(F.col(b_lo) < F.col(b_hi)).withColumn(
+        "_bbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_lo) / w).cast("long"),
+                (F.ceil(F.col(b_hi) / w) - 1).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col("_abin") == F.col("_bbin"))
+    for k in keys:
+        cond = cond & (ax[k] == bx[k])
+    cond = (
+        cond
+        & (F.col(a_lo) < F.col(b_hi))
+        & (F.col(b_lo) < F.col(a_hi))
+        & (
+            F.col("_abin")
+            == F.greatest(
+                F.floor(F.col(a_lo) / w).cast("long"),
+                F.floor(F.col(b_lo) / w).cast("long"),
+            )
+        )
+    )
+    out = ax.join(bx, cond, "inner")
+    for k in keys:
+        out = out.drop(bx[k])
+    return out.drop("_abin", "_bbin")
