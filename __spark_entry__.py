@@ -7431,6 +7431,261 @@ def _bleu_captions_oracle_sql() -> str:
     """
 
 
+def _seg_runs(spark, sf_dir, shift_s: int, shift_l: int):
+    """Closed-form RLE segment runs over events: image i (150 images) ×
+    segment s ∈ 0..2 × run k ∈ 0..2, run k living in its own 40-wide
+    block so runs within a segment are disjoint by construction."""
+    ev = _read(spark, sf_dir, "events").where("event_id < 1350")
+    return ev.selectExpr(
+        "CAST(floor(event_id / CAST(9 AS DOUBLE)) AS BIGINT) AS i",
+        "CAST(floor(event_id / CAST(3 AS DOUBLE)) AS BIGINT) % 3 AS s",
+        "event_id % 3 AS k",
+    ).selectExpr(
+        "printf('img%08d', i) AS image_id",
+        "s AS seg_id",
+        f"k * 40 + (i * 7 + s * 11 + {shift_s}) % 20 AS start",
+        f"5 + (i + s + k + {shift_l}) % 15 AS length",
+    )
+
+
+_SEG_RUN_SQL = """
+            SELECT i, s, k,
+                   k * 40 + (i * 7 + s * 11 + {shift_s}) % 20 AS start,
+                   5 + (i + s + k + {shift_l}) % 15 AS len
+            FROM (SELECT event_id // 9 AS i, (event_id // 3) % 3 AS s,
+                         event_id % 3 AS k
+                  FROM events WHERE event_id < 1350)"""
+
+
+def _q_panoptic(spark, sf_dir):
+    """Panoptic-quality sufficient statistics (multimodal/masks.
+    panoptic_quality) over closed-form RLE segments: 150 images × 3
+    pred + 3 GT segments × 3 disjoint runs each; run overlaps through
+    the binned interval_overlap_join (operators/rangejoin — never
+    |runs|², exactly-once via the first-shared-bin rule), exact integer
+    IoU at thr 0.5, per-image (n_pred, n_gt, n_matched, sum_iou_micro).
+    The oracle replays the runs symbolically and the overlap join
+    directly (DuckDB non-equi join at oracle scale)."""
+    from morituri_spark.multimodal.masks import panoptic_quality
+
+    pred = _seg_runs(spark, sf_dir, 0, 0)
+    gt = _seg_runs(spark, sf_dir, 3, 1)
+    return panoptic_quality(pred, gt, iou_thr_milli=500, bin_width=16.0)
+
+
+def _panoptic_oracle_sql() -> str:
+    p_sql = _SEG_RUN_SQL.format(shift_s=0, shift_l=0)
+    g_sql = _SEG_RUN_SQL.format(shift_s=3, shift_l=1)
+    return f"""
+        WITH p AS MATERIALIZED ({p_sql}),
+        g AS MATERIALIZED ({g_sql}),
+        ov AS (
+            SELECT a.i, a.s AS sp, b.s AS sg,
+                   least(a.start + a.len, b.start + b.len)
+                   - greatest(a.start, b.start) AS ovl
+            FROM p a JOIN g b ON b.i = a.i
+              AND a.start < b.start + b.len AND b.start < a.start + a.len),
+        inter AS (
+            SELECT i, sp, sg, sum(ovl) AS inter FROM ov GROUP BY 1, 2, 3),
+        ta AS (SELECT i, s, sum(len) AS t FROM p GROUP BY 1, 2),
+        tb AS (SELECT i, s, sum(len) AS t FROM g GROUP BY 1, 2),
+        m AS (
+            SELECT inter.i, sp, sg, inter,
+                   ta.t + tb.t - inter AS un
+            FROM inter
+            JOIN ta ON ta.i = inter.i AND ta.s = inter.sp
+            JOIN tb ON tb.i = inter.i AND tb.s = inter.sg
+            WHERE inter * 1000 > 500 * (ta.t + tb.t - inter)),
+        mm AS (
+            SELECT i, count(*) AS n_matched,
+                   sum(CAST(floor(inter * 1000000.0 / un) AS BIGINT))
+                     AS sum_iou_micro
+            FROM m GROUP BY i),
+        np_ AS (SELECT i, count(DISTINCT s) AS n_pred FROM p GROUP BY i),
+        ng AS (SELECT i, count(DISTINCT s) AS n_gt FROM g GROUP BY i)
+        SELECT printf('img%08d', np_.i) AS image_id,
+               CAST(np_.n_pred AS BIGINT) AS n_pred,
+               CAST(ng.n_gt AS BIGINT) AS n_gt,
+               CAST(coalesce(mm.n_matched, 0) AS BIGINT) AS n_matched,
+               CAST(coalesce(mm.sum_iou_micro, 0) AS BIGINT)
+                 AS sum_iou_micro
+        FROM np_ JOIN ng ON ng.i = np_.i
+        LEFT JOIN mm ON mm.i = np_.i
+    """
+
+
+def _q_confusion(spark, sf_dir):
+    """Detection confusion matrix (multimodal/detections.
+    detection_confusion) from class-AGNOSTIC greedy matching: the 200
+    closed-form images' preds (class (i + 2j) % 3) and shifted GTs
+    (class (i + g) % 3) match per image at IoU > 0.2, matched pairs
+    count under (pred_cls, gt_cls), FPs under (pred_cls, NULL), missed
+    GTs under (NULL, gt_cls). The oracle reuses the unrolled 4-stage
+    greedy then aggregates the identical class formulas."""
+    from morituri_spark.multimodal.detections import (
+        detection_confusion,
+        match_detections,
+    )
+
+    preds = _det_boxes(spark, sf_dir, 200, 4)
+    gts = _det_boxes(spark, sf_dir, 200, 4, shift=2).selectExpr(
+        "image_id", "box_id AS gt_id", "x0", "y0", "x1", "y1"
+    )
+    m = match_detections(preds, gts, iou_thr_milli=200)
+    pc = preds.selectExpr(
+        "image_id", "box_id",
+        "(CAST(substr(image_id, 4) AS BIGINT) + 2 * box_id) % 3 AS cls",
+    )
+    gc = gts.selectExpr(
+        "image_id", "gt_id",
+        "(CAST(substr(image_id, 4) AS BIGINT) + gt_id) % 3 AS cls",
+    )
+    return detection_confusion(m, pc, gc).select(
+        F.col("pred_cls").cast("long").alias("pred_cls"),
+        F.col("gt_cls").cast("long").alias("gt_cls"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _confusion_oracle_sql() -> str:
+    p_sql = _DET_BOX_SQL.format(shift=0, per_img=4, n_rows=800)
+    g_sql = _DET_BOX_SQL.format(shift=2, per_img=4, n_rows=800)
+    gate = _DET_SUPP.format(thr=200)
+    stages = []
+    for k in range(1, 5):
+        excl = (
+            ""
+            if k == 1
+            else "AND NOT EXISTS (SELECT 1 FROM ("
+            + " UNION ALL ".join(
+                f"SELECT i, gt_id FROM m{x}" for x in range(1, k)
+            )
+            + ") t WHERE t.i = c.i AND t.gt_id = c.gt_id)"
+        )
+        stages.append(
+            f"""m{k} AS MATERIALIZED (
+                SELECT i, j, gt_id FROM (
+                    SELECT c.*, row_number() OVER (PARTITION BY c.i
+                        ORDER BY c.iou_micro DESC, c.gt_id) AS rn
+                    FROM cand c WHERE c.rk = {k} {excl})
+                WHERE rn = 1)"""
+        )
+    matched = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, 5))
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT q.*, row_number() OVER (PARTITION BY i
+                ORDER BY s DESC, j) AS rk
+            FROM ({p_sql}) q),
+        g AS MATERIALIZED ({g_sql}),
+        cand AS MATERIALIZED (
+            SELECT a.i, a.j, a.rk, b.j AS gt_id,
+                   CAST(floor((greatest(0, least(a.x1, b.x1)
+                       - greatest(a.x0, b.x0))
+                     * greatest(0, least(a.y1, b.y1)
+                       - greatest(a.y0, b.y0)) * 1000000.0)
+                     / ((a.x1 - a.x0) * (a.y1 - a.y0)
+                        + (b.x1 - b.x0) * (b.y1 - b.y0)
+                        - greatest(0, least(a.x1, b.x1)
+                          - greatest(a.x0, b.x0))
+                        * greatest(0, least(a.y1, b.y1)
+                          - greatest(a.y0, b.y0)))) AS BIGINT) AS iou_micro
+            FROM p a JOIN g b ON b.i = a.i AND ({gate})),
+        {", ".join(stages)},
+        m AS ({matched}),
+        pred_rows AS (
+            SELECT (p.i + 2 * p.j) % 3 AS pred_cls,
+                   CASE WHEN m.gt_id IS NULL THEN NULL
+                        ELSE (p.i + m.gt_id) % 3 END AS gt_cls
+            FROM p LEFT JOIN m ON m.i = p.i AND m.j = p.j),
+        fn_rows AS (
+            SELECT CAST(NULL AS BIGINT) AS pred_cls,
+                   (g.i + g.j) % 3 AS gt_cls
+            FROM g WHERE NOT EXISTS (SELECT 1 FROM m
+                WHERE m.i = g.i AND m.gt_id = g.j)),
+        allrows AS (
+            SELECT * FROM pred_rows UNION ALL SELECT * FROM fn_rows)
+        SELECT CAST(pred_cls AS BIGINT) AS pred_cls,
+               CAST(gt_cls AS BIGINT) AS gt_cls,
+               CAST(count(*) AS BIGINT) AS n
+        FROM allrows GROUP BY 1, 2
+    """
+
+
+def _q_mosaic(spark, sf_dir):
+    """Mosaic-augmentation box remapping (multimodal/detections.
+    mosaic_boxes): 200 images × 3 closed-form boxes land in 50 4-image
+    mosaics (quadrant corner offsets on a 128-canvas), then clip to a
+    closed-form 64×64 crop window, dropping degenerate and
+    sub-min_area boxes — all integer, pure Catalyst with one broadcast
+    join. The oracle replays the layout as literal expressions."""
+    from morituri_spark.multimodal.detections import mosaic_boxes
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 600")
+    boxes = ev.selectExpr(
+        "CAST(floor(event_id / CAST(3 AS DOUBLE)) AS BIGINT) AS i",
+        "event_id % 3 AS j",
+    ).selectExpr(
+        "i AS img_idx",
+        "j AS box_id",
+        "(i * 3 + j * 17) % 50 AS x0",
+        "(i * 5 + j * 23) % 50 AS y0",
+        "(i * 3 + j * 17) % 50 + 4 + (i + 3 * j) % 14 AS x1",
+        "(i * 5 + j * 23) % 50 + 4 + (2 * i + j) % 12 AS y1",
+        "(i * 7 + j * 31) % 100 AS score",
+    )
+    crops = (
+        _read(spark, sf_dir, "events")
+        .where("event_id < 50")
+        .selectExpr(
+            "event_id AS mosaic_id",
+            "(event_id * 13) % 64 AS cx",
+            "(event_id * 29) % 64 AS cy",
+        )
+    )
+    return mosaic_boxes(boxes, crops, size=64, min_area=4)
+
+
+def _mosaic_oracle_sql() -> str:
+    return """
+        WITH b AS (
+            SELECT i, j,
+                   (i * 3 + j * 17) % 50 AS x0,
+                   (i * 5 + j * 23) % 50 AS y0,
+                   (i * 3 + j * 17) % 50 + 4 + (i + 3 * j) % 14 AS x1,
+                   (i * 5 + j * 23) % 50 + 4 + (2 * i + j) % 12 AS y1,
+                   (i * 7 + j * 31) % 100 AS s
+            FROM (SELECT event_id // 3 AS i, event_id % 3 AS j
+                  FROM events WHERE event_id < 600)),
+        c AS (
+            SELECT event_id AS m, (event_id * 13) % 64 AS cx,
+                   (event_id * 29) % 64 AS cy
+            FROM events WHERE event_id < 50),
+        placed AS (
+            SELECT b.i // 4 AS mosaic_id, b.i, b.j, b.s,
+                   b.x0 + CASE WHEN b.i % 4 IN (1, 3) THEN 64 ELSE 0 END
+                     - c.cx AS tx0,
+                   b.y0 + CASE WHEN b.i % 4 IN (2, 3) THEN 64 ELSE 0 END
+                     - c.cy AS ty0,
+                   b.x1 + CASE WHEN b.i % 4 IN (1, 3) THEN 64 ELSE 0 END
+                     - c.cx AS tx1,
+                   b.y1 + CASE WHEN b.i % 4 IN (2, 3) THEN 64 ELSE 0 END
+                     - c.cy AS ty1
+            FROM b JOIN c ON c.m = b.i // 4),
+        clipped AS (
+            SELECT mosaic_id, i, j, s,
+                   greatest(tx0, 0) AS nx0, greatest(ty0, 0) AS ny0,
+                   least(tx1, 64) AS nx1, least(ty1, 64) AS ny1
+            FROM placed)
+        SELECT CAST(mosaic_id AS BIGINT) AS mosaic_id,
+               CAST(i AS BIGINT) AS img_idx, CAST(j AS BIGINT) AS box_id,
+               CAST(nx0 AS BIGINT) AS x0, CAST(ny0 AS BIGINT) AS y0,
+               CAST(nx1 AS BIGINT) AS x1, CAST(ny1 AS BIGINT) AS y1,
+               CAST(s AS BIGINT) AS score
+        FROM clipped
+        WHERE nx1 > nx0 AND ny1 > ny0 AND (nx1 - nx0) * (ny1 - ny0) >= 4
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -7582,6 +7837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_assign": _q_anchor_assign,
         "detection_ap": _q_detection_ap,
         "bleu_captions": _q_bleu_captions,
+        # --- twentieth session: segmentation eval + augmentation ---
+        "panoptic_quality": _q_panoptic,
+        "confusion_matrix": _q_confusion,
+        "mosaic_boxes": _q_mosaic,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -7893,10 +8152,23 @@ _WINDOW = [
     # the neighbor-window-sum machinery in-window; the SAD scan kernel
     # is pytest-pinned vs its loop reference).
     "anchor_assign", "detection_ap", "bleu_captions",
+    # twentieth-session rotation: panoptic quality, the confusion
+    # matrix, and mosaic box remapping are the freshest code and enter
+    # per the code-risk rule (panoptic_quality drives the NEW
+    # interval_overlap_join end-to-end; confusion_matrix re-runs
+    # match_detections' greedy kernel a third time in-window).
+    # Released — frozen, sweep-EQUAL, pytest-pinned, replica-checked,
+    # with in-window siblings: zhang_suen_thinning (image_morphology
+    # holds the per-image 3×3 neighborhood-pass machinery in-window),
+    # ridge_visibility (cardinal_viewshed runs the same running-max
+    # line-of-sight sweep family in-window), and frequent_pairs_lift
+    # (collocation_pmi holds the pair-count lift machinery in-window
+    # and the entering bleu_captions the n-gram count join).
+    "panoptic_quality", "confusion_matrix", "mosaic_boxes",
     "run_length_texture",
     
-    "box_filter_grid", "pattern_hit_counts", "zhang_suen_thinning",
-    "ridge_visibility", "frequent_pairs_lift", "orientation_histogram",
+    "box_filter_grid", "pattern_hit_counts",
+    "orientation_histogram",
     "chamfer_distance_hist",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -9427,6 +9699,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_assign": _anchor_assign_oracle_sql(),
         "detection_ap": _detection_ap_oracle_sql(),
         "bleu_captions": _bleu_captions_oracle_sql(),
+        "panoptic_quality": _panoptic_oracle_sql(),
+        "confusion_matrix": _confusion_oracle_sql(),
+        "mosaic_boxes": _mosaic_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2155,6 +2155,74 @@ def main() -> None:
     )
     bl_pairs.unpersist()
 
+    # twentieth session: panoptic quality (3.6M RLE runs through the
+    # binned interval_overlap_join + integer IoU), mosaic box remap
+    # (20M boxes, pure codegen + one broadcast join)
+    from morituri_spark.multimodal.detections import mosaic_boxes
+    from morituri_spark.multimodal.masks import panoptic_quality
+
+    def _runs_sql(shift_s, shift_l):
+        return (
+            spark.range(200_000 * 9)
+            .selectExpr(
+                "CAST(floor(id / 9.0) AS BIGINT) AS i",
+                "CAST(floor(id / 3.0) AS BIGINT) % 3 AS s",
+                "id % 3 AS k",
+            )
+            .selectExpr(
+                "printf('img%012d', i) AS image_id",
+                "s AS seg_id",
+                f"k * 40 + (i * 7 + s * 11 + {shift_s}) % 20 AS start",
+                f"5 + (i + s + k + {shift_l}) % 15 AS length",
+            )
+            .repartition(cpus * 2)
+        )
+
+    pq_pred = _runs_sql(0, 0).persist()
+    pq_gt = _runs_sql(3, 1).persist()
+    pq_pred.count(); pq_gt.count()
+    timed(
+        "panoptic_200k_images",
+        lambda: panoptic_quality(pq_pred, pq_gt, bin_width=16.0)
+        .agg(
+            F.sum("n_matched"), F.sum("sum_iou_micro"), F.count(F.lit(1))
+        )
+        .collect(),
+    )
+    pq_pred.unpersist(); pq_gt.unpersist()
+
+    mo_boxes = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "CAST(floor(id / 3.0) AS BIGINT) AS img_idx",
+            "id % 3 AS box_id",
+        )
+        .selectExpr(
+            "img_idx", "box_id",
+            "(img_idx * 3 + box_id * 17) % 50 AS x0",
+            "(img_idx * 5 + box_id * 23) % 50 AS y0",
+            "(img_idx * 3 + box_id * 17) % 50 + 4 + (img_idx + 3 * box_id) % 14 AS x1",
+            "(img_idx * 5 + box_id * 23) % 50 + 4 + (2 * img_idx + box_id) % 12 AS y1",
+            "(img_idx * 7 + box_id * 31) % 100 AS score",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    mo_crops = spark.range(1_700_000).selectExpr(
+        "id AS mosaic_id", "(id * 13) % 64 AS cx", "(id * 29) % 64 AS cy"
+    )
+    mo_boxes.count()
+    timed(
+        "mosaic_20m_boxes",
+        lambda: mosaic_boxes(mo_boxes, mo_crops, size=64, min_area=4)
+        .agg(
+            F.bit_xor(F.xxhash64("mosaic_id", "img_idx", "box_id", "x0", "y1")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    mo_boxes.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
