@@ -45,6 +45,7 @@ __all__ = [
     "average_precision",
     "detection_confusion",
     "mosaic_boxes",
+    "exif_orient_boxes",
 ]
 
 _BOX_COLS = ("box_id", "x0", "y0", "x1", "y1", "score")
@@ -479,4 +480,62 @@ def mosaic_boxes(
     ).selectExpr(
         "mosaic_id", img_col, "box_id",
         "nx0 AS x0", "ny0 AS y0", "nx1 AS x1", "ny1 AS y1", "score",
+    )
+
+
+#: EXIF orientation → (x0', y0', x1', y1', w', h') corner remaps; codes
+#: 5-8 transpose, so output dims swap. Half-open boxes stay half-open
+#: under every remap (w − x1 < w − x0 etc.).
+_EXIF_REMAP = {
+    1: ("x0", "y0", "x1", "y1", False),
+    2: ("{W} - x1", "y0", "{W} - x0", "y1", False),
+    3: ("{W} - x1", "{H} - y1", "{W} - x0", "{H} - y0", False),
+    4: ("x0", "{H} - y1", "x1", "{H} - y0", False),
+    5: ("y0", "x0", "y1", "x1", True),
+    6: ("{H} - y1", "x0", "{H} - y0", "x1", True),
+    7: ("{H} - y1", "{W} - x1", "{H} - y0", "{W} - x0", True),
+    8: ("y0", "{W} - x1", "y1", "{W} - x0", True),
+}
+
+
+def exif_orient_boxes(
+    boxes: DataFrame,
+    orient_col: str = "orient",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """EXIF-orientation normalization of detection boxes — the ingest
+    step that rewrites boxes annotated on the STORED pixel grid into
+    upright display coordinates (orientation codes 1–8; 5–8 transpose,
+    swapping the output dimensions). Pure Catalyst CASE over literal
+    corner remaps, all integer; unknown codes pass through as code 1.
+    → input columns with (x0, y0, x1, y1, out_w, out_h) rewritten.
+    """
+    w, h = w_col, h_col
+
+    def case(idx: int) -> str:
+        parts = [
+            f"WHEN {code} THEN "
+            + _EXIF_REMAP[code][idx].format(W=w, H=h)
+            for code in range(2, 9)
+        ]
+        default = ("x0", "y0", "x1", "y1")[idx]
+        return (
+            f"CASE {orient_col} " + " ".join(parts) + f" ELSE {default} END"
+        )
+
+    swap = f"{orient_col} IN (5, 6, 7, 8)"
+    keep = [
+        c
+        for c in boxes.columns
+        if c not in ("x0", "y0", "x1", "y1")
+    ]
+    return boxes.selectExpr(
+        *keep,
+        f"{case(0)} AS x0",
+        f"{case(1)} AS y0",
+        f"{case(2)} AS x1",
+        f"{case(3)} AS y1",
+        f"CASE WHEN {swap} THEN {h} ELSE {w} END AS out_w",
+        f"CASE WHEN {swap} THEN {w} ELSE {h} END AS out_h",
     )

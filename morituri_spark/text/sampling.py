@@ -263,3 +263,60 @@ def weighted_topk_sample(
         staged.withColumn("rk", F.row_number().over(win))
         .where(F.col("rk") <= F.lit(int(k)))
     )
+
+
+def apportion_budget(
+    counts: DataFrame,
+    budget: int,
+    key_col: str = "stratum",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sample
+    budget across strata proportional to their counts — the standard
+    exact-integer allocation for class-balanced resampling and
+    train/val/test splits (mixture_by_budget's affine-coin sampler then
+    draws the per-stratum rows).
+
+    quota = cnt·budget / total; every stratum gets ``floor(quota)`` and
+    the ``budget − Σ floor`` leftover units go to the largest
+    remainders (``cnt·budget % total``, exact integers — no float
+    quota anywhere), ties to the smallest key. Σ alloc == budget
+    exactly. → (stratum, cnt, base, extra, alloc).
+
+    Scale shape: one global sum (a single-row broadcast join), one
+    rank over the strata relation — strata cardinality (classes,
+    sources, languages: ≤ ~10⁵) bounds the single-partition sort, NOT
+    the row count, so 10¹² underlying rows cost one pre-aggregated
+    count pass upstream of this function.
+    """
+    b = int(budget)
+    if b < 0:
+        raise ValueError(f"budget must be >= 0, got {b}")
+    from pyspark.sql import Window
+
+    tot = counts.agg(F.sum(count_col).alias("_total"))
+    # `div` is Spark's exact integral division (the oracle's `//`) —
+    # no float quota, so cnt·budget stays exact up to 2^63
+    q = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        key_col,
+        f"CAST({count_col} AS BIGINT) AS cnt",
+        f"CAST({count_col} AS BIGINT) * CAST({b} AS BIGINT) div _total"
+        " AS base",
+        f"CAST({count_col} AS BIGINT) * CAST({b} AS BIGINT) % _total AS rem",
+    )
+    # leftover = budget - sum(base): a second single-row broadcast join
+    left = q.agg((F.lit(b) - F.sum("base")).alias("_left"))
+    w = Window.orderBy(F.col("rem").desc(), F.col(key_col))
+    return (
+        q.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(left))
+        .selectExpr(
+            key_col,
+            "cnt",
+            "base",
+            "CAST(CASE WHEN _rk <= _left THEN 1 ELSE 0 END AS BIGINT)"
+            " AS extra",
+            "base + CAST(CASE WHEN _rk <= _left THEN 1 ELSE 0 END AS BIGINT)"
+            " AS alloc",
+        )
+    )
