@@ -7686,6 +7686,171 @@ def _mosaic_oracle_sql() -> str:
     """
 
 
+def _q_apportion(spark, sf_dir):
+    """Largest-remainder budget apportionment (text/sampling.
+    apportion_budget): per-stratum counts of the first 1000 events
+    (stratum = event_id % 37) apportion a 613-row budget by the exact
+    Hamilton rule — integral `div`/`%` quotas (no float anywhere),
+    leftover to the largest remainders with smallest-key ties. The
+    oracle replays with DuckDB's `//` and the identical window."""
+    from morituri_spark.text.sampling import apportion_budget
+
+    counts = (
+        _read(spark, sf_dir, "events")
+        .where("event_id < 1000")
+        .selectExpr("event_id % 37 AS stratum")
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return apportion_budget(counts, 613)
+
+
+def _apportion_oracle_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT event_id % 37 AS stratum, count(*) AS cnt
+            FROM events WHERE event_id < 1000 GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM c),
+        q AS (
+            SELECT stratum, cnt,
+                   cnt * 613 // total AS base,
+                   cnt * 613 % total AS rem
+            FROM c, t),
+        l AS (SELECT 613 - sum(base) AS leftover FROM q),
+        r AS (
+            SELECT q.*, row_number() OVER (ORDER BY rem DESC, stratum)
+                     AS rk, l.leftover
+            FROM q, l)
+        SELECT CAST(stratum AS BIGINT) AS stratum, CAST(cnt AS BIGINT) AS cnt,
+               CAST(base AS BIGINT) AS base,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS extra,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM r
+    """
+
+
+def _q_ring_nesting(spark, sf_dir):
+    """Multipolygon ring-nesting classification (geo/overlay.
+    ring_nesting_depth): 100 polygon groups of 4 axis-aligned square
+    rings — rings 0..2 strictly nested, ring 3 nested for even groups
+    and a detached shell (+200 offset) for odd — classified by the
+    half-open even-odd ray cast in pure Catalyst. Axis-aligned edges
+    keep every crossing test exact (vertical edges intersect at ax;
+    horizontal edges never pass the y-straddle gate). The oracle
+    replays the identical ray cast over a VALUES corner table."""
+    from morituri_spark.geo.overlay import ring_nesting_depth
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 400")
+    rings = ev.selectExpr(
+        "CAST(floor(event_id / CAST(4 AS DOUBLE)) AS BIGINT) AS p",
+        "event_id % 4 AS r",
+    ).selectExpr(
+        "p AS poly_id",
+        "r AS ring_id",
+        "CAST((p * 7) % 50 + r + CASE WHEN r = 3 AND p % 2 = 1"
+        " THEN 200 ELSE 0 END AS DOUBLE) AS cx",
+        "CAST((p * 13) % 50 + r AS DOUBLE) AS cy",
+        "CAST(40 - 10 * r AS DOUBLE) AS hs",
+    ).selectExpr(
+        "poly_id", "ring_id",
+        "array(array(cx - hs, cy - hs), array(cx + hs, cy - hs),"
+        " array(cx + hs, cy + hs), array(cx - hs, cy + hs),"
+        " array(cx - hs, cy - hs)) AS ring",
+    )
+    return ring_nesting_depth(rings)
+
+
+def _ring_nesting_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT event_id // 4 AS p, event_id % 4 AS r
+            FROM events WHERE event_id < 400),
+        geo AS (
+            SELECT p, r,
+                   CAST((p * 7) % 50 + r + CASE WHEN r = 3 AND p % 2 = 1
+                        THEN 200 ELSE 0 END AS DOUBLE) AS cx,
+                   CAST((p * 13) % 50 + r AS DOUBLE) AS cy,
+                   CAST(40 - 10 * r AS DOUBLE) AS hs
+            FROM base),
+        corners(n, sx, sy) AS (VALUES
+            (0, -1, -1), (1, 1, -1), (2, 1, 1), (3, -1, 1)),
+        edges AS (
+            SELECT g.p, g.r,
+                   g.cx + a.sx * g.hs AS ax, g.cy + a.sy * g.hs AS ay,
+                   g.cx + b.sx * g.hs AS bx, g.cy + b.sy * g.hs AS by
+            FROM geo g
+            JOIN corners a ON TRUE
+            JOIN corners b ON b.n = (a.n + 1) % 4),
+        pts AS (SELECT p, r, cx - hs AS px, cy - hs AS py FROM geo),
+        crossings AS (
+            SELECT t.p, t.r, e.r AS rb, count(*) AS n_cross
+            FROM pts t JOIN edges e ON e.p = t.p AND e.r <> t.r
+            WHERE (e.ay > t.py) <> (e.by > t.py)
+              AND t.px < e.ax + (t.py - e.ay) / (e.by - e.ay)
+                                * (e.bx - e.ax)
+            GROUP BY 1, 2, 3),
+        depth AS (
+            SELECT p, r, sum(n_cross % 2) AS d
+            FROM crossings GROUP BY 1, 2)
+        SELECT CAST(g.p AS BIGINT) AS poly_id,
+               CAST(g.r AS BIGINT) AS ring_id,
+               CAST(coalesce(d.d, 0) AS BIGINT) AS depth,
+               CASE WHEN coalesce(d.d, 0) % 2 = 0 THEN 'exterior'
+                    ELSE 'hole' END AS role
+        FROM geo g LEFT JOIN depth d ON d.p = g.p AND d.r = g.r
+    """
+
+
+def _q_exif_boxes(spark, sf_dir):
+    """EXIF-orientation box normalization (multimodal/detections.
+    exif_orient_boxes): the 200-image closed-form boxes with per-image
+    orientation code (i % 8) + 1 and per-image stored dims rewrite into
+    upright coordinates via the literal corner remaps (codes 5-8 swap
+    the output dims) — pure Catalyst CASE, all integer."""
+    from morituri_spark.multimodal.detections import exif_orient_boxes
+
+    boxes = _det_boxes(spark, sf_dir, 200, 3).selectExpr(
+        "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+        "(CAST(substr(image_id, 4) AS BIGINT) % 8) + 1 AS orient",
+        "64 + CAST(substr(image_id, 4) AS BIGINT) % 8 AS w",
+        "64 + (3 * CAST(substr(image_id, 4) AS BIGINT)) % 8 AS h",
+    )
+    return exif_orient_boxes(boxes)
+
+
+def _exif_boxes_oracle_sql() -> str:
+    b_sql = _DET_BOX_SQL.format(shift=0, per_img=3, n_rows=600)
+    return f"""
+        WITH b AS (
+            SELECT q.*, (i % 8) + 1 AS o,
+                   64 + i % 8 AS w, 64 + (3 * i) % 8 AS h
+            FROM ({b_sql}) q)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(j AS BIGINT) AS box_id, CAST(s AS BIGINT) AS score,
+               CAST(o AS BIGINT) AS orient,
+               CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+               CAST(CASE o WHEN 2 THEN w - x1 WHEN 3 THEN w - x1
+                    WHEN 5 THEN y0 WHEN 6 THEN h - y1 WHEN 7 THEN h - y1
+                    WHEN 8 THEN y0 ELSE x0 END AS BIGINT) AS x0,
+               CAST(CASE o WHEN 3 THEN h - y1 WHEN 4 THEN h - y1
+                    WHEN 5 THEN x0 WHEN 6 THEN x0 WHEN 7 THEN w - x1
+                    WHEN 8 THEN w - x1 ELSE y0 END AS BIGINT) AS y0,
+               CAST(CASE o WHEN 2 THEN w - x0 WHEN 3 THEN w - x0
+                    WHEN 5 THEN y1 WHEN 6 THEN h - y0 WHEN 7 THEN h - y0
+                    WHEN 8 THEN y1 ELSE x1 END AS BIGINT) AS x1,
+               CAST(CASE o WHEN 3 THEN h - y0 WHEN 4 THEN h - y0
+                    WHEN 5 THEN x1 WHEN 6 THEN x1 WHEN 7 THEN w - x0
+                    WHEN 8 THEN w - x0 ELSE y1 END AS BIGINT) AS y1,
+               CAST(CASE WHEN o IN (5, 6, 7, 8) THEN h ELSE w END
+                    AS BIGINT) AS out_w,
+               CAST(CASE WHEN o IN (5, 6, 7, 8) THEN w ELSE h END
+                    AS BIGINT) AS out_h
+        FROM b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -7841,6 +8006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panoptic_quality": _q_panoptic,
         "confusion_matrix": _q_confusion,
         "mosaic_boxes": _q_mosaic,
+        # --- twenty-first session: allocation + validity + ingest ---
+        "apportion_budget": _q_apportion,
+        "ring_nesting": _q_ring_nesting,
+        "exif_boxes": _q_exif_boxes,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8165,11 +8334,22 @@ _WINDOW = [
     # (collocation_pmi holds the pair-count lift machinery in-window
     # and the entering bleu_captions the n-gram count join).
     "panoptic_quality", "confusion_matrix", "mosaic_boxes",
+    # twenty-first-session rotation: Hamilton apportionment, ring
+    # nesting, and EXIF box normalization are the freshest code and
+    # enter per the code-risk rule. Released — frozen, sweep-EQUAL,
+    # pytest-pinned, replica-checked, with in-window siblings:
+    # orientation_histogram (the Sobel field machinery runs in-window
+    # via brief_descriptors' structure tensor and image_edge_hough's
+    # edge extraction; octant classing is pytest-pinned),
+    # chamfer_distance_hist (image_morphology holds the per-image
+    # lattice-pass machinery in-window; the 3-4 sweep is pytest-pinned
+    # with a shortest-path CTE oracle), and pattern_hit_counts
+    # (the literal-dictionary count machinery's n-gram counting family
+    # runs in-window via bleu_captions and collocation_pmi).
+    "apportion_budget", "ring_nesting", "exif_boxes",
     "run_length_texture",
     
-    "box_filter_grid", "pattern_hit_counts",
-    "orientation_histogram",
-    "chamfer_distance_hist",
+    "box_filter_grid",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
     # the strongest sibling possible. quantiles_nosort enters releasing
@@ -9702,6 +9882,9 @@ def oracle_sql() -> dict[str, str]:
         "panoptic_quality": _panoptic_oracle_sql(),
         "confusion_matrix": _confusion_oracle_sql(),
         "mosaic_boxes": _mosaic_oracle_sql(),
+        "apportion_budget": _apportion_oracle_sql(),
+        "ring_nesting": _ring_nesting_oracle_sql(),
+        "exif_boxes": _exif_boxes_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2223,6 +2223,87 @@ def main() -> None:
     )
     mo_boxes.unpersist()
 
+    # twenty-first session: ring nesting (2M rings, per-group edge×point
+    # ray cast), Hamilton apportionment over a 20M-row count pass (100k
+    # strata bound the single-partition rank, not the row count), EXIF
+    # box remap (20M boxes, pure codegen CASE)
+    from morituri_spark.geo.overlay import ring_nesting_depth
+    from morituri_spark.multimodal.detections import exif_orient_boxes
+    from morituri_spark.text.sampling import apportion_budget
+
+    rn_rings = (
+        spark.range(2_000_000)
+        .selectExpr(
+            "CAST(floor(id / 4.0) AS BIGINT) AS p", "id % 4 AS r"
+        )
+        .selectExpr(
+            "p AS poly_id", "r AS ring_id",
+            "CAST((p * 7) % 50 + r + CASE WHEN r = 3 AND p % 2 = 1"
+            " THEN 200 ELSE 0 END AS DOUBLE) AS cx",
+            "CAST((p * 13) % 50 + r AS DOUBLE) AS cy",
+            "CAST(40 - 10 * r AS DOUBLE) AS hs",
+        )
+        .selectExpr(
+            "poly_id", "ring_id",
+            "array(array(cx - hs, cy - hs), array(cx + hs, cy - hs),"
+            " array(cx + hs, cy + hs), array(cx - hs, cy + hs),"
+            " array(cx - hs, cy - hs)) AS ring",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    rn_rings.count()
+    timed(
+        "ring_nesting_2m_rings",
+        lambda: ring_nesting_depth(rn_rings)
+        .agg(
+            F.sum("depth"),
+            F.sum(F.when(F.col("role") == "hole", 1).otherwise(0)),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    rn_rings.unpersist()
+
+    ap_rows = (
+        spark.range(20_000_000)
+        .selectExpr("(id * 7) % 100000 AS stratum")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ap_rows.count()
+    timed(
+        "apportion_20m_rows",
+        lambda: apportion_budget(
+            ap_rows.groupBy("stratum").agg(F.count(F.lit(1)).alias("cnt")),
+            1_000_000,
+        )
+        .agg(F.sum("alloc"), F.sum("extra"), F.count(F.lit(1)))
+        .collect(),
+    )
+    ap_rows.unpersist()
+
+    ex_boxes = (
+        _det_boxes_sql(7_000_000, 3)
+        .selectExpr(
+            "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+            "(CAST(substr(image_id, 4) AS BIGINT) % 8) + 1 AS orient",
+            "64 AS w", "64 AS h",
+        )
+        .persist()
+    )
+    ex_boxes.count()
+    timed(
+        "exif_21m_boxes",
+        lambda: exif_orient_boxes(ex_boxes)
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "box_id", "x0", "y1", "out_w")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    ex_boxes.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
