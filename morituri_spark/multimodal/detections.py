@@ -46,6 +46,8 @@ __all__ = [
     "detection_confusion",
     "mosaic_boxes",
     "exif_orient_boxes",
+    "iou_tracklets",
+    "letterbox_boxes",
 ]
 
 _BOX_COLS = ("box_id", "x0", "y0", "x1", "y1", "score")
@@ -539,3 +541,105 @@ def exif_orient_boxes(
         f"CASE WHEN {swap} THEN {h} ELSE {w} END AS out_w",
         f"CASE WHEN {swap} THEN {w} ELSE {h} END AS out_h",
     )
+
+
+def iou_tracklets(
+    dets: DataFrame,
+    iou_thr_milli: int = 300,
+    video_col: str = "video",
+    frame_col: str = "frame",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Tracking-by-detection tracklet stitching: detections of adjacent
+    frames greedily match by IoU (:func:`match_detections`, class-
+    agnostic, per (video, frame) key) and the match edges link into
+    tracks via connected components (text/components — large-star/
+    small-star with lineage truncation). → one row per detection:
+    (video, frame, box_id, track_id) where track_id is the component's
+    lexicographic-minimum node label ``video#frame#box_id`` (an opaque
+    canonical id); unmatched detections form singleton tracks.
+
+    video ids must not contain ``#`` (the node-label separator).
+
+    Scale shape: the frame-pair matching inherits match_detections'
+    pack+join+kernel shape keyed on (video, frame) — 10⁹ videos × long
+    sequences partition freely; the component graph has ≤ one edge per
+    detection (each detection matches ≤ 1 successor and ≤ 1
+    predecessor), so CC's log-depth rounds run on an edge set linear in
+    detections, and a month-long track costs O(log frames) rounds, not
+    a per-frame sequential pass.
+    """
+    from morituri_spark.text.components import connected_components
+
+    node = (
+        f"concat({video_col}, '#', CAST({frame_col} AS STRING), '#',"
+        " CAST(box_id AS STRING))"
+    )
+    preds = dets.selectExpr(
+        f"concat({video_col}, '#', CAST({frame_col} AS STRING)) AS _key",
+        "box_id", "x0", "y0", "x1", "y1", "score",
+    )
+    gts = dets.selectExpr(
+        f"concat({video_col}, '#', CAST({frame_col} - 1 AS STRING)) AS _key",
+        "box_id AS gt_id", "x0", "y0", "x1", "y1",
+    )
+    m = match_detections(preds, gts, iou_thr_milli, id_col="_key")
+    edges = m.where(F.col("matched_gt").isNotNull()).selectExpr(
+        "concat(_key, '#', CAST(box_id AS STRING)) AS u",
+        # the partner lives one frame later: rebuild its label from the
+        # key's video prefix + (frame + 1)
+        "concat(substring_index(_key, '#', 1), '#',"
+        " CAST(CAST(substring_index(_key, '#', -1) AS BIGINT) + 1"
+        " AS STRING), '#', CAST(matched_gt AS STRING)) AS v",
+    )
+    cc = connected_components(edges, "u", "v", max_rounds=max_rounds)
+    nodes = dets.selectExpr(
+        video_col, frame_col, "box_id", f"{node} AS _node"
+    )
+    return (
+        nodes.join(cc, nodes["_node"] == cc["node"], "left")
+        .selectExpr(
+            video_col,
+            frame_col,
+            "box_id",
+            "coalesce(cluster_id, _node) AS track_id",
+        )
+    )
+
+
+def letterbox_boxes(
+    boxes: DataFrame,
+    size: int = 640,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Letterbox-resize box remapping (the aspect-preserving square
+    resize every detector ingest uses): the image scales by
+    size/max(w, h) and centers on a size × size canvas; boxes remap as
+    ``x' = x·size DIV m + pad_x`` with ``pad_x = (size − w·size DIV m)
+    DIV 2`` — exact integral arithmetic (Spark `div` ≡ oracle `//`),
+    no float scale anywhere. → input columns with (x0, y0, x1, y1)
+    rewritten plus (pad_x, pad_y, scale_micro = size·10⁶ DIV m).
+    Pure codegen projection; zero exchanges."""
+    s = int(size)
+    keep = [c for c in boxes.columns if c not in ("x0", "y0", "x1", "y1")]
+    staged = boxes.selectExpr(
+        *boxes.columns,
+        f"greatest({w_col}, {h_col}) AS _m",
+    ).selectExpr(
+        *boxes.columns,
+        "_m",
+        f"(CAST({s} AS BIGINT) - {w_col} * CAST({s} AS BIGINT) div _m)"
+        " div 2 AS pad_x",
+        f"(CAST({s} AS BIGINT) - {h_col} * CAST({s} AS BIGINT) div _m)"
+        " div 2 AS pad_y",
+    )
+    return staged.selectExpr(
+        *keep,
+        f"x0 * CAST({s} AS BIGINT) div _m + pad_x AS x0",
+        f"y0 * CAST({s} AS BIGINT) div _m + pad_y AS y0",
+        f"x1 * CAST({s} AS BIGINT) div _m + pad_x AS x1",
+        f"y1 * CAST({s} AS BIGINT) div _m + pad_y AS y1",
+        "pad_x", "pad_y",
+        f"CAST({s} AS BIGINT) * 1000000 div _m AS scale_micro",
+    ).drop("_m")
