@@ -7851,6 +7851,162 @@ def _exif_boxes_oracle_sql() -> str:
     """
 
 
+def _q_tracklets(spark, sf_dir):
+    """Tracking-by-detection tracklet stitching (multimodal/detections.
+    iou_tracklets): 100 videos × 5 frames × 3 drifting closed-form
+    boxes — adjacent frames greedily match per (video, frame) key at
+    IoU > 0.3 (the match_detections kernel, third in-window use) and
+    match edges link into tracks via connected components (large-star/
+    small-star, lineage-truncated). The oracle unrolls the 3-deep
+    per-frame-pair greedy then 5 materialized rounds of min-label
+    propagation (diameter ≤ 4) — the iterative-oracle evidence class
+    (k-core/DP)."""
+    from morituri_spark.multimodal.detections import iou_tracklets
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 1500")
+    dets = ev.selectExpr(
+        "CAST(floor(event_id / CAST(15 AS DOUBLE)) AS BIGINT) AS v",
+        "CAST(floor(event_id / CAST(3 AS DOUBLE)) AS BIGINT) % 5 AS f",
+        "event_id % 3 AS b",
+    ).selectExpr(
+        "printf('v%06d', v) AS video",
+        "f AS frame",
+        "b AS box_id",
+        "(v * 3 + b * 17) % 30 + 2 * f AS x0",
+        "(v * 5 + b * 23) % 30 + f AS y0",
+        "(v * 3 + b * 17) % 30 + 2 * f + 8 + (v + b) % 6 AS x1",
+        "(v * 5 + b * 23) % 30 + f + 8 + (2 * v + b) % 5 AS y1",
+        "(v * 7 + b * 31 + f * 11) % 100 AS score",
+    )
+    return iou_tracklets(dets, iou_thr_milli=300)
+
+
+def _tracklets_oracle_sql() -> str:
+    gate = (
+        "greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))"
+        " * greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)) * 1000"
+        " > 300 * ((a.x1 - a.x0) * (a.y1 - a.y0)"
+        " + (b.x1 - b.x0) * (b.y1 - b.y0)"
+        " - greatest(0, least(a.x1, b.x1) - greatest(a.x0, b.x0))"
+        " * greatest(0, least(a.y1, b.y1) - greatest(a.y0, b.y0)))"
+    )
+    stages = []
+    for k in range(1, 4):
+        excl = (
+            ""
+            if k == 1
+            else "AND NOT EXISTS (SELECT 1 FROM ("
+            + " UNION ALL ".join(
+                f"SELECT v, f, gt_id FROM m{x}" for x in range(1, k)
+            )
+            + ") t WHERE t.v = c.v AND t.f = c.f AND t.gt_id = c.gt_id)"
+        )
+        stages.append(
+            f"""m{k} AS MATERIALIZED (
+                SELECT v, f, b, gt_id FROM (
+                    SELECT c.*, row_number() OVER (PARTITION BY c.v, c.f
+                        ORDER BY c.iou_micro DESC, c.gt_id) AS rn
+                    FROM cand c WHERE c.rk = {k} {excl})
+                WHERE rn = 1)"""
+        )
+    prop = []
+    for k in range(1, 6):
+        prop.append(
+            f"""l{k} AS MATERIALIZED (
+                SELECT a.src AS node, min(l.lbl) AS lbl
+                FROM adj a JOIN l{k - 1} l ON l.node = a.dst
+                GROUP BY a.src)"""
+        )
+    return f"""
+        WITH boxes AS MATERIALIZED (
+            SELECT v, f, b,
+                   (v * 3 + b * 17) % 30 + 2 * f AS x0,
+                   (v * 5 + b * 23) % 30 + f AS y0,
+                   (v * 3 + b * 17) % 30 + 2 * f + 8 + (v + b) % 6 AS x1,
+                   (v * 5 + b * 23) % 30 + f + 8 + (2 * v + b) % 5 AS y1,
+                   (v * 7 + b * 31 + f * 11) % 100 AS s,
+                   printf('v%06d#%d#%d', v, f, b) AS node
+            FROM (SELECT event_id // 15 AS v, (event_id // 3) % 5 AS f,
+                         event_id % 3 AS b
+                  FROM events WHERE event_id < 1500)),
+        p AS MATERIALIZED (
+            SELECT q.*, row_number() OVER (PARTITION BY v, f
+                ORDER BY s DESC, b) AS rk
+            FROM boxes q WHERE f < 4),
+        cand AS MATERIALIZED (
+            SELECT a.v, a.f, a.b, a.rk, b.b AS gt_id,
+                   CAST(floor((greatest(0, least(a.x1, b.x1)
+                       - greatest(a.x0, b.x0))
+                     * greatest(0, least(a.y1, b.y1)
+                       - greatest(a.y0, b.y0)) * 1000000.0)
+                     / ((a.x1 - a.x0) * (a.y1 - a.y0)
+                        + (b.x1 - b.x0) * (b.y1 - b.y0)
+                        - greatest(0, least(a.x1, b.x1)
+                          - greatest(a.x0, b.x0))
+                        * greatest(0, least(a.y1, b.y1)
+                          - greatest(a.y0, b.y0)))) AS BIGINT) AS iou_micro
+            FROM p a JOIN boxes b ON b.v = a.v AND b.f = a.f + 1
+              AND ({gate})),
+        {", ".join(stages)},
+        m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+              UNION ALL SELECT * FROM m3),
+        edges AS (
+            SELECT printf('v%06d#%d#%d', v, f, b) AS u,
+                   printf('v%06d#%d#%d', v, f + 1, gt_id) AS w
+            FROM m),
+        adj AS (
+            SELECT u AS src, w AS dst FROM edges
+            UNION ALL SELECT w, u FROM edges
+            UNION ALL SELECT node, node FROM boxes),
+        l0 AS (SELECT node, node AS lbl FROM boxes),
+        {", ".join(prop)}
+        SELECT printf('v%06d', x.v) AS video, CAST(x.f AS BIGINT) AS frame,
+               CAST(x.b AS BIGINT) AS box_id, l.lbl AS track_id
+        FROM boxes x JOIN l5 l ON l.node = x.node
+    """
+
+
+def _q_letterbox(spark, sf_dir):
+    """Letterbox-resize box remapping (multimodal/detections.
+    letterbox_boxes): the 200-image closed-form boxes with varied
+    per-image dims remap onto a centered 96×96 canvas with exact
+    integral scale/pad arithmetic (Spark `div` ≡ DuckDB `//`) —
+    pure codegen, zero exchanges."""
+    from morituri_spark.multimodal.detections import letterbox_boxes
+
+    boxes = _det_boxes(spark, sf_dir, 200, 3).selectExpr(
+        "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+        "64 + CAST(substr(image_id, 4) AS BIGINT) % 40 AS w",
+        "64 + (3 * CAST(substr(image_id, 4) AS BIGINT)) % 50 AS h",
+    )
+    return letterbox_boxes(boxes, size=96)
+
+
+def _letterbox_oracle_sql() -> str:
+    b_sql = _DET_BOX_SQL.format(shift=0, per_img=3, n_rows=600)
+    return f"""
+        WITH b AS (
+            SELECT q.*, 64 + i % 40 AS w, 64 + (3 * i) % 50 AS h,
+                   greatest(64 + i % 40, 64 + (3 * i) % 50) AS m
+            FROM ({b_sql}) q),
+        pads AS (
+            SELECT b.*,
+                   (96 - w * 96 // m) // 2 AS pad_x,
+                   (96 - h * 96 // m) // 2 AS pad_y
+            FROM b)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(j AS BIGINT) AS box_id, CAST(s AS BIGINT) AS score,
+               CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+               CAST(x0 * 96 // m + pad_x AS BIGINT) AS x0,
+               CAST(y0 * 96 // m + pad_y AS BIGINT) AS y0,
+               CAST(x1 * 96 // m + pad_x AS BIGINT) AS x1,
+               CAST(y1 * 96 // m + pad_y AS BIGINT) AS y1,
+               CAST(pad_x AS BIGINT) AS pad_x, CAST(pad_y AS BIGINT) AS pad_y,
+               CAST(96 * 1000000 // m AS BIGINT) AS scale_micro
+        FROM pads
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8010,6 +8166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apportion_budget": _q_apportion,
         "ring_nesting": _q_ring_nesting,
         "exif_boxes": _q_exif_boxes,
+        # --- twenty-second session: video tracking + resize plan ---
+        "iou_tracklets": _q_tracklets,
+        "letterbox_boxes": _q_letterbox,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8347,6 +8506,17 @@ _WINDOW = [
     # (the literal-dictionary count machinery's n-gram counting family
     # runs in-window via bleu_captions and collocation_pmi).
     "apportion_budget", "ring_nesting", "exif_boxes",
+    # twenty-second-session rotation: tracklet stitching and letterbox
+    # remapping are the freshest code and enter per the code-risk rule
+    # (iou_tracklets additionally runs match_detections AND the
+    # connected-components rounds end-to-end in-window). Released —
+    # frozen, sweep-EQUAL, pytest-pinned, replica-checked, with
+    # in-window siblings: table_diff_audit (merge_upsert holds the
+    # key-reconciliation max_by + outer-join machinery in-window) and
+    # bpe_train_merges (the pair-count merge machinery's n-gram count
+    # family runs in-window via bleu_captions + collocation_pmi; the
+    # iterative merge loop is pytest-pinned frozen code).
+    "iou_tracklets", "letterbox_boxes",
     "run_length_texture",
     
     "box_filter_grid",
@@ -8359,7 +8529,7 @@ _WINDOW = [
     # (table_diff_audit enters releasing ripley_k_curve: the K-curve is
     # ONE radius_join — recall driver-proven in-window via the hausdorff/
     # dtw/snap candidate joins — plus frozen pytest-pinned aggregation.)
-    "quantiles_nosort", "table_diff_audit",
+    "quantiles_nosort",
     # eleventh-session rotation: the four operators built this session
     # (poly_dissolve_stats, hough_line_votes, image_equalize_otsu,
     # bpe_train_merges) are the freshest code in the repo and enter per
@@ -8380,7 +8550,6 @@ _WINDOW = [
     # Sobel edges into the same Hough vote code path; pytest-pinned,
     # sweep-EQUAL, replica-checked.)
     "poly_dissolve_stats", "image_morphology",
-    "bpe_train_merges",
     # (collocation_pmi and image_edge_hough enter under the same rule,
     # releasing zone_convex_hulls — its oracle is a CLOSED-FORM vertex
     # list, the golden-pin evidence class that zsplit/ring-chunk releases
@@ -9885,6 +10054,8 @@ def oracle_sql() -> dict[str, str]:
         "apportion_budget": _apportion_oracle_sql(),
         "ring_nesting": _ring_nesting_oracle_sql(),
         "exif_boxes": _exif_boxes_oracle_sql(),
+        "iou_tracklets": _tracklets_oracle_sql(),
+        "letterbox_boxes": _letterbox_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

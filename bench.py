@@ -2304,6 +2304,66 @@ def main() -> None:
     )
     ex_boxes.unpersist()
 
+    # twenty-second session: tracklet stitching (100k videos × 5 frames
+    # × 3 boxes = 1.5M detections through frame-pair matching + CC
+    # rounds), letterbox remap (21M boxes, pure codegen)
+    from morituri_spark.multimodal.detections import (
+        iou_tracklets,
+        letterbox_boxes,
+    )
+
+    tr_dets = (
+        spark.range(1_500_000)
+        .selectExpr(
+            "CAST(floor(id / 15.0) AS BIGINT) AS v",
+            "CAST(floor(id / 3.0) AS BIGINT) % 5 AS f",
+            "id % 3 AS b",
+        )
+        .selectExpr(
+            "printf('v%09d', v) AS video", "f AS frame", "b AS box_id",
+            "(v * 3 + b * 17) % 30 + 2 * f AS x0",
+            "(v * 5 + b * 23) % 30 + f AS y0",
+            "(v * 3 + b * 17) % 30 + 2 * f + 8 + (v + b) % 6 AS x1",
+            "(v * 5 + b * 23) % 30 + f + 8 + (2 * v + b) % 5 AS y1",
+            "(v * 7 + b * 31 + f * 11) % 100 AS score",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    tr_dets.count()
+    timed(
+        "iou_tracklets_1m5_dets",
+        lambda: iou_tracklets(tr_dets, iou_thr_milli=300)
+        .agg(
+            F.bit_xor(F.xxhash64("video", "frame", "box_id", "track_id")),
+            F.countDistinct("track_id"),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    tr_dets.unpersist()
+
+    lb_boxes = (
+        _det_boxes_sql(7_000_000, 3)
+        .selectExpr(
+            "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+            "64 + CAST(substr(image_id, 4) AS BIGINT) % 40 AS w",
+            "64 + (3 * CAST(substr(image_id, 4) AS BIGINT)) % 50 AS h",
+        )
+        .persist()
+    )
+    lb_boxes.count()
+    timed(
+        "letterbox_21m_boxes",
+        lambda: letterbox_boxes(lb_boxes, size=640)
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "box_id", "x0", "y1", "pad_x")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    lb_boxes.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
