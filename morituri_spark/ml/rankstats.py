@@ -1,0 +1,101 @@
+"""Rank-based evaluation statistics: Spearman correlation and Cohen's
+kappa — exact integer sufficient statistics.
+
+Model-version comparisons (did the new quality scorer rank documents
+the same way?) and annotation QA (do two labelers agree beyond
+chance?) are standing needs of a training-data pipeline. Both reduce
+to integer sufficient statistics a SQL oracle replays bit-for-bit; the
+final ratio is ONE float division the caller applies.
+
+Scale shape: Spearman is two rank windows over one per-group sort +
+one aggregate; kappa is two hash aggregates and a tiny marginal join.
+Groups partition both; neither holds global state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["spearman_stats", "cohen_kappa_stats"]
+
+
+def spearman_stats(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Spearman sufficient statistics: ranks are
+    ``row_number`` over (value, id) — DETERMINISTIC total order (ties
+    break by id, not averaged; document vs. the average-rank variant) —
+    and the output is → (group, n, sum_d2) with
+    ``rho = 1 − 6·sum_d2 / (n·(n²−1))``. All integers; n ≥ 2 required
+    for rho (n ≤ 1 rows still emit with sum_d2 = 0).
+
+    Two windows over the SAME per-group partition (rank-by-x and
+    rank-by-y reuse the exchange; Catalyst plans one sort per
+    ordering), then one map-side-combinable aggregate. 10⁹ rows per
+    group flow through a single range-partitioned sort."""
+    wx = Window.partitionBy(group_col).orderBy(x_col, id_col)
+    wy = Window.partitionBy(group_col).orderBy(y_col, id_col)
+    ranked = df.withColumn("_rx", F.row_number().over(wx)).withColumn(
+        "_ry", F.row_number().over(wy)
+    )
+    return (
+        ranked.withColumn("_d", F.col("_rx") - F.col("_ry"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_d") * F.col("_d")).cast("long").alias("sum_d2"),
+        )
+    )
+
+
+def cohen_kappa_stats(
+    labels: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Per-group Cohen's kappa sufficient statistics for two annotators:
+    → (group, n, agree, pe_num) with
+    ``kappa = (agree·n − pe_num) / (n² − pe_num)`` — pe_num is the
+    chance-agreement numerator ``Σ_c n_a(c)·n_b(c)``, all exact
+    integers (the caller performs the one division).
+
+    Three map-side-combinable aggregates: the (group) totals, the
+    per-(group, label) marginals for each annotator, and the marginal
+    product join — marginal cardinality is |labels| per group, so the
+    join is tiny. 10¹² annotations partition on group."""
+    base = labels.select(
+        F.col(group_col).alias("_g"),
+        F.col(a_col).alias("_a"),
+        F.col(b_col).alias("_b"),
+    )
+    tot = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = base.groupBy("_g", F.col("_a").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    mb = base.groupBy("_g", F.col("_b").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    pe = (
+        ma.join(mb, ["_g", "_c"])
+        .groupBy("_g")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("pe_num"))
+    )
+    return (
+        tot.join(pe, "_g", "left")
+        .selectExpr(
+            f"_g AS {group_col}",
+            "n",
+            "agree",
+            "CAST(coalesce(pe_num, 0) AS BIGINT) AS pe_num",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Spearman stats, Cohen's kappa, scene cuts — vs loop references."""
+
+import numpy as np
+import pandas as pd
+
+from morituri_spark.ml.rankstats import cohen_kappa_stats, spearman_stats
+from morituri_spark.multimodal.video import scene_cuts
+
+
+def test_spearman_loop_reference(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(6):
+        for i in range(50):
+            rows.append((g, i, int(rng.integers(0, 1000)), int(rng.integers(0, 1000))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id", "x", "y"]))
+    got = {r.g: (r.n, r.sum_d2) for r in spearman_stats(df, "g", "x", "y", "id").collect()}
+    for g in range(6):
+        grp = [r for r in rows if r[0] == g]
+        rx = {r[1]: k + 1 for k, r in enumerate(sorted(grp, key=lambda r: (r[2], r[1])))}
+        ry = {r[1]: k + 1 for k, r in enumerate(sorted(grp, key=lambda r: (r[3], r[1])))}
+        sd2 = sum((rx[r[1]] - ry[r[1]]) ** 2 for r in grp)
+        assert got[g] == (50, sd2), g
+
+
+def test_spearman_perfect_and_reversed(spark):
+    rows = [(0, i, i, i * 2) for i in range(20)] + [(1, i, i, -i) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id", "x", "y"]))
+    got = {r.g: r.sum_d2 for r in spearman_stats(df, "g", "x", "y", "id").collect()}
+    n = 20
+    assert got[0] == 0                       # rho = 1
+    assert got[1] == n * (n * n - 1) // 3    # rho = -1
+
+
+def test_cohen_kappa_loop_reference(spark):
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(rng.integers(0, 3)), int(rng.integers(0, 5)), int(rng.integers(0, 5)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "a", "b"]))
+    got = {r.g: (r.n, r.agree, r.pe_num) for r in cohen_kappa_stats(df, "g", "a", "b").collect()}
+    for g in range(3):
+        grp = [r for r in rows if r[0] == g]
+        n = len(grp)
+        agree = sum(1 for r in grp if r[1] == r[2])
+        pe = sum(
+            sum(1 for r in grp if r[1] == c) * sum(1 for r in grp if r[2] == c)
+            for c in range(5)
+        )
+        assert got[g] == (n, agree, pe), g
+
+
+def test_cohen_kappa_perfect(spark):
+    rows = [(0, i % 4, i % 4) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "a", "b"]))
+    r = cohen_kappa_stats(df, "g", "a", "b").collect()[0]
+    # kappa = (agree*n - pe)/(n^2 - pe) = 1 when agree == n
+    assert r.agree == r.n == 40
+    assert (r.agree * r.n - r.pe_num) == (r.n * r.n - r.pe_num) * 1
+
+
+def test_scene_cuts(spark):
+    # 3 videos, 20 frames, 8 bins; distribution jumps every 7 frames
+    rows = []
+    for v in range(3):
+        for f in range(20):
+            for b in range(8):
+                rows.append(
+                    (f"vid{v}", f, b, (v + b * 3 + f * 5 + (f // 7) * 100) % 200)
+                )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["video_id", "frame", "bin", "cnt"]))
+    # reference
+    want = {}
+    for v in range(3):
+        scene = 0
+        prev = None
+        for f in range(20):
+            h = [(v + b * 3 + f * 5 + (f // 7) * 100) % 200 for b in range(8)]
+            d = sum(abs(a - c) for a, c in zip(h, prev)) if prev is not None else None
+            cut = d is not None and d > 300
+            if cut:
+                scene += 1
+            want[(f"vid{v}", f)] = (d, cut, scene)
+            prev = h
+    got = {
+        (r.video_id, r.frame): (r.dist_prev, r.is_cut, r.scene_id)
+        for r in scene_cuts(df, cut_thr=300).collect()
+    }
+    assert got == want
+    # the (f // 7) jumps make at least one multi-scene video
+    assert max(s for (_, _, s) in got.values()) >= 1
