@@ -8007,6 +8007,137 @@ def _letterbox_oracle_sql() -> str:
     """
 
 
+def _q_spearman(spark, sf_dir):
+    """Spearman rank-correlation sufficient statistics (ml/rankstats.
+    spearman_stats): 1000 closed-form (x, y) score pairs in 5 groups —
+    ranks are row_number over (value, id) (deterministic tiebreak, not
+    average ranks), output per group (n, sum_d2) exact integers;
+    rho = 1 − 6·sum_d2/(n(n²−1)) is the caller's one division. The
+    oracle replays the identical windows."""
+    from morituri_spark.ml.rankstats import spearman_stats
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 1000")
+    scored = ev.selectExpr(
+        "event_id % 5 AS g",
+        "event_id AS id",
+        "(event_id * 7) % 1000 AS x",
+        "(event_id * 13 + event_id % 11) % 1000 AS y",
+    )
+    return spearman_stats(scored, "g", "x", "y", "id")
+
+
+def _spearman_oracle_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT event_id % 5 AS g, event_id AS id,
+                   (event_id * 7) % 1000 AS x,
+                   (event_id * 13 + event_id % 11) % 1000 AS y
+            FROM events WHERE event_id < 1000),
+        r AS (
+            SELECT g,
+                   row_number() OVER (PARTITION BY g ORDER BY x, id)
+                   - row_number() OVER (PARTITION BY g ORDER BY y, id)
+                     AS d
+            FROM s)
+        SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d * d) AS BIGINT) AS sum_d2
+        FROM r GROUP BY g
+    """
+
+
+def _q_kappa(spark, sf_dir):
+    """Cohen's kappa sufficient statistics (ml/rankstats.
+    cohen_kappa_stats): 1000 items double-annotated with 5 labels in 4
+    dataset groups — annotator b disagrees on every 7th item — output
+    per group (n, agree, pe_num) exact integers with
+    kappa = (agree·n − pe_num)/(n² − pe_num). Marginal-product chance
+    agreement replayed identically by the oracle."""
+    from morituri_spark.ml.rankstats import cohen_kappa_stats
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 1000")
+    labels = ev.selectExpr(
+        "event_id % 4 AS g",
+        "(event_id * 3) % 5 AS a",
+        "CASE WHEN event_id % 7 = 0 THEN ((event_id * 3) + 1) % 5"
+        " ELSE (event_id * 3) % 5 END AS b",
+    )
+    return cohen_kappa_stats(labels, "g", "a", "b")
+
+
+def _kappa_oracle_sql() -> str:
+    return """
+        WITH l AS (
+            SELECT event_id % 4 AS g, (event_id * 3) % 5 AS a,
+                   CASE WHEN event_id % 7 = 0 THEN ((event_id * 3) + 1) % 5
+                        ELSE (event_id * 3) % 5 END AS b
+            FROM events WHERE event_id < 1000),
+        t AS (
+            SELECT g, count(*) AS n,
+                   sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+            FROM l GROUP BY g),
+        ma AS (SELECT g, a AS c, count(*) AS na FROM l GROUP BY 1, 2),
+        mb AS (SELECT g, b AS c, count(*) AS nb FROM l GROUP BY 1, 2),
+        pe AS (
+            SELECT ma.g, sum(na * nb) AS pe_num
+            FROM ma JOIN mb ON mb.g = ma.g AND mb.c = ma.c
+            GROUP BY ma.g)
+        SELECT CAST(t.g AS BIGINT) AS g, CAST(t.n AS BIGINT) AS n,
+               CAST(t.agree AS BIGINT) AS agree,
+               CAST(coalesce(pe.pe_num, 0) AS BIGINT) AS pe_num
+        FROM t LEFT JOIN pe ON pe.g = t.g
+    """
+
+
+def _q_scene_cuts(spark, sf_dir):
+    """Scene-cut segmentation (multimodal/video.scene_cuts): 50 videos
+    × 20 frames × 8 dense histogram bins (closed-form counts that jump
+    every 7 frames) — adjacent-frame L1 distance through ONE
+    self-equi-join, cuts above 300, scene_id as the per-video
+    cumulative cut count. The oracle replays the join and the window."""
+    from morituri_spark.multimodal.video import scene_cuts
+
+    base = _read(spark, sf_dir, "events").where("event_id < 50")
+    hists = (
+        base.selectExpr("event_id AS v")
+        .selectExpr("v", "explode(sequence(0, 19)) AS frame")
+        .selectExpr("v", "frame", "explode(sequence(0, 7)) AS bin")
+        .selectExpr(
+            "printf('vid%04d', v) AS video_id",
+            "frame",
+            "bin",
+            "(v + bin * 3 + frame * 5"
+            " + CAST(floor(frame / CAST(7 AS DOUBLE)) AS BIGINT) * 100)"
+            " % 200 AS cnt",
+        )
+    )
+    return scene_cuts(hists, cut_thr=300)
+
+
+def _scene_cuts_oracle_sql() -> str:
+    return """
+        WITH h AS (
+            SELECT v, f, b,
+                   (v + b * 3 + f * 5 + (f // 7) * 100) % 200 AS cnt
+            FROM (SELECT event_id AS v FROM events WHERE event_id < 50),
+                 generate_series(0, 19) fs(f), generate_series(0, 7) bs(b)),
+        d AS (
+            SELECT a.v, a.f, sum(abs(a.cnt - p.cnt)) AS dist_prev
+            FROM h a JOIN h p ON p.v = a.v AND p.b = a.b AND p.f = a.f - 1
+            GROUP BY 1, 2),
+        fl AS (
+            SELECT h.v, h.f, d.dist_prev,
+                   coalesce(d.dist_prev > 300, FALSE) AS is_cut
+            FROM (SELECT DISTINCT v, f FROM h) h
+            LEFT JOIN d ON d.v = h.v AND d.f = h.f)
+        SELECT printf('vid%04d', v) AS video_id, CAST(f AS BIGINT) AS frame,
+               CAST(dist_prev AS BIGINT) AS dist_prev, is_cut,
+               CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY v ORDER BY f
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        FROM fl
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8169,6 +8300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- twenty-second session: video tracking + resize plan ---
         "iou_tracklets": _q_tracklets,
         "letterbox_boxes": _q_letterbox,
+        # --- twenty-third session: evaluation + video structure ---
+        "spearman_corr": _q_spearman,
+        "cohen_kappa": _q_kappa,
+        "scene_cuts": _q_scene_cuts,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8517,9 +8652,20 @@ _WINDOW = [
     # family runs in-window via bleu_captions + collocation_pmi; the
     # iterative merge loop is pytest-pinned frozen code).
     "iou_tracklets", "letterbox_boxes",
-    "run_length_texture",
+    # twenty-third-session rotation: Spearman stats, Cohen's kappa, and
+    # scene-cut segmentation are the freshest code and enter per the
+    # code-risk rule. Released — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: run_length_texture (the
+    # integer scan-kernel discipline it shares with the texture family
+    # runs in-window via brief_descriptors, fast_corners, and the
+    # morphology/moments kernels; its goldens are pytest-pinned),
+    # box_filter_grid (the range-frame window machinery runs in-window
+    # via scd2_intervals, streaming_sessionize, and the entering
+    # scene_cuts cumulative window), and collocation_pmi (bleu_captions
+    # holds the n-gram count-join machinery in-window; the PMI lift
+    # arithmetic is pytest-pinned frozen code).
+    "spearman_corr", "cohen_kappa", "scene_cuts",
     
-    "box_filter_grid",
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
     # the strongest sibling possible. quantiles_nosort enters releasing
@@ -8557,7 +8703,7 @@ _WINDOW = [
     # weighted_topk_sample, whose shared deterministic-coin machinery
     # carries the r3-green stratified_sample driver row and whose
     # Efraimidis-Spirakis ranking is pytest-pinned on frozen code.)
-    "collocation_pmi", "image_edge_hough",
+    "image_edge_hough",
     # (image_blob_stats enters under the same rule, releasing
     # colocation_quotients — frozen seventh-session code whose
     # cell-block lattice machinery keeps THREE in-window siblings:
@@ -10056,6 +10202,9 @@ def oracle_sql() -> dict[str, str]:
         "exif_boxes": _exif_boxes_oracle_sql(),
         "iou_tracklets": _tracklets_oracle_sql(),
         "letterbox_boxes": _letterbox_oracle_sql(),
+        "spearman_corr": _spearman_oracle_sql(),
+        "cohen_kappa": _kappa_oracle_sql(),
+        "scene_cuts": _scene_cuts_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

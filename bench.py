@@ -2364,6 +2364,58 @@ def main() -> None:
     )
     lb_boxes.unpersist()
 
+    # twenty-third session: Spearman stats (20M score pairs, two rank
+    # windows over one per-group sort), scene cuts (100k videos × 20
+    # frames × 8 bins = 16M histogram rows through one self-join + one
+    # cumulative window)
+    from morituri_spark.ml.rankstats import spearman_stats
+    from morituri_spark.multimodal.video import scene_cuts
+
+    sp_rows = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "id % 64 AS g", "id",
+            "(id * 7) % 1000000 AS x",
+            "(id * 13 + id % 11) % 1000000 AS y",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    sp_rows.count()
+    timed(
+        "spearman_20m_pairs",
+        lambda: spearman_stats(sp_rows, "g", "x", "y", "id")
+        .agg(F.sum("sum_d2"), F.sum("n"), F.count(F.lit(1)))
+        .collect(),
+    )
+    sp_rows.unpersist()
+
+    sc_hists = (
+        spark.range(100_000)
+        .selectExpr("id AS v")
+        .selectExpr("v", "explode(sequence(0, 19)) AS frame")
+        .selectExpr("v", "frame", "explode(sequence(0, 7)) AS bin")
+        .selectExpr(
+            "printf('vid%09d', v) AS video_id", "frame", "bin",
+            "(v + bin * 3 + frame * 5"
+            " + CAST(floor(frame / 7.0) AS BIGINT) * 100) % 200 AS cnt",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    sc_hists.count()
+    timed(
+        "scene_cuts_16m_bins",
+        lambda: scene_cuts(sc_hists, cut_thr=300)
+        .agg(
+            F.sum("scene_id"),
+            F.sum(F.col("is_cut").cast("long")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    sc_hists.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
