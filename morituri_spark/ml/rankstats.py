@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["spearman_stats", "cohen_kappa_stats"]
+__all__ = ["spearman_stats", "cohen_kappa_stats", "retrieval_ranks"]
 
 
 def spearman_stats(
@@ -98,4 +98,47 @@ def cohen_kappa_stats(
             "agree",
             "CAST(coalesce(pe_num, 0) AS BIGINT) AS pe_num",
         )
+    )
+
+
+def retrieval_ranks(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+    rel_col: str = "is_rel",
+) -> DataFrame:
+    """Cross-modal retrieval evaluation sufficient statistics (the
+    image↔caption recall@k / MRR gate): candidates rank per query by
+    (score DESC, cand_id ASC — deterministic), and the output is one
+    row per query → (query_id, n_cands, n_rel, first_rel_rank,
+    rel_in_top1/5/10) — recall@k = mean(rel_in_topk over queries with
+    n_rel > 0) and MRR = mean(1/first_rel_rank) are caller-side folds
+    over exact integers (first_rel_rank NULL when no relevant
+    candidate).
+
+    One rank window over a per-query sort + one map-side-combinable
+    aggregate (min_by-style conditional mins — rule 25, no second
+    pass). 10⁹ queries partition freely; candidates per query bound the
+    per-partition sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col)
+    )
+    ranked = scored.withColumn("_k", F.row_number().over(w))
+    rel = F.col(rel_col).cast("boolean")
+    return ranked.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum(rel.cast("long")).cast("long").alias("n_rel"),
+        F.min(F.when(rel, F.col("_k"))).cast("long").alias("first_rel_rank"),
+        F.max(F.when(rel & (F.col("_k") <= 1), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_in_top1"),
+        F.max(F.when(rel & (F.col("_k") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_in_top5"),
+        F.max(F.when(rel & (F.col("_k") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_in_top10"),
     )

@@ -320,3 +320,35 @@ def apportion_budget(
             " AS alloc",
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "stratum",
+    id_col: str = "id",
+) -> DataFrame:
+    """Stratified K-fold assignment: within each stratum, rows order by
+    the Knuth multiplicative shuffle key ``(id · 2654435761) % 2³²``
+    (id tiebreak — deterministic, rerun-stable, and expressible in both
+    engines; ids need not be dense) and fold = (position − 1) % k, so
+    every stratum's rows spread across folds within ±1 of each other —
+    the exact-balance guarantee class-stratified cross-validation
+    needs. → input columns + fold.
+
+    One rank window per stratum partition; 10¹² rows flow through a
+    single range-partitioned sort per stratum. The shuffle key is a
+    bijection on [0, 2³²) so equal-id collisions are impossible for
+    32-bit ids and broken by the id tiebreak otherwise."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {kk}")
+    from pyspark.sql import Window
+
+    shuffle_key = f"(CAST({id_col} AS BIGINT) * 2654435761) % 4294967296"
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.expr(shuffle_key), F.col(id_col)
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % kk).cast("long")
+    )

@@ -90,3 +90,54 @@ def test_scene_cuts(spark):
     assert got == want
     # the (f // 7) jumps make at least one multi-scene video
     assert max(s for (_, _, s) in got.values()) >= 1
+
+
+def test_retrieval_ranks(spark):
+    from morituri_spark.ml.rankstats import retrieval_ranks
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for q in range(30):
+        for c in range(20):
+            rows.append(
+                (q, c, int(rng.integers(0, 1000)), bool(rng.integers(0, 4) == 0))
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "cand_id", "score", "is_rel"])
+    )
+    got = {
+        r.query_id: (r.n_cands, r.n_rel, r.first_rel_rank,
+                     r.rel_in_top1, r.rel_in_top5, r.rel_in_top10)
+        for r in retrieval_ranks(df).collect()
+    }
+    for q in range(30):
+        grp = sorted(
+            (r for r in rows if r[0] == q), key=lambda r: (-r[2], r[1])
+        )
+        ranks = [k + 1 for k, r in enumerate(grp) if r[3]]
+        first = min(ranks) if ranks else None
+        want = (
+            20, len(ranks), first,
+            int(bool(ranks and first <= 1)),
+            int(bool(ranks and first <= 5)),
+            int(bool(ranks and first <= 10)),
+        )
+        assert got[q] == want, q
+
+
+def test_kfold_assign_balance(spark):
+    from morituri_spark.text.sampling import kfold_assign
+
+    rows = [(i % 7, i) for i in range(700)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["stratum", "id"]))
+    got = kfold_assign(df, 5).collect()
+    from collections import Counter
+
+    per = Counter((r.stratum, r.fold) for r in got)
+    # 100 rows per stratum across 5 folds: exactly 20 each
+    assert all(per[(s, f)] == 20 for s in range(7) for f in range(5))
+    # deterministic: rerun produces identical assignment
+    again = {(r.stratum, r.id): r.fold for r in kfold_assign(df, 5).collect()}
+    assert all(again[(r.stratum, r.id)] == r.fold for r in got)
+    # shuffled: fold is not simply id % 5
+    assert any(again[(i % 7, i)] != (i // 7) % 5 for i in range(700))
