@@ -8138,6 +8138,83 @@ def _scene_cuts_oracle_sql() -> str:
     """
 
 
+def _q_retrieval_ranks(spark, sf_dir):
+    """Cross-modal retrieval evaluation (ml/rankstats.retrieval_ranks):
+    40 queries × 20 scored candidates (closed-form scores, every 6th
+    (q + c) pair relevant) rank per query by (score DESC, cand_id) and
+    fold to exact integer recall@k / MRR sufficient statistics —
+    (n_cands, n_rel, first_rel_rank, rel_in_top1/5/10). One window +
+    one map-side-combinable aggregate; the oracle replays the identical
+    windows."""
+    from morituri_spark.ml.rankstats import retrieval_ranks
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 800")
+    scored = ev.selectExpr(
+        "event_id % 40 AS query_id",
+        "CAST(floor(event_id / CAST(40 AS DOUBLE)) AS BIGINT) AS cand_id",
+        "(event_id * 7) % 1000 AS score",
+        "(event_id % 40 + CAST(floor(event_id / CAST(40 AS DOUBLE))"
+        " AS BIGINT)) % 6 = 0 AS is_rel",
+    )
+    return retrieval_ranks(scored)
+
+
+def _retrieval_ranks_oracle_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT event_id % 40 AS q, event_id // 40 AS c,
+                   (event_id * 7) % 1000 AS sc,
+                   (event_id % 40 + event_id // 40) % 6 = 0 AS rel
+            FROM events WHERE event_id < 800),
+        r AS (
+            SELECT q, c, rel,
+                   row_number() OVER (PARTITION BY q ORDER BY sc DESC, c)
+                     AS k
+            FROM s)
+        SELECT CAST(q AS BIGINT) AS query_id,
+               CAST(count(*) AS BIGINT) AS n_cands,
+               CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+               CAST(min(CASE WHEN rel THEN k END) AS BIGINT)
+                 AS first_rel_rank,
+               CAST(max(CASE WHEN rel AND k <= 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rel_in_top1,
+               CAST(max(CASE WHEN rel AND k <= 5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rel_in_top5,
+               CAST(max(CASE WHEN rel AND k <= 10 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rel_in_top10
+        FROM r GROUP BY q
+    """
+
+
+def _q_kfold(spark, sf_dir):
+    """Stratified K-fold assignment (text/sampling.kfold_assign): 700
+    items in 7 strata spread across 5 folds by the Knuth multiplicative
+    shuffle key (id·2654435761 mod 2³²) — deterministic, rerun-stable,
+    exactly balanced (±1 per stratum), and the identical integer
+    expression in the oracle."""
+    from morituri_spark.text.sampling import kfold_assign
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 700")
+    items = ev.selectExpr("event_id % 7 AS stratum", "event_id AS id")
+    return kfold_assign(items, 5)
+
+
+def _kfold_oracle_sql() -> str:
+    return """
+        WITH i AS (
+            SELECT event_id % 7 AS stratum, event_id AS id
+            FROM events WHERE event_id < 700),
+        r AS (
+            SELECT stratum, id,
+                   row_number() OVER (PARTITION BY stratum
+                       ORDER BY (id * 2654435761) % 4294967296, id) AS rn
+            FROM i)
+        SELECT CAST(stratum AS BIGINT) AS stratum, CAST(id AS BIGINT) AS id,
+               CAST((rn - 1) % 5 AS BIGINT) AS fold
+        FROM r
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8304,6 +8381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": _q_spearman,
         "cohen_kappa": _q_kappa,
         "scene_cuts": _q_scene_cuts,
+        # --- twenty-fourth session: retrieval eval + CV splits ---
+        "retrieval_ranks": _q_retrieval_ranks,
+        "kfold_assign": _q_kfold,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8665,6 +8745,15 @@ _WINDOW = [
     # holds the n-gram count-join machinery in-window; the PMI lift
     # arithmetic is pytest-pinned frozen code).
     "spearman_corr", "cohen_kappa", "scene_cuts",
+    # twenty-fourth-session rotation: retrieval-rank eval and K-fold
+    # assignment are the freshest code and enter per the code-risk
+    # rule. Released — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: grid_density_clusters
+    # (the cell-lattice machinery keeps local_morans_lisa +
+    # adaptive_quadtree_cells in-window) and poly_dissolve_stats (the
+    # additive area rollup runs in-window via segment_zone_lengths;
+    # the shoelace fold is pytest-golden-pinned).
+    "retrieval_ranks", "kfold_assign",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -8695,7 +8784,7 @@ _WINDOW = [
     # runs in-window END-TO-END inside image_edge_hough, which composes
     # Sobel edges into the same Hough vote code path; pytest-pinned,
     # sweep-EQUAL, replica-checked.)
-    "poly_dissolve_stats", "image_morphology",
+    "image_morphology",
     # (collocation_pmi and image_edge_hough enter under the same rule,
     # releasing zone_convex_hulls — its oracle is a CLOSED-FORM vertex
     # list, the golden-pin evidence class that zsplit/ring-chunk releases
@@ -8738,7 +8827,7 @@ _WINDOW = [
     # compose the same neighbor-window Gi* grid, grid_density_clusters
     # the same cell-count rollup. grid_hotspot_cells stays sweep-EQUAL,
     # pytest-covered, and replica-checked.)
-    "grid_density_clusters", "color_histogram_dups",
+    "color_histogram_dups",
     "semdedup_keep_flags",
     # (gwr_surface_betas enters per the code-risk rule, releasing
     # idw_surface_cells: GWR is the same bin → 9-way neighbor explode →
@@ -10205,6 +10294,8 @@ def oracle_sql() -> dict[str, str]:
         "spearman_corr": _spearman_oracle_sql(),
         "cohen_kappa": _kappa_oracle_sql(),
         "scene_cuts": _scene_cuts_oracle_sql(),
+        "retrieval_ranks": _retrieval_ranks_oracle_sql(),
+        "kfold_assign": _kfold_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

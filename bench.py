@@ -2416,6 +2416,50 @@ def main() -> None:
     )
     sc_hists.unpersist()
 
+    # twenty-fourth session: retrieval-rank eval (20M scored pairs, one
+    # window + one aggregate), K-fold assignment (20M rows, one rank
+    # window per stratum)
+    from morituri_spark.ml.rankstats import retrieval_ranks
+    from morituri_spark.text.sampling import kfold_assign
+
+    rr_scored = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "id % 1000000 AS query_id",
+            "CAST(floor(id / 1000000.0) AS BIGINT) AS cand_id",
+            "(id * 7) % 100000 AS score",
+            "(id % 1000000 + CAST(floor(id / 1000000.0) AS BIGINT)) % 6 = 0"
+            " AS is_rel",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    rr_scored.count()
+    timed(
+        "retrieval_ranks_20m_pairs",
+        lambda: retrieval_ranks(rr_scored)
+        .agg(
+            F.sum("first_rel_rank"), F.sum("rel_in_top5"), F.count(F.lit(1))
+        )
+        .collect(),
+    )
+    rr_scored.unpersist()
+
+    kf_rows = (
+        spark.range(20_000_000)
+        .selectExpr("id % 100000 AS stratum", "id")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    kf_rows.count()
+    timed(
+        "kfold_20m_rows",
+        lambda: kfold_assign(kf_rows, 10)
+        .agg(F.bit_xor(F.xxhash64("stratum", "id", "fold")), F.count(F.lit(1)))
+        .collect(),
+    )
+    kf_rows.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
