@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["spearman_stats", "cohen_kappa_stats", "retrieval_ranks"]
+__all__ = [
+    "spearman_stats",
+    "cohen_kappa_stats",
+    "retrieval_ranks",
+    "roc_auc_stats",
+    "calibration_bins",
+]
 
 
 def spearman_stats(
@@ -141,4 +147,107 @@ def retrieval_ranks(
         F.max(F.when(rel & (F.col("_k") <= 10), 1).otherwise(0))
         .cast("long")
         .alias("rel_in_top10"),
+    )
+
+
+def roc_auc_stats(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC-AUC sufficient statistics, EXACT rational: AUC is
+    the Mann–Whitney statistic ``P(score⁺ > score⁻) + ½·P(=)``, so with
+    integer (or quantized) scores ``2·AUC·n_pos·n_neg`` is an integer —
+    → (group, n_pos, n_neg, auc_num2) with
+    ``auc = auc_num2 / (2·n_pos·n_neg)`` (the caller performs the one
+    division; groups with n_pos·n_neg = 0 have undefined AUC and emit
+    auc_num2 = 0).
+
+    labels must be 0/1. Shape: one hash aggregate collapses 10¹² scored
+    rows to the per-(group, score) distinct-value relation (bounded by
+    score cardinality — quantized model scores, not row count), one
+    cumulative window over that tiny relation's per-group sort
+    (negatives strictly below each score value), one final
+    map-side-combinable aggregate. No per-pair work anywhere — the
+    O(n_pos·n_neg) pair sum is folded through the cumulative counts.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_v = base.groupBy("_g", "_s").agg(
+        F.sum("_y").cast("long").alias("_np"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_v.withColumn(
+        "_below", F.coalesce(F.sum("_nn").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        cum.groupBy("_g")
+        .agg(
+            F.sum("_np").cast("long").alias("n_pos"),
+            F.sum("_nn").cast("long").alias("n_neg"),
+            F.sum(
+                F.col("_np") * (2 * F.col("_below") + F.col("_nn"))
+            )
+            .cast("long")
+            .alias("auc_num2"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_col: str,
+    conf_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    conf_scale: int = 1000,
+) -> DataFrame:
+    """Per-(group, bin) calibration sufficient statistics, EXACT: confs
+    are integers in [0, conf_scale] (per-mille by default), bin =
+    ``min(conf·n_bins DIV conf_scale, n_bins−1)`` (the right edge folds
+    into the last bin), and each bin row carries
+    ``gap_num = |conf_scale·n_pos − sum_conf|`` — so the expected
+    calibration error is the exact rational
+    ``ECE = Σ_bins gap_num / (conf_scale·N)`` with NO float until the
+    caller's one division (|acc − avg_conf| per bin =
+    gap_num / (conf_scale·n)).
+
+    → (group, bin, n, n_pos, sum_conf, gap_num). labels must be 0/1,
+    confs non-negative (DIV ≡ ``//`` on non-negatives). ONE
+    map-side-combinable hash aggregate over 10¹² rows; output
+    cardinality is groups × n_bins."""
+    nb = int(n_bins)
+    cs = int(conf_scale)
+    binned = df.selectExpr(
+        f"{group_col} AS _g",
+        f"least(CAST({conf_col} AS BIGINT) * {nb} div {cs}, "
+        f"CAST({nb - 1} AS BIGINT)) AS _bin",
+        f"CAST({conf_col} AS BIGINT) AS _c",
+        f"CAST({label_col} AS BIGINT) AS _y",
+    )
+    return (
+        binned.groupBy("_g", "_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("_c").cast("long").alias("sum_conf"),
+        )
+        .selectExpr(
+            f"_g AS {group_col}",
+            "_bin AS bin",
+            "n",
+            "n_pos",
+            "sum_conf",
+            f"abs({cs} * n_pos - sum_conf) AS gap_num",
+        )
     )

@@ -48,6 +48,7 @@ __all__ = [
     "exif_orient_boxes",
     "iou_tracklets",
     "letterbox_boxes",
+    "homography_boxes",
 ]
 
 _BOX_COLS = ("box_id", "x0", "y0", "x1", "y1", "score")
@@ -643,3 +644,75 @@ def letterbox_boxes(
         "pad_x", "pad_y",
         f"CAST({s} AS BIGINT) * 1000000 div _m AS scale_micro",
     ).drop("_m")
+
+
+def homography_boxes(
+    boxes: DataFrame,
+    size: int = 640,
+    h_prefix: str = "h",
+) -> DataFrame:
+    """Projective (homography) box remapping — the last warp class after
+    the affine family (letterbox/mosaic/EXIF): each row carries an
+    integer 3×3 homography ``h00..h22`` (row-major, ``h{r}{c}``); the
+    four box corners map through
+    ``x' = (h00·x + h01·y + h02) / (h20·x + h21·y + h22)`` and the
+    output box is the axis-aligned hull of the mapped corners in MICRO
+    pixels, clipped to the ``size``-square canvas.
+
+    Determinism contract: numerators stay ≤ ~2·10¹³ (integer H entries ×
+    integer corners × 10⁶), far below 2⁵³, so the shared expression
+    ``CAST(floor(num · 1000000.0 / den) AS BIGINT)`` (rule 28) is
+    bit-identical in Spark and DuckDB — one exact IEEE division + floor
+    per corner coordinate, no other rounding surface. A corner whose
+    denominator is ≤ 0 lies on or behind the camera plane: the row
+    emits ``valid = false`` with NULL coordinates (audit-friendly; the
+    caller filters) — clipping a half-projected box would fabricate
+    geometry.
+
+    → input columns with (x0, y0, x1, y1) rewritten to clipped micro
+    coordinates plus ``valid``. Pure codegen projection staged per rule
+    9 (denominators → mapped corners → hull/clip as separate projected
+    columns); zero exchanges, 10¹² boxes partition freely."""
+    s_micro = int(size) * 1000000
+    p = h_prefix
+    keep = [c for c in boxes.columns if c not in ("x0", "y0", "x1", "y1")]
+    corners = {"a": ("x0", "y0"), "b": ("x1", "y0"),
+               "c": ("x0", "y1"), "d": ("x1", "y1")}
+    dens = boxes.selectExpr(
+        *boxes.columns,
+        *[
+            f"CAST({p}20 * {cx} + {p}21 * {cy} + {p}22 AS BIGINT) AS _den_{k}"
+            for k, (cx, cy) in corners.items()
+        ],
+    )
+    mapped = dens.selectExpr(
+        *boxes.columns,
+        "(_den_a > 0 AND _den_b > 0 AND _den_c > 0 AND _den_d > 0)"
+        " AS valid",
+        *[
+            f"CAST(floor(CAST({p}00 * {cx} + {p}01 * {cy} + {p}02"
+            f" AS BIGINT) * 1000000.0 / _den_{k}) AS BIGINT) AS _mx_{k}"
+            for k, (cx, cy) in corners.items()
+        ],
+        *[
+            f"CAST(floor(CAST({p}10 * {cx} + {p}11 * {cy} + {p}12"
+            f" AS BIGINT) * 1000000.0 / _den_{k}) AS BIGINT) AS _my_{k}"
+            for k, (cx, cy) in corners.items()
+        ],
+    )
+    clip = (
+        lambda e: f"greatest(CAST(0 AS BIGINT), least(CAST({s_micro} AS"
+        f" BIGINT), {e}))"
+    )
+    return mapped.selectExpr(
+        *keep,
+        "valid",
+        f"CASE WHEN valid THEN {clip('least(_mx_a, _mx_b, _mx_c, _mx_d)')}"
+        " END AS x0",
+        f"CASE WHEN valid THEN {clip('least(_my_a, _my_b, _my_c, _my_d)')}"
+        " END AS y0",
+        f"CASE WHEN valid THEN {clip('greatest(_mx_a, _mx_b, _mx_c, _mx_d)')}"
+        " END AS x1",
+        f"CASE WHEN valid THEN {clip('greatest(_my_a, _my_b, _my_c, _my_d)')}"
+        " END AS y1",
+    )

@@ -182,3 +182,62 @@ def test_mask_rle_all_zero_and_all_one(spark):
     )
     got = {(r.image_id, r.run_idx, r.start, r.length) for r in mask_rle_runs(df).collect()}
     assert got == {("o", 1, 0, 15)}
+
+
+def test_homography_boxes_loop_reference(spark):
+    import math
+
+    from morituri_spark.multimodal.detections import homography_boxes
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(80):
+        x0, y0 = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        rows.append((
+            f"b{i:03d}", x0, y0,
+            x0 + 4 + int(rng.integers(0, 12)),
+            y0 + 4 + int(rng.integers(0, 10)),
+            90 + i % 20, (i % 7) - 3, (i * 11) % 50,
+            (i % 5) - 2, 90 + (3 * i) % 20, (i * 13) % 50,
+            (i % 3) - 1, (i % 5) - 2, 30 + (i * 7) % 600,
+        ))
+    cols = ["box_id", "x0", "y0", "x1", "y1",
+            "h00", "h01", "h02", "h10", "h11", "h12", "h20", "h21", "h22"]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    got = {r.box_id: (r.valid, r.x0, r.y0, r.x1, r.y1)
+           for r in homography_boxes(df, size=96).collect()}
+    assert len(got) == 80
+    n_invalid = 0
+    for row in rows:
+        bid, x0, y0, x1, y1 = row[:5]
+        h = row[5:]
+        corners = [(x0, y0), (x1, y0), (x0, y1), (x1, y1)]
+        dens = [h[6] * cx + h[7] * cy + h[8] for cx, cy in corners]
+        if min(dens) <= 0:
+            n_invalid += 1
+            assert got[bid] == (False, None, None, None, None), bid
+            continue
+        xs = [math.floor((h[0] * cx + h[1] * cy + h[2]) * 1000000.0 / d)
+              for (cx, cy), d in zip(corners, dens)]
+        ys = [math.floor((h[3] * cx + h[4] * cy + h[5]) * 1000000.0 / d)
+              for (cx, cy), d in zip(corners, dens)]
+        clip = lambda v: max(0, min(96 * 1000000, v))
+        assert got[bid] == (
+            True, clip(min(xs)), clip(min(ys)),
+            clip(max(xs)), clip(max(ys)),
+        ), bid
+    # the fixture must actually exercise the behind-camera path
+    assert n_invalid > 0
+
+
+def test_homography_identity_is_micro_scale(spark):
+    from morituri_spark.multimodal.detections import homography_boxes
+
+    rows = [("a", 3, 5, 10, 12, 1, 0, 0, 0, 1, 0, 0, 0, 1)]
+    cols = ["box_id", "x0", "y0", "x1", "y1",
+            "h00", "h01", "h02", "h10", "h11", "h12", "h20", "h21", "h22"]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    r = homography_boxes(df, size=640).collect()[0]
+    assert (r.valid, r.x0, r.y0, r.x1, r.y1) == (
+        True, 3_000_000, 5_000_000, 10_000_000, 12_000_000
+    )

@@ -141,3 +141,103 @@ def test_kfold_assign_balance(spark):
     assert all(again[(r.stratum, r.id)] == r.fold for r in got)
     # shuffled: fold is not simply id % 5
     assert any(again[(i % 7, i)] != (i // 7) % 5 for i in range(700))
+
+
+def test_roc_auc_loop_reference(spark):
+    from morituri_spark.ml.rankstats import roc_auc_stats
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(5):
+        for i in range(120):
+            y = int(rng.integers(0, 2))
+            # positives shifted up so AUC is meaningfully > 0.5, with
+            # heavy ties (scores quantized to 12 levels)
+            s = int(rng.integers(0, 12)) + 3 * y
+            rows.append((g, s, y))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "s", "y"]))
+    got = {
+        r.g: (r.n_pos, r.n_neg, r.auc_num2)
+        for r in roc_auc_stats(df, "g", "s", "y").collect()
+    }
+    for g in range(5):
+        pos = [r[1] for r in rows if r[0] == g and r[2] == 1]
+        neg = [r[1] for r in rows if r[0] == g and r[2] == 0]
+        num2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        assert got[g] == (len(pos), len(neg), num2), g
+        auc = num2 / (2 * len(pos) * len(neg))
+        assert 0.5 < auc <= 1.0
+
+
+def test_roc_auc_degenerate_groups(spark):
+    from morituri_spark.ml.rankstats import roc_auc_stats
+
+    rows = [("all_pos", 5, 1), ("all_pos", 7, 1), ("all_neg", 3, 0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "s", "y"]))
+    got = {
+        r.g: (r.n_pos, r.n_neg, r.auc_num2)
+        for r in roc_auc_stats(df, "g", "s", "y").collect()
+    }
+    assert got == {"all_pos": (2, 0, 0), "all_neg": (0, 1, 0)}
+
+
+def test_roc_auc_perfect_separation(spark):
+    from morituri_spark.ml.rankstats import roc_auc_stats
+
+    rows = [("g", s, 0) for s in range(10)] + [
+        ("g", s, 1) for s in range(10, 20)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "s", "y"]))
+    r = roc_auc_stats(df, "g", "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (10, 10)
+    assert r.auc_num2 == 2 * 10 * 10  # AUC exactly 1.0
+
+
+def test_calibration_bins_loop_reference(spark):
+    from morituri_spark.ml.rankstats import calibration_bins
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g in range(4):
+        for i in range(200):
+            c = int(rng.integers(0, 1001))  # includes the 1000 edge
+            y = int(rng.random() * 1000 < c)
+            rows.append((g, c, y))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "c", "y"]))
+    got = {
+        (r.g, r.bin): (r.n, r.n_pos, r.sum_conf, r.gap_num)
+        for r in calibration_bins(df, "g", "c", "y", n_bins=10).collect()
+    }
+    want = {}
+    for g, c, y in rows:
+        b = min(c * 10 // 1000, 9)
+        n, np_, sc, _ = want.get((g, b), (0, 0, 0, 0))
+        want[(g, b)] = (n + 1, np_ + y, sc + c, 0)
+    want = {
+        k: (n, np_, sc, abs(1000 * np_ - sc))
+        for k, (n, np_, sc, _) in want.items()
+    }
+    assert got == want
+    # ECE identity: sum(gap_num) / (1000 * N) == sum over bins of
+    # (n_b / N) * |acc_b - conf_b|
+    for g in range(4):
+        bins = [v for k, v in want.items() if k[0] == g]
+        N = sum(b[0] for b in bins)
+        ece_exact = sum(b[3] for b in bins) / (1000 * N)
+        ece_float = sum(
+            (n / N) * abs(np_ / n - sc / (1000 * n))
+            for n, np_, sc, _ in bins
+        )
+        assert abs(ece_exact - ece_float) < 1e-12
+
+
+def test_calibration_right_edge_folds_into_last_bin(spark):
+    from morituri_spark.ml.rankstats import calibration_bins
+
+    rows = [("g", 1000, 1), ("g", 999, 1), ("g", 0, 0), ("g", 100, 0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "c", "y"]))
+    got = {r.bin: (r.n, r.n_pos, r.sum_conf) for r in calibration_bins(
+        df, "g", "c", "y").collect()}
+    assert got == {9: (2, 2, 1999), 0: (1, 0, 0), 1: (1, 0, 100)}
