@@ -8215,6 +8215,182 @@ def _kfold_oracle_sql() -> str:
     """
 
 
+def _q_roc_auc(spark, sf_dir):
+    """Exact rational ROC-AUC sufficient statistics (ml/rankstats.
+    roc_auc_stats): 6000 scored items in 6 groups with closed-form
+    labels (per-group prevalence varies) and scores quantized to ≤59
+    levels with positives shifted up — AUC = auc_num2/(2·n_pos·n_neg)
+    via the Mann–Whitney pair count folded through cumulative
+    distinct-score counts (ties count ½, so 2·AUC·n⁺·n⁻ is an exact
+    BIGINT). The oracle replays the identical cumulative window."""
+    from morituri_spark.ml.rankstats import roc_auc_stats
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 6000")
+    scored = ev.selectExpr(
+        "event_id % 6 AS g",
+        "event_id AS id",
+        "CASE WHEN (event_id * 13) % 97 < 40 + (event_id % 6) * 5"
+        " THEN 1 ELSE 0 END AS y",
+    ).selectExpr("g", "CAST((id * 7) % 50 + y * 9 AS BIGINT) AS s", "y")
+    return roc_auc_stats(scored, "g", "s", "y")
+
+
+def _roc_auc_oracle_sql() -> str:
+    return """
+        WITH sc AS (
+            SELECT event_id % 6 AS g,
+                   CAST((event_id * 7) % 50
+                        + (CASE WHEN (event_id * 13) % 97
+                                     < 40 + (event_id % 6) * 5
+                                THEN 1 ELSE 0 END) * 9 AS BIGINT) AS s,
+                   CASE WHEN (event_id * 13) % 97 < 40 + (event_id % 6) * 5
+                        THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_id < 6000),
+        v AS (
+            SELECT g, s, sum(y) AS np, sum(1 - y) AS nn
+            FROM sc GROUP BY g, s),
+        c AS (
+            SELECT g, np, nn,
+                   coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS below
+            FROM v)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num2
+        FROM c GROUP BY g
+    """
+
+
+def _q_calibration(spark, sf_dir):
+    """Exact calibration bins + ECE numerator (ml/rankstats.
+    calibration_bins): 8000 predictions in 4 groups, per-mille
+    confidences 0..1000 (the right edge folds into bin 9) with
+    closed-form nearly-calibrated labels — per-(group, bin) rows carry
+    gap_num = |1000·n_pos − sum_conf| so ECE = Σ gap_num/(1000·N) with
+    zero float until the caller's division. ONE hash aggregate; the
+    oracle replays the identical bin arithmetic (DIV ≡ // on
+    non-negatives)."""
+    from morituri_spark.ml.rankstats import calibration_bins
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 8000")
+    preds = ev.selectExpr(
+        "event_id % 4 AS g",
+        "(event_id * 31) % 1001 AS c",
+        "CASE WHEN (event_id * 17) % 1000 < (event_id * 31) % 1001"
+        " THEN 1 ELSE 0 END AS y",
+    )
+    return calibration_bins(preds, "g", "c", "y", n_bins=10)
+
+
+def _calibration_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT event_id % 4 AS g,
+                   (event_id * 31) % 1001 AS c,
+                   CASE WHEN (event_id * 17) % 1000
+                             < (event_id * 31) % 1001
+                        THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_id < 8000),
+        b AS (
+            SELECT g, least(c * 10 // 1000, 9) AS bin, c, y FROM p)
+        SELECT CAST(g AS BIGINT) AS g, CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(c) AS BIGINT) AS sum_conf,
+               CAST(abs(1000 * sum(y) - sum(c)) AS BIGINT) AS gap_num
+        FROM b GROUP BY g, bin
+    """
+
+
+def _q_homography(spark, sf_dir):
+    """Projective homography box remap (multimodal/detections.
+    homography_boxes): the 200-image closed-form boxes carry integer
+    3×3 homographies with perspective terms; corners map through
+    (h0·p)/(h2·p) in exact shared arithmetic — numerators ≤ 2·10¹³
+    stay below 2⁵³, so CAST(floor(num·10⁶/den) AS BIGINT) is
+    bit-identical in both engines (rule 28) — the output box is the
+    clipped axis-aligned hull in micro pixels, and corners on/behind
+    the camera plane (den ≤ 0, present in the fixture) emit
+    valid = 0 with NULL coordinates. Pure codegen, zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from morituri_spark.multimodal.detections import homography_boxes
+
+    boxes = _det_boxes(spark, sf_dir, 200, 3).selectExpr(
+        "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+        "CAST(substr(image_id, 4) AS BIGINT) AS _i",
+    ).selectExpr(
+        "image_id", "box_id", "x0", "y0", "x1", "y1", "score",
+        "90 + _i % 20 AS h00", "(_i % 7) - 3 AS h01",
+        "(_i * 11) % 50 AS h02",
+        "(_i % 5) - 2 AS h10", "90 + (3 * _i) % 20 AS h11",
+        "(_i * 13) % 50 AS h12",
+        "(_i % 3) - 1 AS h20", "(_i % 5) - 2 AS h21",
+        "30 + (_i * 7) % 600 AS h22",
+    )
+    out = homography_boxes(boxes, size=96)
+    return out.withColumn("valid", F.col("valid").cast("long"))
+
+
+def _homography_oracle_sql() -> str:
+    b_sql = _DET_BOX_SQL.format(shift=0, per_img=3, n_rows=600)
+    corners = {"a": ("x0", "y0"), "b": ("x1", "y0"),
+               "c": ("x0", "y1"), "d": ("x1", "y1")}
+    den_exprs = ",\n                   ".join(
+        f"h20 * {cx} + h21 * {cy} + h22 AS den_{k}"
+        for k, (cx, cy) in corners.items()
+    )
+    map_exprs = ",\n                   ".join(
+        f"CAST(floor((h00 * {cx} + h01 * {cy} + h02) * 1000000.0"
+        f" / (CASE WHEN den_{k} > 0 THEN den_{k} ELSE 1 END))"
+        f" AS BIGINT) AS mx_{k},\n                   "
+        f"CAST(floor((h10 * {cx} + h11 * {cy} + h12) * 1000000.0"
+        f" / (CASE WHEN den_{k} > 0 THEN den_{k} ELSE 1 END))"
+        f" AS BIGINT) AS my_{k}"
+        for k, (cx, cy) in corners.items()
+    )
+    clip = (
+        lambda e: "CAST(CASE WHEN valid THEN greatest(0, least(96000000,"
+        f" {e})) END AS BIGINT)"
+    )
+    return f"""
+        WITH b AS (
+            SELECT q.*,
+                   90 + i % 20 AS h00, (i % 7) - 3 AS h01,
+                   (i * 11) % 50 AS h02,
+                   (i % 5) - 2 AS h10, 90 + (3 * i) % 20 AS h11,
+                   (i * 13) % 50 AS h12,
+                   (i % 3) - 1 AS h20, (i % 5) - 2 AS h21,
+                   30 + (i * 7) % 600 AS h22
+            FROM ({b_sql}) q),
+        d AS (
+            SELECT b.*,
+                   {den_exprs}
+            FROM b),
+        m AS (
+            SELECT d.*,
+                   (den_a > 0 AND den_b > 0 AND den_c > 0 AND den_d > 0)
+                     AS valid,
+                   {map_exprs}
+            FROM d)
+        SELECT printf('img%08d', i) AS image_id,
+               CAST(j AS BIGINT) AS box_id, CAST(s AS BIGINT) AS score,
+               CAST(h00 AS BIGINT) AS h00, CAST(h01 AS BIGINT) AS h01,
+               CAST(h02 AS BIGINT) AS h02, CAST(h10 AS BIGINT) AS h10,
+               CAST(h11 AS BIGINT) AS h11, CAST(h12 AS BIGINT) AS h12,
+               CAST(h20 AS BIGINT) AS h20, CAST(h21 AS BIGINT) AS h21,
+               CAST(h22 AS BIGINT) AS h22,
+               CAST(valid AS BIGINT) AS valid,
+               {clip('least(mx_a, mx_b, mx_c, mx_d)')} AS x0,
+               {clip('least(my_a, my_b, my_c, my_d)')} AS y0,
+               {clip('greatest(mx_a, mx_b, mx_c, mx_d)')} AS x1,
+               {clip('greatest(my_a, my_b, my_c, my_d)')} AS y1
+        FROM m
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8384,6 +8560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- twenty-fourth session: retrieval eval + CV splits ---
         "retrieval_ranks": _q_retrieval_ranks,
         "kfold_assign": _q_kfold,
+        # --- twenty-fifth session: classifier eval + projective warp ---
+        "roc_auc_groups": _q_roc_auc,
+        "calibration_ece": _q_calibration,
+        "homography_boxes": _q_homography,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8731,7 +8911,7 @@ _WINDOW = [
     # bpe_train_merges (the pair-count merge machinery's n-gram count
     # family runs in-window via bleu_captions + collocation_pmi; the
     # iterative merge loop is pytest-pinned frozen code).
-    "iou_tracklets", "letterbox_boxes",
+    "iou_tracklets",
     # twenty-third-session rotation: Spearman stats, Cohen's kappa, and
     # scene-cut segmentation are the freshest code and enter per the
     # code-risk rule. Released — frozen, sweep-EQUAL, pytest-pinned,
@@ -8744,7 +8924,7 @@ _WINDOW = [
     # scene_cuts cumulative window), and collocation_pmi (bleu_captions
     # holds the n-gram count-join machinery in-window; the PMI lift
     # arithmetic is pytest-pinned frozen code).
-    "spearman_corr", "cohen_kappa", "scene_cuts",
+    "scene_cuts",
     # twenty-fourth-session rotation: retrieval-rank eval and K-fold
     # assignment are the freshest code and enter per the code-risk
     # rule. Released — frozen, sweep-EQUAL, pytest-pinned,
@@ -8754,6 +8934,19 @@ _WINDOW = [
     # additive area rollup runs in-window via segment_zone_lengths;
     # the shoelace fold is pytest-golden-pinned).
     "retrieval_ranks", "kfold_assign",
+    # twenty-fifth-session rotation: exact ROC-AUC + calibration-bin
+    # stats and the projective homography box remap are the freshest
+    # code and enter per the code-risk rule. Released — frozen,
+    # sweep-EQUAL, pytest-pinned vs loop references, replica-checked,
+    # with in-window siblings: spearman_corr + cohen_kappa (the exact
+    # integer-sufficient-statistic evaluation family keeps
+    # retrieval_ranks, kfold_assign, confusion_matrix, AND the two
+    # entering rankstats members in-window — the entering pair lives in
+    # the same module and evidence class) and letterbox_boxes (the
+    # integral `div` box-warp arithmetic keeps mosaic_boxes +
+    # exif_boxes in-window plus the entering homography_boxes, the
+    # strictly richer projective superset of the warp family).
+    "roc_auc_groups", "calibration_ece", "homography_boxes",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10296,6 +10489,9 @@ def oracle_sql() -> dict[str, str]:
         "scene_cuts": _scene_cuts_oracle_sql(),
         "retrieval_ranks": _retrieval_ranks_oracle_sql(),
         "kfold_assign": _kfold_oracle_sql(),
+        "roc_auc_groups": _roc_auc_oracle_sql(),
+        "calibration_ece": _calibration_oracle_sql(),
+        "homography_boxes": _homography_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2460,6 +2460,71 @@ def main() -> None:
     )
     kf_rows.unpersist()
 
+    # twenty-fifth session: exact ROC-AUC (50M scored rows collapse to a
+    # 64×59-value distinct relation before the cumulative window — the
+    # pair sum never materializes), calibration bins (50M rows, ONE hash
+    # aggregate), homography box remap (20M boxes, pure codegen)
+    from morituri_spark.ml.rankstats import calibration_bins, roc_auc_stats
+    from morituri_spark.multimodal.detections import homography_boxes
+
+    ev_scored = (
+        spark.range(50_000_000)
+        .selectExpr(
+            "id % 64 AS g",
+            "CASE WHEN (id * 13) % 97 < 45 THEN 1 ELSE 0 END AS y",
+            "(id * 31) % 1001 AS c",
+        )
+        .selectExpr("g", "(c * 50) div 1001 + y * 9 AS s", "y", "c")
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ev_scored.count()
+    timed(
+        "roc_auc_50m_rows",
+        lambda: roc_auc_stats(ev_scored, "g", "s", "y")
+        .agg(F.sum("auc_num2"), F.sum("n_pos"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "calibration_50m_rows",
+        lambda: calibration_bins(ev_scored, "g", "c", "y", n_bins=10)
+        .agg(F.sum("gap_num"), F.sum("sum_conf"), F.count(F.lit(1)))
+        .collect(),
+    )
+    ev_scored.unpersist()
+
+    hg_boxes = (
+        spark.range(20_000_000)
+        .selectExpr(
+            "printf('img%09d', id div 3) AS image_id",
+            "id % 3 AS box_id",
+            "(id * 3) % 400 AS x0",
+            "(id * 5) % 400 AS y0",
+            "(id * 3) % 400 + 4 + id % 120 AS x1",
+            "(id * 5) % 400 + 4 + (2 * id) % 100 AS y1",
+            "90 + id % 20 AS h00", "(id % 7) - 3 AS h01",
+            "(id * 11) % 50 AS h02",
+            "(id % 5) - 2 AS h10", "90 + (3 * id) % 20 AS h11",
+            "(id * 13) % 50 AS h12",
+            "(id % 3) - 1 AS h20", "(id % 5) - 2 AS h21",
+            "30 + (id * 7) % 6000 AS h22",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    hg_boxes.count()
+    timed(
+        "homography_20m_boxes",
+        lambda: homography_boxes(hg_boxes, size=640)
+        .agg(
+            F.bit_xor(F.xxhash64("image_id", "box_id", "x0", "y1", "valid")),
+            F.sum(F.col("valid").cast("long")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    hg_boxes.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",

@@ -680,9 +680,19 @@ def homography_boxes(
                "c": ("x0", "y1"), "d": ("x1", "y1")}
     dens = boxes.selectExpr(
         *boxes.columns,
+        # the division below uses the GUARDED denominator (≤ 0 → 1) so a
+        # corner exactly on the camera plane (den = 0) can't trip ANSI
+        # divide-by-zero — the garbage quotient of an invalid corner is
+        # masked to NULL by the `valid` CASE, never observable
         *[
             f"CAST({p}20 * {cx} + {p}21 * {cy} + {p}22 AS BIGINT) AS _den_{k}"
             for k, (cx, cy) in corners.items()
+        ],
+    ).selectExpr(
+        "*",
+        *[
+            f"CASE WHEN _den_{k} > 0 THEN _den_{k} ELSE 1 END AS _sden_{k}"
+            for k in corners
         ],
     )
     mapped = dens.selectExpr(
@@ -691,12 +701,12 @@ def homography_boxes(
         " AS valid",
         *[
             f"CAST(floor(CAST({p}00 * {cx} + {p}01 * {cy} + {p}02"
-            f" AS BIGINT) * 1000000.0 / _den_{k}) AS BIGINT) AS _mx_{k}"
+            f" AS BIGINT) * 1000000.0 / _sden_{k}) AS BIGINT) AS _mx_{k}"
             for k, (cx, cy) in corners.items()
         ],
         *[
             f"CAST(floor(CAST({p}10 * {cx} + {p}11 * {cy} + {p}12"
-            f" AS BIGINT) * 1000000.0 / _den_{k}) AS BIGINT) AS _my_{k}"
+            f" AS BIGINT) * 1000000.0 / _sden_{k}) AS BIGINT) AS _my_{k}"
             for k, (cx, cy) in corners.items()
         ],
     )
