@@ -22,6 +22,7 @@ __all__ = [
     "retrieval_ranks",
     "roc_auc_stats",
     "calibration_bins",
+    "brier_stats",
 ]
 
 
@@ -250,4 +251,40 @@ def calibration_bins(
             "sum_conf",
             f"abs({cs} * n_pos - sum_conf) AS gap_num",
         )
+    )
+
+
+def brier_stats(
+    df: DataFrame,
+    group_col: str,
+    conf_col: str,
+    label_col: str,
+    conf_scale: int = 1000,
+) -> DataFrame:
+    """Per-group Brier-score sufficient statistics, EXACT: with integer
+    confidences in [0, conf_scale] and 0/1 labels,
+    ``brier_num = Σ (conf_scale·y − c)²`` is an exact BIGINT and
+    ``Brier = brier_num / (n·conf_scale²)`` is the caller's one
+    division. Pairs with :func:`calibration_bins` (reliability) and
+    :func:`roc_auc_stats` (ranking) to complete the classifier-eval
+    triple — a scorer can rank well (high AUC) and still be
+    mis-calibrated (high Brier); training-data quality gates need both.
+
+    → (group, n, brier_num). ONE map-side-combinable hash aggregate
+    over 10¹² rows; squared residuals peak at conf_scale² = 10⁶, so
+    2⁶³ overflows only past 9·10¹² rows per group — repartition groups
+    or lower conf_scale before that."""
+    cs = int(conf_scale)
+    base = df.selectExpr(
+        f"{group_col} AS _g",
+        f"CAST({cs} AS BIGINT) * CAST({label_col} AS BIGINT)"
+        f" - CAST({conf_col} AS BIGINT) AS _r",
+    )
+    return (
+        base.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_r") * F.col("_r")).cast("long").alias("brier_num"),
+        )
+        .withColumnRenamed("_g", group_col)
     )

@@ -61,3 +61,49 @@ def pattern_hit_counts(
         joined.select(F.col(doc_id), "needle", hits.alias("hits"))
         .where(F.col("hits") > 0)
     )
+
+
+def url_domain_counts(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL-domain mining over a corpus → (domain, n_hits, n_docs):
+    every ``http(s)://host`` occurrence is extracted with the shared
+    pattern ``https?://([a-z0-9.-]+)`` over the LOWER-CASED text, then
+    one aggregate counts total hits and distinct source documents per
+    domain — the provenance-audit / source-mix primitive of a crawl
+    pipeline (which hosts dominate the corpus?).
+
+    Engine-parity contract: the pattern is a single greedy character
+    class with no alternation-ambiguity or backtracking surface, so
+    Java regex (Spark) and RE2-style (DuckDB ``regexp_extract_all``
+    with group 1) extract identical spans; case is folded by
+    ``lower()`` BEFORE matching in both engines rather than via regex
+    flags (whose syntax differs).
+
+    Shape: extraction is a JVM-side projection + explode (no Python);
+    the per-domain rollup is a two-level hash aggregate —
+    (domain, doc) pre-aggregation collapses per-doc repeats map-side,
+    then the domain level sums hits and counts rows, so 10¹² docs
+    shuffle only their distinct (domain, doc) pairs. Domains follow a
+    Zipf law: a hot CDN domain still reduces through partial
+    aggregation, never a single-task sort."""
+    hits = (
+        docs.select(
+            F.col(doc_id).alias("_d"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    " 'https?://([a-z0-9.-]+)', 1)"
+                )
+            ).alias("domain"),
+        )
+    )
+    per_doc = hits.groupBy("domain", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_h")
+    )
+    return per_doc.groupBy("domain").agg(
+        F.sum("_h").cast("long").alias("n_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

@@ -40,3 +40,23 @@ def test_case_folding_and_empty_needle(spark):
 def test_zero_hits_omitted(spark):
     got = _run(spark, [(1, "abc")], ["xyz"])
     assert got == {}
+
+
+def test_url_domain_counts(spark):
+    import pandas as pd
+
+    from morituri_spark.text.patterns import url_domain_counts
+
+    rows = [
+        (0, "see HTTP://Foo.COM/x and https://foo.com/y plus http://bar.org"),
+        (1, "nothing here"),
+        (2, "https://foo.com twice https://foo.com/z"),
+        (3, "edge https://sub.domain-x.co.uk/path?q=1 end"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.domain: (r.n_hits, r.n_docs) for r in url_domain_counts(df).collect()}
+    assert got == {
+        "foo.com": (4, 2),
+        "bar.org": (1, 1),
+        "sub.domain-x.co.uk": (1, 1),
+    }

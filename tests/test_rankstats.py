@@ -241,3 +241,21 @@ def test_calibration_right_edge_folds_into_last_bin(spark):
     got = {r.bin: (r.n, r.n_pos, r.sum_conf) for r in calibration_bins(
         df, "g", "c", "y").collect()}
     assert got == {9: (2, 2, 1999), 0: (1, 0, 0), 1: (1, 0, 100)}
+
+
+def test_brier_loop_reference(spark):
+    from morituri_spark.ml.rankstats import brier_stats
+
+    rng = np.random.default_rng(53)
+    rows = [
+        (g, int(rng.integers(0, 1001)), int(rng.integers(0, 2)))
+        for g in range(4)
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "c", "y"]))
+    got = {r.g: (r.n, r.brier_num) for r in brier_stats(df, "g", "c", "y").collect()}
+    for g in range(4):
+        grp = [(c, y) for gg, c, y in rows if gg == g]
+        num = sum((1000 * y - c) ** 2 for c, y in grp)
+        assert got[g] == (len(grp), num), g
+        assert 0.0 <= num / (len(grp) * 1000**2) <= 1.0

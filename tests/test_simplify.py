@@ -43,3 +43,57 @@ def test_spark_kernel_matches_numpy(spark):
     out = S.simplify_lines(df, eps=0.4)
     got = {r.geom_id: [list(p) for p in r.line] for r in out.collect()}
     assert got == want
+
+
+def test_chaikin_loop_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.geo.simplify import chaikin_smooth
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for w in range(12):
+        n = int(rng.integers(1, 9))  # includes 1- and 2-point ways
+        for s in range(n):
+            rows.append((w, s, int(rng.integers(-50, 50)),
+                         int(rng.integers(-50, 50))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["way_id", "seq", "x", "y"])
+    )
+    got = {}
+    for r in chaikin_smooth(df, iters=2).collect():
+        got.setdefault(r.way_id, []).append((r.seq, r.x, r.y))
+    for w in got:
+        got[w].sort()
+
+    def one_iter(pts):
+        if len(pts) == 1:
+            return [(4 * pts[0][0], 4 * pts[0][1])]
+        out = [(4 * pts[0][0], 4 * pts[0][1])]
+        for (x, y), (nx, ny) in zip(pts, pts[1:]):
+            out.append((3 * x + nx, 3 * y + ny))
+            out.append((x + 3 * nx, y + 3 * ny))
+        out.append((4 * pts[-1][0], 4 * pts[-1][1]))
+        return out
+
+    for w in range(12):
+        pts = [(x, y) for ww, s, x, y in rows if ww == w]
+        want = one_iter(one_iter(pts))
+        assert [(x, y) for _, x, y in got[w]] == want, w
+        assert [s for s, _, _ in got[w]] == list(range(len(want))), w
+
+
+def test_chaikin_straight_line_stays_straight(spark):
+    import pandas as pd
+
+    from morituri_spark.geo.simplify import chaikin_smooth
+
+    rows = [(0, s, 10 * s, 20 * s) for s in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["way_id", "seq", "x", "y"])
+    )
+    out = sorted((r.seq, r.x, r.y) for r in chaikin_smooth(df, iters=1).collect())
+    # collinear input stays collinear: y == 2x in quarter units
+    assert all(y == 2 * x for _, x, y in out)
+    assert out[0] == (0, 0, 0) and out[-1] == (9, 160, 320)
