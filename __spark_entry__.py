@@ -8391,6 +8391,143 @@ def _homography_oracle_sql() -> str:
     """
 
 
+def _q_chaikin(spark, sf_dir):
+    """Chaikin corner-cutting smoothing (geo/simplify.chaikin_smooth):
+    200 closed-form 8-vertex ways (signed coordinates) smoothed for 2
+    iterations in EXACT quarter-unit integers — output coords are
+    16× the input with zero rounding surface, endpoints preserved,
+    sequence renumbered 0-based consecutive. The oracle unrolls both
+    iterations as MATERIALIZED stages (rule 27: each stage is
+    referenced by four union branches)."""
+    from morituri_spark.geo.simplify import chaikin_smooth
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 1600")
+    pts = ev.selectExpr(
+        "event_id div 8 AS way_id",
+        "event_id % 8 AS seq",
+        "((event_id * 7) % 200) - 100 AS x",
+        "((event_id * 13) % 180) - 90 AS y",
+    )
+    return chaikin_smooth(pts, iters=2)
+
+
+def _chaikin_oracle_sql() -> str:
+    it = """
+        {out} AS (
+            SELECT w, 0 AS s, 4 * x AS x, 4 * y AS y
+            FROM {src} WHERE s = 0
+            UNION ALL
+            SELECT w, 2 * s + 1, 3 * x + nx, 3 * y + ny
+            FROM {src} WHERE nx IS NOT NULL
+            UNION ALL
+            SELECT w, 2 * s + 2, x + 3 * nx, y + 3 * ny
+            FROM {src} WHERE nx IS NOT NULL
+            UNION ALL
+            SELECT w, 2 * lst + 1, 4 * x, 4 * y
+            FROM {src} WHERE s = lst AND lst > 0)"""
+    lead = """
+        {out} AS MATERIALIZED (
+            SELECT w, s, x, y,
+                   lead(x) OVER (PARTITION BY w ORDER BY s) AS nx,
+                   lead(y) OVER (PARTITION BY w ORDER BY s) AS ny,
+                   max(s) OVER (PARTITION BY w) AS lst
+            FROM {src})"""
+    return f"""
+        WITH pts AS (
+            SELECT event_id // 8 AS w, event_id % 8 AS s,
+                   ((event_id * 7) % 200) - 100 AS x,
+                   ((event_id * 13) % 180) - 90 AS y
+            FROM events WHERE event_id < 1600),
+        {lead.format(out='it1', src='pts')},
+        {it.format(out='o1', src='it1')},
+        {lead.format(out='it2', src='o1')},
+        {it.format(out='o2', src='it2')}
+        SELECT CAST(w AS BIGINT) AS way_id, CAST(s AS BIGINT) AS seq,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM o2
+    """
+
+
+def _q_brier(spark, sf_dir):
+    """Exact Brier-score sufficient statistics (ml/rankstats.
+    brier_stats) on the SAME closed-form predictions as
+    calibration_ece: brier_num = Σ(1000·y − c)² is one BIGINT per
+    group (Brier = brier_num/(n·10⁶) is the caller's division) —
+    ranking (AUC), reliability (ECE), and accuracy-of-probability
+    (Brier) now triangulate the same scorer. ONE hash aggregate."""
+    from morituri_spark.ml.rankstats import brier_stats
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 8000")
+    preds = ev.selectExpr(
+        "event_id % 4 AS g",
+        "(event_id * 31) % 1001 AS c",
+        "CASE WHEN (event_id * 17) % 1000 < (event_id * 31) % 1001"
+        " THEN 1 ELSE 0 END AS y",
+    )
+    return brier_stats(preds, "g", "c", "y")
+
+
+def _brier_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT event_id % 4 AS g,
+                   (event_id * 31) % 1001 AS c,
+                   CASE WHEN (event_id * 17) % 1000
+                             < (event_id * 31) % 1001
+                        THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_id < 8000)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((1000 * y - c) * (1000 * y - c)) AS BIGINT)
+                 AS brier_num
+        FROM p GROUP BY g
+    """
+
+
+_DOMAIN_TEXT = (
+    "concat('Visit HTTP://Site', CAST(event_id % 37 AS STRING),"
+    " '.example.com/a then https://cdn',"
+    " CAST(event_id % 11 AS STRING), '.net/x',"
+    " CASE WHEN event_id % 3 = 0 THEN ' and plain text'"
+    " ELSE concat(' https://site', CAST(event_id % 37 AS STRING),"
+    "             '.example.com/b') END)"
+)
+
+
+def _q_domain_counts(spark, sf_dir):
+    """URL-domain mining (text/patterns.url_domain_counts): 4000
+    closed-form docs carrying 2-3 mixed-case URLs each — extraction is
+    the shared single-char-class pattern over lower-cased text (Java
+    and RE2 regex agree by construction), rollup is the two-level
+    (domain, doc) → domain hash aggregate. Exercises case folding
+    (HTTP://Site… folds into the same domain as https://site…) and
+    multi-hit docs."""
+    ev = _read(spark, sf_dir, "events").where("event_id < 4000")
+    docs = ev.selectExpr("event_id AS doc_id", f"{_DOMAIN_TEXT} AS text")
+    from morituri_spark.text.patterns import url_domain_counts
+
+    return url_domain_counts(docs)
+
+
+def _domain_counts_oracle_sql() -> str:
+    return f"""
+        WITH d AS (
+            SELECT event_id AS doc_id, {_DOMAIN_TEXT} AS text
+            FROM events WHERE event_id < 4000),
+        h AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                       'https?://([a-z0-9.-]+)', 1)) AS domain
+            FROM d),
+        pd AS (
+            SELECT domain, doc_id, count(*) AS hh
+            FROM h GROUP BY domain, doc_id)
+        SELECT domain, CAST(sum(hh) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pd GROUP BY domain
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8564,6 +8701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_groups": _q_roc_auc,
         "calibration_ece": _q_calibration,
         "homography_boxes": _q_homography,
+        # --- twenty-sixth session: smoothing + eval + provenance ---
+        "chaikin_smooth": _q_chaikin,
+        "brier_scores": _q_brier,
+        "domain_counts": _q_domain_counts,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -8797,7 +8938,7 @@ _WINDOW = [
     # triangle_counts (an oriented two-hop self-join over the SAME edges
     # relation whose iterative siblings sssp_weighted_costs and
     # dag_critical_path stay in-window; pinned vs a closed-form oracle).
-    "cusum_changepoints", "acf_lags", "dominant_period",
+    "cusum_changepoints", "acf_lags",
     # fifteenth-session rotation: the pipeline-plumbing quartet (SCD2
     # intervals, sorted-neighborhood blocking, cardinal viewshed,
     # streaming sessionize) is the freshest code and enters per the
@@ -8887,7 +9028,7 @@ _WINDOW = [
     # line-of-sight sweep family in-window), and frequent_pairs_lift
     # (collocation_pmi holds the pair-count lift machinery in-window
     # and the entering bleu_captions the n-gram count join).
-    "panoptic_quality", "confusion_matrix", "mosaic_boxes",
+    "panoptic_quality", "confusion_matrix",
     # twenty-first-session rotation: Hamilton apportionment, ring
     # nesting, and EXIF box normalization are the freshest code and
     # enter per the code-risk rule. Released — frozen, sweep-EQUAL,
@@ -8924,7 +9065,8 @@ _WINDOW = [
     # scene_cuts cumulative window), and collocation_pmi (bleu_captions
     # holds the n-gram count-join machinery in-window; the PMI lift
     # arithmetic is pytest-pinned frozen code).
-    "scene_cuts",
+    # (scene_cuts released in the twenty-sixth-session rotation — see
+    # the entering-trio comment below.)
     # twenty-fourth-session rotation: retrieval-rank eval and K-fold
     # assignment are the freshest code and enter per the code-risk
     # rule. Released — frozen, sweep-EQUAL, pytest-pinned,
@@ -8947,6 +9089,19 @@ _WINDOW = [
     # exif_boxes in-window plus the entering homography_boxes, the
     # strictly richer projective superset of the warp family).
     "roc_auc_groups", "calibration_ece", "homography_boxes",
+    # twenty-sixth-session rotation: Chaikin smoothing, Brier stats,
+    # and URL-domain mining are the freshest code and enter per the
+    # code-risk rule. Released — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: mosaic_boxes (the box
+    # remap family keeps exif_boxes + the entering homography_boxes —
+    # the projective superset — in-window; the quadrant layout is
+    # pytest-pinned), scene_cuts (video family keeps iou_tracklets; the
+    # self-join + cumulative-window machinery runs in-window via
+    # scd2_intervals, streaming_sessionize, and cusum_changepoints),
+    # and dominant_period (time-series family keeps acf_lags — the
+    # same per-lag alignment machinery from the same module — and
+    # cusum_changepoints in-window).
+    "chaikin_smooth", "brier_scores", "domain_counts",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10492,6 +10647,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_groups": _roc_auc_oracle_sql(),
         "calibration_ece": _calibration_oracle_sql(),
         "homography_boxes": _homography_oracle_sql(),
+        "chaikin_smooth": _chaikin_oracle_sql(),
+        "brier_scores": _brier_oracle_sql(),
+        "domain_counts": _domain_counts_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

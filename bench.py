@@ -2491,6 +2491,15 @@ def main() -> None:
         .agg(F.sum("gap_num"), F.sum("sum_conf"), F.count(F.lit(1)))
         .collect(),
     )
+    # twenty-sixth session: Brier stats share the same persisted input
+    from morituri_spark.ml.rankstats import brier_stats
+
+    timed(
+        "brier_50m_rows",
+        lambda: brier_stats(ev_scored, "g", "c", "y")
+        .agg(F.sum("brier_num"), F.sum("n"), F.count(F.lit(1)))
+        .collect(),
+    )
     ev_scored.unpersist()
 
     hg_boxes = (
@@ -2524,6 +2533,58 @@ def main() -> None:
         .collect(),
     )
     hg_boxes.unpersist()
+
+    # twenty-sixth session: Chaikin smoothing (10M vertices × 2
+    # iterations → 40M output points, one per-way sort per iteration),
+    # URL-domain mining (5M docs × 2-3 URLs, JVM regex + two-level agg)
+    from morituri_spark.geo.simplify import chaikin_smooth
+    from morituri_spark.text.patterns import url_domain_counts
+
+    ck_pts = (
+        spark.range(10_000_000)
+        .selectExpr(
+            "id div 8 AS way_id",
+            "id % 8 AS seq",
+            "((id * 7) % 200000) - 100000 AS x",
+            "((id * 13) % 180000) - 90000 AS y",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ck_pts.count()
+    timed(
+        "chaikin_10m_vertices_2it",
+        lambda: chaikin_smooth(ck_pts, iters=2)
+        .agg(
+            F.bit_xor(F.xxhash64("way_id", "seq", "x", "y")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    ck_pts.unpersist()
+
+    ud_docs = (
+        spark.range(5_000_000)
+        .selectExpr(
+            "id AS doc_id",
+            "concat('Visit HTTP://Site', CAST(id % 5000 AS STRING),"
+            " '.example.com/a then https://cdn',"
+            " CAST(id % 97 AS STRING), '.net/x',"
+            " CASE WHEN id % 3 = 0 THEN ' and plain text'"
+            " ELSE concat(' https://site', CAST(id % 5000 AS STRING),"
+            "             '.example.com/b') END) AS text",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    ud_docs.count()
+    timed(
+        "domain_counts_5m_docs",
+        lambda: url_domain_counts(ud_docs)
+        .agg(F.sum("n_hits"), F.sum("n_docs"), F.count(F.lit(1)))
+        .collect(),
+    )
+    ud_docs.unpersist()
 
     total = round(sum(timings.values()), 3)
     detail = {
