@@ -651,3 +651,55 @@ def watershed_labels(flows: DataFrame, max_rounds: int = 20) -> DataFrame:
         "ix", "iy",
         F.col("px").alias("sink_ix"), F.col("py").alias("sink_iy"),
     )
+
+
+def pyramid_sums(
+    dem: DataFrame,
+    levels: int = 2,
+    keys: list | None = None,
+    x_col: str = "ix",
+    y_col: str = "iy",
+    v_col: str = "z",
+) -> DataFrame:
+    """Mipmap / overview pyramid over keyed rasters — the pixel-level
+    twin of the tile-count pyramid: level ℓ cell (ix DIV 2^ℓ,
+    iy DIV 2^ℓ) carries the EXACT integer sum and support count of its
+    2^ℓ × 2^ℓ base block (callers derive means as one division; sums
+    stay closed under aggregation, means don't — the same reason the
+    zonal stats emit sufficient statistics).
+
+    → (keys…, level, ix, iy, s, n) for levels 1..``levels``.
+
+    Shape: HIERARCHICAL rollup — level ℓ+1 aggregates level ℓ (4 rows
+    in, 1 out), not the base raster, so total work is a geometric
+    series ≈ 4/3 of one base pass and each exchange is a quarter the
+    size of the last. All integer `div` arithmetic (≡ ``//`` on
+    non-negative indices); 10¹² pixels partition on (keys, coarse
+    cell) and every aggregate is map-side combinable."""
+    ks = list(keys) if keys else []
+    cur = dem.selectExpr(
+        *ks,
+        f"CAST({x_col} AS BIGINT) AS ix",
+        f"CAST({y_col} AS BIGINT) AS iy",
+        f"CAST({v_col} AS BIGINT) AS s",
+        "CAST(1 AS BIGINT) AS n",
+    )
+    outs = []
+    for lvl in range(1, int(levels) + 1):
+        cur = (
+            cur.selectExpr(
+                *ks, "ix div 2 AS ix", "iy div 2 AS iy", "s", "n"
+            )
+            .groupBy(*ks, "ix", "iy")
+            .agg(
+                F.sum("s").cast("long").alias("s"),
+                F.sum("n").cast("long").alias("n"),
+            )
+        )
+        outs.append(cur.selectExpr(
+            *ks, f"CAST({lvl} AS BIGINT) AS level", "ix", "iy", "s", "n"
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -23,6 +23,7 @@ __all__ = [
     "roc_auc_stats",
     "calibration_bins",
     "brier_stats",
+    "pr_curve_points",
 ]
 
 
@@ -287,4 +288,45 @@ def brier_stats(
             F.sum(F.col("_r") * F.col("_r")).cast("long").alias("brier_num"),
         )
         .withColumnRenamed("_g", group_col)
+    )
+
+
+def pr_curve_points(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group precision-recall curve sufficient statistics, EXACT:
+    one row per distinct score level → (group, score, tp, fp) where tp
+    and fp count positives/negatives scoring AT OR ABOVE the level
+    (the ≥-threshold operating point). precision = tp/(tp+fp),
+    recall = tp/n_pos (n_pos = tp at the lowest level), and
+    step-interpolated average precision are caller-side folds over
+    exact integers — the classifier-score analogue of the detection
+    AP's rank-indexed curve.
+
+    Same collapse as :func:`roc_auc_stats`: ONE hash aggregate to the
+    (group × score-level) relation, ONE cumulative window ordered by
+    score DESC. Quantized scores bound the output; 10¹² rows never
+    sort globally."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    per_v = base.groupBy("_g", "_s").agg(
+        F.sum("_y").cast("long").alias("_np"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_v.select(
+        F.col("_g").alias(group_col),
+        F.col("_s").alias(score_col),
+        F.sum("_np").over(w).cast("long").alias("tp"),
+        F.sum("_nn").over(w).cast("long").alias("fp"),
     )

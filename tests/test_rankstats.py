@@ -259,3 +259,24 @@ def test_brier_loop_reference(spark):
         num = sum((1000 * y - c) ** 2 for c, y in grp)
         assert got[g] == (len(grp), num), g
         assert 0.0 <= num / (len(grp) * 1000**2) <= 1.0
+
+
+def test_pr_curve_loop_reference(spark):
+    from morituri_spark.ml.rankstats import pr_curve_points
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for g in range(4):
+        for _ in range(150):
+            y = int(rng.integers(0, 2))
+            rows.append((g, int(rng.integers(0, 15)) + 4 * y, y))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "s", "y"]))
+    got = {(r.g, r.s): (r.tp, r.fp) for r in pr_curve_points(df, "g", "s", "y").collect()}
+    for g in range(4):
+        grp = [(s, y) for gg, s, y in rows if gg == g]
+        for lvl in sorted({s for s, _ in grp}):
+            tp = sum(1 for s, y in grp if s >= lvl and y == 1)
+            fp = sum(1 for s, y in grp if s >= lvl and y == 0)
+            assert got[(g, lvl)] == (tp, fp), (g, lvl)
+    # one row per distinct (g, score)
+    assert len(got) == len({(g, s) for g, s, _ in rows})
