@@ -8528,6 +8528,98 @@ def _domain_counts_oracle_sql() -> str:
     """
 
 
+def _q_pr_curve(spark, sf_dir):
+    """Exact PR-curve points (ml/rankstats.pr_curve_points) on the SAME
+    closed-form scored items as roc_auc_groups: one row per distinct
+    (group, score) with tp/fp counting items AT OR ABOVE the level —
+    precision/recall/step-AP are caller folds over exact integers. The
+    oracle replays the identical score-DESC cumulative window over the
+    collapsed distinct-score relation."""
+    from morituri_spark.ml.rankstats import pr_curve_points
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 6000")
+    scored = ev.selectExpr(
+        "event_id % 6 AS g",
+        "event_id AS id",
+        "CASE WHEN (event_id * 13) % 97 < 40 + (event_id % 6) * 5"
+        " THEN 1 ELSE 0 END AS y",
+    ).selectExpr("g", "CAST((id * 7) % 50 + y * 9 AS BIGINT) AS s", "y")
+    return pr_curve_points(scored, "g", "s", "y")
+
+
+def _pr_curve_oracle_sql() -> str:
+    return """
+        WITH sc AS (
+            SELECT event_id % 6 AS g,
+                   CAST((event_id * 7) % 50
+                        + (CASE WHEN (event_id * 13) % 97
+                                     < 40 + (event_id % 6) * 5
+                                THEN 1 ELSE 0 END) * 9 AS BIGINT) AS s,
+                   CASE WHEN (event_id * 13) % 97 < 40 + (event_id % 6) * 5
+                        THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_id < 6000),
+        v AS (
+            SELECT g, s, sum(y) AS np, sum(1 - y) AS nn
+            FROM sc GROUP BY g, s)
+        SELECT CAST(g AS BIGINT) AS g, s,
+               CAST(sum(np) OVER (PARTITION BY g ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS tp,
+               CAST(sum(nn) OVER (PARTITION BY g ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS fp
+        FROM v
+    """
+
+
+def _q_pyramid(spark, sf_dir):
+    """Mipmap pyramid sums (geo/terrain.pyramid_sums) over the SAME 40
+    closed-form 24×24 keyed rasters as box_filter_grid: levels 1..3
+    carry exact 2^ℓ-block integer sums + support counts via the
+    hierarchical rollup (each level aggregates the previous — work is
+    a geometric series). The oracle replays every level INDEPENDENTLY
+    from the base raster with direct `//`-block grouping, so a green
+    row proves the hierarchy ≡ the direct rollup."""
+    from morituri_spark.geo.terrain import pyramid_sums
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 23040")
+    dem = ev.selectExpr(
+        "event_id % 40 AS g",
+        "CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix",
+        "CAST(floor(event_id / 960.0) AS BIGINT) AS iy",
+    ).selectExpr(
+        "g", "ix", "iy",
+        "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+    )
+    return pyramid_sums(dem, levels=3, keys=["g"])
+
+
+def _pyramid_oracle_sql() -> str:
+    lvl = """
+            SELECT CAST(g AS BIGINT) AS g, CAST({l} AS BIGINT) AS level,
+                   CAST(ix // {b} AS BIGINT) AS ix,
+                   CAST(iy // {b} AS BIGINT) AS iy,
+                   CAST(sum(z) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dem GROUP BY g, ix // {b}, iy // {b}"""
+    return f"""
+        WITH base AS (
+            SELECT event_id % 40 AS g,
+                   CAST(floor(event_id / 40.0) AS BIGINT) % 24 AS ix,
+                   CAST(floor(event_id / 960.0) AS BIGINT) AS iy
+            FROM events WHERE event_id < 23040),
+        dem AS (
+            SELECT g, ix, iy,
+                   (7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z
+            FROM base)
+        {lvl.format(l=1, b=2)}
+        UNION ALL
+        {lvl.format(l=2, b=4)}
+        UNION ALL
+        {lvl.format(l=3, b=8)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8705,6 +8797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chaikin_smooth": _q_chaikin,
         "brier_scores": _q_brier,
         "domain_counts": _q_domain_counts,
+        # --- twenty-seventh session: PR curves + raster mipmaps ---
+        "pr_curve_points": _q_pr_curve,
+        "pyramid_sums": _q_pyramid,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -9015,7 +9110,7 @@ _WINDOW = [
     # detection kernels), and template_match_sad (box_filter_grid holds
     # the neighbor-window-sum machinery in-window; the SAD scan kernel
     # is pytest-pinned vs its loop reference).
-    "anchor_assign", "detection_ap", "bleu_captions",
+    "anchor_assign", "detection_ap",
     # twentieth-session rotation: panoptic quality, the confusion
     # matrix, and mosaic box remapping are the freshest code and enter
     # per the code-risk rule (panoptic_quality drives the NEW
@@ -9041,7 +9136,7 @@ _WINDOW = [
     # with a shortest-path CTE oracle), and pattern_hit_counts
     # (the literal-dictionary count machinery's n-gram counting family
     # runs in-window via bleu_captions and collocation_pmi).
-    "apportion_budget", "ring_nesting", "exif_boxes",
+    "ring_nesting", "exif_boxes",
     # twenty-second-session rotation: tracklet stitching and letterbox
     # remapping are the freshest code and enter per the code-risk rule
     # (iou_tracklets additionally runs match_detections AND the
@@ -9102,6 +9197,17 @@ _WINDOW = [
     # same per-lag alignment machinery from the same module — and
     # cusum_changepoints in-window).
     "chaikin_smooth", "brier_scores", "domain_counts",
+    # twenty-seventh-session rotation: PR-curve points and mipmap
+    # pyramid sums are the freshest code and enter per the code-risk
+    # rule. Released — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked, with in-window siblings: bleu_captions (the
+    # n-gram clip-join machinery is pytest-pinned frozen code; the
+    # hash-aggregate count-join family stays in-window via
+    # domain_counts' two-level rollup and detection_matches' pack+join)
+    # and apportion_budget (the largest-remainder rank window runs
+    # in-window via kfold_assign's per-stratum rank window; the div/%
+    # quota arithmetic is pytest-pinned frozen code).
+    "pr_curve_points", "pyramid_sums",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10650,6 +10756,8 @@ def oracle_sql() -> dict[str, str]:
         "chaikin_smooth": _chaikin_oracle_sql(),
         "brier_scores": _brier_oracle_sql(),
         "domain_counts": _domain_counts_oracle_sql(),
+        "pr_curve_points": _pr_curve_oracle_sql(),
+        "pyramid_sums": _pyramid_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2500,7 +2500,44 @@ def main() -> None:
         .agg(F.sum("brier_num"), F.sum("n"), F.count(F.lit(1)))
         .collect(),
     )
+    # twenty-seventh session: PR-curve points, same persisted input
+    from morituri_spark.ml.rankstats import pr_curve_points
+
+    timed(
+        "pr_curve_50m_rows",
+        lambda: pr_curve_points(ev_scored, "g", "s", "y")
+        .agg(F.sum("tp"), F.sum("fp"), F.count(F.lit(1)))
+        .collect(),
+    )
     ev_scored.unpersist()
+
+    # twenty-seventh session: mipmap pyramid (50M pixels ≈ 800 keyed
+    # 256×256 rasters, 4 levels of hierarchical 4-to-1 rollup)
+    from morituri_spark.geo.terrain import pyramid_sums
+
+    py_dem = (
+        spark.range(50_000_000)
+        .selectExpr(
+            "id % 800 AS g",
+            "(id div 800) % 256 AS ix",
+            "id div 204800 AS iy",
+            "(7 * (id % 800) + 3 * (id div 204800)"
+            " + 5 * ((id div 800) % 256)) % 97 AS z",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    py_dem.count()
+    timed(
+        "pyramid_50m_pixels_4lv",
+        lambda: pyramid_sums(py_dem, levels=4, keys=["g"])
+        .agg(
+            F.bit_xor(F.xxhash64("g", "level", "ix", "iy", "s", "n")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    py_dem.unpersist()
 
     hg_boxes = (
         spark.range(20_000_000)
