@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["scene_cuts"]
+__all__ = ["scene_cuts", "block_flow"]
 
 
 def scene_cuts(
@@ -81,5 +81,98 @@ def scene_cuts(
             "CAST(dist_prev AS BIGINT) AS dist_prev",
             "coalesce(is_cut, false) AS is_cut",
             "CAST(scene_id AS BIGINT) AS scene_id",
+        )
+    )
+
+
+def block_flow(
+    cur: DataFrame,
+    nxt: DataFrame,
+    keys: list | None = None,
+    block: int = 8,
+    radius: int = 2,
+    x_col: str = "ix",
+    y_col: str = "iy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Block-matching motion estimation between two keyed rasters (the
+    classic video-codec / optical-flow-baseline primitive): each
+    ``block``×``block`` tile of ``cur`` searches displacements
+    (dx, dy) ∈ [−radius, radius]² in ``nxt`` and reports the argmin of
+    the EXACT integer SAD ``Σ |cur(p) − nxt(p+d)|``.
+    → (keys…, bx, by, sad, dx, dy).
+
+    Determinism without an argmax window (rule 25 taken one step
+    further): every candidate folds into ONE composite ordinal
+    ``ord = sad·D² + (dx+r)·D + (dy+r)`` (D = 2r+1) — unique per
+    displacement, SAD-major — so the per-block winner is a plain
+    map-side-combinable ``min(ord)`` and (sad, dx, dy) decode
+    algebraically from the minimum. No struct comparators, no window,
+    no tie ambiguity (ties break toward smaller (dx, dy)).
+
+    Support policy: only FULL blocks with FULL overlap count — a
+    candidate needs exactly block² matched pixels (border blocks and
+    out-of-frame shifts drop; a block with no full-support candidate is
+    absent from the output). This keeps SAD magnitudes comparable —
+    partial-overlap SADs would win spuriously.
+
+    Scale shape: the displacement explode fans the CUR side D²× before
+    one hash equi-join on shifted coordinates (the probe side stays
+    unexploded — rule 24), then two aggregates (per-candidate SAD, then
+    the per-block min). 10¹² pixels partition on (keys, coarse cell);
+    everything is integer codegen."""
+    ks = list(keys) if keys else []
+    r = int(radius)
+    d = 2 * r + 1
+    b = int(block)
+    disps = ",".join(
+        f"struct(CAST({dx} AS BIGINT) AS dx, CAST({dy} AS BIGINT) AS dy)"
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    )
+    fan = cur.selectExpr(
+        *ks,
+        f"CAST({x_col} AS BIGINT) AS ix",
+        f"CAST({y_col} AS BIGINT) AS iy",
+        f"CAST({v_col} AS BIGINT) AS v",
+        f"explode(array({disps})) AS _d",
+    ).selectExpr(
+        *ks, "ix", "iy", "v", "_d.dx AS dx", "_d.dy AS dy",
+        "ix + _d.dx AS jx", "iy + _d.dy AS jy",
+    )
+    probe = nxt.selectExpr(
+        *ks,
+        f"CAST({x_col} AS BIGINT) AS jx",
+        f"CAST({y_col} AS BIGINT) AS jy",
+        f"CAST({v_col} AS BIGINT) AS w",
+    )
+    joined = fan.join(probe, [*ks, "jx", "jy"])
+    cand = (
+        joined.selectExpr(
+            *ks,
+            f"ix div {b} AS bx",
+            f"iy div {b} AS by",
+            "dx", "dy",
+            "abs(v - w) AS ad",
+        )
+        .groupBy(*ks, "bx", "by", "dx", "dy")
+        .agg(
+            F.sum("ad").cast("long").alias("sad"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .where(F.col("n") == b * b)
+    )
+    return (
+        cand.selectExpr(
+            *ks, "bx", "by",
+            f"sad * {d * d} + (dx + {r}) * {d} + (dy + {r}) AS _ord",
+        )
+        .groupBy(*ks, "bx", "by")
+        .agg(F.min("_ord").cast("long").alias("_m"))
+        .selectExpr(
+            *ks, "bx", "by",
+            f"_m div {d * d} AS sad",
+            f"(_m % {d * d}) div {d} - {r} AS dx",
+            f"_m % {d} - {r} AS dy",
         )
     )
