@@ -8620,6 +8620,73 @@ def _pyramid_oracle_sql() -> str:
     """
 
 
+_BF_CUR = "(11 * g + 7 * ix + 13 * iy + (ix * iy) % 5) % 251"
+_BF_NXT = (
+    "(11 * g + 7 * (ix - (g % 5 - 2)) + 13 * (iy - (g % 3 - 1))"
+    " + ((ix - (g % 5 - 2)) * (iy - (g % 3 - 1))) % 5) % 251"
+    " + (ix + iy + g) % 3"
+)
+
+
+def _q_block_flow(spark, sf_dir):
+    """Block-matching motion estimation (multimodal/video.block_flow):
+    30 closed-form 16×16 frame pairs where frame t+1 is frame t
+    shifted by (g%5−2, g%3−1) plus a small additive perturbation — the
+    per-8×8-block argmin-SAD over the ±2 displacement grid recovers
+    the shift. Winner selection is ONE map-side min() over the
+    composite ordinal sad·25 + (dx+2)·5 + (dy+2) (unique per
+    candidate, SAD-major, ties to smaller displacement) decoded
+    algebraically — no argmax window anywhere. Only full-support
+    (64-pixel) candidates compete; the oracle replays the identical
+    fan-join-min pipeline."""
+    from morituri_spark.multimodal.video import block_flow
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 7680")
+    px = ev.selectExpr(
+        "event_id % 30 AS g",
+        "(event_id div 30) % 16 AS ix",
+        "event_id div 480 AS iy",
+    )
+    cur = px.selectExpr("g", "ix", "iy", f"{_BF_CUR} AS v")
+    nxt = px.selectExpr("g", "ix", "iy", f"{_BF_NXT} AS v")
+    return block_flow(cur, nxt, keys=["g"], block=8, radius=2)
+
+
+def _block_flow_oracle_sql() -> str:
+    return f"""
+        WITH px AS (
+            SELECT event_id % 30 AS g,
+                   (event_id // 30) % 16 AS ix,
+                   event_id // 480 AS iy
+            FROM events WHERE event_id < 7680),
+        cur AS (SELECT g, ix, iy, {_BF_CUR} AS v FROM px),
+        nxt AS (SELECT g, ix, iy, {_BF_NXT} AS w FROM px),
+        d AS (SELECT t1.dx, t2.dy
+              FROM generate_series(-2, 2) t1(dx),
+                   generate_series(-2, 2) t2(dy)),
+        cand AS (
+            SELECT c.g, c.ix // 8 AS bx, c.iy // 8 AS by, d.dx, d.dy,
+                   abs(c.v - n.w) AS ad
+            FROM cur c, d, nxt n
+            WHERE n.g = c.g AND n.ix = c.ix + d.dx
+              AND n.iy = c.iy + d.dy),
+        s AS (
+            SELECT g, bx, by, dx, dy, sum(ad) AS sad
+            FROM cand GROUP BY g, bx, by, dx, dy
+            HAVING count(*) = 64),
+        o AS (
+            SELECT g, bx, by,
+                   min(sad * 25 + (dx + 2) * 5 + (dy + 2)) AS m
+            FROM s GROUP BY g, bx, by)
+        SELECT CAST(g AS BIGINT) AS g, CAST(bx AS BIGINT) AS bx,
+               CAST(by AS BIGINT) AS by,
+               CAST(m // 25 AS BIGINT) AS sad,
+               CAST((m % 25) // 5 - 2 AS BIGINT) AS dx,
+               CAST(m % 5 - 2 AS BIGINT) AS dy
+        FROM o
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8800,6 +8867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- twenty-seventh session: PR curves + raster mipmaps ---
         "pr_curve_points": _q_pr_curve,
         "pyramid_sums": _q_pyramid,
+        # --- twenty-eighth session: motion estimation ---
+        "block_flow_motion": _q_block_flow,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -9123,7 +9192,7 @@ _WINDOW = [
     # line-of-sight sweep family in-window), and frequent_pairs_lift
     # (collocation_pmi holds the pair-count lift machinery in-window
     # and the entering bleu_captions the n-gram count join).
-    "panoptic_quality", "confusion_matrix",
+    "confusion_matrix",
     # twenty-first-session rotation: Hamilton apportionment, ring
     # nesting, and EXIF box normalization are the freshest code and
     # enter per the code-risk rule. Released — frozen, sweep-EQUAL,
@@ -9208,6 +9277,15 @@ _WINDOW = [
     # in-window via kfold_assign's per-stratum rank window; the div/%
     # quota arithmetic is pytest-pinned frozen code).
     "pr_curve_points", "pyramid_sums",
+    # twenty-eighth-session rotation: block-matching motion estimation
+    # is the freshest code and enters per the code-risk rule. Released:
+    # panoptic_quality — frozen, sweep-EQUAL, pytest-pinned vs its
+    # fixpoint loop reference, replica-checked; its run-overlap
+    # matching machinery keeps mask_rle_runs + confusion_matrix (the
+    # same integer contingency evidence class) in-window, and the
+    # entering block_flow exercises the same keyed-raster join family
+    # end to end.
+    "block_flow_motion",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10758,6 +10836,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_counts": _domain_counts_oracle_sql(),
         "pr_curve_points": _pr_curve_oracle_sql(),
         "pyramid_sums": _pyramid_oracle_sql(),
+        "block_flow_motion": _block_flow_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

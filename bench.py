@@ -2623,6 +2623,43 @@ def main() -> None:
     )
     ud_docs.unpersist()
 
+    # twenty-eighth session: block-matching motion estimation — 500
+    # 128×128 frame pairs (8.2M pixels/side), ±2 search → 25× fan,
+    # ~200M joined rows through one hash join + two aggregates
+    from morituri_spark.multimodal.video import block_flow
+
+    bf_px = (
+        spark.range(8_192_000)
+        .selectExpr(
+            "id % 500 AS g",
+            "(id div 500) % 128 AS ix",
+            "id div 64000 AS iy",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    bf_px.count()
+    bf_cur = bf_px.selectExpr(
+        "g", "ix", "iy",
+        "(11 * g + 7 * ix + 13 * iy + (ix * iy) % 5) % 251 AS v",
+    )
+    bf_nxt = bf_px.selectExpr(
+        "g", "ix", "iy",
+        "(11 * g + 7 * (ix - (g % 5 - 2)) + 13 * (iy - (g % 3 - 1))"
+        " + ((ix - (g % 5 - 2)) * (iy - (g % 3 - 1))) % 5) % 251"
+        " + (ix + iy + g) % 3 AS v",
+    )
+    timed(
+        "block_flow_8m_px_25disp",
+        lambda: block_flow(bf_cur, bf_nxt, keys=["g"], block=8, radius=2)
+        .agg(
+            F.bit_xor(F.xxhash64("g", "bx", "by", "sad", "dx", "dy")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    bf_px.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
