@@ -356,7 +356,17 @@ def average_precision(
 
     order = [F.col(score_col).desc()] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(class_col).orderBy(*order)
-    wsuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # suffix max via the EXACT-REVERSE sort with a running frame:
+    # Spark executes (currentRow, unboundedFollowing) frames
+    # QUADRATICALLY per partition (UnboundedFollowingWindowFunctionFrame
+    # recomputes the aggregate for every row — a 250k-row class cost
+    # ~3·10¹⁰ ops and hung the 4M-pred bench entry for 40+ min), while
+    # (unboundedPreceding, currentRow) updates incrementally in O(n).
+    # The frame SET is identical: rows at-or-after i under (score DESC,
+    # ties ASC) == rows at-or-before i under (score ASC, ties DESC).
+    wrev = Window.partitionBy(class_col).orderBy(
+        F.col(score_col).asc(), *[F.col(c).desc() for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = matches.withColumn("_k", F.row_number().over(w)).withColumn(
         "_tp_cum",
         F.sum(F.col(tp_col).cast("long")).over(
@@ -368,7 +378,7 @@ def average_precision(
         F.expr(
             "CAST(floor(_tp_cum * CAST(1000000 AS DOUBLE) / _k) AS BIGINT)"
         ),
-    ).withColumn("_interp", F.max("_prec_micro").over(wsuf))
+    ).withColumn("_interp", F.max("_prec_micro").over(wrev))
     agg = prec.groupBy(class_col).agg(
         F.count(F.lit(1)).alias("n_pred"),
         F.sum(F.col(tp_col).cast("long")).alias("n_tp"),
