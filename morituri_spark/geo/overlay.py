@@ -513,3 +513,131 @@ def ring_nesting_depth(
             " ELSE 'hole' END AS role",
         )
     )
+
+
+def clip_rings_to_tile(
+    rings: DataFrame,
+    xmin: int,
+    ymin: int,
+    xmax: int,
+    ymax: int,
+    keys: list | None = None,
+    ring_col: str = "ring_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Axis-aligned Sutherland–Hodgman ring clipping to a tile rectangle
+    in PURE Catalyst — the tile-encoder specialization of this module's
+    general convex clip (clip_convex_np): no Python anywhere, and
+    intersection vertices SNAP to the integer pixel grid (floor), the
+    same quantization every vector-tile encoder applies when writing
+    integer tile coordinates.
+
+    Four unrolled half-plane stages (x≥xmin, x≤xmax, y≥ymin, y≤ymax;
+    inclusive boundaries). Per directed closed-ring edge (P → N):
+    emit the boundary intersection I when P/N straddle the plane, and
+    emit N when N is inside — the classic SH emission, two UNION-free
+    branches via one conditional array + posexplode. Vertices renumber
+    0-based per ring after each stage.
+
+    Snapping invariant: stages run xmin, xmax, ymin, ymax; an x-stage
+    intersection has exact x = boundary and a floored y; later y-stage
+    intersections interpolate BETWEEN points already inside
+    [xmin, xmax], and floor keeps them there (floor(v) ≥ xmin for
+    v ≥ xmin when xmin is an integer) — so snapped points never leave
+    an already-applied half-plane. Exactness: with |coords| ≤ 10⁶ the
+    interpolation product stays ≤ 10¹⁵ < 2⁵³, so the shared
+    ``CAST(floor(a·b / d) AS BIGINT)`` is bit-identical across engines
+    (rule 28).
+
+    → (keys…, ring_id, seq, x, y) for rings retaining ≥ 3 vertices
+    (degenerate clips drop). Scale shape: per stage ONE per-ring sort
+    feeds the lead/first_value edge window and the renumbering
+    row_number; 10¹² rings partition on (keys, ring_id), vertex counts
+    per ring bound each window."""
+    from pyspark.sql import Window
+
+    ks = list(keys) if keys else []
+    out = rings.selectExpr(
+        *ks,
+        f"{ring_col} AS _r",
+        f"CAST({seq_col} AS BIGINT) AS _s",
+        f"CAST({x_col} AS BIGINT) AS _x",
+        f"CAST({y_col} AS BIGINT) AS _y",
+    )
+    part = [*ks, "_r"]
+    stages = [
+        ("_x", int(xmin), 1), ("_x", int(xmax), -1),
+        ("_y", int(ymin), 1), ("_y", int(ymax), -1),
+    ]
+    for axis, c, sign in stages:
+        w = Window.partitionBy(*part).orderBy("_s")
+        # deterministic first vertex: ordered full-frame window (a bare
+        # partitionBy first() would pick an arbitrary row)
+        wall = (
+            Window.partitionBy(*part)
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        edges = out.select(
+            *part, "_s", "_x", "_y",
+            F.coalesce(
+                F.lead("_x").over(w), F.first("_x").over(wall)
+            ).alias("_nx"),
+            F.coalesce(
+                F.lead("_y").over(w), F.first("_y").over(wall)
+            ).alias("_ny"),
+        )
+        # inside test for this half-plane (inclusive): sign*(v - c) >= 0
+        ip = f"({sign} * ({axis} - {c}) >= 0)"
+        inn = "_nx" if axis == "_x" else "_ny"
+        il = f"({sign} * ({inn} - {c}) >= 0)"
+        if axis == "_x":
+            ix_expr = f"CAST({c} AS BIGINT)"
+            iy_expr = (
+                f"_y + CAST(floor((_ny - _y) * ({c} - _x) * 1.0"
+                " / (_nx - _x)) AS BIGINT)"
+            )
+        else:
+            iy_expr = f"CAST({c} AS BIGINT)"
+            ix_expr = (
+                f"_x + CAST(floor((_nx - _x) * ({c} - _y) * 1.0"
+                " / (_ny - _y)) AS BIGINT)"
+            )
+        pts = edges.select(
+            *part, "_s",
+            F.expr(
+                "concat("
+                f"  CASE WHEN {ip} != {il} THEN"
+                f"    array(struct({ix_expr} AS x, {iy_expr} AS y))"
+                "   ELSE CAST(array() AS array<struct<x:bigint,y:bigint>>)"
+                "   END,"
+                f"  CASE WHEN {il} THEN"
+                "     array(struct(_nx AS x, _ny AS y))"
+                "   ELSE CAST(array() AS array<struct<x:bigint,y:bigint>>)"
+                "   END)"
+            ).alias("_pts"),
+        )
+        ex = pts.select(
+            *part, "_s", F.posexplode("_pts").alias("_pos", "_p")
+        )
+        rn = Window.partitionBy(*part).orderBy("_s", "_pos")
+        out = ex.select(
+            *part,
+            (F.row_number().over(rn) - 1).alias("_s"),
+            F.col("_p.x").alias("_x"),
+            F.col("_p.y").alias("_y"),
+        )
+    counts = Window.partitionBy(*part)
+    return (
+        out.withColumn("_n", F.count(F.lit(1)).over(counts))
+        .where(F.col("_n") >= 3)
+        .select(
+            *ks,
+            F.col("_r").alias(ring_col),
+            F.col("_s").alias(seq_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+        )
+    )

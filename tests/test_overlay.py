@@ -162,3 +162,78 @@ def test_segment_intersections_excludes_touch_and_collinear(spark):
     )
     got = {(r.id_a, r.id_b): (r.x, r.y) for r in segment_intersections(a, b, 2.0).collect()}
     assert got == {(0, 2): (1.0, 0.0), (1, 2): (1.0, 2.0)}
+
+
+def test_clip_rings_to_tile_loop_reference(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.geo.overlay import clip_rings_to_tile
+
+    def clip_half(pts, axis, c, sign):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            p, q = pts[i], pts[(i + 1) % n]
+            ip = sign * (p[axis] - c) >= 0
+            iq = sign * (q[axis] - c) >= 0
+            if ip != iq:
+                if axis == 0:
+                    y = p[1] + math.floor((q[1] - p[1]) * (c - p[0]) / (q[0] - p[0]))
+                    out.append((c, y))
+                else:
+                    x = p[0] + math.floor((q[0] - p[0]) * (c - p[1]) / (q[1] - p[1]))
+                    out.append((x, c))
+            if iq:
+                out.append(q)
+        return out
+
+    def sh(pts):
+        for axis, c, sign in [(0, 10, 1), (0, 90, -1), (1, 10, 1), (1, 90, -1)]:
+            pts = clip_half(pts, axis, c, sign)
+            if not pts:
+                return []
+        return pts if len(pts) >= 3 else []
+
+    rng = np.random.default_rng(113)
+    rows, rings = [], {}
+    for r in range(60):
+        cx, cy = int(rng.integers(-20, 120)), int(rng.integers(-20, 120))
+        k = int(rng.integers(3, 8))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=k))
+        rad = rng.integers(5, 40, size=k)
+        pts = [
+            (cx + int(rad[i] * np.cos(ang[i])), cy + int(rad[i] * np.sin(ang[i])))
+            for i in range(k)
+        ]
+        rings[r] = pts
+        for s, (x, y) in enumerate(pts):
+            rows.append((r, s, x, y))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ring_id", "seq", "x", "y"])
+    )
+    got = {}
+    for row in clip_rings_to_tile(df, 10, 10, 90, 90).collect():
+        got.setdefault(row.ring_id, []).append((row.seq, row.x, row.y))
+    for r in got:
+        got[r].sort()
+
+    n_clipped = n_dropped = 0
+    for r, pts in rings.items():
+        want = sh(list(pts))
+        if not want:
+            n_dropped += 1
+            assert r not in got, r
+            continue
+        if len(want) != len(pts):
+            n_clipped += 1
+        assert r in got, r
+        assert [(x, y) for _, x, y in got[r]] == want, r
+        assert [s for s, _, _ in got[r]] == list(range(len(want))), r
+        # every output vertex lies in the inclusive tile
+        assert all(10 <= x <= 90 and 10 <= y <= 90 for _, x, y in got[r]), r
+    # fixture exercises all three regimes
+    assert n_dropped > 0 and n_clipped > 0
+    assert any(len(rings[r]) == len(got.get(r, [])) for r in rings)
