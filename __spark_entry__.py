@@ -8687,6 +8687,102 @@ def _block_flow_oracle_sql() -> str:
     """
 
 
+def _q_clip_tile(spark, sf_dir):
+    """Axis-aligned Sutherland–Hodgman ring clipping (geo/overlay.
+    clip_rings_to_tile): 100 closed-form hexagons at varied centers
+    clip to the [10, 90]² tile with integer-pixel snapping (the
+    vector-tile-encoder quantization) — four unrolled half-plane
+    stages, intersection coords exact-shared floor arithmetic, rings
+    collapsing below 3 vertices drop. The fixture spans fully-inside,
+    crossing, and fully-outside regimes; the oracle replays all four
+    stages as MATERIALIZED CTEs (rule 27: each edge stage feeds two
+    branches plus the renumber)."""
+    from morituri_spark.geo.overlay import clip_rings_to_tile
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 600")
+    rings = ev.selectExpr(
+        "event_id div 6 AS ring_id",
+        "event_id % 6 AS seq",
+    ).selectExpr(
+        "ring_id", "seq",
+        "(ring_id * 37) % 120 - 10"
+        " + CASE seq WHEN 0 THEN 14 WHEN 1 THEN 7 WHEN 2 THEN -7"
+        " WHEN 3 THEN -14 WHEN 4 THEN -7 ELSE 7 END AS x",
+        "(ring_id * 53) % 120 - 10"
+        " + CASE seq WHEN 0 THEN 0 WHEN 1 THEN 12 WHEN 2 THEN 12"
+        " WHEN 3 THEN 0 WHEN 4 THEN -12 ELSE -12 END AS y",
+    )
+    return clip_rings_to_tile(rings, 10, 10, 90, 90)
+
+
+def _clip_tile_oracle_sql() -> str:
+    def stage(src, out, axis, c, sign):
+        other = "y" if axis == "x" else "x"
+        ip = f"({sign} * ({axis} - {c}) >= 0)"
+        il = f"({sign} * (n{axis} - {c}) >= 0)"
+        if axis == "x":
+            ix = f"CAST({c} AS BIGINT)"
+            iy = (
+                f"y + CAST(floor((ny - y) * ({c} - x) * 1.0"
+                " / (nx - x)) AS BIGINT)"
+            )
+        else:
+            iy = f"CAST({c} AS BIGINT)"
+            ix = (
+                f"x + CAST(floor((nx - x) * ({c} - y) * 1.0"
+                " / (ny - y)) AS BIGINT)"
+            )
+        full = ("ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING")
+        return f"""
+        {out}_e AS MATERIALIZED (
+            SELECT r, s, x, y,
+                   coalesce(lead(x) OVER (PARTITION BY r ORDER BY s),
+                            first_value(x) OVER (PARTITION BY r
+                                ORDER BY s {full})) AS nx,
+                   coalesce(lead(y) OVER (PARTITION BY r ORDER BY s),
+                            first_value(y) OVER (PARTITION BY r
+                                ORDER BY s {full})) AS ny
+            FROM {src}),
+        {out}_p AS MATERIALIZED (
+            SELECT r, s, 0 AS pos, {ix} AS x, {iy} AS y
+            FROM {out}_e WHERE {ip} != {il}
+            UNION ALL
+            SELECT r, s, 1 AS pos, nx AS x, ny AS y
+            FROM {out}_e WHERE {il}),
+        {out} AS (
+            SELECT r,
+                   row_number() OVER (PARTITION BY r
+                       ORDER BY s, pos) - 1 AS s, x, y
+            FROM {out}_p)"""
+
+    stages = ",".join([
+        stage("base", "o1", "x", 10, 1),
+        stage("o1", "o2", "x", 90, -1),
+        stage("o2", "o3", "y", 10, 1),
+        stage("o3", "o4", "y", 90, -1),
+    ])
+    return f"""
+        WITH ids AS (
+            SELECT event_id // 6 AS r, event_id % 6 AS k
+            FROM events WHERE event_id < 600),
+        base AS (
+            SELECT r, k AS s,
+                   (r * 37) % 120 - 10
+                   + CASE k WHEN 0 THEN 14 WHEN 1 THEN 7 WHEN 2 THEN -7
+                     WHEN 3 THEN -14 WHEN 4 THEN -7 ELSE 7 END AS x,
+                   (r * 53) % 120 - 10
+                   + CASE k WHEN 0 THEN 0 WHEN 1 THEN 12 WHEN 2 THEN 12
+                     WHEN 3 THEN 0 WHEN 4 THEN -12 ELSE -12 END AS y
+            FROM ids),
+        {stages}
+        SELECT CAST(r AS BIGINT) AS ring_id, CAST(s AS BIGINT) AS seq,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM (SELECT o4.*, count(*) OVER (PARTITION BY r) AS n FROM o4)
+        WHERE n >= 3
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8869,6 +8965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_sums": _q_pyramid,
         # --- twenty-eighth session: motion estimation ---
         "block_flow_motion": _q_block_flow,
+        # --- twenty-ninth session: tile clipping ---
+        "clip_rings_tile": _q_clip_tile,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -9205,7 +9303,7 @@ _WINDOW = [
     # with a shortest-path CTE oracle), and pattern_hit_counts
     # (the literal-dictionary count machinery's n-gram counting family
     # runs in-window via bleu_captions and collocation_pmi).
-    "ring_nesting", "exif_boxes",
+    "exif_boxes",
     # twenty-second-session rotation: tracklet stitching and letterbox
     # remapping are the freshest code and enter per the code-risk rule
     # (iou_tracklets additionally runs match_detections AND the
@@ -9286,6 +9384,14 @@ _WINDOW = [
     # entering block_flow exercises the same keyed-raster join family
     # end to end.
     "block_flow_motion",
+    # twenty-ninth-session rotation: Catalyst tile clipping is the
+    # freshest code and enters per the code-risk rule. Released:
+    # ring_nesting — frozen, sweep-EQUAL, pytest-pinned,
+    # replica-checked; its per-group even-odd ray-cast machinery keeps
+    # ring_self_intersections in-window (same module family) and the
+    # entering clip stages exercise the ring-ordering window discipline
+    # end to end.
+    "clip_rings_tile",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10837,6 +10943,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve_points": _pr_curve_oracle_sql(),
         "pyramid_sums": _pyramid_oracle_sql(),
         "block_flow_motion": _block_flow_oracle_sql(),
+        "clip_rings_tile": _clip_tile_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

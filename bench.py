@@ -2660,6 +2660,38 @@ def main() -> None:
     )
     bf_px.unpersist()
 
+    # twenty-ninth session: Catalyst tile clipping — 2M hexagons (12M
+    # vertices) through 4 half-plane stages (8 windows, 1 ring sort
+    # reused per stage pair)
+    from morituri_spark.geo.overlay import clip_rings_to_tile
+
+    cl_rings = (
+        spark.range(12_000_000)
+        .selectExpr("id div 6 AS ring_id", "id % 6 AS seq")
+        .selectExpr(
+            "ring_id", "seq",
+            "(ring_id * 37) % 120 - 10"
+            " + CASE seq WHEN 0 THEN 14 WHEN 1 THEN 7 WHEN 2 THEN -7"
+            " WHEN 3 THEN -14 WHEN 4 THEN -7 ELSE 7 END AS x",
+            "(ring_id * 53) % 120 - 10"
+            " + CASE seq WHEN 0 THEN 0 WHEN 1 THEN 12 WHEN 2 THEN 12"
+            " WHEN 3 THEN 0 WHEN 4 THEN -12 ELSE -12 END AS y",
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
+    cl_rings.count()
+    timed(
+        "clip_2m_rings_tile",
+        lambda: clip_rings_to_tile(cl_rings, 10, 10, 90, 90)
+        .agg(
+            F.bit_xor(F.xxhash64("ring_id", "seq", "x", "y")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
+    cl_rings.unpersist()
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "bench_total_seconds",
