@@ -625,7 +625,7 @@ def clip_rings_to_tile(
         rn = Window.partitionBy(*part).orderBy("_s", "_pos")
         out = ex.select(
             *part,
-            (F.row_number().over(rn) - 1).alias("_s"),
+            (F.row_number().over(rn).cast("long") - 1).alias("_s"),
             F.col("_p.x").alias("_x"),
             F.col("_p.y").alias("_y"),
         )

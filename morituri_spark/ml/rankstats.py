@@ -47,9 +47,11 @@ def spearman_stats(
     group flow through a single range-partitioned sort."""
     wx = Window.partitionBy(group_col).orderBy(x_col, id_col)
     wy = Window.partitionBy(group_col).orderBy(y_col, id_col)
-    ranked = df.withColumn("_rx", F.row_number().over(wx)).withColumn(
-        "_ry", F.row_number().over(wy)
-    )
+    # row_number() is IntegerType: d² overflows int32 past ~46k-row
+    # groups under ANSI — rank in BIGINT before any arithmetic
+    ranked = df.withColumn(
+        "_rx", F.row_number().over(wx).cast("long")
+    ).withColumn("_ry", F.row_number().over(wy).cast("long"))
     return (
         ranked.withColumn("_d", F.col("_rx") - F.col("_ry"))
         .groupBy(group_col)
