@@ -8783,6 +8783,28 @@ def _clip_tile_oracle_sql() -> str:
     """
 
 
+def _q_block_flow_dense(spark, sf_dir):
+    """Dense-raster block-flow fast path (multimodal/video.
+    block_flow_dense): SAME fixture and SAME independent join-based
+    DuckDB oracle as block_flow_motion, but the Spark side reads every
+    displaced pixel via 25 window lead/lags over one row-major sort
+    (no 25x fan join) — a green row proves the two physical plans and
+    the oracle agree bit-for-bit. Bench: 76.7s -> 8.4-14.2s at 8M px."""
+    from morituri_spark.multimodal.video import block_flow_dense
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 7680")
+    px = ev.selectExpr(
+        "event_id % 30 AS g",
+        "(event_id div 30) % 16 AS ix",
+        "event_id div 480 AS iy",
+    )
+    cur = px.selectExpr("g", "ix", "iy", f"{_BF_CUR} AS v")
+    nxt = px.selectExpr("g", "ix", "iy", f"{_BF_NXT} AS v")
+    return block_flow_dense(
+        cur, nxt, dims=(16, 16), keys=["g"], block=8, radius=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8967,6 +8989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_flow_motion": _q_block_flow,
         # --- twenty-ninth session: tile clipping ---
         "clip_rings_tile": _q_clip_tile,
+        "block_flow_dense": _q_block_flow_dense,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -9303,7 +9326,6 @@ _WINDOW = [
     # with a shortest-path CTE oracle), and pattern_hit_counts
     # (the literal-dictionary count machinery's n-gram counting family
     # runs in-window via bleu_captions and collocation_pmi).
-    "exif_boxes",
     # twenty-second-session rotation: tracklet stitching and letterbox
     # remapping are the freshest code and enter per the code-risk rule
     # (iou_tracklets additionally runs match_detections AND the
@@ -9392,6 +9414,15 @@ _WINDOW = [
     # entering clip stages exercise the ring-ordering window discipline
     # end to end.
     "clip_rings_tile",
+    # (block_flow_dense enters with its sibling — the two physical
+    # plans of the same operator deserve independent driver rows
+    # against the same join-based oracle. Released: exif_boxes —
+    # frozen literal corner remaps, pytest-pinned, replica-checked;
+    # the box-warp family keeps mosaic_boxes' quadrant remap...
+    # mosaic is out too — keeps homography_boxes (the projective
+    # superset) and letterbox/mosaic/exif all pytest-pinned and
+    # sweep-EQUAL on frozen code.)
+    "block_flow_dense",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10944,6 +10975,7 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_sums": _pyramid_oracle_sql(),
         "block_flow_motion": _block_flow_oracle_sql(),
         "clip_rings_tile": _clip_tile_oracle_sql(),
+        "block_flow_dense": _block_flow_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2658,6 +2658,21 @@ def main() -> None:
         )
         .collect(),
     )
+    # dense-raster fast path at the SAME shape: 1:1 join + 25 window
+    # lags over one sort (no 25x fan) — hash must match the join path
+    from morituri_spark.multimodal.video import block_flow_dense
+
+    timed(
+        "block_flow_8m_px_dense",
+        lambda: block_flow_dense(
+            bf_cur, bf_nxt, dims=(128, 128), keys=["g"], block=8, radius=2
+        )
+        .agg(
+            F.bit_xor(F.xxhash64("g", "bx", "by", "sad", "dx", "dy")),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+    )
     bf_px.unpersist()
 
     # twenty-ninth session: Catalyst tile clipping — 2M hexagons (12M

@@ -68,3 +68,34 @@ def test_block_flow_recovers_known_shift(spark):
     # content appears at (x-2, y+1) → block (1, 0) of cur matches at
     # dx=-2, dy=+1 with SAD 0 (its target window stays in-frame)
     assert out[(1, 0)] == (0, -2, 1)
+
+
+def test_block_flow_dense_matches_join_path(spark):
+    import numpy as np
+    import pandas as pd
+
+    from morituri_spark.multimodal.video import block_flow, block_flow_dense
+
+    rng = np.random.default_rng(101)
+    W, H = 24, 16
+    rows_c, rows_n = [], []
+    for g in range(6):
+        cur = rng.integers(0, 256, size=(H, W)).astype(np.int64)
+        nxt = rng.integers(0, 256, size=(H, W)).astype(np.int64)
+        for iy in range(H):
+            for ix in range(W):
+                rows_c.append((g, ix, iy, int(cur[iy, ix])))
+                rows_n.append((g, ix, iy, int(nxt[iy, ix])))
+    cols = ["g", "ix", "iy", "v"]
+    dc = spark.createDataFrame(pd.DataFrame(rows_c, columns=cols))
+    dn = spark.createDataFrame(pd.DataFrame(rows_n, columns=cols))
+    a = sorted(
+        tuple(r) for r in
+        block_flow(dc, dn, keys=["g"], block=8, radius=2).collect()
+    )
+    b = sorted(
+        tuple(r) for r in
+        block_flow_dense(dc, dn, dims=(W, H), keys=["g"], block=8,
+                         radius=2).collect()
+    )
+    assert a == b and len(a) == 6 * (W // 8) * (H // 8)
