@@ -9257,7 +9257,7 @@ _WINDOW = [
     # interval-islands sweep stays in-window via convoy_comovement's
     # gaps-and-islands and the entering geofence_visits' run collapse;
     # pytest-pinned frozen code).
-    "fast_corners", "geofence_visits", "merge_upsert",
+    "geofence_visits", "merge_upsert",
     # seventeenth-session rotation: BRIEF descriptors, AMDF pitch, and
     # the ring self-intersection audit are the freshest code and enter
     # per the code-risk rule. Released — frozen, sweep-EQUAL,
@@ -9286,7 +9286,7 @@ _WINDOW = [
     # candidate join machinery stays via knn_mega_cell_skew's cell
     # joins), and dag_critical_path (sssp_weighted_costs holds the
     # iterative _Round relaxation machinery in-window).
-    "nms_boxes", "detection_matches", "mask_rle_runs",
+    "nms_boxes", "detection_matches",
     # nineteenth-session rotation: anchor assignment, per-class AP, and
     # BLEU clip counts are the freshest code and enter per the
     # code-risk rule (detection_ap additionally re-runs
@@ -9423,6 +9423,15 @@ _WINDOW = [
     # superset) and letterbox/mosaic/exif all pytest-pinned and
     # sweep-EQUAL on frozen code.)
     "block_flow_dense",
+    # (bleu_captions and spearman_corr RE-ENTER: both changed this
+    # session — bleu's gram stage moved from the interpreted HOF to
+    # window leads (2.2x), spearman's ranks widened to BIGINT — and
+    # changed code outranks frozen code for window slots. Released:
+    # mask_rle_runs and fast_corners — frozen, sweep-EQUAL,
+    # pytest-pinned integer scan kernels whose machinery stays
+    # in-window via brief_descriptors, image_morphology, and
+    # confusion_matrix's contingency counts.)
+    "bleu_captions", "spearman_corr",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,

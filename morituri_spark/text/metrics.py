@@ -44,28 +44,49 @@ def bleu_clip_counts(
         raise ValueError(f"n_max must be >= 1, got {nm}")
 
     def grams(col: str, side: str) -> DataFrame:
+        # grams via lead() offsets over ONE per-pair token sort — the
+        # transform(sequence, slice)+concat_ws HOF form this replaces
+        # runs interpreted per element (rule 8) and measured 65.3s vs
+        # 28-31s at 500k 20-token pairs; gram strings stay EXACT (no
+        # hashing, collisions impossible, oracle replays byte-for-byte)
+        from pyspark.sql import Window
+
         toks = pairs.select(
             pair_col,
             F.expr(
                 f"filter(split({col}, ' '), t -> t <> '')"
             ).alias("_toks"),
         )
-        return (
-            toks.select(
-                pair_col,
-                "_toks",
-                F.explode(F.expr(f"sequence(1, {nm})")).alias("n"),
+        pos = toks.select(
+            pair_col, F.posexplode("_toks").alias("_p", "_t0")
+        )
+        w = Window.partitionBy(pair_col).orderBy("_p")
+        lead_cols = [
+            F.lead("_t0", k).over(w).alias(f"_t{k}") for k in range(1, nm)
+        ]
+        g = pos.select(pair_col, "_t0", *lead_cols)
+        branches = ["array(struct(1 AS n, _t0 AS gram))"]
+        for n in range(2, nm + 1):
+            concat = (
+                "concat(" + ", ' ', ".join(f"_t{k}" for k in range(n)) + ")"
             )
-            .where(F.expr("size(_toks) >= n"))
-            .select(
+            branches.append(
+                f"CASE WHEN _t{n - 1} IS NOT NULL THEN"
+                f" array(struct({n} AS n, {concat} AS gram))"
+                " ELSE CAST(array() AS array<struct<n:int,gram:string>>)"
+                " END"
+            )
+        stacked = g.select(
+            pair_col,
+            F.expr("explode(concat(" + ", ".join(branches) + "))").alias(
+                "_g"
+            ),
+        )
+        return (
+            stacked.select(
                 pair_col,
-                "n",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(_toks) - n + 1),"
-                        " k -> concat_ws(' ', slice(_toks, k, n)))"
-                    )
-                ).alias("gram"),
+                F.col("_g.n").alias("n"),
+                F.col("_g.gram").alias("gram"),
             )
             .groupBy(pair_col, "n", "gram")
             .agg(F.count(F.lit(1)).alias(f"_c_{side}"))
