@@ -8805,6 +8805,59 @@ def _q_block_flow_dense(spark, sf_dir):
     )
 
 
+def _q_ndcg(spark, sf_dir):
+    """Graded-relevance NDCG@10 sufficient statistics (ml/rankstats.
+    ndcg_stats): 500 queries × 16 closed-form candidates with rel
+    grades 0-3 — dcg/idcg micro-sums use a PYTHON-computed literal
+    discount table floor(10⁶/log2(i+1)) embedded identically in both
+    plans, so the one float surface (libm log2) is eliminated rather
+    than epsilon-managed. Two rank windows + one aggregate."""
+    from morituri_spark.ml.rankstats import ndcg_stats
+
+    ev = _read(spark, sf_dir, "events").where("event_id < 8000")
+    scored = ev.selectExpr(
+        "event_id % 500 AS query_id",
+        "event_id div 500 AS cand_id",
+        "(event_id * 7) % 97 AS score",
+        "CASE WHEN (event_id * 11) % 5 = 0 THEN (event_id * 3) % 4"
+        " ELSE 0 END AS rel",
+    )
+    return ndcg_stats(scored, k=10)
+
+
+def _ndcg_oracle_sql() -> str:
+    from morituri_spark.ml.rankstats import _ndcg_discounts
+
+    disc = _ndcg_discounts(10)
+    dcase = (
+        "CASE rk "
+        + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(disc))
+        + " ELSE 0 END"
+    )
+    icase = dcase.replace("CASE rk", "CASE irk")
+    return f"""
+        WITH sc AS (
+            SELECT event_id % 500 AS query_id,
+                   event_id // 500 AS cand_id,
+                   (event_id * 7) % 97 AS score,
+                   CASE WHEN (event_id * 11) % 5 = 0
+                        THEN (event_id * 3) % 4 ELSE 0 END AS rel
+            FROM events WHERE event_id < 8000),
+        r AS (
+            SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, cand_id) AS rk,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, cand_id) AS irk
+            FROM sc)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(count(*) AS BIGINT) AS n_cands,
+               CAST(sum(rel * ({dcase})) AS BIGINT) AS dcg_micro,
+               CAST(sum(rel * ({icase})) AS BIGINT) AS idcg_micro
+        FROM r GROUP BY query_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records CORRECTNESS rows for the FIRST
     # 50 entries only; _WINDOW (below) picks them explicitly. Ninth-session
@@ -8990,6 +9043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- twenty-ninth session: tile clipping ---
         "clip_rings_tile": _q_clip_tile,
         "block_flow_dense": _q_block_flow_dense,
+        # --- thirty-first session: graded retrieval eval ---
+        "ndcg_graded": _q_ndcg,
         # ex-demos, now oracle-checked (r4 verdict item #2)
         "street_conversion": _q_street_conversion,
         "turn_restrictions": _q_turn_restrictions,
@@ -9300,7 +9355,7 @@ _WINDOW = [
     # detection kernels), and template_match_sad (box_filter_grid holds
     # the neighbor-window-sum machinery in-window; the SAD scan kernel
     # is pytest-pinned vs its loop reference).
-    "anchor_assign", "detection_ap",
+    "detection_ap",
     # twentieth-session rotation: panoptic quality, the confusion
     # matrix, and mosaic box remapping are the freshest code and enter
     # per the code-risk rule (panoptic_quality drives the NEW
@@ -9432,6 +9487,11 @@ _WINDOW = [
     # in-window via brief_descriptors, image_morphology, and
     # confusion_matrix's contingency counts.)
     "bleu_captions", "spearman_corr",
+    # (ndcg_graded enters — freshest code. Released: anchor_assign —
+    # frozen, sweep-EQUAL, pytest-pinned; its integer-IoU assignment
+    # machinery keeps detection_matches + nms_boxes + detection_ap
+    # in-window.)
+    "ndcg_graded",
     
     # (hmm_map_match enters too — adaptive_assign_rollup released: its
     # oracle is the SAME SQL text as the in-window adaptive_quadtree_cells,
@@ -10985,6 +11045,7 @@ def oracle_sql() -> dict[str, str]:
         "block_flow_motion": _block_flow_oracle_sql(),
         "clip_rings_tile": _clip_tile_oracle_sql(),
         "block_flow_dense": _block_flow_oracle_sql(),
+        "ndcg_graded": _ndcg_oracle_sql(),
         "hausdorff_track_pairs": f"""
             WITH pts AS (
                 SELECT {_HTID} AS tid, event_id AS ea,

@@ -2436,6 +2436,20 @@ def main() -> None:
     )
     rr_scored.count()
     timed(
+        "ndcg_20m_pairs",
+        lambda: __import__("morituri_spark.ml.rankstats", fromlist=["x"])
+        .ndcg_stats(
+            rr_scored.selectExpr(
+                "query_id", "cand_id", "score",
+                "CASE WHEN is_rel THEN 1 + CAST(cand_id % 3 AS BIGINT)"
+                " ELSE 0 END AS rel",
+            ),
+            k=10,
+        )
+        .agg(F.sum("dcg_micro"), F.sum("idcg_micro"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
         "retrieval_ranks_20m_pairs",
         lambda: retrieval_ranks(rr_scored)
         .agg(

@@ -24,6 +24,7 @@ __all__ = [
     "calibration_bins",
     "brier_stats",
     "pr_curve_points",
+    "ndcg_stats",
 ]
 
 
@@ -332,3 +333,64 @@ def pr_curve_points(
         F.sum("_np").over(w).cast("long").alias("tp"),
         F.sum("_nn").over(w).cast("long").alias("fp"),
     )
+
+
+def ndcg_stats(
+    scored: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query NDCG@k sufficient statistics with GRADED relevance —
+    the graded companion of :func:`retrieval_ranks`' binary
+    recall@k/MRR: → (query_id, n_cands, dcg_micro, idcg_micro) with
+    ``ndcg = dcg_micro / idcg_micro`` the caller's one division
+    (idcg_micro = 0 ⇢ no relevant candidates, NDCG undefined).
+
+    Determinism: the log discount table ``floor(10⁶ / log2(i+1))`` for
+    ranks 1..k is computed ONCE in Python and embedded as LITERALS in
+    the plan — the SQL oracle embeds the same literals, so no
+    cross-engine libm log2 ulp can flip a floor (the one float surface
+    is eliminated rather than epsilon-managed). DCG ranks by
+    (score DESC, cand ASC); ideal DCG ranks by (rel DESC, cand ASC) —
+    both deterministic total orders.
+
+    Shape: two rank windows over the same per-query partition (one
+    sort each) + one map-side-combinable aggregate; candidates per
+    query bound the sorts, 10⁹ queries partition freely."""
+    kk = int(k)
+    disc = _ndcg_discounts(kk)
+    dcase = (
+        "CASE _rk "
+        + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(disc))
+        + " ELSE 0 END"
+    )
+    icase = dcase.replace("_rk", "_irk")
+    w_score = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col)
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(cand_col)
+    )
+    ranked = scored.select(
+        F.col(query_col),
+        F.col(rel_col).cast("long").alias("_rel"),
+        F.row_number().over(w_score).cast("long").alias("_rk"),
+        F.row_number().over(w_ideal).cast("long").alias("_irk"),
+        F.col(rel_col).cast("long").alias("_irel"),
+    )
+    return ranked.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum(F.expr(f"_rel * ({dcase})")).cast("long").alias("dcg_micro"),
+        F.sum(F.expr(f"_irel * ({icase})")).cast("long").alias("idcg_micro"),
+    )
+
+
+def _ndcg_discounts(k: int) -> list:
+    """floor(10⁶ / log2(i+1)) for i = 1..k — Python-computed literals
+    shared verbatim by the Spark plan and the SQL oracle."""
+    import math
+
+    return [int(math.floor(1_000_000 / math.log2(i + 1))) for i in range(1, int(k) + 1)]

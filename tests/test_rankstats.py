@@ -280,3 +280,34 @@ def test_pr_curve_loop_reference(spark):
             assert got[(g, lvl)] == (tp, fp), (g, lvl)
     # one row per distinct (g, score)
     assert len(got) == len({(g, s) for g, s, _ in rows})
+
+
+def test_ndcg_loop_reference(spark):
+    import math
+
+    from morituri_spark.ml.rankstats import ndcg_stats
+
+    rng = np.random.default_rng(131)
+    rows = []
+    for q in range(8):
+        for c in range(15):
+            rows.append((q, c, int(rng.integers(0, 100)), int(rng.integers(0, 4))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "cand_id", "score", "rel"])
+    )
+    got = {r.query_id: (r.n_cands, r.dcg_micro, r.idcg_micro)
+           for r in ndcg_stats(df, k=10).collect()}
+    disc = [int(math.floor(1_000_000 / math.log2(i + 1))) for i in range(1, 11)]
+
+    def d(rank):
+        return disc[rank - 1] if rank <= 10 else 0
+
+    for q in range(8):
+        grp = [(c, s, r) for qq, c, s, r in rows if qq == q]
+        by_score = sorted(grp, key=lambda t: (-t[1], t[0]))
+        by_rel = sorted(grp, key=lambda t: (-t[2], t[0]))
+        dcg = sum(r * d(i + 1) for i, (_, _, r) in enumerate(by_score))
+        idcg = sum(r * d(i + 1) for i, (_, _, r) in enumerate(by_rel))
+        assert got[q] == (15, dcg, idcg), q
+        if idcg:
+            assert 0.0 <= dcg / idcg <= 1.0
