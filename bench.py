@@ -2435,10 +2435,11 @@ def main() -> None:
         .persist()
     )
     rr_scored.count()
+    from morituri_spark.ml.rankstats import ndcg_stats
+
     timed(
         "ndcg_20m_pairs",
-        lambda: __import__("morituri_spark.ml.rankstats", fromlist=["x"])
-        .ndcg_stats(
+        lambda: ndcg_stats(
             rr_scored.selectExpr(
                 "query_id", "cand_id", "score",
                 "CASE WHEN is_rel THEN 1 + CAST(cand_id % 3 AS BIGINT)"
