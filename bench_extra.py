@@ -1,0 +1,337 @@
+"""Per-entry isolation harness for optimization work (guide §1.4).
+
+NOT part of the frozen driver contract (bench.py is the measured
+surface): this file reproduces individual bench.py fixtures so a single
+entry can be timed — with per-entry steal%, /proc/loadavg and the calib
+sentinel — without paying the full 137-entry run. Usage:
+
+    python bench_extra.py dtw_4k_tracks_24pts table_diff_20m_sketch ...
+
+Each entry prints one line: name, seconds, steal%, loadavg-at-start.
+Fixtures and timed lambdas are verbatim copies of bench.py's (same
+data, same aggregates) so numbers are comparable entry-for-entry.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import bench as B  # cpu_ticks / calib_ms helpers (no side effects)
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from morituri_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-extra", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"calib_ms_start={B.calib_ms():.2f}", flush=True)
+
+    def timed(name, fn, reps=1):
+        for i in range(reps):
+            load = open("/proc/loadavg").read().split()[0]
+            c0, s0 = B.cpu_ticks()
+            t0 = time.perf_counter()
+            spark.sparkContext.setJobDescription(name)
+            fn()
+            dt = time.perf_counter() - t0
+            c1, s1 = B.cpu_ticks()
+            st = 100.0 * (s1 - s0) / max(c1 - c0, 1)
+            print(
+                f"ENTRY {name} rep={i} sec={dt:.3f} steal={st:.2f}"
+                f" load0={load}",
+                flush=True,
+            )
+        spark.sparkContext.setJobDescription(None)
+
+    want = set(names)
+
+    def on(name):
+        return name in want
+
+    # ---- dtw / hausdorff tracks fixture (bench.py verbatim) ----------
+    if on("dtw_4k_tracks_24pts"):
+        from morituri_spark.geo.similarity import dtw_join
+
+        dtw_tracks = (
+            spark.range(96_000)
+            .select(
+                (F.col("id") % 4000).alias("track_id"),
+                F.col("id").alias("seq"),
+                (
+                    ((F.col("id") % 4000) % 500 % 25).cast("double") * 14.0 - 170.0
+                    + ((F.col("id") % 4000) * 131 % 97).cast("double") / 1000.0
+                    + (F.col("id") * 61 % 181).cast("double") / 2000.0
+                ).alias("lon"),
+                (
+                    ((F.col("id") % 4000) % 500 / 25).cast("int").cast("double") * 6.0 - 57.0
+                    + ((F.col("id") % 4000) * 173 % 89).cast("double") / 1000.0
+                    + (F.col("id") * 37 % 151).cast("double") / 2000.0
+                ).alias("lat"),
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        dtw_tracks.count()
+        timed(
+            "dtw_4k_tracks_24pts",
+            lambda: dtw_join(dtw_tracks, 60.0)
+            .agg(F.count(F.lit(1)), F.sum("dtw_km")).collect(),
+            reps=2,
+        )
+        dtw_tracks.unpersist()
+
+    # ---- hmm map match fixture ---------------------------------------
+    if on("hmm_map_match_10k_tracks"):
+        from morituri_spark.geo.matching import hmm_map_match
+
+        hmm_pts = (
+            spark.range(120_000)
+            .select(
+                (F.col("id") % 10000).alias("track_id"),
+                F.floor(F.col("id") / 10000).cast("long").alias("seq"),
+                F.col("id").alias("point_id"),
+                (
+                    ((F.col("id") % 10000) % 200).cast("double") * 1.5 - 150.0
+                    + F.floor(F.col("id") / 10000).cast("double") * 0.02
+                    + ((F.col("id") * 7) % 10).cast("double") / 1000.0
+                ).alias("lon"),
+                (
+                    F.floor((F.col("id") % 10000) / 200).cast("double") * 1.1 - 55.0
+                    + F.floor(F.col("id") / 10000).cast("double") * 0.015
+                    + ((F.col("id") * 13) % 7).cast("double") / 1000.0
+                ).alias("lat"),
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        hmm_pts.count()
+        hmm_segs = (
+            spark.range(30_000)
+            .select(
+                F.col("id").alias("seg_id"),
+                (
+                    (F.col("id") % 200).cast("double") * 1.5 - 150.0
+                    + ((F.col("id") * 31) % 3).cast("double") * 0.04 - 0.04
+                ).alias("ax"),
+                (F.floor(F.col("id") / 200).cast("double") % 100 * 1.1 - 55.0).alias("ay"),
+            )
+            .select(
+                "seg_id", "ax", "ay",
+                (F.col("ax") + 0.05).alias("bx"), (F.col("ay") + 0.4).alias("by"),
+            )
+            .persist()
+        )
+        hmm_segs.count()
+        timed(
+            "hmm_map_match_10k_tracks",
+            lambda: hmm_map_match(
+                hmm_pts, hmm_segs, radius=0.5, cell_deg=1.0,
+                switch_cost_nano=50_000_000,
+            ).agg(F.count(F.lit(1)), F.sum("dist"), F.sum("cost")).collect(),
+            reps=2,
+        )
+        hmm_pts.unpersist()
+        hmm_segs.unpersist()
+
+    # ---- table diff fixture ------------------------------------------
+    if on("table_diff_20m_sketch") or on("table_diff_20m_fulljoin_control"):
+        from morituri_spark.io.reconcile import diff_tables
+
+        qn_df = (
+            spark.range(20_000_000)
+            .select(((F.col("id") * 2654435761) % 1099511627776).alias("v"))
+            .repartition(cpus * 2)
+            .persist()
+        )
+        qn_df.count()
+        ta = qn_df.select(
+            F.col("v").alias("k"),
+            (F.col("v") % 1000).alias("x"),
+        ).persist()
+        ta.count()
+        tb = ta.where("k % 1753 <> 5").select(
+            "k",
+            F.when(F.col("k") % 877 == 3, F.col("x") + 1).otherwise(F.col("x")).alias("x"),
+        ).persist()
+        tb.count()
+        if on("table_diff_20m_sketch"):
+            timed(
+                "table_diff_20m_sketch",
+                lambda: diff_tables(ta, tb, ["k"], n_buckets=1_000_000).count(),
+                reps=2,
+            )
+        if on("table_diff_20m_fulljoin_control"):
+            timed(
+                "table_diff_20m_fulljoin_control",
+                lambda: ta.alias("a").join(tb.alias("b"), "k", "full")
+                .where(
+                    F.col("a.x").isNull() | F.col("b.x").isNull()
+                    | (F.col("a.x") != F.col("b.x"))
+                )
+                .count(),
+                reps=2,
+            )
+        ta.unpersist(); tb.unpersist(); qn_df.unpersist()
+
+    # ---- mask RLE fixture --------------------------------------------
+    if on("mask_rle_100k_masks"):
+        from morituri_spark.multimodal.masks import mask_rle_runs
+
+        def _mask_rows(batches):
+            import numpy as np
+            import pandas as pd
+
+            ys, xs = np.mgrid[0:64, 0:64]
+            for pdf in batches:
+                rows = {"image_id": [], "mask": [], "w": [], "h": []}
+                for i in pdf["id"]:
+                    i = int(i)
+                    m = ((i + 2 * ys + 3 * xs) % 7) < 3
+                    rows["image_id"].append(f"img{i:012d}")
+                    rows["mask"].append(
+                        bytes(np.packbits(m.astype(np.uint8).ravel()))
+                    )
+                    rows["w"].append(64)
+                    rows["h"].append(64)
+                yield pd.DataFrame(rows)
+
+        rle_masks = (
+            spark.range(0, 100_000, numPartitions=cpus * 2)
+            .mapInPandas(_mask_rows, "image_id string, mask binary, w int, h int")
+            .persist()
+        )
+        rle_masks.count()
+        timed(
+            "mask_rle_100k_masks",
+            lambda: mask_rle_runs(rle_masks)
+            .agg(F.sum("start"), F.sum("length"), F.count(F.lit(1)))
+            .collect(),
+            reps=2,
+        )
+        rle_masks.unpersist()
+
+    # ---- block flow fixture ------------------------------------------
+    if on("block_flow_8m_px_25disp") or on("block_flow_8m_px_dense"):
+        from morituri_spark.multimodal.video import block_flow, block_flow_dense
+
+        bf_px = (
+            spark.range(8_192_000)
+            .selectExpr(
+                "id % 500 AS g",
+                "(id div 500) % 128 AS ix",
+                "id div 64000 AS iy",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        bf_px.count()
+        bf_cur = bf_px.selectExpr(
+            "g", "ix", "iy",
+            "(11 * g + 7 * ix + 13 * iy + (ix * iy) % 5) % 251 AS v",
+        )
+        bf_nxt = bf_px.selectExpr(
+            "g", "ix", "iy",
+            "(11 * g + 7 * (ix - (g % 5 - 2)) + 13 * (iy - (g % 3 - 1))"
+            " + ((ix - (g % 5 - 2)) * (iy - (g % 3 - 1))) % 5) % 251"
+            " + (ix + iy + g) % 3 AS v",
+        )
+        if on("block_flow_8m_px_25disp"):
+            timed(
+                "block_flow_8m_px_25disp",
+                lambda: block_flow(bf_cur, bf_nxt, keys=["g"], block=8, radius=2)
+                .agg(
+                    F.bit_xor(F.xxhash64("g", "bx", "by", "sad", "dx", "dy")),
+                    F.count(F.lit(1)),
+                )
+                .collect(),
+                reps=2,
+            )
+        if on("block_flow_8m_px_dense"):
+            timed(
+                "block_flow_8m_px_dense",
+                lambda: block_flow_dense(
+                    bf_cur, bf_nxt, dims=(128, 128), keys=["g"], block=8, radius=2
+                )
+                .agg(
+                    F.bit_xor(F.xxhash64("g", "bx", "by", "sad", "dx", "dy")),
+                    F.count(F.lit(1)),
+                )
+                .collect(),
+                reps=2,
+            )
+        bf_px.unpersist()
+
+    # ---- connected components fixture --------------------------------
+    if on("connected_components_1m_edges"):
+        from morituri_spark.text.components import connected_components
+
+        cc_x1 = spark.range(1_000_000).selectExpr(
+            "id AS a", "id + 1 AS b"
+        ).where("id % 50 != 49")
+        cc_x2 = spark.range(1_000_000).selectExpr(
+            "CAST(hash(id) % 1250000 AS LONG) AS a",
+            "CAST(hash(id + 7) % 1250000 AS LONG) AS b",
+        ).where("a >= 0 AND b >= 0")
+        cc_edges_xl = cc_x1.union(cc_x2).persist()
+        cc_edges_xl.count()
+        timed(
+            "connected_components_1m_edges",
+            lambda: connected_components(cc_edges_xl).count(),
+            reps=2,
+        )
+        cc_edges_xl.unpersist()
+
+    # ---- cardinal viewshed / box filter fixture ----------------------
+    if on("cardinal_viewshed_16m_cells") or on("box_filter_16m_cells"):
+        from morituri_spark.geo.terrain import box_filter, cardinal_viewshed
+
+        vs_dem = (
+            spark.range(16_777_216)
+            .selectExpr(
+                "id % 4096 AS g",
+                "CAST(floor(id / 4096.0) AS BIGINT) % 64 AS ix",
+                "CAST(floor(id / 262144.0) AS BIGINT) AS iy",
+            )
+            .selectExpr(
+                "g", "ix", "iy",
+                "(7 * g + 3 * iy + 5 * ix + (ix * iy) % 11) % 97 AS z",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        vs_dem.count()
+        if on("cardinal_viewshed_16m_cells"):
+            timed(
+                "cardinal_viewshed_16m_cells",
+                lambda: cardinal_viewshed(vs_dem, eye_height=2, keys=["g"])
+                .agg(F.sum("dir_mask"), F.sum("n_dirs"), F.count(F.lit(1)))
+                .collect(),
+                reps=2,
+            )
+        if on("box_filter_16m_cells"):
+            timed(
+                "box_filter_16m_cells",
+                lambda: box_filter(vs_dem, radius=2, keys=["g"])
+                .agg(F.sum("box_sum"), F.sum("box_n"))
+                .collect(),
+                reps=2,
+            )
+        vs_dem.unpersist()
+
+    print(f"calib_ms_end={B.calib_ms():.2f}", flush=True)
+    print(f"loadavg_end={open('/proc/loadavg').read().strip()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

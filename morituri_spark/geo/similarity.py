@@ -251,6 +251,67 @@ def _dtw_cost(
     return float(prev1[-1])
 
 
+def _dtw_cost_batch(
+    alon: np.ndarray, alat: np.ndarray,
+    blon: np.ndarray, blat: np.ndarray,
+    band: int | None = None,
+    frechet: bool = False,
+) -> np.ndarray:
+    """:func:`_dtw_cost` vectorized across a PAIR axis: inputs are
+    (P, n) / (P, m) stacks of same-length tracks, output is (P,) costs.
+
+    Elementwise the arithmetic is IDENTICAL to the scalar DP (same
+    rounding, same ``d + min(up, left, upleft)`` per cell, min never
+    rounds), so the values are bit-equal to per-pair `_dtw_cost` calls —
+    the batching only amortizes the per-diagonal Python overhead that
+    dominated at small track lengths (a 24×24 DP is 47 diagonals of
+    ≤24 cells: pure interpreter cost per pair)."""
+    P, n = alon.shape
+    m = blon.shape[1]
+    la, lb = np.radians(alat), np.radians(blat)
+    oa, ob = np.radians(alon), np.radians(blon)
+    prev1 = prev2 = None
+    s1 = s2 = 0
+    for t in range(n + m - 1):
+        i0, i1 = max(0, t - m + 1), min(n - 1, t)
+        ii = np.arange(i0, i1 + 1)
+        jj = t - ii
+        dlat = lb[:, jj] - la[:, ii]
+        dlon = ob[:, jj] - oa[:, ii]
+        h = (
+            np.sin(dlat / 2) ** 2
+            + np.cos(la[:, ii]) * np.cos(lb[:, jj]) * np.sin(dlon / 2) ** 2
+        )
+        d = _round6(2.0 * _R_KM * np.arcsin(np.sqrt(np.minimum(h, 1.0))))
+        if band is not None:
+            d = np.where(np.abs(ii - jj)[None, :] <= band, d, np.inf)
+        if t == 0:
+            cur = d
+        else:
+            best = np.full((P, len(ii)), np.inf)
+            for pv, st, need_i, need_j, di in (
+                (prev1, s1, True, False, 1),   # up: (i-1, j)
+                (prev1, s1, False, True, 0),   # left: (i, j-1)
+                (prev2, s2, True, True, 1),    # upleft: (i-1, j-1)
+            ):
+                if pv is None:
+                    continue
+                idx = ii - di - st
+                ok = (idx >= 0) & (idx < pv.shape[1])
+                if need_i:
+                    ok &= ii - 1 >= 0
+                if need_j:
+                    ok &= jj - 1 >= 0
+                sel = np.flatnonzero(ok)
+                if len(sel) == 0:
+                    continue
+                best[:, sel] = np.minimum(best[:, sel], pv[:, idx[sel]])
+            cur = np.maximum(d, best) if frechet else d + best
+        prev2, s2 = prev1, s1
+        prev1, s1 = cur, i0
+    return prev1[:, -1]
+
+
 def dtw_join(
     tracks: DataFrame,
     max_cost_km: float,
@@ -357,23 +418,58 @@ def _warp_join(
     bd, fr = band, frechet
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # pairs are batched BY (n, m) through _dtw_cost_batch — identical
+        # per-cell arithmetic, but the diagonal loop runs once per shape
+        # group instead of once per pair. _CHUNK bounds the per-diagonal
+        # working set (pairs × min(n, m) doubles) so a monster-track
+        # group cannot blow a worker.
+        _CHUNK = 4_000_000
         for pdf in batches:
+            al_list = [np.asarray(v, dtype=np.float64) for v in pdf["_alons"]]
+            aa_list = [np.asarray(v, dtype=np.float64) for v in pdf["_alats"]]
+            bl_list = [np.asarray(v, dtype=np.float64) for v in pdf["_blons"]]
+            ba_list = [np.asarray(v, dtype=np.float64) for v in pdf["_blats"]]
+            ids_a = pdf["id_a"].to_numpy(np.int64)
+            ids_b = pdf["id_b"].to_numpy(np.int64)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (a, b) in enumerate(zip(al_list, bl_list)):
+                groups.setdefault((a.size, b.size), []).append(i)
             ia, ib, ck = [], [], []
-            for ra, rb, al, aa, bl, ba in zip(
-                pdf["id_a"], pdf["id_b"], pdf["_alons"], pdf["_alats"],
-                pdf["_blons"], pdf["_blats"],
-            ):
-                c = _dtw_cost(
-                    np.asarray(al, dtype=np.float64),
-                    np.asarray(aa, dtype=np.float64),
-                    np.asarray(bl, dtype=np.float64),
-                    np.asarray(ba, dtype=np.float64),
-                    band=bd,
-                    frechet=fr,
+            for (n, m), idxs in groups.items():
+                step = max(1, _CHUNK // max(1, min(n, m)))
+                for lo in range(0, len(idxs), step):
+                    chunk = idxs[lo : lo + step]
+                    c = _round6(
+                        _dtw_cost_batch(
+                            np.stack([al_list[i] for i in chunk]),
+                            np.stack([aa_list[i] for i in chunk]),
+                            np.stack([bl_list[i] for i in chunk]),
+                            np.stack([ba_list[i] for i in chunk]),
+                            band=bd,
+                            frechet=fr,
+                        )
+                    )
+                    keep = c <= thr
+                    if keep.any():
+                        sel = np.asarray(chunk, dtype=np.int64)[keep]
+                        ia.append(ids_a[sel])
+                        ib.append(ids_b[sel])
+                        ck.append(c[keep])
+            if ia:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(ia),
+                        "id_b": np.concatenate(ib),
+                        out_col: np.concatenate(ck),
+                    }
                 )
-                c = float(_round6(np.float64(c)))
-                if c <= thr:
-                    ia.append(int(ra)); ib.append(int(rb)); ck.append(c)
-            yield pd.DataFrame({"id_a": ia, "id_b": ib, out_col: ck})
+            else:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.asarray([], dtype=np.int64),
+                        "id_b": np.asarray([], dtype=np.int64),
+                        out_col: np.asarray([], dtype=np.float64),
+                    }
+                )
 
     return paired.mapInPandas(_kernel, schema)

@@ -253,20 +253,18 @@ def cardinal_viewshed(
         )
 
     # ---- row-partitioned stage: anchors + W/E sweeps --------------------
-    s1 = dem.select(
+    # all three anchors are independent full-frame aggregates, so ONE
+    # Window pass computes them (the east anchor "z at max ix" is
+    # max_by(z, ix) — identical value to the old two-pass
+    # max(when(ix == xmax, z)), coordinates are unique per row)
+    s2 = dem.select(
         *ks,
         F.col(ix_col).cast("long").alias(ix_col),
         F.col(iy_col).cast("long").alias(iy_col),
         F.col(z_col).cast("long").alias(z_col),
         F.max(ix_col).over(w_row).alias("_xmax"),
         (F.max(F.when(F.col(ix_col) == 0, F.col(z_col))).over(w_row) + eh).alias("_hw"),
-    )
-    s2 = s1.select(
-        "*",
-        (
-            F.max(F.when(F.col(ix_col) == F.col("_xmax"), F.col(z_col))).over(w_row)
-            + eh
-        ).alias("_he"),
+        (F.max_by(F.col(z_col), F.col(ix_col)).over(w_row) + eh).alias("_he"),
     )
     s3 = s2.select(
         *ks,
@@ -286,17 +284,12 @@ def cardinal_viewshed(
         _vis("_sqe", [*ks, iy_col], F.col(ix_col).desc()).alias("_ve"),
     )
     # ---- column-partitioned stage: anchors + N/S sweeps ------------------
-    s5 = s4.select(
+    # same single-pass anchor merge as the row stage
+    s6 = s4.select(
         "*",
         F.max(iy_col).over(w_col).alias("_ymax"),
         (F.max(F.when(F.col(iy_col) == 0, F.col(z_col))).over(w_col) + eh).alias("_hn"),
-    )
-    s6 = s5.select(
-        "*",
-        (
-            F.max(F.when(F.col(iy_col) == F.col("_ymax"), F.col(z_col))).over(w_col)
-            + eh
-        ).alias("_hs"),
+        (F.max_by(F.col(z_col), F.col(iy_col)).over(w_col) + eh).alias("_hs"),
     )
     s7 = s6.select(
         *ks,

@@ -65,58 +65,79 @@ def diff_tables(
     val_cols = [c for c in cols if c not in key_cols]
 
     def fingered(df: DataFrame) -> DataFrame:
+        # project to exactly (keys, bucket, signature) BEFORE anything
+        # shuffles — the value columns only exist inside xxhash64
         return df.select(
-            *cols,
+            *key_cols,
             F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).alias("_bkt"),
             F.xxhash64(*cols).alias("_sig"),
         )
 
     fa, fb = fingered(a), fingered(b)
 
-    def summary(df: DataFrame) -> DataFrame:
-        return df.groupBy("_bkt").agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.bit_xor("_sig").alias("_xor"),
-            F.sum(F.col("_sig").bitwiseAND(F.lit(0x7FFFFFFF))).alias("_msum"),
+    # ONE union summary pass instead of two per-side aggregates + a
+    # summary full join: per bucket, conditional aggregates produce both
+    # sides' fingerprints in a single row. A bucket missing from a side
+    # shows up as a 0-vs-n count mismatch — same dirty set as the old
+    # null-safe full-join compare (a bucket with rows on neither side
+    # simply doesn't exist).
+    tagged = fa.select(
+        "_bkt", "_sig", F.lit(0).alias("_side")
+    ).unionByName(fb.select("_bkt", "_sig", F.lit(1).alias("_side")))
+    sa_ = F.col("_side") == 0
+    summ = tagged.groupBy("_bkt").agg(
+        F.count(F.when(sa_, F.lit(1))).alias("_ca"),
+        F.count(F.when(~sa_, F.lit(1))).alias("_cb"),
+        F.bit_xor(F.when(sa_, F.col("_sig"))).alias("_xa"),
+        F.bit_xor(F.when(~sa_, F.col("_sig"))).alias("_xb"),
+        F.sum(
+            F.when(sa_, F.col("_sig").bitwiseAND(F.lit(0x7FFFFFFF)))
+        ).alias("_ma"),
+        F.sum(
+            F.when(~sa_, F.col("_sig").bitwiseAND(F.lit(0x7FFFFFFF)))
+        ).alias("_mb"),
+    )
+    bad = summ.where(
+        ~(
+            F.col("_ca").eqNullSafe(F.col("_cb"))
+            & F.col("_xa").eqNullSafe(F.col("_xb"))
+            & F.col("_ma").eqNullSafe(F.col("_mb"))
         )
+    ).select("_bkt")
+    # the dirty-bucket list is tiny by the sizing contract but its
+    # derivation aggregates both full tables — materialize ONCE (rule
+    # 10/22: the subtree contains a shuffle, and it is referenced by
+    # both rescans; without this every broadcast recomputes it)
+    bad = bad.localCheckpoint()
 
-    sa = summary(fa).select(
-        F.col("_bkt"), F.col("_cnt").alias("_ca"),
-        F.col("_xor").alias("_xa"), F.col("_msum").alias("_ma"),
-    )
-    sb = summary(fb).select(
-        F.col("_bkt"), F.col("_cnt").alias("_cb"),
-        F.col("_xor").alias("_xb"), F.col("_msum").alias("_mb"),
-    )
-    bad = (
-        sa.join(sb, "_bkt", "full")
-        .where(
-            ~(
-                F.col("_ca").eqNullSafe(F.col("_cb"))
-                & F.col("_xa").eqNullSafe(F.col("_xb"))
-                & F.col("_ma").eqNullSafe(F.col("_mb"))
-            )
+    # row-level classification on the dirty sliver: one union + one
+    # aggregate replaces two anti-joins + a full join (keys are unique
+    # per side, so per-key conditional min/count recover each side's
+    # signature exactly)
+    rows = (
+        fa.join(F.broadcast(bad), "_bkt")
+        .select(*key_cols, "_sig", F.lit(0).alias("_side"))
+        .unionByName(
+            fb.join(F.broadcast(bad), "_bkt")
+            .select(*key_cols, "_sig", F.lit(1).alias("_side"))
         )
-        .select("_bkt")
     )
-
-    ra = fa.join(F.broadcast(bad), "_bkt")
-    rb = fb.join(F.broadcast(bad), "_bkt")
-
-    sig_keys = [*key_cols, "_sig"]
-    only_a = ra.join(rb.select(*sig_keys), sig_keys, "left_anti").select(
-        *key_cols, F.lit(1).alias("_ina")
+    per_key = rows.groupBy(*key_cols).agg(
+        F.count(F.when(sa_, F.lit(1))).alias("_na"),
+        F.count(F.when(~sa_, F.lit(1))).alias("_nb"),
+        F.min(F.when(sa_, F.col("_sig"))).alias("_siga"),
+        F.min(F.when(~sa_, F.col("_sig"))).alias("_sigb"),
     )
-    only_b = rb.join(ra.select(*sig_keys), sig_keys, "left_anti").select(
-        *key_cols, F.lit(1).alias("_inb")
-    )
-    return (
-        only_a.join(only_b, key_cols, "full")
-        .select(
-            *key_cols,
-            F.when(F.col("_ina").isNull(), F.lit("b_only"))
-            .when(F.col("_inb").isNull(), F.lit("a_only"))
-            .otherwise(F.lit("differs"))
-            .alias("status"),
+    return per_key.where(
+        ~(
+            (F.col("_na") > 0)
+            & (F.col("_nb") > 0)
+            & F.col("_siga").eqNullSafe(F.col("_sigb"))
         )
+    ).select(
+        *key_cols,
+        F.when(F.col("_na") == 0, F.lit("b_only"))
+        .when(F.col("_nb") == 0, F.lit("a_only"))
+        .otherwise(F.lit("differs"))
+        .alias("status"),
     )

@@ -125,20 +125,22 @@ def block_flow(
     r = int(radius)
     d = 2 * r + 1
     b = int(block)
-    disps = ",".join(
-        f"struct(CAST({dx} AS BIGINT) AS dx, CAST({dy} AS BIGINT) AS dy)"
-        for dx in range(-r, r + 1)
-        for dy in range(-r, r + 1)
-    )
+    # the D²× fan is the shuffle — carry ONLY (keys, jx, jy, v, did)
+    # across it (guide §2.3): the displacement packs into one small
+    # ordinal did = (dx+r)·D + (dy+r) and (ix, iy, dx, dy) all decode
+    # algebraically after the join (ix = jx − dx, …), cutting ~3 BIGINT
+    # columns (~37% of the fan's shuffle bytes) with bit-identical
+    # output (did is exactly the low field of the old composite _ord)
     fan = cur.selectExpr(
         *ks,
         f"CAST({x_col} AS BIGINT) AS ix",
         f"CAST({y_col} AS BIGINT) AS iy",
         f"CAST({v_col} AS BIGINT) AS v",
-        f"explode(array({disps})) AS _d",
+        f"explode(sequence(0, {d * d - 1})) AS _did",
     ).selectExpr(
-        *ks, "ix", "iy", "v", "_d.dx AS dx", "_d.dy AS dy",
-        "ix + _d.dx AS jx", "iy + _d.dy AS jy",
+        *ks, "v", "CAST(_did AS INT) AS _did",
+        f"ix + (_did div {d} - {r}) AS jx",
+        f"iy + (_did % {d} - {r}) AS jy",
     )
     probe = nxt.selectExpr(
         *ks,
@@ -150,12 +152,12 @@ def block_flow(
     cand = (
         joined.selectExpr(
             *ks,
-            f"ix div {b} AS bx",
-            f"iy div {b} AS by",
-            "dx", "dy",
+            f"(jx - (_did div {d} - {r})) div {b} AS bx",
+            f"(jy - (_did % {d} - {r})) div {b} AS by",
+            "_did",
             "abs(v - w) AS ad",
         )
-        .groupBy(*ks, "bx", "by", "dx", "dy")
+        .groupBy(*ks, "bx", "by", "_did")
         .agg(
             F.sum("ad").cast("long").alias("sad"),
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -165,7 +167,7 @@ def block_flow(
     return (
         cand.selectExpr(
             *ks, "bx", "by",
-            f"sad * {d * d} + (dx + {r}) * {d} + (dy + {r}) AS _ord",
+            f"sad * {d * d} + _did AS _ord",
         )
         .groupBy(*ks, "bx", "by")
         .agg(F.min("_ord").cast("long").alias("_m"))

@@ -87,17 +87,29 @@ def viterbi_costs(
     lam = int(switch_cost)
     inf = np.iinfo(np.int64).max
 
-    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["step", "state"], kind="mergesort")
-        key = int(pdf["key"].iloc[0])
-        steps = pdf["step"].unique()
-        out_step, out_state, out_cost = [], [], []
+    def _decode_key(
+        key: int,
+        step: np.ndarray,
+        state: np.ndarray,
+        ecost: np.ndarray,
+        out: dict,
+    ) -> None:
+        """Decode ONE key's rows (pre-sorted by (step, state)) into the
+        batch output accumulator — all-numpy, no pandas filtering.
+
+        Identical DP and tie-breaking to the original per-group decode:
+        within a layer states arrive sorted ascending, so the min-state
+        predecessor is the FIRST index achieving the required cost."""
+        bnd = np.flatnonzero(step[1:] != step[:-1]) + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(step)]))
+        chunks = []  # every kept layer: (step_val, states, costs, flags)
+        layers = []  # current unbroken chain: (states, costs, ems, flags)
         prev_states = prev_costs = None
-        layers = []  # (step, states, costs) per decoded layer
-        for s in steps:
-            layer = pdf[pdf["step"] == s]
-            st = layer["state"].to_numpy(np.int64)
-            em = layer["e_cost"].to_numpy(np.int64)
+        for s0, e0 in zip(starts, ends):
+            st = state[s0:e0]
+            em = ecost[s0:e0]
+            sval = int(step[s0])
             if prev_states is None:
                 cost = em.copy()
             else:
@@ -112,59 +124,98 @@ def viterbi_costs(
                 best = tot.min(axis=0)
                 cost = np.where(best == inf, inf, best + em)
             keep = cost != inf
-            st, cost = st[keep], cost[keep]
-            if len(st) == 0:
+            st2, cost2, em2 = st[keep], cost[keep], em[keep]
+            if len(st2) == 0:
                 # a fully unreachable layer breaks the chain; later steps
                 # restart as if first, and on_path covers only the final
                 # chain (documented edge semantics)
                 prev_states = prev_costs = None
                 layers = []
                 continue
-            layers.append((int(s), st, cost))
-            out_step.extend([int(s)] * len(st))
-            out_state.extend(st.tolist())
-            out_cost.extend(cost.tolist())
-            prev_states, prev_costs = st, cost
-        # backtrack: min (cost, state) at the last layer, then the min
-        # achieving predecessor at each earlier layer
-        on = {}
+            flags = np.zeros(len(st2), dtype=bool)
+            chunks.append((sval, st2, cost2, flags))
+            layers.append((st2, cost2, em2, flags))
+            prev_states, prev_costs = st2, cost2
         if layers:
-            _, st, cost = layers[-1]
-            j = np.lexsort((st, cost))[0]
-            chosen = (layers[-1][0], int(st[j]))
-            on[chosen] = True
-            cur_cost = int(cost[j])
+            st, cost, em2, flags = layers[-1]
+            j = int(np.lexsort((st, cost))[0])
+            flags[j] = True
+            cur_cost, cur_em = int(cost[j]), int(em2[j])
             cur_state = int(st[j])
             for li in range(len(layers) - 2, -1, -1):
-                s_prev, st_p, cost_p = layers[li]
-                em_cur = pdf[
-                    (pdf["step"] == layers[li + 1][0])
-                    & (pdf["state"] == cur_state)
-                ]["e_cost"].iloc[0]
+                st_p, cost_p, em_p, flags_p = layers[li]
                 if tmat is not None:
                     tr = tmat[st_p, cur_state]
                 else:
                     tr = np.where(st_p == cur_state, 0, lam).astype(np.int64)
-                ok = (cost_p != inf) & (tr != inf)
-                need = cur_cost - int(em_cur)
-                ach = ok & (cost_p + tr == need)
-                cand = st_p[ach]
-                pick = int(cand.min())
-                on[(s_prev, pick)] = True
-                cur_cost = int(cost_p[ach][cand.argmin()])
-                cur_state = pick
-        return pd.DataFrame(
-            {
-                "key": np.int64(key),
-                "step": np.asarray(out_step, dtype=np.int64),
-                "state": np.asarray(out_state, dtype=np.int64),
-                "cost": np.asarray(out_cost, dtype=np.int64),
-                "on_path": [
-                    on.get((s, int(t)), False)
-                    for s, t in zip(out_step, out_state)
-                ],
-            }
-        )
+                ach = (cost_p != inf) & (tr != inf) & (
+                    cost_p + tr == cur_cost - cur_em
+                )
+                k = int(np.flatnonzero(ach)[0])  # states sorted → min id
+                flags_p[k] = True
+                cur_cost, cur_em = int(cost_p[k]), int(em_p[k])
+                cur_state = int(st_p[k])
+        for sval, st2, cost2, flags in chunks:
+            n = len(st2)
+            out["key"].append(np.full(n, key, dtype=np.int64))
+            out["step"].append(np.full(n, sval, dtype=np.int64))
+            out["state"].append(st2)
+            out["cost"].append(cost2)
+            out["on_path"].append(flags)
+
+    def _run(batches):
+        """mapInPandas driver: the partition arrives hash-clustered by
+        key and sorted by (key, step, state); decode every COMPLETE key
+        in each batch and carry the trailing key's rows into the next
+        batch (a key can span Arrow batch boundaries — rule 26)."""
+        pend = None  # (key, step, state, e_cost) arrays of the open key
+        cols = ("key", "step", "state", "cost", "on_path")
+
+        def _flush(out):
+            if not out["key"]:
+                return None
+            return pd.DataFrame(
+                {
+                    "key": np.concatenate(out["key"]),
+                    "step": np.concatenate(out["step"]),
+                    "state": np.concatenate(out["state"]),
+                    "cost": np.concatenate(out["cost"]),
+                    "on_path": np.concatenate(out["on_path"]),
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key = pdf["key"].to_numpy(np.int64)
+            step = pdf["step"].to_numpy(np.int64)
+            state = pdf["state"].to_numpy(np.int64)
+            ecost = pdf["e_cost"].to_numpy(np.int64)
+            if pend is not None:
+                key = np.concatenate((pend[0], key))
+                step = np.concatenate((pend[1], step))
+                state = np.concatenate((pend[2], state))
+                ecost = np.concatenate((pend[3], ecost))
+            # key boundaries; the LAST key stays pending (may continue)
+            bnd = np.flatnonzero(key[1:] != key[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            cut = starts[-1]
+            out = {c: [] for c in cols}
+            for s0, e0 in zip(starts[:-1], starts[1:]):
+                _decode_key(
+                    int(key[s0]), step[s0:e0], state[s0:e0], ecost[s0:e0],
+                    out,
+                )
+            pend = (key[cut:], step[cut:], state[cut:], ecost[cut:])
+            res = _flush(out)
+            if res is not None:
+                yield res
+        if pend is not None and len(pend[0]):
+            out = {c: [] for c in cols}
+            _decode_key(int(pend[0][0]), pend[1], pend[2], pend[3], out)
+            res = _flush(out)
+            if res is not None:
+                yield res
 
     em = emissions.select(
         F.col(key_col).cast("long").alias("key"),
@@ -172,4 +223,12 @@ def viterbi_costs(
         F.col(state_col).cast("long").alias("state"),
         F.col(cost_col).cast("long").alias("e_cost"),
     )
-    return em.groupBy("key").applyInPandas(_decode, _OUT_SCHEMA)
+    # ONE hash exchange on key + one in-partition sort — the same
+    # physical shape applyInPandas used, but the decoder now sees whole
+    # BATCHES of keys per Python call instead of one tiny group each
+    # (10k-group per-call overhead dominated the map-matching bench).
+    return (
+        em.repartition("key")
+        .sortWithinPartitions("key", "step", "state")
+        .mapInPandas(_run, _OUT_SCHEMA)
+    )

@@ -29,16 +29,23 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _sym(e: DataFrame) -> DataFrame:
-    """Symmetrized simple adjacency: both orientations, no self-loops."""
+    """Symmetrized adjacency: both orientations, no self-loops.
+
+    NO distinct: every consumer below is duplicate-insensitive (min
+    aggregates; joins against one-row-per-key minima; a final distinct
+    closes each round), the input rounds are distinct sets, and the old
+    distinct here was a full extra exchange per star (guide §2.4)."""
     return (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    adj = _sym(e)
+    # ONE exchange per star: repartition on u, then both the min
+    # aggregate and the u-keyed join reuse that partitioning (no further
+    # Exchange — only in-partition sorts for the merge join)
+    adj = _sym(e).repartition("u")
     mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         adj.where(F.col("v") > F.col("u"))
@@ -48,7 +55,7 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    adj = _sym(e)
+    adj = _sym(e).repartition("u")
     smaller = adj.where(F.col("v") < F.col("u"))
     mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
     return (
@@ -67,19 +74,35 @@ def connected_components(
     max_rounds: int = 30,
 ) -> DataFrame:
     """(a, b) undirected pairs → (node, cluster_id = component minimum)."""
-    def _signature(e: DataFrame):
-        """One-job set signature for the convergence test: count + hash
-        sums. exceptAll would re-evaluate both rounds' DAGs; every star
-        references its input twice, so unpersisted re-evaluation compounds
-        exponentially (measured: a 7-edge graph did not finish)."""
-        r = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor: order-independent, overflow-free (ANSI mode forbids
-            # a sum of hashes), and a sound SET signature since edges are
-            # distinct
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).head()
-        return (r["n"], r["h"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        """Structural convergence test (r6): small_star output always
+        orients big → small, and such a set is a FIXPOINT of both stars
+        iff (1) every source u carries exactly ONE edge and (2) no node
+        is both a source and a target — i.e. the edges form a star
+        forest whose centers are their components' minima. Detecting
+        this on the round that PRODUCES the final set replaces the old
+        consecutive-equal signature + exceptAll confirm, which always
+        paid one extra full round just to observe the set repeating.
+        (A node with two targets, or a chain, is provably unstable —
+        the next small_star rewrites it — so this stops at exactly the
+        same fixpoint set the repeat test stopped at.)"""
+        viol = (
+            e.select("u", F.lit(0).alias("_t"))
+            .unionByName(e.select(F.col("v").alias("u"), F.lit(1).alias("_t")))
+            .groupBy("u")
+            .agg(
+                F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("_s"),
+                F.min("_t").alias("_mn"),
+                F.max("_t").alias("_mx"),
+            )
+            .where(
+                (F.col("_s") > 1)
+                | ((F.col("_s") >= 1) & (F.col("_mn") == 0) & (F.col("_mx") == 1))
+            )
+            .limit(1)
+            .count()
+        )
+        return viol == 0
 
     # localCheckpoint every round (knn's _Round machinery): persist alone
     # leaves the LOGICAL plan growing — each star references its input
@@ -89,31 +112,31 @@ def connected_components(
     from morituri_spark.geo.knn import _Round
 
     edges_r = _Round.materialize(
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        # canonical (big → small) orientation — the same orientation every
+        # small_star round emits, so (a,b)/(b,a) dup inputs merge here and
+        # an already-converged star forest converges on the first compare
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
         .distinct(),
         truncate=True,
     )
-    sig = _signature(edges_r.df)
-
+    prev_n = -1
     for _ in range(max_rounds):
         ls_r = _Round.materialize(_large_star(edges_r.df), truncate=True)
         new_r = _Round.materialize(_small_star(ls_r.df), truncate=True)
-        new_sig = _signature(new_r.df)
         ls_r.release()
-        converged = False
-        if new_sig == sig:
-            # signatures can collide; confirm set equality while BOTH
-            # rounds are materialized (two cheap in-memory jobs)
-            converged = (
-                new_r.df.exceptAll(edges_r.df).limit(1).count() == 0
-                and edges_r.df.exceptAll(new_r.df).limit(1).count() == 0
-            )
         edges_r.release()
         edges_r = new_r
-        sig = new_sig
-        if converged:
+        # gate the structural test on the cheap count signal (rule 20:
+        # probes only when the signal says "maybe"): a fixpoint implies
+        # the count repeats, so a changed count can skip the test
+        n = edges_r.df.count()
+        if n == prev_n and _is_star_forest(edges_r.df):
             break
+        prev_n = n
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 

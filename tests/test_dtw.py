@@ -95,3 +95,27 @@ def test_join_matches_bruteforce(spark):
     assert got == want
     assert len(want) >= 9  # all in-cluster pairs qualify
     assert all((a % 3) == (b % 3) for a, b in want)
+
+
+def test_batch_kernel_bit_identical_to_scalar():
+    # the pair-batched DP (r6 optimization) must be bit-equal to the
+    # per-pair scalar DP for every (shape, band, frechet) combination
+    from morituri_spark.geo.similarity import _dtw_cost_batch
+
+    rng = np.random.RandomState(11)
+    for n, m in [(1, 1), (5, 1), (8, 8), (13, 7), (24, 24)]:
+        P = 5
+        A = rng.uniform(-170, 170, (P, n))
+        Aa = rng.uniform(-60, 60, (P, n))
+        B = rng.uniform(-170, 170, (P, m))
+        Ba = rng.uniform(-60, 60, (P, m))
+        for frech in (False, True):
+            for band in (None, max(1, abs(n - m) + 2)):
+                got = _dtw_cost_batch(A, Aa, B, Ba, band=band, frechet=frech)
+                for p in range(P):
+                    exp = _dtw_cost(
+                        A[p], Aa[p], B[p], Ba[p], band=band, frechet=frech
+                    )
+                    assert got[p] == exp or (
+                        math.isinf(got[p]) and math.isinf(exp)
+                    )

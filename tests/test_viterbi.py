@@ -140,3 +140,39 @@ def test_path_tie_breaks_to_min_state(spark):
     assert paths == {(0, 0): 0, (0, 1): 0}
     ref = _ref(em, lam=0)
     assert (costs, paths) == ref
+
+
+def test_many_keys_span_arrow_batches(spark):
+    # r6 optimization: decoding now streams many keys per mapInPandas
+    # batch with carry-over when a key spans an Arrow batch boundary —
+    # force tiny batches so every trellis crosses one.
+    import random
+
+    rnd = random.Random(9)
+    emissions = {}
+    for k in range(40):
+        for s in range(6):
+            for st in rnd.sample(range(5), rnd.randint(1, 4)):
+                emissions[(k, s, st)] = rnd.randint(0, 50)
+    rows = [(k, s, st, e) for (k, s, st), e in emissions.items()]
+    df = spark.createDataFrame(
+        rows, "key long, step long, state long, e_cost long"
+    )
+    lam = 7
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        got = {
+            (r.key, r.step, r.state): (r.cost, r.on_path)
+            for r in viterbi_costs(df, switch_cost=lam).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    costs, paths = _ref(emissions, lam=lam)
+    assert {k: v[0] for k, v in got.items()} == costs
+    on = {(k, s, st) for (k, s, st), (_, p) in got.items() if p}
+    want_on = {(k, s, st) for (k, s), st in paths.items()}
+    assert on == want_on
