@@ -329,6 +329,337 @@ def main() -> None:
             )
         vs_dem.unpersist()
 
+    # ---- pagerank fixture --------------------------------------------
+    if on("pagerank_500k_nodes_6_rounds"):
+        from morituri_spark.graph.pagerank import pagerank_exact
+
+        pr_ids = spark.range(500_000).select(F.col("id").alias("i"))
+        pr_edges = (
+            pr_ids.select(F.col("i").alias("src"), ((F.col("i") * 7 + 1) % 500_000).alias("dst"))
+            .unionAll(pr_ids.select(F.col("i").alias("src"), ((F.col("i") * F.col("i") + 3) % 500_000).alias("dst")))
+            .unionAll(pr_ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % 500_000).alias("dst")))
+            .distinct()
+            .repartition(cpus * 2)
+            .persist()
+        )
+        pr_edges.count()
+        timed(
+            "pagerank_500k_nodes_6_rounds",
+            lambda: pagerank_exact(pr_edges, iters=6)
+            .agg(F.count(F.lit(1)), F.sum("rank")).collect(),
+            reps=2,
+        )
+        pr_edges.unpersist()
+
+    # ---- dag fixture -------------------------------------------------
+    if on("dag_longest_500k_edges"):
+        from morituri_spark.graph.dag import longest_paths
+
+        dag_edges = (
+            spark.range(500_000)
+            .selectExpr(
+                "id % 50000 AS src",
+                "id % 50000 + 2500 + id % 500 AS dst",
+                "id % 5 + 1 AS w",
+            )
+            .where("dst < 50000")
+            .repartition(cpus)
+            .persist()
+        )
+        dag_edges.count()
+        timed(
+            "dag_longest_500k_edges",
+            lambda: longest_paths(dag_edges, max_rounds=40, known_depth=21)
+            .agg(F.sum("dist"), F.max("dist"), F.count(F.lit(1)))
+            .collect(),
+            reps=2,
+        )
+        dag_edges.unpersist()
+
+    # ---- iou tracklets fixture ---------------------------------------
+    if on("iou_tracklets_1m5_dets"):
+        from morituri_spark.multimodal.detections import iou_tracklets
+
+        tr_dets = (
+            spark.range(1_500_000)
+            .selectExpr(
+                "CAST(floor(id / 15.0) AS BIGINT) AS v",
+                "CAST(floor(id / 3.0) AS BIGINT) % 5 AS f",
+                "id % 3 AS b",
+            )
+            .selectExpr(
+                "printf('v%09d', v) AS video", "f AS frame", "b AS box_id",
+                "(v * 3 + b * 17) % 30 + 2 * f AS x0",
+                "(v * 5 + b * 23) % 30 + f AS y0",
+                "(v * 3 + b * 17) % 30 + 2 * f + 8 + (v + b) % 6 AS x1",
+                "(v * 5 + b * 23) % 30 + f + 8 + (2 * v + b) % 5 AS y1",
+                "(v * 7 + b * 31 + f * 11) % 100 AS score",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        tr_dets.count()
+        timed(
+            "iou_tracklets_1m5_dets",
+            lambda: iou_tracklets(tr_dets, iou_thr_milli=300)
+            .agg(
+                F.bit_xor(F.xxhash64("video", "frame", "box_id", "track_id")),
+                F.countDistinct("track_id"),
+                F.count(F.lit(1)),
+            )
+            .collect(),
+            reps=2,
+        )
+        tr_dets.unpersist()
+
+    # ---- dissolve fixture --------------------------------------------
+    if on("dissolve_4m_cells"):
+        from morituri_spark.geo.dissolve import dissolve_stats
+
+        dx0 = (F.col("id") % 2000).cast("double")
+        dy0 = F.floor(F.col("id") / 2000).cast("double")
+        dis_cells = (
+            spark.range(4_000_000)
+            .select(
+                (F.expr("id % 2000 div 50") + 40 * F.expr("id div 2000 div 50")).alias("gid"),
+                F.col("id").alias("zone_id"),
+                F.array(
+                    F.array(
+                        F.array(dx0, dy0),
+                        F.array(dx0 + 1, dy0),
+                        F.array(dx0 + 1, dy0 + 1),
+                        F.array(dx0, dy0 + 1),
+                        F.array(dx0, dy0),
+                    )
+                ).alias("rings"),
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        dis_cells.count()
+        timed(
+            "dissolve_4m_cells",
+            lambda: dissolve_stats(dis_cells, group_col="gid")
+            .agg(
+                F.count(F.lit(1)),
+                F.sum("dissolved_area"),
+                F.sum("n_boundary_edges"),
+                F.sum("n_nonmanifold"),
+            )
+            .collect(),
+            reps=2,
+        )
+        dis_cells.unpersist()
+
+    # ---- pyramid fixture ---------------------------------------------
+    if on("pyramid_50m_pixels_4lv"):
+        from morituri_spark.geo.terrain import pyramid_sums
+
+        py_dem = (
+            spark.range(50_000_000)
+            .selectExpr(
+                "id % 800 AS g",
+                "(id div 800) % 256 AS ix",
+                "id div 204800 AS iy",
+                "(7 * (id % 800) + 3 * (id div 204800)"
+                " + 5 * ((id div 800) % 256)) % 97 AS z",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        py_dem.count()
+        timed(
+            "pyramid_50m_pixels_4lv",
+            lambda: pyramid_sums(py_dem, levels=4, keys=["g"])
+            .agg(
+                F.bit_xor(F.xxhash64("g", "level", "ix", "iy", "s", "n")),
+                F.count(F.lit(1)),
+            )
+            .collect(),
+            reps=2,
+        )
+        py_dem.unpersist()
+
+    # ---- panoptic fixture --------------------------------------------
+    if on("panoptic_200k_images"):
+        from morituri_spark.multimodal.masks import panoptic_quality
+
+        def _runs_sql(shift_s, shift_l):
+            return (
+                spark.range(200_000 * 9)
+                .selectExpr(
+                    "CAST(floor(id / 9.0) AS BIGINT) AS i",
+                    "CAST(floor(id / 3.0) AS BIGINT) % 3 AS s",
+                    "id % 3 AS k",
+                )
+                .selectExpr(
+                    "printf('img%012d', i) AS image_id",
+                    "s AS seg_id",
+                    f"k * 40 + (i * 7 + s * 11 + {shift_s}) % 20 AS start",
+                    f"5 + (i + s + k + {shift_l}) % 15 AS length",
+                )
+                .repartition(cpus * 2)
+            )
+
+        pq_pred = _runs_sql(0, 0).persist()
+        pq_gt = _runs_sql(3, 1).persist()
+        pq_pred.count(); pq_gt.count()
+        timed(
+            "panoptic_200k_images",
+            lambda: panoptic_quality(pq_pred, pq_gt, bin_width=16.0)
+            .agg(
+                F.sum("n_matched"), F.sum("sum_iou_micro"), F.count(F.lit(1))
+            )
+            .collect(),
+            reps=2,
+        )
+        pq_pred.unpersist(); pq_gt.unpersist()
+
+    # ---- minhash 50k fixture -----------------------------------------
+    if on("minhash_near_dup_50k_docs"):
+        from morituri_spark.text.dedup import minhash_near_duplicates
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        alph = "etaoinshr"
+        tx = F.col("text")
+        for k in range(1, 10):
+            tx = F.when(
+                F.col("k") == k,
+                F.translate("text", alph, alph[k:] + alph[:k]),
+            ).otherwise(tx)
+        docs_xl = (
+            docs.select(
+                F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+                "doc_id", "text",
+            )
+            .select(
+                (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+                tx.alias("text"),
+            )
+            .persist()
+        )
+        docs_xl.count()
+        timed(
+            "minhash_near_dup_50k_docs",
+            lambda: minhash_near_duplicates(
+                docs_xl, threshold=0.5, sig_prefilter_margin=0.15
+            ).count(),
+            reps=2,
+        )
+        docs_xl.unpersist()
+
+    # ---- knn family fixtures -----------------------------------------
+    if any(on(x) for x in (
+        "knn_ring_1m_candidates", "radius_join_1m_points_50m",
+        "spacetime_join_1m_points",
+    )):
+        from morituri_spark.sources import synth
+        from morituri_spark.geo.knn import (
+            knn_join, radius_self_join, spacetime_self_join,
+        )
+
+        N_IMAGES = B.N_IMAGES
+        images = synth.images_table(
+            spark, N_IMAGES, partitions=cpus * 4, with_payload=False
+        ).select("image_id", "lon", "lat").persist()
+        images.count()
+        knn_queries = images.limit(1000).withColumnRenamed(
+            "image_id", "query_id"
+        ).persist()
+        knn_queries.count()
+        knn_cands = images.limit(1_000_000).withColumnRenamed(
+            "image_id", "cand_id"
+        ).persist()
+        knn_cands.count()
+        if on("knn_ring_1m_candidates"):
+            timed(
+                "knn_ring_1m_candidates",
+                lambda: knn_join(knn_queries, knn_cands, k=5, res=12).count(),
+                reps=2,
+            )
+        if on("radius_join_1m_points_50m"):
+            timed(
+                "radius_join_1m_points_50m",
+                lambda: radius_self_join(
+                    knn_cands.withColumnRenamed("cand_id", "id"), 0.05,
+                    id_col="id",
+                ).agg(F.count(F.lit(1)), F.sum("dist_km")).collect(),
+                reps=2,
+            )
+        if on("spacetime_join_1m_points"):
+            st_pts = knn_cands.select(
+                F.col("cand_id").alias("id"), "lon", "lat",
+                (F.lit("2024-01-01 00:00:00").cast("timestamp")
+                 + F.make_interval(
+                     secs=F.pmod(F.xxhash64("cand_id"), F.lit(2592000))
+                     .cast("double"))).alias("ts"),
+            ).persist()
+            st_pts.count()
+            timed(
+                "spacetime_join_1m_points",
+                lambda: spacetime_self_join(st_pts, 0.05, 900, id_col="id")
+                .agg(F.count(F.lit(1)), F.sum("dist_km")).collect(),
+                reps=2,
+            )
+            st_pts.unpersist()
+        knn_queries.unpersist()
+        knn_cands.unpersist()
+        images.unpersist()
+
+    # ---- ann pq fixture ----------------------------------------------
+    if on("ann_pq_encode_scan_500k_32q"):
+        from morituri_spark.ml.simsearch import ann_topk_pq, fixed_pq_codebooks
+
+        pq_cand = spark.range(500_000).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST(sin((id + 1) * i) AS FLOAT))"
+            ).alias("embedding"),
+        ).repartition(cpus).persist()
+        pq_cand.count()
+        pq_q = spark.range(32).select(
+            F.col("id").alias("query_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST(cos((id + 17) * i) AS FLOAT))"
+            ).alias("embedding"),
+        ).persist()
+        pq_q.count()
+        pq_books = fixed_pq_codebooks(8, 16, 64)
+        timed(
+            "ann_pq_encode_scan_500k_32q",
+            lambda: ann_topk_pq(
+                pq_q, pq_cand, k=10, codebooks=pq_books, parity=False
+            ).count(),
+            reps=2,
+        )
+        pq_cand.unpersist(); pq_q.unpersist()
+
+    # ---- bleu fixture ------------------------------------------------
+    if on("bleu_500k_pairs"):
+        from morituri_spark.text.metrics import bleu_clip_counts
+
+        bl_pairs = (
+            spark.range(500_000)
+            .selectExpr(
+                "id AS pair_id",
+                "concat_ws(' ', transform(sequence(0, 19),"
+                " k -> concat('w', (id * 3 + k * 7) % 50))) AS cand",
+                "concat_ws(' ', transform(sequence(0, 19),"
+                " k -> concat('w', (id * 5 + k * 11 + 1) % 50))) AS ref",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        bl_pairs.count()
+        timed(
+            "bleu_500k_pairs",
+            lambda: bleu_clip_counts(bl_pairs, n_max=4)
+            .agg(F.sum("clipped"), F.sum("total"), F.count(F.lit(1)))
+            .collect(),
+            reps=2,
+        )
+        bl_pairs.unpersist()
+
     print(f"calib_ms_end={B.calib_ms():.2f}", flush=True)
     print(f"loadavg_end={open('/proc/loadavg').read().strip()}", flush=True)
 

@@ -50,9 +50,11 @@ def multi_source_bfs(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # pre-partitioned on the per-round join key + persist (r6, same as
+    # dag/pagerank)
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).localCheckpoint()
+    ).repartition("_s").persist()
     state = _Round.materialize(
         sources.select(
             F.col(source_id).alias("node"),
@@ -83,4 +85,5 @@ def multi_source_bfs(
         state, frontier = new_state, nxt
     if frontier is not state:
         frontier.release()
+    e.unpersist()
     return state.df

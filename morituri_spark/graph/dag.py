@@ -65,11 +65,16 @@ def longest_paths(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if known_depth is not None and not 0 < known_depth <= max_rounds:
         raise ValueError("known_depth must be in [1, max_rounds]")
+    # pre-partitioned on the per-round join key + persist (r6): a
+    # localCheckpoint here truncated lineage but dropped partitioning, so
+    # every _relax round re-exchanged the whole edge list; persist keeps
+    # the Repartition visible and the per-round join exchange-free on
+    # this side
     e = edges.select(
         F.col(src_col).cast("long").alias("_s"),
         F.col(dst_col).cast("long").alias("_d"),
         F.col(weight_col).cast("long").alias("_w"),
-    ).localCheckpoint()
+    ).repartition("_s").persist()
 
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -122,6 +127,7 @@ def longest_paths(
                 f"longest_paths: state still changing after known_depth="
                 f"{known_depth} rounds — bound too small or cyclic input"
             )
+        e.unpersist()
         return state.df
     sig = _signature(state.df)
     for _ in range(int(max_rounds)):
@@ -131,6 +137,7 @@ def longest_paths(
         state.release()
         state = new_state
         if new_sig == sig:
+            e.unpersist()
             return state.df
         sig = new_sig
     raise RuntimeError(

@@ -53,32 +53,41 @@ def pagerank_exact(
     of 1/``scale`` of the total mass; divide by ``scale`` for the usual
     [0, 1] scores.
     """
-    # edge list is re-joined EVERY round: truncate its lineage once so an
-    # upstream distinct/union plan isn't re-executed per iteration
+    # edge list is re-joined EVERY round: pre-partition it ON THE JOIN
+    # KEY and persist (r6; localCheckpoint would truncate lineage but
+    # DROPS the partitioning metadata — a checkpointed relation re-pays
+    # its exchange in every round's join, persist keeps the Repartition
+    # node visible so the per-round joins need no Exchange on this side)
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint()
+    ).repartition("_s").persist()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     n = nodes.count()
     if n == 0:
-        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        out = nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        nodes.unpersist()
+        e.unpersist()
+        return out
     outdeg = (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint()
+        .persist()
     )
     base = int(scale) // n
     rest = int(damp_den) - int(damp_num)
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
 
     for _ in range(int(iters)):
-        with_deg = ranks.join(outdeg, "node", "left")
-        # dangling mass: ONE scalar aggregate per round
+        # persist: with_deg is consumed TWICE per round (dangling mass +
+        # contributions) — uncached it re-ran the join each time (r6)
+        with_deg = ranks.join(outdeg, "node", "left").persist()
+        # dangling mass: ONE scalar aggregate per round (also materializes
+        # the cached join)
         dang = (
             with_deg.where(F.col("_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
@@ -112,4 +121,10 @@ def pagerank_exact(
             )
             .localCheckpoint()
         )
+        with_deg.unpersist()
+    # final ranks are materialized (eager checkpoint) — the static
+    # helpers can release their storage before returning
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     return ranks

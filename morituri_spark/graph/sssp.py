@@ -69,11 +69,14 @@ def shortest_paths(
     """
     if max_rounds < 0:
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    # pre-partitioned on the per-round join key + persist (r6, same as
+    # dag/pagerank: checkpoint drops partitioning, so rounds re-exchanged
+    # the edge list; persist keeps the Repartition visible)
     e = edges.select(
         F.col(src_col).alias("_s"),
         F.col(dst_col).alias("_d"),
         F.col(weight_col).cast("long").alias("_w"),
-    ).localCheckpoint()
+    ).repartition("_s").persist()
 
     def _minlex(df: DataFrame) -> DataFrame:
         best = F.min(F.struct(F.col("cost"), F.col("src"))).alias("_b")
@@ -112,4 +115,5 @@ def shortest_paths(
         if new_sig == sig:
             break
         sig = new_sig
+    e.unpersist()
     return state.df

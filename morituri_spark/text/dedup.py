@@ -410,7 +410,7 @@ def minhash_near_duplicates(
     hash_exprs=None,
     shingle_fn=None,
     sig_prefilter_margin: float | None = None,
-    verify_strategy: str = "join",
+    verify_strategy: str = "kernel",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard ≥ t).
     At scale run ``dedup_exact`` first: byte-identical mass duplicates are
@@ -436,13 +436,24 @@ def minhash_near_duplicates(
     with P ≈ 1 - Φ(-margin·√k/σ) (≈ 99.2% at k=64, margin 0.15) — recall
     is no longer exactly 1; leave ``None`` (default) for exact semantics.
 
-    ``verify_strategy``: 'join' (default — the two-join shingle-set
-    intersection) or 'kernel' (:func:`jaccard_pairs_kernel`, packs each
-    doc's set once and intersects vectorized; measured 10.5s vs 13.4s on
-    113k pairs over the 50k-doc corpus — value-identical, worth it when
-    pair fan-out per doc is high)."""
+    ``verify_strategy``: 'kernel' (default since r6 —
+    :func:`jaccard_pairs_kernel` packs each doc's set once and intersects
+    vectorized; measured 5.9s vs 11.2s against 'join' on 113k pairs over
+    the 50k-doc corpus, value-identical) or 'join' (the two-join
+    shingle-set intersection — no Python boundary, prefer it when the
+    per-doc shingle arrays are too large to ship whole)."""
     if shingle_fn is None:
         shingle_fn = shingle_df
+    # re-spread an under-partitioned corpus before the shingle explosion
+    # (r6, knn_join's defense): a narrow upstream (limit/explode/single
+    # parquet file) collapses to ONE partition and the map-heavy shingle +
+    # signature stages silently serialize onto one core (measured: shingle
+    # 7.1s → sub-second, signatures 7.2s → ~1.5s on the 50k-doc corpus);
+    # real 100 TB corpora scan as thousands of splits, the 1-partition
+    # shape is a degenerate input, not the common case (CLAUDE.md rule 22)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:  # rdd-meta-ok
+        docs = docs.repartition(par)
     sh = shingle_fn(docs, n_shingle, text_col, id_col).persist()
     try:
         sigs = minhash_signatures(sh, k=k, id_col=id_col, hash_exprs=hash_exprs)
