@@ -116,67 +116,156 @@ def block_flow(
     absent from the output). This keeps SAD magnitudes comparable —
     partial-overlap SADs would win spuriously.
 
-    Scale shape: the displacement explode fans the CUR side D²× before
-    one hash equi-join on shifted coordinates (the probe side stays
-    unexploded — rule 24), then two aggregates (per-candidate SAD, then
-    the per-block min). 10¹² pixels partition on (keys, coarse cell);
-    everything is integer codegen."""
+    Scale shape (r6 rewrite): ONE narrow exchange + an Arrow kernel
+    instead of a D²× fan join. Both rasters key by the CUR block —
+    (keys, ix div b, iy div b) — with the NXT side exploded only into
+    the blocks whose ±radius search window can reach it (a halo of ≤4
+    copies per pixel for radius < block, vs the D²× = 25× fan the join
+    formulation shuffled); the per-block SAD surface for all D²
+    displacements is then one masked NumPy subtraction per displacement,
+    vectorized across every block of the Arrow batch (pairs never
+    materialize as rows — the same move-blocks-not-pairs discipline as
+    the ANN cogroup scorer). A block whose pixels span an Arrow batch
+    boundary carries over (rule 26). Integer-exact end to end; the old
+    join-path output is pinned bit-identical by the loop-reference and
+    dense==join tests and the driver oracle."""
+    import numpy as np
+    import pandas as pd
+
     ks = list(keys) if keys else []
     r = int(radius)
     d = 2 * r + 1
     b = int(block)
-    # the D²× fan is the shuffle — carry ONLY (keys, jx, jy, v, did)
-    # across it (guide §2.3): the displacement packs into one small
-    # ordinal did = (dx+r)·D + (dy+r) and (ix, iy, dx, dy) all decode
-    # algebraically after the join (ix = jx − dx, …), cutting ~3 BIGINT
-    # columns (~37% of the fan's shuffle bytes) with bit-identical
-    # output (did is exactly the low field of the old composite _ord)
-    fan = cur.selectExpr(
+    # offsets are taken relative to bx·b with Spark's truncating `div`,
+    # so xo ∈ (−b, b) for cur (negative coordinates land in offset
+    # −(b−1)..0) and (−b−r, b+r) for the halo — the kernel scatters into
+    # (2b−1) and (2b−1+2r) wide grids, exact for ANY sign
+    wc = 2 * b - 1
+    wn = wc + 2 * r
+    cur_rows = cur.selectExpr(
         *ks,
-        f"CAST({x_col} AS BIGINT) AS ix",
-        f"CAST({y_col} AS BIGINT) AS iy",
+        f"CAST({x_col} AS BIGINT) AS _x",
+        f"CAST({y_col} AS BIGINT) AS _y",
         f"CAST({v_col} AS BIGINT) AS v",
-        f"explode(sequence(0, {d * d - 1})) AS _did",
     ).selectExpr(
-        *ks, "v", "CAST(_did AS INT) AS _did",
-        f"ix + (_did div {d} - {r}) AS jx",
-        f"iy + (_did % {d} - {r}) AS jy",
-    )
-    probe = nxt.selectExpr(
         *ks,
-        f"CAST({x_col} AS BIGINT) AS jx",
-        f"CAST({y_col} AS BIGINT) AS jy",
-        f"CAST({v_col} AS BIGINT) AS w",
+        f"_x div {b} AS bx",
+        f"_y div {b} AS by",
+        f"CAST(_x - _x div {b} * {b} AS INT) AS xo",
+        f"CAST(_y - _y div {b} * {b} AS INT) AS yo",
+        "CAST(0 AS TINYINT) AS _side",
+        "v",
     )
-    joined = fan.join(probe, [*ks, "jx", "jy"])
-    cand = (
-        joined.selectExpr(
-            *ks,
-            f"(jx - (_did div {d} - {r})) div {b} AS bx",
-            f"(jy - (_did % {d} - {r})) div {b} AS by",
-            "_did",
-            "abs(v - w) AS ad",
-        )
-        .groupBy(*ks, "bx", "by", "_did")
-        .agg(
-            F.sum("ad").cast("long").alias("sad"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        .where(F.col("n") == b * b)
+    # halo: pixel jx reaches block bx iff some cur x in bx has
+    # |jx − x| ≤ r, i.e. bx ∈ [(jx−r) div b, (jx+r) div b] (truncating
+    # div is monotone, so the sequence covers exactly the reachable
+    # blocks)
+    nxt_rows = nxt.selectExpr(
+        *ks,
+        f"CAST({x_col} AS BIGINT) AS _x",
+        f"CAST({y_col} AS BIGINT) AS _y",
+        f"CAST({v_col} AS BIGINT) AS v",
+    ).selectExpr(
+        *ks, "_x", "_y", "v",
+        f"explode(sequence((_x - {r}) div {b}, (_x + {r}) div {b})) AS bx",
+    ).selectExpr(
+        *ks, "_x", "_y", "v", "bx",
+        f"explode(sequence((_y - {r}) div {b}, (_y + {r}) div {b})) AS by",
+    ).selectExpr(
+        *ks,
+        "bx",
+        "by",
+        f"CAST(_x - bx * {b} AS INT) AS xo",
+        f"CAST(_y - by * {b} AS INT) AS yo",
+        "CAST(1 AS TINYINT) AS _side",
+        "v",
     )
+    both = cur_rows.unionByName(nxt_rows)
+    gcols = [*ks, "bx", "by"]
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cur.select(*ks).schema.fields
+    )
+    out_schema = (
+        (out_fields + ", " if out_fields else "")
+        + "bx bigint, by bigint, sad bigint, dx bigint, dy bigint"
+    )
+    bb = b * b
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(pdf)
+        gx = np.zeros(n_rows, dtype=bool)
+        for c in gcols:
+            col = pdf[c].to_numpy()
+            gx[1:] |= col[1:] != col[:-1]
+        gidx = np.cumsum(gx)
+        G = int(gidx[-1]) + 1 if n_rows else 0
+        starts = np.flatnonzero(np.concatenate(([True], gx[1:])))
+        side = pdf["_side"].to_numpy(np.int8)
+        xo = pdf["xo"].to_numpy(np.int64)
+        yo = pdf["yo"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+        c_arr = np.zeros((G, wc, wc), dtype=np.int64)
+        c_msk = np.zeros((G, wc, wc), dtype=bool)
+        n_arr = np.zeros((G, wn, wn), dtype=np.int64)
+        n_msk = np.zeros((G, wn, wn), dtype=bool)
+        cm = side == 0
+        c_arr[gidx[cm], xo[cm] + b - 1, yo[cm] + b - 1] = v[cm]
+        c_msk[gidx[cm], xo[cm] + b - 1, yo[cm] + b - 1] = True
+        nm = ~cm
+        n_arr[gidx[nm], xo[nm] + b - 1 + r, yo[nm] + b - 1 + r] = v[nm]
+        n_msk[gidx[nm], xo[nm] + b - 1 + r, yo[nm] + b - 1 + r] = True
+        best = np.full(G, np.iinfo(np.int64).max, dtype=np.int64)
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                win = n_arr[:, dx + r : dx + r + wc, dy + r : dy + r + wc]
+                wmk = n_msk[:, dx + r : dx + r + wc, dy + r : dy + r + wc]
+                valid = c_msk & wmk
+                n = valid.sum(axis=(1, 2))
+                sad = np.abs(
+                    np.where(valid, c_arr - win, 0)
+                ).sum(axis=(1, 2))
+                did = (dx + r) * d + (dy + r)
+                cand_ord = sad * (d * d) + did
+                full = n == bb
+                best[full] = np.minimum(best[full], cand_ord[full])
+        keep = best != np.iinfo(np.int64).max
+        sel = starts[keep]
+        out = {}
+        for c in ks:
+            out[c] = pdf[c].iloc[sel].reset_index(drop=True)
+        out["bx"] = pdf["bx"].to_numpy(np.int64)[sel]
+        out["by"] = pdf["by"].to_numpy(np.int64)[sel]
+        m = best[keep]
+        out["sad"] = m // (d * d)
+        out["dx"] = (m % (d * d)) // d - r
+        out["dy"] = m % d - r
+        return pd.DataFrame(out)
+
+    def _run(batches):
+        pend = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            # hold back the trailing group (it may continue next batch)
+            tail = np.ones(len(pdf), dtype=bool)
+            for c in gcols:
+                col = pdf[c].to_numpy()
+                tail &= col == col[-1]
+            cut = len(pdf) - int(tail.sum())
+            head, pend = pdf.iloc[:cut], pdf.iloc[cut:]
+            if cut:
+                yield _emit(head.reset_index(drop=True))
+        if pend is not None and len(pend):
+            yield _emit(pend.reset_index(drop=True))
+
     return (
-        cand.selectExpr(
-            *ks, "bx", "by",
-            f"sad * {d * d} + _did AS _ord",
-        )
-        .groupBy(*ks, "bx", "by")
-        .agg(F.min("_ord").cast("long").alias("_m"))
-        .selectExpr(
-            *ks, "bx", "by",
-            f"_m div {d * d} AS sad",
-            f"(_m % {d * d}) div {d} - {r} AS dx",
-            f"_m % {d} - {r} AS dy",
-        )
+        both.repartition(*gcols)
+        .sortWithinPartitions(*gcols)
+        .mapInPandas(_run, out_schema)
     )
 
 
