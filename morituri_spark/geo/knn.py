@@ -217,7 +217,8 @@ def knn_join(
     at bench scale).
 
     ``ring_batch`` (default True, r5): explore rings in geometrically
-    widening blocks (0; 1-2; 3-6; 7-14; …) instead of one ring per round.
+    widening blocks (0-1; 2-4; 5-10; 11-22; …) instead of one ring per
+    round.
     Each round is a driver barrier plus a window over the accumulated
     pool; at 1000-executor scale those round-trips, not the joins,
     dominate a sparse search — batching drops them from O(max_rings) to
@@ -283,8 +284,20 @@ def knn_join(
     n_left = frontier_round.df.count()  # materializes the persist; reused as
     # the loop-termination check so each round has exactly two driver barriers
 
-    blocks = [(0, 0)]
-    lo = 1
+    # r6 schedule: the first batched block is (0, 1), not (0, 0) — a
+    # hi=0 block has termination bound 0, so NO query can finish round 1
+    # and every dense query re-explodes the full [1, 2] annulus in round
+    # 2; starting at hi=1 gives round 1 a 9-cell cover with a usable
+    # bound (dense queries whose kth hit sits inside ring 1 — the common
+    # dense case — finish immediately), and every schedule is one round
+    # shorter. Results are identical: done-ness is monotone in hi and
+    # always evaluated with the block's OUTER radius.
+    if ring_batch:
+        blocks = [(0, min(1, max_rings))]
+        lo = 2
+    else:
+        blocks = [(0, 0)]
+        lo = 1
     while lo <= max_rings:
         hi = min(2 * lo, max_rings) if ring_batch else lo
         blocks.append((lo, hi))
@@ -414,7 +427,7 @@ def knn_bruteforce(
 # ---------------------------------------------------------------------------
 
 _KM_PER_DEG_LAT = 110.574  # minimum over the WGS84-ish range → max deg span
-_KM_PER_DEG_LON_EQ = 111.320
+_R_KM = 6371.0088  # the refine haversine's sphere radius (_dist_expr)
 
 
 def radius_join(
@@ -449,12 +462,13 @@ def radius_join(
     lon, lat); pass ``antisymmetric=True`` for a self-join to keep each
     unordered pair once (``id_a < id_b``).
 
-    Scale shape: the LEFT side explodes to the cell cover of its radius
-    disk (dy in {-1,0,1} by construction — the grid resolution is chosen
-    so a cell is at least one radius tall; dx widens with latitude via a
-    conservative per-row cos bound), the right side keys by its single
-    home cell, and candidates come from ONE equi-join on cell id — never
-    |left| x |right|. Each true pair appears exactly once per direction
+    Scale shape: the LEFT side explodes to the EXACT cell cover of its
+    radius disk — the floor-range of [lon−span, lon+span] × [lat−r_deg,
+    lat+r_deg] around the point's own coordinates (≤ 2×2 cells at the
+    auto-chosen res, vs the former worst-case (2·kx+1)×3 fan; span widens
+    with latitude via a conservative per-row cos bound) — the right side
+    keys by its single home cell, and candidates come from ONE equi-join
+    on cell id — never |left| x |right|. Each true pair appears exactly once per direction
     (the right row has one home cell), so no pair-level dedup shuffle is
     needed. Longitude wraps (pmod), so antimeridian pairs are found;
     pole-crossing disks are NOT modeled (exact for |lat| <= 89 deg at the
@@ -492,7 +506,6 @@ def radius_join(
             f"(cell height {cell_h:.4f} deg < {r_deg_lat:.4f} deg)"
         )
     n = 1 << res
-    mask = (1 << 29) - 1
 
     timed = time_col is not None
     if timed and (window_s is None or int(window_s) < 1):
@@ -503,14 +516,11 @@ def radius_join(
         # DuckDB's date_diff('second'); tz offsets cancel in the diff)
         return F.unix_timestamp(F.date_trunc("SECOND", F.col(c)))
 
-    cell = C.cell_col(F.col("lon"), F.col("lat"), res)
     a_extra = [_sec(time_col).alias("_asec")] if timed else []
     lft = left.select(
         id_a,
         F.col("lon").alias("_alon"),
         F.col("lat").alias("_alat"),
-        F.shiftright(cell, 29).bitwiseAND(F.lit(mask)).alias("_ax"),
-        cell.bitwiseAND(F.lit(mask)).alias("_ay"),
         *a_extra,
     )
     # re-spread a collapsed input (knn_join's limit() lesson): the probe
@@ -521,38 +531,67 @@ def radius_join(
     par = left.sparkSession.sparkContext.defaultParallelism
     if lft.rdd.getNumPartitions() < par:  # rdd-meta-ok
         lft = lft.repartition(par)
-    # conservative lon span: evaluate cos at the disk's POLEWARD edge
-    # (cos shrinks toward the poles, widening the degree span), clamped
-    # off the pole so the bound stays finite
-    pole_lat = F.least(F.abs(F.col("_alat")) + F.lit(r_deg_lat), F.lit(89.9))
-    span_deg = F.lit(radius_km) / (
-        F.lit(_KM_PER_DEG_LON_EQ) * F.cos(F.radians(pole_lat))
+    # EXACT reachable-cell cover (r6, guide §2.2): any b that the refine
+    # gate can accept (ROUNDED haversine <= radius, so true distance <=
+    # radius + 5e-7 km =: d_eff with 2x margin) satisfies, on the R =
+    # 6371.0088 sphere the refine itself uses,
+    #   |dlat|  <= degrees(d_eff / R)                      (dlat term alone)
+    #   sin(|dlon|/2) <= sin(d_eff/2R) / cos(pole_lat)     (cos at the
+    # poleward-most latitude either endpoint can reach — conservative),
+    # and floor is monotone, so b's home (x, y) lies in the floor-range of
+    # [lon−span, lon+span] × [lat−y_span, lat+y_span] — explode exactly
+    # that range instead of the former symmetric worst-case (2·kx+1)×3
+    # cover (which padded +1 cell in x for the unknown in-cell offset and
+    # always took dy ∈ {−1,0,1}). Typical fan drops 15 → ≤4 probe rows per
+    # point; join and refine volume shrink by the same factor; the pair
+    # set is unchanged (the margins above dominate every float-rounding
+    # and 6-dp-refine boundary by orders of magnitude; refine decides
+    # membership as before). y clamps to [0, n−1] — latlng_to_cell clamps
+    # home cells the same way, so an edge-clamped home is still covered;
+    # x wraps via pmod below and caps at n cells so a world-spanning span
+    # cannot probe a cell twice. Pole caps (|lat| > 89.9) keep the prior
+    # contract: exact away from the polar caps.
+    d_eff = float(radius_km) + 1e-6
+    y_span = max(r_deg_lat, np.degrees(d_eff / _R_KM))
+    pole_lat = F.least(F.abs(F.col("_alat")) + F.lit(y_span), F.lit(89.9))
+    span_deg = F.degrees(
+        2.0 * F.asin(F.least(
+            F.lit(1.0),
+            F.lit(float(np.sin(d_eff / (2.0 * _R_KM)))) / F.cos(F.radians(pole_lat)),
+        ))
     )
-    kx = F.least(
-        F.ceil(span_deg / F.lit(cell_w)) + F.lit(1), F.lit(n // 2)
-    ).cast("int")
     res_bits = F.lit(int(np.int64(res) << 58))
     thread = ["_asec"] if timed else []
+    x_lo = F.floor((F.col("_alon") - span_deg + 180.0) / 360.0 * n).cast("long")
+    x_hi = F.least(
+        F.floor((F.col("_alon") + span_deg + 180.0) / 360.0 * n).cast("long"),
+        x_lo + F.lit(n - 1),
+    )
+    y_lo = F.greatest(
+        F.floor((F.col("_alat") - y_span + 90.0) / 180.0 * n).cast("long"),
+        F.lit(0),
+    )
+    y_hi = F.least(
+        F.floor((F.col("_alat") + y_span + 90.0) / 180.0 * n).cast("long"),
+        F.lit(n - 1),
+    )
     probe = (
         lft.select(
             id_a, "_alon", "_alat", *thread,
-            F.explode(F.sequence(-kx, kx)).alias("_dx"), "_ax", "_ay",
+            F.explode(F.sequence(x_lo, x_hi)).alias("_px"),
+            y_lo.alias("_ylo"), y_hi.alias("_yhi"),
         )
         .select(
             id_a, "_alon", "_alat", *thread,
-            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dy"),
-            "_dx", "_ax", "_ay",
-        )
-        .where(
-            (F.col("_ay") + F.col("_dy") >= 0)
-            & (F.col("_ay") + F.col("_dy") < n)
+            F.explode(F.sequence(F.col("_ylo"), F.col("_yhi"))).alias("_py"),
+            "_px",
         )
         .select(
             id_a, "_alon", "_alat", *thread,
             (
                 res_bits
-                + F.pmod(F.col("_ax") + F.col("_dx"), F.lit(n)) * F.lit(1 << 29)
-                + (F.col("_ay") + F.col("_dy"))
+                + F.pmod(F.col("_px"), F.lit(n)) * F.lit(1 << 29)
+                + F.col("_py")
             ).alias("_probe_cell"),
         )
     )
