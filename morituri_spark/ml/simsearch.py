@@ -764,33 +764,42 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if parity:
-                Vn = V / np.sqrt(_seq_sumsq(V))[:, None]
-                codes = np.empty((len(V), m), dtype=np.int32)
-                for j in range(m):
-                    S = Vn[:, j * dsub:(j + 1) * dsub]
-                    dist = np.empty((len(V), n_codes))
-                    for c in range(n_codes):
-                        acc = np.zeros(len(V))
-                        for d in range(dsub):
-                            diff = S[:, d] - B[j, c, d]
-                            acc = acc + diff * diff
-                        dist[:, c] = acc
-                    codes[:, j] = np.argmin(dist, axis=1)
-            else:
-                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-                S = Vn.reshape(len(V), m, dsub)
-                d2 = (
-                    (S * S).sum(axis=2)[:, :, None]
-                    - 2.0 * np.einsum("nmd,mcd->nmc", S, B)
-                    + (B * B).sum(axis=2)[None, :, :]
-                )
-                codes = np.argmin(d2, axis=2).astype(np.int32)
+            codes = _pq_codes_batch(V, B, parity)
             out = pdf.copy()
             out[out_col] = list(codes)
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def _pq_codes_batch(V: np.ndarray, B: np.ndarray, parity: bool) -> np.ndarray:
+    """(n, dim) float64 batch → (n, m) int32 nearest-codeword indices —
+    the shared per-batch encode of :func:`pq_encode` and the fused
+    encode+score kernel in :func:`ann_topk_pq` (bit-identical paths)."""
+    m, n_codes, dsub = B.shape
+    if parity:
+        Vn = V / np.sqrt(_seq_sumsq(V))[:, None]
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = Vn[:, j * dsub:(j + 1) * dsub]
+            dist = np.empty((len(V), n_codes))
+            for c in range(n_codes):
+                acc = np.zeros(len(V))
+                for d in range(dsub):
+                    diff = S[:, d] - B[j, c, d]
+                    acc = acc + diff * diff
+                dist[:, c] = acc
+            codes[:, j] = np.argmin(dist, axis=1)
+    else:
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = Vn.reshape(len(V), m, dsub)
+        d2 = (
+            (S * S).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("nmd,mcd->nmc", S, B)
+            + (B * B).sum(axis=2)[None, :, :]
+        )
+        codes = np.argmin(d2, axis=2).astype(np.int32)
+    return codes
 
 
 def _adc_luts(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -840,8 +849,7 @@ def ann_topk_pq(
     lut = _adc_luts(
         np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows]), codebooks
     )
-    bc = emb.sparkSession.sparkContext.broadcast((qids, lut))
-    coded = pq_encode(emb.select(id_col, vec_col), codebooks, vec_col, parity=parity)
+    bc = emb.sparkSession.sparkContext.broadcast((qids, lut, codebooks))
     out_schema = StructType(
         [
             queries.schema[qid_col],
@@ -850,12 +858,22 @@ def ann_topk_pq(
         ]
     )
 
+    # FUSED encode+score kernel (r6, guide §4.2): the former
+    # pq_encode-then-score chain ran TWO mapInPandas passes and shipped
+    # the full embedding column back out of Python after encode only for
+    # the next select to drop it; one kernel encodes the batch
+    # (_pq_codes_batch — the exact code path pq_encode runs) and scores
+    # it against the broadcast ADC tables in place, so vectors cross the
+    # Arrow boundary once and codes never cross at all. Output values are
+    # bit-identical (same encode arithmetic, same int widening, same
+    # lexsort contraction).
     def score(batches):
-        ids, L = bc.value
+        ids, L, B = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = _pq_codes_batch(V, B, parity).astype(np.int64)
             cids = pdf[id_col].to_numpy()
             sims = _round6(_adc_scores(L, codes))
             kk = min(k, sims.shape[1])
@@ -868,7 +886,7 @@ def ann_topk_pq(
                 }
             )
 
-    partial = coded.select(id_col, "pq_code").mapInPandas(score, out_schema)
+    partial = emb.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.col("adc_score").desc(), F.col(id_col))
     return (
         partial.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
