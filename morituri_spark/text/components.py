@@ -125,14 +125,7 @@ def connected_components(
     )
     prev_n = -1
     for _ in range(max_rounds):
-        # the large-star result is consumed twice by small_star (its adj
-        # feeds both the min aggregate and the join), but only within the
-        # ONE eager-checkpoint job that materializes the small star — a
-        # lazy persist makes that job compute it once, where an eager
-        # checkpoint of its own paid a full extra job per round (guide
-        # §2.4; lineage stays constant-depth off the checkpointed round
-        # input, so truncation is not needed here)
-        ls_r = _Round.materialize(_large_star(edges_r.df), truncate=False)
+        ls_r = _Round.materialize(_large_star(edges_r.df), truncate=True)
         new_r = _Round.materialize(_small_star(ls_r.df), truncate=True)
         ls_r.release()
         edges_r.release()
