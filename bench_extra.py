@@ -660,6 +660,141 @@ def main() -> None:
         )
         bl_pairs.unpersist()
 
+    # ---- heavy hitters fixture (bench.py verbatim) -------------------
+    if on("heavy_hitters_20m_rows"):
+        from morituri_spark.text.heavyhitters import frequent_items
+
+        hh_df = (
+            spark.range(20_000_000)
+            .select(
+                F.when(
+                    F.col("id") % 3 == 0,
+                    F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("t"),
+                        F.pmod(F.xxhash64("id"), F.lit(2_000_000)).cast("string"),
+                    )
+                )
+                .alias("item")
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        hh_df.count()
+        timed(
+            "heavy_hitters_20m_rows",
+            lambda: frequent_items(hh_df, "item", 1, 100)
+            .agg(F.count(F.lit(1)), F.sum("cnt")).collect(),
+            reps=2,
+        )
+        hh_df.unpersist()
+
+    # ---- hausdorff fixture (bench.py verbatim) -----------------------
+    if on("hausdorff_4k_tracks"):
+        from morituri_spark.geo.similarity import hausdorff_join
+
+        tracks_b = spark.range(200_000).select(
+            (F.col("id") % 4000).alias("track_id"),
+            F.col("id").alias("seq"),
+            (
+                ((F.col("id") % 4000) % 500 % 25).cast("double") * 14.0 - 170.0
+                + ((F.col("id") % 4000) * 131 % 97).cast("double") / 1000.0
+                + (F.col("id") * 61 % 181).cast("double") / 2000.0
+            ).alias("lon"),
+            (
+                ((F.col("id") % 4000) % 500 / 25).cast("int").cast("double") * 6.0 - 57.0
+                + ((F.col("id") % 4000) * 173 % 89).cast("double") / 1000.0
+                + (F.col("id") * 37 % 151).cast("double") / 2000.0
+            ).alias("lat"),
+        ).repartition(cpus * 2).persist()
+        tracks_b.count()
+        timed(
+            "hausdorff_4k_tracks",
+            lambda: hausdorff_join(tracks_b, 10.0)
+            .agg(F.count(F.lit(1)), F.sum("hausdorff_km")).collect(),
+            reps=2,
+        )
+        tracks_b.unpersist()
+
+    # ---- frequent pairs fixture (bench.py verbatim) ------------------
+    if on("frequent_pairs_2m_rows"):
+        from morituri_spark.text.basket import frequent_pairs
+
+        fp_rows = (
+            spark.range(2_000_000)
+            .selectExpr(
+                "id % 200000 AS basket_id",
+                "format_string('i%04d', (id * 7 + id % 13) % 2000) AS item",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        fp_rows.count()
+        timed(
+            "frequent_pairs_2m_rows",
+            lambda: frequent_pairs(fp_rows, min_support=3)
+            .agg(F.sum("supp_ab"), F.sum("lift_micro"), F.count(F.lit(1)))
+            .collect(),
+            reps=2,
+        )
+        fp_rows.unpersist()
+
+    # ---- small CC fixture (bench.py verbatim) ------------------------
+    if on("connected_components_120k_edges"):
+        from morituri_spark.text.components import connected_components
+
+        cc_e1 = spark.range(100_000).selectExpr(
+            "id AS a", "id + 1 AS b"
+        ).where("id % 50 != 49")
+        cc_e2 = spark.range(100_000).selectExpr(
+            "CAST(hash(id) % 150000 AS LONG) AS a",
+            "CAST(hash(id + 7) % 150000 AS LONG) AS b",
+        ).where("a >= 0 AND b >= 0")
+        cc_edges = cc_e1.union(cc_e2).persist()
+        cc_edges.count()
+        timed(
+            "connected_components_120k_edges",
+            lambda: connected_components(cc_edges).count(),
+            reps=2,
+        )
+        cc_edges.unpersist()
+
+    # ---- nms fixture (bench.py verbatim) -----------------------------
+    if on("nms_5m_boxes"):
+        from morituri_spark.multimodal.detections import nms_boxes
+
+        nms_dets = (
+            spark.range(5_000_000)
+            .selectExpr(
+                "CAST(floor(id / 10) AS BIGINT) AS i", "id % 10 AS j"
+            )
+            .selectExpr(
+                "printf('img%012d', i) AS image_id",
+                "j AS box_id",
+                "(i * 3 + j * 17 + 0) % 48 AS x0",
+                "(i * 5 + j * 23 + 0) % 48 AS y0",
+                "(i * 3 + j * 17 + 0) % 48 + 4 + (i + 3 * j + 0) % 12 AS x1",
+                "(i * 5 + j * 23 + 0) % 48 + 4 + (2 * i + j + 0) % 10 AS y1",
+                "(i * 7 + j * 31) % 100 AS score",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        nms_dets.count()
+        timed(
+            "nms_5m_boxes",
+            lambda: nms_boxes(nms_dets, iou_thr_milli=300)
+            .agg(
+                F.bit_xor(F.xxhash64("image_id", "keep_rank", "box_id")),
+                F.count(F.lit(1)),
+            )
+            .collect(),
+            reps=2,
+        )
+        nms_dets.unpersist()
+
     print(f"calib_ms_end={B.calib_ms():.2f}", flush=True)
     print(f"loadavg_end={open('/proc/loadavg').read().strip()}", flush=True)
 

@@ -50,9 +50,21 @@ def frequent_pairs(
     ms = int(min_support)
     if ms < 1:
         raise ValueError(f"min_support must be >= 1, got {ms}")
-    bi = baskets.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    # The deduped (basket, item) relation feeds FIVE consumers (both
+    # sides of the pair self-join, two support lookups, the basket
+    # count) and Catalyst does not reuse the identical subtrees — the
+    # before-plan held five copies of the distinct (guide §2.4).
+    # Materialize it once (localCheckpoint, knn's _Round machinery); the
+    # blocks are reclaimed by the ContextCleaner when the returned plan
+    # is dropped.
+    from morituri_spark.geo.knn import _Round
+
+    bi = _Round.materialize(
+        baskets.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        ).distinct(),
+        truncate=True,
+    ).df
     n_baskets = bi.agg(F.countDistinct("_b").alias("_n"))
     supp = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_s"))
     # Apriori prune: infrequent items cannot form frequent pairs
