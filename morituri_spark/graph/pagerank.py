@@ -85,7 +85,11 @@ def pagerank_exact(
     for _ in range(int(iters)):
         # persist: with_deg is consumed TWICE per round (dangling mass +
         # contributions) — uncached it re-ran the join each time (r6)
-        with_deg = ranks.join(outdeg, "node", "left").persist()
+        # shuffled-hash hints (r6): every per-round join build side is one
+        # row per node (outdeg / with_deg / contrib), so the hash build is
+        # bounded by distinct keys per partition and the SMJ sorts of the
+        # streamed side are pure per-round cost
+        with_deg = ranks.join(outdeg.hint("shuffle_hash"), "node", "left").persist()
         # dangling mass: ONE scalar aggregate per round (also materializes
         # the cached join)
         dang = (
@@ -96,6 +100,7 @@ def pagerank_exact(
         dang_share = int(dang) // n
         contrib = (
             with_deg.where(F.col("_deg").isNotNull())
+            .hint("shuffle_hash")
             .join(e, F.col("node") == F.col("_s"))
             .select(F.col("_d").alias("node"), F.expr("rank div _deg").alias("_c"))
             .groupBy("node")
@@ -107,7 +112,7 @@ def pagerank_exact(
             * (F.coalesce(F.col("_sum"), F.lit(0)) + F.lit(dang_share))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 # LONG `div`, never `/`: double division + cast can round
