@@ -43,28 +43,34 @@ def bleu_clip_counts(
     if nm < 1:
         raise ValueError(f"n_max must be >= 1, got {nm}")
 
-    def grams(col: str, side: str) -> DataFrame:
-        # grams via lead() offsets over ONE per-pair token sort — the
-        # transform(sequence, slice)+concat_ws HOF form this replaces
-        # runs interpreted per element (rule 8) and measured 65.3s vs
-        # 28-31s at 500k 20-token pairs; gram strings stay EXACT (no
-        # hashing, collisions impossible, oracle replays byte-for-byte)
-        from pyspark.sql import Window
-
-        toks = pairs.select(
+    def _toks(col: str) -> DataFrame:
+        return pairs.select(
             pair_col,
             F.expr(
                 f"filter(split({col}, ' '), t -> t <> '')"
             ).alias("_toks"),
         )
-        pos = toks.select(
-            pair_col, F.posexplode("_toks").alias("_p", "_t0")
+
+    def gram_rows(col: str, tag: int) -> DataFrame:
+        # grams via O(1) array offsets off the STAGED token array (r6):
+        # the former lead()-window form paid a full exchange + per-pair
+        # sort of every token row per side just to see the next k tokens,
+        # but posexplode already knows the position — try_element_at on
+        # the retained array reads tokens p+1..p+n-1 in place (NULL past
+        # the end under ANSI, exactly lead()'s contract). The
+        # transform(sequence, slice)+concat_ws HOF form both replace runs
+        # interpreted per element (rule 8, 65.3s vs 28-31s at 500k
+        # pairs); gram strings stay EXACT (no hashing, collisions
+        # impossible, oracle replays byte-for-byte).
+        pos = _toks(col).select(
+            pair_col, "_toks", F.posexplode("_toks").alias("_p", "_t0")
         )
-        w = Window.partitionBy(pair_col).orderBy("_p")
-        lead_cols = [
-            F.lead("_t0", k).over(w).alias(f"_t{k}") for k in range(1, nm)
+        # stage the offset tokens as their own projection (rule 9)
+        off_cols = [
+            F.expr(f"try_element_at(_toks, _p + {k + 1})").alias(f"_t{k}")
+            for k in range(1, nm)
         ]
-        g = pos.select(pair_col, "_t0", *lead_cols)
+        g = pos.select(pair_col, "_t0", *off_cols)
         branches = ["array(struct(1 AS n, _t0 AS gram))"]
         for n in range(2, nm + 1):
             concat = (
@@ -82,26 +88,55 @@ def bleu_clip_counts(
                 "_g"
             ),
         )
-        return (
-            stacked.select(
-                pair_col,
-                F.col("_g.n").alias("n"),
-                F.col("_g.gram").alias("gram"),
-            )
-            .groupBy(pair_col, "n", "gram")
-            .agg(F.count(F.lit(1)).alias(f"_c_{side}"))
+        return stacked.select(
+            pair_col,
+            F.col("_g.n").alias("n"),
+            F.col("_g.gram").alias("gram"),
+            F.lit(tag).alias("_tag"),
         )
 
-    cg = grams(cand_col, "cand")
-    rg = grams(ref_col, "ref")
-    totals = cg.groupBy(pair_col, "n").agg(F.sum("_c_cand").alias("total"))
-    clip = (
-        cg.join(rg, [pair_col, "n", "gram"])
-        .groupBy(pair_col, "n")
-        .agg(F.sum(F.least("_c_cand", "_c_ref")).alias("clipped"))
+    # totals need no gram aggregation at all (r6): the candidate's n-gram
+    # count is len − n + 1 by construction (rows exist only for n ≤ len),
+    # so it projects straight off the token length — the former plan
+    # re-aggregated the full candidate gram stream a second time.
+    totals = (
+        _toks(cand_col)
+        .select(pair_col, F.size("_toks").alias("_len"))
+        .select(
+            pair_col,
+            F.expr(
+                f"explode(CASE WHEN _len >= 1 THEN"
+                f" sequence(1, least({nm}, _len))"
+                " ELSE CAST(array() AS array<int>) END)"
+            ).alias("n"),
+            F.col("_len"),
+        )
+        .select(
+            pair_col,
+            "n",
+            (F.col("_len") - F.col("n") + F.lit(1)).alias("total"),
+        )
+    )
+    # clip via ONE union-tag aggregate (rule 21's decontam shape): the
+    # former cand⋈ref gram join sorted both aggregated gram streams;
+    # tagging the raw streams and counting both sides in one hash
+    # aggregate shuffles the same rows once each and never sorts.
+    counts = (
+        gram_rows(cand_col, 0)
+        .unionAll(gram_rows(ref_col, 1))
+        .groupBy(pair_col, "n", "gram")
+        .agg(
+            F.sum(F.when(F.col("_tag") == 0, 1).otherwise(0)).alias("_c_cand"),
+            F.sum(F.when(F.col("_tag") == 1, 1).otherwise(0)).alias("_c_ref"),
+        )
+        .where((F.col("_c_cand") > 0) & (F.col("_c_ref") > 0))
+    )
+    clip = counts.groupBy(pair_col, "n").agg(
+        F.sum(F.least("_c_cand", "_c_ref")).alias("clipped")
     )
     return (
-        totals.join(clip, [pair_col, "n"], "left")
+        # build side is clip — at most one row per (pair, n), bounded
+        totals.join(clip.hint("shuffle_hash"), [pair_col, "n"], "left")
         .select(
             pair_col,
             F.col("n").cast("long").alias("n"),
