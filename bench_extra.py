@@ -795,6 +795,37 @@ def main() -> None:
         )
         nms_dets.unpersist()
 
+    # ---- scene cuts fixture (bench.py verbatim) -----------------------
+    if on("scene_cuts_16m_bins"):
+        from morituri_spark.multimodal.video import scene_cuts
+
+        sc_hists = (
+            spark.range(100_000)
+            .selectExpr("id AS v")
+            .selectExpr("v", "explode(sequence(0, 19)) AS frame")
+            .selectExpr("v", "frame", "explode(sequence(0, 7)) AS bin")
+            .selectExpr(
+                "printf('vid%09d', v) AS video_id", "frame", "bin",
+                "(v + bin * 3 + frame * 5"
+                " + CAST(floor(frame / 7.0) AS BIGINT) * 100) % 200 AS cnt",
+            )
+            .repartition(cpus * 2)
+            .persist()
+        )
+        sc_hists.count()
+        timed(
+            "scene_cuts_16m_bins",
+            lambda: scene_cuts(sc_hists, cut_thr=300)
+            .agg(
+                F.sum("scene_id"),
+                F.sum(F.col("is_cut").cast("long")),
+                F.count(F.lit(1)),
+            )
+            .collect(),
+            reps=2,
+        )
+        sc_hists.unpersist()
+
     print(f"calib_ms_end={B.calib_ms():.2f}", flush=True)
     print(f"loadavg_end={open('/proc/loadavg').read().strip()}", flush=True)
 

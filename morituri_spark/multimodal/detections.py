@@ -81,6 +81,38 @@ def _inter_union(kept: np.ndarray, box: np.ndarray):
     return inter, area_k + area_b - inter
 
 
+def _nms_one(pdf: pd.DataFrame, id_col: str, thr: int) -> pd.DataFrame:
+    """Greedy NMS for ONE pre-sorted image slice (the past-the-cap path
+    of nms_boxes): per-box loop, O(kept) vectorized IoU per step."""
+    x0 = pdf["x0"].to_numpy(np.int64)
+    y0 = pdf["y0"].to_numpy(np.int64)
+    x1 = pdf["x1"].to_numpy(np.int64)
+    y1 = pdf["y1"].to_numpy(np.int64)
+    area = (x1 - x0) * (y1 - y0)
+    kept: list[int] = []
+    for i in range(len(pdf)):
+        if kept:
+            k = np.asarray(kept)
+            iw = np.minimum(x1[k], x1[i]) - np.maximum(x0[k], x0[i])
+            ih = np.minimum(y1[k], y1[i]) - np.maximum(y0[k], y0[i])
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            union = area[k] + area[i] - inter
+            if np.any(inter * 1000 > thr * union):
+                continue
+        kept.append(i)
+    ks = np.asarray(kept, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            id_col: pd.array(
+                pdf[id_col].to_numpy(dtype=object)[ks], dtype="string"
+            ),
+            "keep_rank": np.arange(1, len(ks) + 1, dtype=np.int64),
+            "box_id": pdf["box_id"].to_numpy(np.int64)[ks],
+            "score": pdf["score"].to_numpy(np.int64)[ks],
+        }
+    )
+
+
 def nms_boxes(
     dets: DataFrame,
     iou_thr_milli: int = 500,
@@ -99,37 +131,113 @@ def nms_boxes(
     """
     thr = int(iou_thr_milli)
     src = dets.where((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")))
-    packed = _pack(src, id_col, _BOX_COLS, "_boxes")
+    # r6: stream flat pre-sorted rows instead of a collect_list pack —
+    # the packed struct column reached the kernel as list-of-dicts
+    # (per-box Python conversion), and the greedy ran a per-BOX Python
+    # loop per image. One hash exchange + in-partition sort (the same
+    # physical shape as the pack's exchange) feeds plain numpy columns;
+    # the greedy then iterates over RANK POSITION, vectorized across
+    # every image of the batch (visit order is the sort order:
+    # score DESC, box_id ASC — the old lexsort exactly).
+    ordered = src.select(
+        id_col, "box_id", "x0", "y0", "x1", "y1", "score"
+    ).repartition(id_col).sortWithinPartitions(
+        id_col, F.col("score").desc(), F.col("box_id").asc()
+    )
+
+    def _flush(parts: list[pd.DataFrame]) -> pd.DataFrame:
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        ids = pdf[id_col].to_numpy(dtype=object)
+        n = len(ids)
+        cols = {
+            c: pdf[c].to_numpy(dtype=np.int64)
+            for c in ("box_id", "x0", "y0", "x1", "y1", "score")
+        }
+        # group boundaries over the (already grouped) sorted stream
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = ids[1:] != ids[:-1]
+        gidx = np.cumsum(new_grp) - 1          # per-row group ordinal
+        starts = np.flatnonzero(new_grp)
+        lens = np.diff(np.append(starts, n))
+        # pathological-image gate (rule 20): a dense image would pad the
+        # whole batch grid to ITS width — route groups past the cap
+        # through the per-image loop instead, vectorize the rest
+        cap = 256
+        if int(lens.max()) > cap:
+            big_rows = lens[gidx] > cap
+            outs = []
+            if np.any(~big_rows):
+                outs.append(_flush([pdf.iloc[np.flatnonzero(~big_rows)]]))
+            bstarts = np.flatnonzero(new_grp & big_rows)
+            for s in bstarts:
+                ln = int(lens[gidx[s]])
+                outs.append(_nms_one(pdf.iloc[s : s + ln], id_col, thr))
+            return pd.concat(outs) if len(outs) > 1 else outs[0]
+        p, maxn = len(starts), int(lens.max())
+        pos = np.arange(n) - starts[gidx]      # rank position within image
+        flat = gidx * maxn + pos
+        valid = np.zeros(p * maxn, dtype=bool)
+        valid[flat] = True
+        valid = valid.reshape(p, maxn)
+        grid = {}
+        for c in ("box_id", "x0", "y0", "x1", "y1", "score"):
+            g = np.zeros(p * maxn, dtype=np.int64)
+            g[flat] = cols[c]
+            grid[c] = g.reshape(p, maxn)
+        keep = np.zeros((p, maxn), dtype=bool)
+        keep[:, 0] = valid[:, 0]
+        area = (grid["x1"] - grid["x0"]) * (grid["y1"] - grid["y0"])
+        for k in range(1, maxn):
+            iw = (
+                np.minimum(grid["x1"][:, :k], grid["x1"][:, k : k + 1])
+                - np.maximum(grid["x0"][:, :k], grid["x0"][:, k : k + 1])
+            )
+            ih = (
+                np.minimum(grid["y1"][:, :k], grid["y1"][:, k : k + 1])
+                - np.maximum(grid["y0"][:, :k], grid["y0"][:, k : k + 1])
+            )
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            union = area[:, :k] + area[:, k : k + 1] - inter
+            sup = np.any(
+                keep[:, :k] & (inter * 1000 > thr * union), axis=1
+            )
+            keep[:, k] = valid[:, k] & ~sup
+        rank = np.cumsum(keep, axis=1)
+        kept_flat = keep.reshape(-1)[flat]     # per input row, in order
+        return pd.DataFrame(
+            {
+                id_col: pd.array(ids[kept_flat], dtype="string"),
+                "keep_rank": rank.reshape(-1)[flat][kept_flat],
+                "box_id": cols["box_id"][kept_flat],
+                "score": cols["score"][kept_flat],
+            }
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # an image's rows may span Arrow batches (rule 26): hold the
+        # trailing group back until its id changes or the stream ends
+        carry: list[pd.DataFrame] = []
+        last_id = None
         for pdf in batches:
-            out = {c: [] for c in (id_col, "keep_rank", "box_id", "score")}
-            for image_id, boxes in zip(pdf[id_col], pdf["_boxes"]):
-                a = _boxes_np(boxes)
-                order = np.lexsort((a[:, 0], -a[:, 5]))
-                kept_rows = []
-                for idx in order:
-                    box = a[idx]
-                    if kept_rows:
-                        inter, union = _inter_union(np.array(kept_rows), box)
-                        if np.any(inter * 1000 > thr * union):
-                            continue
-                    kept_rows.append(box)
-                    out[id_col].append(image_id)
-                    out["keep_rank"].append(len(kept_rows))
-                    out["box_id"].append(int(box[0]))
-                    out["score"].append(int(box[5]))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.array(out[id_col], dtype="string"),
-                    **{
-                        c: np.asarray(out[c], dtype=np.int64)
-                        for c in ("keep_rank", "box_id", "score")
-                    },
-                }
-            )
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col]
+            if carry and ids.iloc[0] != last_id:
+                yield _flush(carry)
+                carry = []
+            cut = np.flatnonzero((ids != ids.iloc[-1]).to_numpy())
+            split = int(cut[-1]) + 1 if len(cut) else 0
+            head, tail = pdf.iloc[:split], pdf.iloc[split:]
+            if len(head):
+                yield _flush(carry + [head])
+                carry = []
+            carry.append(tail)
+            last_id = ids.iloc[-1]
+        if carry and sum(len(c) for c in carry):
+            yield _flush(carry)
 
-    return packed.mapInPandas(
+    return ordered.mapInPandas(
         run, f"{id_col} string, keep_rank long, box_id long, score long"
     )
 

@@ -40,31 +40,52 @@ def scene_cuts(
     videos partition freely; a feature-length 10⁵-frame video is one
     ordered window, not a sequential driver loop."""
     thr = int(cut_thr)
-    cur = hists.select(
+    # ONE union-tag aggregate chain (r6, rule 21's decontam shape): the
+    # former cur⋈prv self-join sorted both 16M-row sides and a separate
+    # frames-distinct pass + left join reattached first frames. Tagging
+    # the current and frame-shifted streams and aggregating once gets
+    # |cnt(f) − cnt(f−1)| per bin, the per-frame distance, AND the frame
+    # existence bit (tag-0 presence) out of the same exchange; frames
+    # whose bins all lack a previous value keep dist_prev NULL exactly
+    # like the old unmatched left join (the +1 shift's phantom past-the-
+    # end frame rows carry no tag-0 bin and are dropped by the _has
+    # filter).
+    tagged = hists.select(
         F.col(video_col).alias("_v"),
         F.col(frame_col).alias("_f"),
         F.col(bin_col).alias("_b"),
-        F.col(cnt_col).alias("_c"),
+        F.col(cnt_col).cast("long").alias("_c"),
+        F.lit(None).cast("long").alias("_cp"),
+    ).unionAll(
+        hists.select(
+            F.col(video_col).alias("_v"),
+            (F.col(frame_col) + 1).alias("_f"),
+            F.col(bin_col).alias("_b"),
+            F.lit(None).cast("long").alias("_c"),
+            F.col(cnt_col).cast("long").alias("_cp"),
+        )
     )
-    prv = hists.select(
-        F.col(video_col).alias("_v"),
-        (F.col(frame_col) + 1).alias("_f"),
-        F.col(bin_col).alias("_b"),
-        F.col(cnt_col).alias("_cp"),
+    per_bin = tagged.groupBy("_v", "_f", "_b").agg(
+        F.max("_c").alias("_c"), F.max("_cp").alias("_cp")
     )
     dist = (
-        cur.join(prv, ["_v", "_f", "_b"])
-        .groupBy("_v", "_f")
-        .agg(F.sum(F.abs(F.col("_c") - F.col("_cp"))).alias("dist_prev"))
+        per_bin.groupBy("_v", "_f")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_c").isNotNull() & F.col("_cp").isNotNull(),
+                    F.abs(F.col("_c") - F.col("_cp")),
+                )
+            ).alias("dist_prev"),
+            F.max(F.col("_c").isNotNull()).alias("_has"),
+        )
+        .where(F.col("_has"))
     )
-    frames = hists.select(
-        F.col(video_col).alias("_v"), F.col(frame_col).alias("_f")
-    ).distinct()
     w = Window.partitionBy("_v").orderBy("_f").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        frames.join(dist, ["_v", "_f"], "left")
+        dist
         .withColumn(
             "is_cut",
             (F.col("dist_prev") > F.lit(thr)).cast("boolean"),

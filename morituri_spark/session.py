@@ -33,6 +33,17 @@ _DEFAULTS = {
     # Broadcast threshold: dimension tables in this engine (conditions,
     # country refs, admin metadata, polygon covers) are tiny vs the fact side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ContextCleaner only reaps unreferenced shuffle/broadcast/checkpoint
+    # blocks after a DRIVER GC, and the stock periodicGC interval (30 min)
+    # outlives whole local jobs on a 48g heap that rarely GCs on its own —
+    # superseded iteration checkpoints and finished queries' shuffle state
+    # pile up and progressively inflate later queries (measured: the same
+    # operator 2x slower 100+ queries into a session). 45s keeps the
+    # cleaner live; on a long-lived cluster driver the same setting is the
+    # published guidance for iterative workloads (guide §5).
+    "spark.cleaner.periodicGC.interval": os.environ.get(
+        "SPARK_GRAFT_PERIODIC_GC", "45s"
+    ),
 }
 
 

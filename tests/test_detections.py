@@ -241,3 +241,35 @@ def test_homography_identity_is_micro_scale(spark):
     assert (r.valid, r.x0, r.y0, r.x1, r.y1) == (
         True, 3_000_000, 5_000_000, 10_000_000, 12_000_000
     )
+
+
+def test_nms_groups_span_arrow_batches(spark):
+    # force 13-row Arrow batches so images straddle batch boundaries and
+    # the kernel's carry path runs (r6 streamed rewrite, rule 26)
+    rows = _boxes(3, 60, 7)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=PRED_COLS))
+    s2 = df.sparkSession
+    old = s2.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        got = sorted(
+            (r.image_id, r.keep_rank, r.box_id, r.score)
+            for r in nms_boxes(df, iou_thr_milli=300).collect()
+        )
+    finally:
+        s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == _ref_nms(rows, 300)
+
+
+def test_nms_big_group_fallback_path(spark):
+    # one image past the 256-box cap routes through _nms_one while its
+    # small siblings stay on the vectorized grid — same answers
+    rows = [
+        ("big" + r[0],) + r[1:] for r in _boxes(5, 4, 300, span=60)
+    ] + _boxes(6, 30, 5)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=PRED_COLS))
+    got = sorted(
+        (r.image_id, r.keep_rank, r.box_id, r.score)
+        for r in nms_boxes(df, iou_thr_milli=300).collect()
+    )
+    assert got == _ref_nms(rows, 300)
