@@ -81,6 +81,36 @@ def _inter_union(kept: np.ndarray, box: np.ndarray):
     return inter, area_k + area_b - inter
 
 
+def _group_stream(id_col: str, flush):
+    """mapInPandas wrapper streaming WHOLE groups of a pre-sorted
+    partition into ``flush``: a group's rows may span Arrow batches
+    (rule 26), so the trailing group is held back until its id changes
+    or the stream ends."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: list[pd.DataFrame] = []
+        last_id = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col]
+            if carry and ids.iloc[0] != last_id:
+                yield flush(carry)
+                carry = []
+            cut = np.flatnonzero((ids != ids.iloc[-1]).to_numpy())
+            split = int(cut[-1]) + 1 if len(cut) else 0
+            head, tail = pdf.iloc[:split], pdf.iloc[split:]
+            if len(head):
+                yield flush(carry + [head])
+                carry = []
+            carry.append(tail)
+            last_id = ids.iloc[-1]
+        if carry and sum(len(c) for c in carry):
+            yield flush(carry)
+
+    return run
+
+
 def _nms_one(pdf: pd.DataFrame, id_col: str, thr: int) -> pd.DataFrame:
     """Greedy NMS for ONE pre-sorted image slice (the past-the-cap path
     of nms_boxes): per-box loop, O(kept) vectorized IoU per step."""
@@ -214,31 +244,9 @@ def nms_boxes(
             }
         )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # an image's rows may span Arrow batches (rule 26): hold the
-        # trailing group back until its id changes or the stream ends
-        carry: list[pd.DataFrame] = []
-        last_id = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col]
-            if carry and ids.iloc[0] != last_id:
-                yield _flush(carry)
-                carry = []
-            cut = np.flatnonzero((ids != ids.iloc[-1]).to_numpy())
-            split = int(cut[-1]) + 1 if len(cut) else 0
-            head, tail = pdf.iloc[:split], pdf.iloc[split:]
-            if len(head):
-                yield _flush(carry + [head])
-                carry = []
-            carry.append(tail)
-            last_id = ids.iloc[-1]
-        if carry and sum(len(c) for c in carry):
-            yield _flush(carry)
-
     return ordered.mapInPandas(
-        run, f"{id_col} string, keep_rank long, box_id long, score long"
+        _group_stream(id_col, _flush),
+        f"{id_col} string, keep_rank long, box_id long, score long",
     )
 
 
@@ -262,69 +270,227 @@ def match_detections(
     absent from matched_gt = FN).
     """
     thr = int(iou_thr_milli)
-    gt_cols = ("gt_id", "x0", "y0", "x1", "y1")
-    p = _pack(
-        preds.where((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0"))),
-        id_col, _BOX_COLS, "_preds",
+    # r6: one union-tag stream instead of two collect_list packs + a
+    # left join — preds and gts of an image travel as FLAT rows through
+    # one hash exchange and an in-partition sort (preds first, in exact
+    # visit order), so the kernel reads plain numpy columns (the packed
+    # struct column arrived as list-of-dicts, converted per box in
+    # Python) and the greedy runs per RANK POSITION vectorized across
+    # every image of the batch, with the taken mask carried step to step.
+    pz = preds.where(
+        (F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0"))
+    ).select(
+        F.col(id_col).alias("_img"),
+        F.lit(0).alias("_tag"),
+        F.col("box_id").cast("long").alias("_id"),
+        F.col("x0").cast("long").alias("_x0"),
+        F.col("y0").cast("long").alias("_y0"),
+        F.col("x1").cast("long").alias("_x1"),
+        F.col("y1").cast("long").alias("_y1"),
+        F.col("score").cast("long").alias("_score"),
     )
-    g = _pack(truths, id_col, gt_cols, "_gts")
-    both = p.join(g, id_col, "left")
+    gz = truths.select(
+        F.col(id_col).alias("_img"),
+        F.lit(1).alias("_tag"),
+        F.col("gt_id").cast("long").alias("_id"),
+        F.col("x0").cast("long").alias("_x0"),
+        F.col("y0").cast("long").alias("_y0"),
+        F.col("x1").cast("long").alias("_x1"),
+        F.col("y1").cast("long").alias("_y1"),
+        F.lit(0).cast("long").alias("_score"),
+    )
+    ordered = pz.unionAll(gz).repartition("_img").sortWithinPartitions(
+        "_img",
+        F.col("_tag").asc(),
+        F.col("_score").desc(),
+        F.col("_id").asc(),
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                c: []
-                for c in (id_col, "box_id", "score", "matched_gt", "iou_micro")
-            }
-            for image_id, pboxes, gboxes in zip(
-                pdf[id_col], pdf["_preds"], pdf["_gts"]
-            ):
-                a = _boxes_np(pboxes)
-                gb = (
-                    np.array(
-                        [[t[c] for c in gt_cols] for t in gboxes], dtype=np.int64
+    def _flush(parts: list[pd.DataFrame]) -> pd.DataFrame:
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        imgs = pdf["_img"].to_numpy(dtype=object)
+        n = len(imgs)
+        tag = pdf["_tag"].to_numpy(dtype=np.int64)
+        cols = {
+            c: pdf[c].to_numpy(dtype=np.int64)
+            for c in ("_id", "_x0", "_y0", "_x1", "_y1", "_score")
+        }
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = imgs[1:] != imgs[:-1]
+        gidx = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        lens = np.diff(np.append(starts, n))
+        p_cnt = len(starts)
+        is_pred = tag == 0
+        np_pred = np.bincount(gidx[is_pred], minlength=p_cnt)
+        n_gt = lens - np_pred
+        maxp, maxg = int(np_pred.max()), int(n_gt.max())
+        cap = 256
+        if maxp > cap or maxg > cap:
+            big = (np_pred > cap) | (n_gt > cap)
+            big_rows = big[gidx]
+            outs = []
+            if np.any(~big_rows):
+                outs.append(_flush([pdf.iloc[np.flatnonzero(~big_rows)]]))
+            for gi in np.flatnonzero(big):
+                s0 = starts[gi]
+                outs.append(
+                    _match_one(
+                        pdf.iloc[s0 : s0 + int(lens[gi])], id_col, thr
                     )
-                    if gboxes is not None and len(gboxes)
-                    else np.empty((0, 5), dtype=np.int64)
                 )
-                g_area = (gb[:, 3] - gb[:, 1]) * (gb[:, 4] - gb[:, 2])
-                taken = np.zeros(len(gb), dtype=bool)
-                for idx in np.lexsort((a[:, 0], -a[:, 5])):
-                    box = a[idx]
-                    matched_gt, best_iou = None, None
-                    if len(gb):
-                        iw = np.minimum(gb[:, 3], box[3]) - np.maximum(gb[:, 1], box[1])
-                        ih = np.minimum(gb[:, 4], box[4]) - np.maximum(gb[:, 2], box[2])
-                        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
-                        area_b = (box[3] - box[1]) * (box[4] - box[2])
-                        union = g_area + area_b - inter
-                        ok = (~taken) & (inter * 1000 > thr * union)
-                        if np.any(ok):
-                            iou_micro = inter[ok] * 1_000_000 // union[ok]
-                            ids = gb[ok, 0]
-                            j = np.lexsort((ids, -iou_micro))[0]
-                            matched_gt = int(ids[j])
-                            best_iou = int(iou_micro[j])
-                            taken[np.flatnonzero(ok)[j]] = True
-                    out[id_col].append(image_id)
-                    out["box_id"].append(int(box[0]))
-                    out["score"].append(int(box[5]))
-                    out["matched_gt"].append(matched_gt)
-                    out["iou_micro"].append(best_iou)
-            yield pd.DataFrame(
+            return pd.concat(outs) if len(outs) > 1 else outs[0]
+        if maxp == 0:
+            return pd.DataFrame(
                 {
-                    id_col: pd.array(out[id_col], dtype="string"),
-                    "box_id": np.asarray(out["box_id"], dtype=np.int64),
-                    "score": np.asarray(out["score"], dtype=np.int64),
-                    "matched_gt": pd.array(out["matched_gt"], dtype="Int64"),
-                    "iou_micro": pd.array(out["iou_micro"], dtype="Int64"),
+                    id_col: pd.array([], dtype="string"),
+                    "box_id": np.asarray([], dtype=np.int64),
+                    "score": np.asarray([], dtype=np.int64),
+                    "matched_gt": pd.array([], dtype="Int64"),
+                    "iou_micro": pd.array([], dtype="Int64"),
                 }
             )
+        pos = np.arange(n) - starts[gidx]
+        pflat = (gidx * maxp + pos)[is_pred]
+        gflat = (gidx * maxg + (pos - np_pred[gidx]))[~is_pred]
 
-    return both.mapInPandas(
-        run,
+        def _grid(vals: np.ndarray, width: int, sel: np.ndarray,
+                  flat: np.ndarray) -> np.ndarray:
+            g = np.zeros(p_cnt * width, dtype=np.int64)
+            g[flat] = vals[sel]
+            return g.reshape(p_cnt, width)
+
+        pv = np.zeros(p_cnt * maxp, dtype=bool)
+        pv[pflat] = True
+        pv = pv.reshape(p_cnt, maxp)
+        gv = np.zeros(p_cnt * max(maxg, 1), dtype=bool)
+        if maxg:
+            gv[gflat] = True
+        gv = gv.reshape(p_cnt, max(maxg, 1))
+        P = {
+            c: _grid(cols[c], maxp, is_pred, pflat)
+            for c in ("_id", "_x0", "_y0", "_x1", "_y1", "_score")
+        }
+        if maxg:
+            G = {
+                c: _grid(cols[c], maxg, ~is_pred, gflat)
+                for c in ("_id", "_x0", "_y0", "_x1", "_y1")
+            }
+            g_area = (G["_x1"] - G["_x0"]) * (G["_y1"] - G["_y0"])
+        p_area = (P["_x1"] - P["_x0"]) * (P["_y1"] - P["_y0"])
+        got = np.zeros((p_cnt, maxp), dtype=bool)
+        m_gt = np.zeros((p_cnt, maxp), dtype=np.int64)
+        m_iou = np.zeros((p_cnt, maxp), dtype=np.int64)
+        if maxg:
+            taken = np.zeros((p_cnt, maxg), dtype=bool)
+            for k in range(maxp):
+                iw = np.minimum(G["_x1"], P["_x1"][:, k : k + 1]) - np.maximum(
+                    G["_x0"], P["_x0"][:, k : k + 1]
+                )
+                ih = np.minimum(G["_y1"], P["_y1"][:, k : k + 1]) - np.maximum(
+                    G["_y0"], P["_y0"][:, k : k + 1]
+                )
+                inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+                union = g_area + p_area[:, k : k + 1] - inter
+                ok = (
+                    gv
+                    & ~taken
+                    & (inter * 1000 > thr * union)
+                    & pv[:, k : k + 1]
+                )
+                iou = np.zeros_like(inter)
+                np.floor_divide(
+                    inter * 1_000_000, union, out=iou, where=ok
+                )
+                iou_m = np.where(ok, iou, -1)
+                best = iou_m.max(axis=1)
+                has = best >= 0
+                tie = ok & (iou_m == best[:, None])
+                gid_m = np.where(tie, G["_id"], np.iinfo(np.int64).max)
+                j = np.argmin(gid_m, axis=1)
+                rows = np.flatnonzero(has)
+                taken[rows, j[rows]] = True
+                got[rows, k] = True
+                m_gt[rows, k] = G["_id"][rows, j[rows]]
+                m_iou[rows, k] = iou[rows, j[rows]]
+        got_f = got.reshape(-1)[pflat]
+        return pd.DataFrame(
+            {
+                id_col: pd.array(imgs[is_pred], dtype="string"),
+                "box_id": cols["_id"][is_pred],
+                "score": cols["_score"][is_pred],
+                "matched_gt": pd.arrays.IntegerArray(
+                    m_gt.reshape(-1)[pflat], mask=~got_f
+                ),
+                "iou_micro": pd.arrays.IntegerArray(
+                    m_iou.reshape(-1)[pflat], mask=~got_f
+                ),
+            }
+        )
+
+    return ordered.mapInPandas(
+        _group_stream("_img", _flush),
         f"{id_col} string, box_id long, score long, matched_gt long,"
         " iou_micro long",
+    )
+
+
+def _match_one(pdf: pd.DataFrame, id_col: str, thr: int) -> pd.DataFrame:
+    """Greedy matching for ONE pre-sorted image slice (the past-the-cap
+    path of match_detections): per-pred loop, vectorized over that
+    image's ground truths — the original kernel's inner step."""
+    tag = pdf["_tag"].to_numpy(np.int64)
+    is_pred = tag == 0
+    ids_ = pdf["_id"].to_numpy(np.int64)
+    x0 = pdf["_x0"].to_numpy(np.int64)
+    y0 = pdf["_y0"].to_numpy(np.int64)
+    x1 = pdf["_x1"].to_numpy(np.int64)
+    y1 = pdf["_y1"].to_numpy(np.int64)
+    sc = pdf["_score"].to_numpy(np.int64)
+    gsel = np.flatnonzero(~is_pred)
+    gb_id, gx0, gy0, gx1, gy1 = (
+        a[gsel] for a in (ids_, x0, y0, x1, y1)
+    )
+    g_area = (gx1 - gx0) * (gy1 - gy0)
+    taken = np.zeros(len(gsel), dtype=bool)
+    out_gt, out_iou, out_got = [], [], []
+    for i in np.flatnonzero(is_pred):
+        matched_gt, best_iou = 0, 0
+        got = False
+        if len(gsel):
+            iw = np.minimum(gx1, x1[i]) - np.maximum(gx0, x0[i])
+            ih = np.minimum(gy1, y1[i]) - np.maximum(gy0, y0[i])
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            area_b = (x1[i] - x0[i]) * (y1[i] - y0[i])
+            union = g_area + area_b - inter
+            ok = (~taken) & (inter * 1000 > thr * union)
+            if np.any(ok):
+                iou_micro = inter[ok] * 1_000_000 // union[ok]
+                ids = gb_id[ok]
+                j = np.lexsort((ids, -iou_micro))[0]
+                matched_gt = int(ids[j])
+                best_iou = int(iou_micro[j])
+                taken[np.flatnonzero(ok)[j]] = True
+                got = True
+        out_gt.append(matched_gt)
+        out_iou.append(best_iou)
+        out_got.append(got)
+    got_a = np.asarray(out_got, dtype=bool)
+    return pd.DataFrame(
+        {
+            id_col: pd.array(
+                pdf["_img"].to_numpy(dtype=object)[is_pred], dtype="string"
+            ),
+            "box_id": ids_[is_pred],
+            "score": sc[is_pred],
+            "matched_gt": pd.arrays.IntegerArray(
+                np.asarray(out_gt, dtype=np.int64), mask=~got_a
+            ),
+            "iou_micro": pd.arrays.IntegerArray(
+                np.asarray(out_iou, dtype=np.int64), mask=~got_a
+            ),
+        }
     )
 
 

@@ -273,3 +273,48 @@ def test_nms_big_group_fallback_path(spark):
         for r in nms_boxes(df, iou_thr_milli=300).collect()
     )
     assert got == _ref_nms(rows, 300)
+
+
+def test_match_groups_span_arrow_batches(spark):
+    preds = _boxes(21, 50, 6)
+    gts = [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in _boxes(22, 40, 5)]
+    pdf = spark.createDataFrame(pd.DataFrame(preds, columns=PRED_COLS))
+    gdf = spark.createDataFrame(
+        pd.DataFrame(gts, columns=["image_id", "gt_id", "x0", "y0", "x1", "y1"])
+    )
+    s2 = pdf.sparkSession
+    old = s2.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        got = sorted(
+            (
+                (r.image_id, r.box_id, r.score, r.matched_gt, r.iou_micro)
+                for r in match_detections(pdf, gdf, iou_thr_milli=200).collect()
+            ),
+            key=repr,
+        )
+    finally:
+        s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == _ref_match(preds, gts, 200)
+
+
+def test_match_big_group_fallback_path(spark):
+    preds = [
+        ("big" + r[0],) + r[1:] for r in _boxes(23, 3, 300, span=60)
+    ] + _boxes(24, 25, 6)
+    gts = [
+        ("big" + r[0], r[1], r[2], r[3], r[4], r[5])
+        for r in _boxes(25, 3, 280, span=60)
+    ] + [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in _boxes(26, 25, 4)]
+    pdf = spark.createDataFrame(pd.DataFrame(preds, columns=PRED_COLS))
+    gdf = spark.createDataFrame(
+        pd.DataFrame(gts, columns=["image_id", "gt_id", "x0", "y0", "x1", "y1"])
+    )
+    got = sorted(
+        (
+            (r.image_id, r.box_id, r.score, r.matched_gt, r.iou_micro)
+            for r in match_detections(pdf, gdf, iou_thr_milli=200).collect()
+        ),
+        key=repr,
+    )
+    assert got == _ref_match(preds, gts, 200)
