@@ -826,6 +826,28 @@ def main() -> None:
         )
         sc_hists.unpersist()
 
+    # ---- zsplit fixture (bench.py verbatim) ---------------------------
+    if on("zsplit_200k_links"):
+        from morituri_spark.sources import synth as _synth
+        from morituri_spark.operators import streets as ST
+
+        streets_xl = _synth.streets_table(
+            spark, n=200_000, n_vertices=10
+        ).persist()
+        streets_xl.count()
+        zl_xl = _synth.zlevels_table(
+            spark,
+            [(10_000 + i, [0, 1, 1, 0, 0, 2, 2, 0, 3, 0]) for i in range(200_000)],
+        ).persist()
+        zl_xl.count()
+        timed(
+            "zsplit_200k_links",
+            lambda: ST.street_ways(streets_xl, zl_xl).count(),
+            reps=2,
+        )
+        streets_xl.unpersist()
+        zl_xl.unpersist()
+
     print(f"calib_ms_end={B.calib_ms():.2f}", flush=True)
     print(f"loadavg_end={open('/proc/loadavg').read().strip()}", flush=True)
 

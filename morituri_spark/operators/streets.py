@@ -151,7 +151,17 @@ def street_ways(
             F.lit(None).cast("int").alias("z_lvl"),
         )
     )
-    all_segs = segments.unionByName(no_z)
+    # The segment relation feeds BOTH the tagged-way join and the dense-id
+    # derivation (whose counts+numbering is itself two passes): without a
+    # materialization the split kernel subtree recomputes per consumer —
+    # the physical plan held FOUR MapInPandas copies of it (r6, guide
+    # §2.4). One localCheckpoint (knn _Round) computes it once; blocks
+    # are reclaimed by the ContextCleaner when the plan is dropped.
+    from ..geo.knn import _Round
+
+    all_segs = _Round.materialize(
+        segments.unionByName(no_z), truncate=True
+    ).df
 
     tag_cols = street_tag_columns()
     tagged = streets.select(*[v.alias(k) for k, v in tag_cols.items()], "geometry")
